@@ -1,0 +1,71 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for graft's hot paths. Each emits a
+  * direct static call in whole-stage codegen (preference order from
+  * the build notes: compose built-ins > custom Expression > custom
+  * plan > mapPartitions). Scalar-function surface mirrors the
+  * reference's function registry idea
+  * (/root/reference/src/operators/scalar/funcs.rs:9) extended with
+  * the pipeline hashes the reference lacks.
+  */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.GraftHash.fnv64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.fnv64($c)")
+  override protected def withNewChildInternal(c: Expression): Fnv64 = copy(child = c)
+}
+
+case class PolyFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.GraftHash.polyFingerprint(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.polyFingerprint($c)")
+  override protected def withNewChildInternal(c: Expression): PolyFingerprint = copy(child = c)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.GraftHash.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.GraftVec.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftVec.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
+    copy(left = l, right = r)
+}
+
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.GraftVec.norm(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.norm($c)")
+  override protected def withNewChildInternal(c: Expression): VectorNorm = copy(child = c)
+}
+
+case class VectorCosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.GraftVec.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftVec.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorCosine =
+    copy(left = l, right = r)
+}

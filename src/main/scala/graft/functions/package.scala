@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftBridge}
+
+/** Typed Column wrappers over graft's native Catalyst expressions.
+  * Usable on any session (no registry needed); the SQL names
+  * (`graft_fnv64`, ...) are additionally injected by
+  * [[graft.plans.GraftExtensions]].
+  */
+package object functions {
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftBridge.column(e)
+  private def ex(c: Column) = GraftBridge.expression(c)
+
+  /** FNV-1a 64-bit hash of a string column. */
+  def fnv64(c: Column): Column = col(expr.Fnv64(ex(c)))
+
+  /** SQL-portable positional polynomial document fingerprint. */
+  def polyFingerprint(c: Column): Column = col(expr.PolyFingerprint(ex(c)))
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash64(c: Column): Column = col(expr.SimHash64(ex(c)))
+
+  /** Dot product of two float-array columns (double). */
+  def vectorDot(a: Column, b: Column): Column = col(expr.VectorDot(ex(a), ex(b)))
+
+  /** L2 norm of a float-array column (double). */
+  def vectorNorm(a: Column): Column = col(expr.VectorNorm(ex(a)))
+
+  /** Cosine similarity of two float-array columns (double). */
+  def vectorCosine(a: Column, b: Column): Column = col(expr.VectorCosine(ex(a), ex(b)))
+}

@@ -1,0 +1,555 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Core relational operator surface — one query per capability in the
+  * reference's logical-operator set
+  * (/root/reference/src/operators/relational/logical/mod.rs:21,
+  * README "Relational operators"). Every query is declarative
+  * DataFrame API so Catalyst performs the rewrites keenwa implements
+  * as rules (pushdown, pruning, join selection, semi/anti-join
+  * decorrelation — /root/reference/src/rules/rewrite/filter_push_down.rs:1,
+  * src/rules/implementation/join.rs:1, src/operators/builder/subqueries.rs:1).
+  *
+  * Determinism rules (SURVEY §4): decimal-accumulated sums cast back
+  * to double; ints cast to BIGINT; timestamps rendered as strings;
+  * every output deterministically ordered with a unique tiebreak.
+  */
+object Relational {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Exact sum: accumulate as decimal (order-insensitive), emit double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+
+  /** (name, spark query, oracle SQL) triples. */
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- scan + filter + aggregate (TPC-H Q1 shape) ----
+    ("q01_agg", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- projection + scalar arithmetic ----
+    ("q02_project", (s: SparkSession, d: String) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        (col("p_retailprice") * lit(1.1)).cast(DecimalType(18, 4)).cast("double").as("adj_price"),
+        ((col("p_size") + lit(5)) * lit(2)).cast("bigint").as("size2"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey, p_brand || '#' || p_type AS brand_type,
+        CAST(CAST(p_retailprice * 1.1 AS DECIMAL(18,4)) AS DOUBLE) AS adj_price,
+        CAST((p_size + 5) * 2 AS BIGINT) AS size2
+      FROM part ORDER BY p_partkey""")),
+
+    // ---- inner join chain + agg + top-k (TPC-H Q3 shape) ----
+    ("q03_join_inner", (s: SparkSession, d: String) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1996-01-01 00:00:00"))
+      broadcast(c)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey")).limit(10)
+    }, Some("""
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ---- left outer join ----
+    ("q04_join_left", (s: SparkSession, d: String) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
+
+    // ---- right outer join ----
+    ("q05_join_right", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"), "right")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("l_linenumber")).as("n_lines"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, count(l_linenumber) AS n_lines
+      FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
+    // ---- full outer join ----
+    ("q06_join_full", (s: SparkSession, d: String) => {
+      val sup = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      val cus = Tables.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      sup.join(cus, col("s_nationkey") === col("c_nationkey"), "full")
+        .select(
+          coalesce(col("s_nationkey"), col("c_nationkey")).cast("bigint").as("nationkey"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .orderBy("nationkey")
+    }, Some("""
+      WITH s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1),
+           c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1)
+      SELECT CAST(coalesce(s_nationkey, c_nationkey) AS BIGINT) AS nationkey,
+             coalesce(n_supp, 0) AS n_supp, coalesce(n_cust, 0) AS n_cust
+      FROM s FULL JOIN c ON s_nationkey = c_nationkey ORDER BY nationkey""")),
+
+    // ---- cross join ----
+    ("q07_join_cross", (s: SparkSession, d: String) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name")).orderBy("r_name", "n_name")
+    }, Some("""
+      SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""")),
+
+    // ---- semi join (EXISTS) ----
+    ("q08_join_semi", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45).select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice")).orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      ORDER BY o_orderkey""")),
+
+    // ---- anti join (NOT EXISTS) ----
+    ("q09_join_anti", (s: SparkSession, d: String) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+
+    // ---- UNION ALL ----
+    ("q10_union", (s: SparkSession, d: String) => {
+      val a = Tables.supplier(s, d).select(col("s_nationkey").cast("bigint").as("nationkey"))
+      val b = Tables.customer(s, d).select(col("c_nationkey").cast("bigint").as("nationkey"))
+      a.unionAll(b).groupBy("nationkey").agg(count(lit(1)).as("n")).orderBy("nationkey")
+    }, Some("""
+      SELECT nationkey, count(*) AS n FROM (
+        SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+        UNION ALL
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer)
+      GROUP BY nationkey ORDER BY nationkey""")),
+
+    // ---- EXCEPT (distinct) ----
+    ("q11_except", (s: SparkSession, d: String) => {
+      val a = Tables.customer(s, d).select(col("c_nationkey").cast("bigint").as("nationkey"))
+      val b = Tables.supplier(s, d).select(col("s_nationkey").cast("bigint").as("nationkey"))
+      a.except(b).orderBy("nationkey")
+    }, Some("""
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      EXCEPT
+      SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+      ORDER BY nationkey""")),
+
+    // ---- EXCEPT ALL ----
+    ("q11_except_all", (s: SparkSession, d: String) => {
+      val a = Tables.customer(s, d).select(col("c_nationkey").cast("bigint").as("nationkey"))
+      val b = Tables.supplier(s, d).select(col("s_nationkey").cast("bigint").as("nationkey"))
+      a.exceptAll(b).groupBy("nationkey").agg(count(lit(1)).as("n")).orderBy("nationkey")
+    }, Some("""
+      SELECT nationkey, count(*) AS n FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+      GROUP BY nationkey ORDER BY nationkey""")),
+
+    // ---- INTERSECT (distinct) ----
+    ("q12_intersect", (s: SparkSession, d: String) => {
+      val a = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      a.intersect(b).orderBy("k")
+    }, Some("""
+      SELECT o_custkey AS k FROM orders
+      INTERSECT
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+      ORDER BY k""")),
+
+    // ---- INTERSECT ALL ----
+    ("q12_intersect_all", (s: SparkSession, d: String) => {
+      val a = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k"))
+      a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    }, Some("""
+      SELECT k, count(*) AS n FROM (
+        SELECT o_custkey AS k FROM orders
+        INTERSECT ALL
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+      GROUP BY k ORDER BY k""")),
+
+    // ---- ORDER BY + LIMIT + OFFSET ----
+    ("q13_limit_offset", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .offset(10).limit(20)
+    }, Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""")),
+
+    // ---- VALUES (inline relation) joined to a table ----
+    ("q14_values", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val v = Seq((1L, "URGENT"), (2L, "HIGH")).toDF("prio_id", "prio_name")
+      Tables.orders(s, d)
+        .join(broadcast(v),
+          col("o_orderpriority") === concat(col("prio_id").cast("string"), lit("-"), col("prio_name")))
+        .groupBy(col("prio_name")).agg(count(lit(1)).as("n")).orderBy("prio_name")
+    }, Some("""
+      SELECT prio_name, count(*) AS n
+      FROM orders JOIN (VALUES (1, 'URGENT'), (2, 'HIGH')) AS v(prio_id, prio_name)
+        ON o_orderpriority = CAST(prio_id AS VARCHAR) || '-' || prio_name
+      GROUP BY prio_name ORDER BY prio_name""")),
+
+    // ---- DISTINCT ----
+    ("q15_distinct", (s: SparkSession, d: String) => {
+      Tables.orders(s, d).select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct().orderBy("o_orderstatus", "o_orderpriority")
+    }, Some("""
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // ---- count(*) / count(col) / DISTINCT agg / FILTER agg ----
+    ("q16_agg_distinct_filter", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          count(col("l_orderkey")).as("n_rows"),
+          count(lit(1)).as("n_all"),
+          coalesce(dsum(when(col("l_discount") > 0.05, col("l_quantity"))), lit(0.0)).as("qty_disc"),
+          sum_distinct(col("l_linenumber").cast("bigint")).as("sum_distinct_ln"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+        count(DISTINCT l_suppkey) AS n_supp,
+        count(l_orderkey) AS n_rows,
+        count(*) AS n_all,
+        coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE), 0.0) AS qty_disc,
+        CAST(sum(DISTINCT CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_distinct_ln
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- HAVING ----
+    ("q17_having", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d).groupBy(col("l_partkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 100)
+        .orderBy("l_partkey")
+    }, Some("""
+      SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 100
+      ORDER BY l_partkey""")),
+
+    // ---- window: row_number + rank ----
+    ("q18_window_ranking", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("bigint").as("rn"),
+          rank().over(w).cast("bigint").as("rnk"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }, Some("""
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(row_number() OVER w AS BIGINT) AS rn,
+          CAST(rank() OVER w AS BIGINT) AS rnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+      WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // ---- window: first_value / last_value / running sum ----
+    // (ordered by the unique o_orderkey: (l_orderkey, l_linenumber) is
+    // not unique in this data, which would make first/last ambiguous)
+    ("q19_window_value", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(wFull).as("first_price"),
+          last(col("o_totalprice")).over(wFull).as("last_price"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wRun).cast("double").as("run_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        first_value(o_totalprice) OVER wf AS first_price,
+        last_value(o_totalprice) OVER wf AS last_price,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS run_total
+      FROM orders
+      WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             wr AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- scalar subquery (uncorrelated) ----
+    ("q20_subquery_scalar", (s: SparkSession, d: String) => {
+      val p = Tables.part(s, d)
+      val avgP = p.agg((dsum(col("p_retailprice")) / count(lit(1))).as("ap"))
+      p.crossJoin(broadcast(avgP)).filter(col("p_retailprice") > col("ap"))
+        .select(col("p_partkey"), col("p_retailprice")).orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey, p_retailprice FROM part
+      WHERE p_retailprice > (
+        SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM part)
+      ORDER BY p_partkey""")),
+
+    // ---- correlated EXISTS with extra predicate → semi join ----
+    ("q21_exists_correlated", (s: SparkSession, d: String) => {
+      Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 49).select(col("l_suppkey")),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name")).orderBy("s_suppkey")
+    }, Some("""
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+      ORDER BY s_suppkey""")),
+
+    // ---- IN <subquery> ----
+    ("q22_in_subquery", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- NOT IN <subquery> (non-null keys → anti join) ----
+    ("q23_not_in_subquery", (s: SparkSession, d: String) => {
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d).select(col("l_partkey")),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey")).orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey FROM part
+      WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+      ORDER BY p_partkey""")),
+
+    // ---- CTE (WITH) ----
+    ("q24_cte", (s: SparkSession, d: String) => {
+      val co = Tables.orders(s, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      val hi = co.filter(col("n") >= 3)
+      Tables.customer(s, d).join(hi, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n")).orderBy("c_custkey")
+    }, Some("""
+      WITH co AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+           hi AS (SELECT * FROM co WHERE n >= 3)
+      SELECT c_custkey, c_name, n FROM customer JOIN hi ON c_custkey = o_custkey
+      ORDER BY c_custkey""")),
+
+    // ---- CASE / IN-list / BETWEEN / LIKE / IS NULL ----
+    ("q25_case_expr", (s: SparkSession, d: String) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        col("o_orderstatus").isin("O", "F").as("in_list"),
+        col("o_totalprice").between(50000, 150000).as("in_range"),
+        col("o_orderpriority").like("%URGENT%").as("is_urgent"),
+        (!col("o_orderpriority").like("%LOW%")).as("not_low"),
+        col("o_orderstatus").isNull.as("status_null"),
+        col("o_orderstatus").isNotNull.as("status_not_null"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        CASE WHEN o_totalprice > 200000 THEN 'big'
+             WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+        o_orderstatus IN ('O','F') AS in_list,
+        o_totalprice BETWEEN 50000 AND 150000 AS in_range,
+        o_orderpriority LIKE '%URGENT%' AS is_urgent,
+        o_orderpriority NOT LIKE '%LOW%' AS not_low,
+        o_orderstatus IS NULL AS status_null,
+        o_orderstatus IS NOT NULL AS status_not_null
+      FROM orders ORDER BY o_orderkey""")),
+
+    // ---- the reference's 8 built-in scalar functions ----
+    ("q26_string_funcs", (s: SparkSession, d: String) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        bit_length(col("c_name")).cast("bigint").as("bits"),
+        length(col("c_name")).cast("bigint").as("chars"),
+        concat(col("c_mktsegment"), lit(":"), col("c_name")).as("cat"),
+        lower(col("c_name")).as("lo"),
+        upper(col("c_mktsegment")).as("up"),
+        instr(col("c_name"), "1").cast("bigint").as("pos"),
+        hex(col("c_custkey")).as("hexkey"),
+        regexp_replace(col("c_name"), lit("Customer"), lit("C")).as("repl"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey,
+        CAST(bit_length(c_name) AS BIGINT) AS bits,
+        CAST(length(c_name) AS BIGINT) AS chars,
+        c_mktsegment || ':' || c_name AS cat,
+        lower(c_name) AS lo, upper(c_mktsegment) AS up,
+        CAST(strpos(c_name, '1') AS BIGINT) AS pos,
+        to_hex(c_custkey) AS hexkey,
+        replace(c_name, 'Customer', 'C') AS repl
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---- arithmetic + comparison + boolean operators ----
+    ("q27_arith", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber").cast("bigint").as("ln"),
+        (col("l_quantity") + col("l_tax")).as("addv"),
+        (col("l_quantity") - col("l_discount")).as("subv"),
+        (col("l_quantity") * lit(2.0)).as("mulv"),
+        (col("l_extendedprice") / lit(4.0)).as("divv"),
+        (col("l_linenumber") % lit(3)).cast("bigint").as("modv"),
+        (col("l_quantity") >= lit(25.0)).as("gev"),
+        ((col("l_tax") < 0.05) || (col("l_discount") > 0.08)).as("orv"),
+        (!(col("l_returnflag") === "A")).as("notv"))
+        .orderBy("l_orderkey", "ln")
+    }, Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        l_quantity + l_tax AS addv,
+        l_quantity - l_discount AS subv,
+        l_quantity * 2.0 AS mulv,
+        l_extendedprice / 4.0 AS divv,
+        CAST(l_linenumber % 3 AS BIGINT) AS modv,
+        l_quantity >= 25.0 AS gev,
+        (l_tax < 0.05) OR (l_discount > 0.08) AS orv,
+        NOT (l_returnflag = 'A') AS notv
+      FROM lineitem ORDER BY l_orderkey, ln""")),
+
+    // ---- multi-key ORDER BY asc/desc ----
+    ("q28_sort_multi", (s: SparkSession, d: String) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").cast("bigint").as("nat"), col("c_acctbal"))
+        .orderBy(col("nat").asc, col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(50)
+    }, Some("""
+      SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nat, c_acctbal
+      FROM customer ORDER BY nat ASC, c_acctbal DESC, c_custkey ASC LIMIT 50""")),
+
+    // ---- arrays (1-based access) + tuples/structs ----
+    ("q29_array_tuple", (s: SparkSession, d: String) => {
+      val words = split(trim(col("text")), " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        element_at(words, 1).as("first_word"),
+        element_at(words, 3).as("third_word"),
+        size(words).cast("bigint").as("n_words"),
+        struct(col("lang").as("lang"), col("source").as("source")).getField("lang").as("t_lang"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        string_split(trim(text), ' ')[1] AS first_word,
+        string_split(trim(text), ' ')[3] AS third_word,
+        CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+        struct_extract(struct_pack(lang := lang, source := source), 'lang') AS t_lang
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- window frames: running + sliding ----
+    ("q30_window_frame", (s: SparkSession, d: String) => {
+      // order on the exact ns long so row order matches DuckDB's
+      // TIMESTAMP_NS ordering bit-for-bit
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("run_val"),
+        count(lit(1)).over(w.rowsBetween(-2, Window.currentRow)).as("cnt3"))
+        .orderBy("user_id", "event_id")
+    }, Some("""
+      SELECT event_id, user_id,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_val,
+        count(*) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt3
+      FROM events ORDER BY user_id, event_id""")),
+
+    // ---- date/time intervals + extract ----
+    ("q31_interval_date", (s: SparkSession, d: String) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate") + expr("INTERVAL 3 MONTH"), "yyyy-MM-dd").as("plus3m"),
+        date_format(col("o_orderdate") + expr("INTERVAL 10 DAY"), "yyyy-MM-dd").as("plus10d"),
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("dom"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        strftime(o_orderdate + INTERVAL 10 DAY, '%Y-%m-%d') AS plus10d,
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(month(o_orderdate) AS BIGINT) AS mo,
+        CAST(day(o_orderdate) AS BIGINT) AS dom
+      FROM orders ORDER BY o_orderkey""")),
+
+    // ---- hourly tumbling window over events (streaming batch-parity) ----
+    ("q32_events_window", (s: SparkSession, d: String) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("hour_start", "event_type")
+    }, Some("""
+      SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+  )
+}

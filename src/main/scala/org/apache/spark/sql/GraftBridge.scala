@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark's package-private Column <-> Expression conversions
+  * (Spark 4 moved Column onto ColumnNode; `classic.ExpressionUtils` is
+  * the supported classic-backend bridge but is private[sql]). Living in
+  * org.apache.spark.sql is the conventional extension-library shim.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
