@@ -7,7 +7,12 @@ object SparkEntry {
 
   /** All operator families contribute (name, fn, oracle) triples. */
   private def allEntries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    graft.operators.Relational.entries
+    graft.operators.Relational.entries ++
+      graft.operators.Dedup.entries ++
+      graft.operators.Similarity.entries ++
+      graft.operators.TextOps.entries ++
+      graft.operators.Multimodal.entries ++
+      graft.operators.Sessionize.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Input to the decode stage: opaque binary payload + typed metadata. */
+case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
+
+/** Output of the decode stage. */
+case class DecodedRow(doc_id: Long, media_type: String,
+    width: Long, height: Long, n_frames: Long)
+
+/** Multimodal column pipeline: media as opaque binary columns with
+  * typed metadata, decoded per-partition through a typed Dataset.
+  *
+  * The decode kernel is a STUB — a deterministic arithmetic fake
+  * standing in for a real image/audio codec (libs not present in this
+  * environment). Everything around it is the real 100 TB plumbing:
+  * binary column in parquet, case-class Encoders, mapPartitions batch
+  * iteration (one decoder init per partition, not per row), and a
+  * columnar result that downstream queries can aggregate.
+  */
+object Multimodal {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** STUB decode: deterministic fake; a real codec would parse payload. */
+  private def decode(m: MediaRow): DecodedRow = {
+    val n = m.payload.length.toLong
+    DecodedRow(m.doc_id, m.media_type,
+      width = 64L + n % 577L,
+      height = 64L + (n * 31L) % 331L,
+      n_frames = if (m.media_type == "video") 1L + n % 24L else 1L)
+  }
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+    ("m01_multimodal", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"))
+      media.as[MediaRow]
+        .mapPartitions { it =>
+          // decoder/codec init would go here, once per partition
+          it.map(decode)
+        }
+        .toDF()
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        CAST(64 + strlen(text) % 577 AS BIGINT) AS width,
+        CAST(64 + (strlen(text) * 31) % 331 AS BIGINT) AS height,
+        CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 24 ELSE 1 END AS BIGINT) AS n_frames
+      FROM documents ORDER BY doc_id"""))
+  )
+}

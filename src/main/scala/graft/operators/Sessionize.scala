@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Gap-based sessionization of the event stream, batch form:
+  * lag + cumulative-sum session ids, then per-session rollup. The
+  * streaming form (session_window / flatMapGroupsWithState) lives in
+  * graft.streaming; this batch variant is the oracle-checkable one.
+  * Works on the exact ns longs so ordering and gap arithmetic are
+  * integer-exact.
+  */
+object Sessionize {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val GapNs = 30L * 60 * 1000 * 1000 * 1000 // 30 min in ns
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+    ("ss01_sessionize", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        // µs-floored ns: DuckDB reads parquet NANOS as µs timestamps,
+        // so durations must be computed at µs resolution for parity
+        .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
+        .select(col("user_id"), col("event_id"), col("ts_ns"),
+          lag(col("ts_ns"), 1).over(w).as("prev_ns"))
+        .select(col("user_id"), col("event_id"), col("ts_ns"),
+          when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs, 1L)
+            .otherwise(0L).as("is_new"))
+        .select(col("user_id"), col("ts_ns"),
+          sum(col("is_new")).over(wRun).as("session_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts_ns")) - min(col("ts_ns"))).as("dur_ns"))
+        .select(col("user_id"), col("session_id").cast("bigint").as("session_id"),
+          col("n_events"), col("dur_ns"))
+        .orderBy("user_id", "session_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+      l AS (SELECT user_id, event_id, tns,
+              lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS p
+            FROM e),
+      f AS (SELECT user_id, event_id, tns,
+              CASE WHEN p IS NULL OR tns - p > 1800000000000 THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sess AS (SELECT user_id, tns,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM f)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        count(*) AS n_events,
+        CAST(max(tns) - min(tns) AS BIGINT) AS dur_ns
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+  )
+}

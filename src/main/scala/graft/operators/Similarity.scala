@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.{vectorCosine, vectorDot}
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * s01 is the brute-force baseline: broadcast the query vector, one
+  * codegen cosine per row, TakeOrderedAndProject for top-k — linear,
+  * no shuffle, the right plan at any scale for a single query vector.
+  * s02 is the scale path for pairwise search: 16 random-hyperplane
+  * sign bits bucket the vectors; only same-bucket candidates get the
+  * exact cosine (candidates ~ n/2^16 per bucket on random data).
+  */
+object Similarity {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Deterministic random hyperplanes (seed 12345), 16 x 64 dims. */
+  private val hyperplanes: Seq[Array[Double]] = {
+    val r = new scala.util.Random(12345)
+    Seq.fill(16)(Array.fill(64)(r.nextGaussian()))
+  }
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- brute-force cosine top-k vs query vector ----
+    ("s01_similarity_topk", (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(vectorCosine(col("embedding"), col("qe")), 6).as("cos"))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(desc("cos"), col("vec_id")).limit(20)
+    }, Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b FROM embeddings, q),
+      sums AS (
+        SELECT vec_id,
+          sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+          sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+          sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+        FROM z GROUP BY vec_id)
+      SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+      FROM sums WHERE vec_id <> 0
+      ORDER BY cos DESC, vec_id LIMIT 20""")),
+
+    // ---- LSH-bucketed pairwise similarity (no SQL oracle: LSH family) ----
+    ("s02_similarity_lsh", (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val bucket = hyperplanes.zipWithIndex.map { case (h, i) =>
+        val hCol = array(h.map(lit): _*).cast("array<float>")
+        when(vectorDot(col("embedding"), hCol) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val bucketed = e.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+      val a = bucketed.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
+      val b = bucketed.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
+      a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(vectorCosine(col("ea"), col("eb")), 6).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy("id_a", "id_b")
+    }, None)
+  )
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.polyFingerprint
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * pure column expressions (codegen'd, no UDFs) so they pipeline into
+  * a single scan at 100 TB; the fingerprint is a native Catalyst
+  * expression with a bit-exact SQL oracle.
+  */
+object TextOps {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "of", "in", "is")
+  private def words: Column = split(trim(col("text")), " ")
+
+  /** count of words of `ws` that fall in `set` (codegen higher-order fn). */
+  private def nIn(ws: Column, set: Seq[String]): Column =
+    size(filter(ws, w => w.isin(set: _*)))
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- language ID: per-language marker-word counts, argmax ----
+    ("t01_langid", (s: SparkSession, d: String) => {
+      val ws = words
+      val en = nIn(ws, Seq("the", "a", "of", "in", "is"))
+      val de = nIn(ws, Seq("der", "die", "das", "und", "ist"))
+      val fr = nIn(ws, Seq("le", "la", "les", "et", "est"))
+      val es = nIn(ws, Seq("el", "los", "las", "y", "es"))
+      val zh = nIn(ws, Seq("de", "shi", "bu", "wo", "zai"))
+      val top = greatest(en, de, fr, es, zh)
+      val pred = when(en === top, "en").when(de === top, "de")
+        .when(fr === top, "fr").when(es === top, "es").otherwise("zh")
+      Tables.documents(s, d).select(
+        col("doc_id"), pred.as("pred_lang"), (pred === col("lang")).as("hit"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH sc AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split(trim(text), ' '), w -> w IN ('the','a','of','in','is'))) AS en,
+          len(list_filter(string_split(trim(text), ' '), w -> w IN ('der','die','das','und','ist'))) AS de,
+          len(list_filter(string_split(trim(text), ' '), w -> w IN ('le','la','les','et','est'))) AS fr,
+          len(list_filter(string_split(trim(text), ' '), w -> w IN ('el','los','las','y','es'))) AS es,
+          len(list_filter(string_split(trim(text), ' '), w -> w IN ('de','shi','bu','wo','zai'))) AS zh
+        FROM documents),
+      p AS (
+        SELECT doc_id, lang,
+          CASE WHEN en >= greatest(en,de,fr,es,zh) THEN 'en'
+               WHEN de >= greatest(en,de,fr,es,zh) THEN 'de'
+               WHEN fr >= greatest(en,de,fr,es,zh) THEN 'fr'
+               WHEN es >= greatest(en,de,fr,es,zh) THEN 'es'
+               ELSE 'zh' END AS pred_lang
+        FROM sc)
+      SELECT doc_id, pred_lang, pred_lang = lang AS hit FROM p ORDER BY doc_id""")),
+
+    // ---- quality scoring: length/stopword/word-shape ratios ----
+    ("t02_quality", (s: SparkSession, d: String) => {
+      val ws = words
+      val nWords = size(ws)
+      val awl = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+      val stopR = nIn(ws, stopwords).cast("double") / nWords
+      val longR = size(filter(ws, w => length(w) > 6)).cast("double") / nWords
+      val score =
+        when(nWords.between(20, 80), 0.4).otherwise(0.0) +
+          when(stopR.between(0.05, 0.5), 0.3).otherwise(0.0) +
+          when(awl.between(3.0, 8.0), 0.3).otherwise(0.0)
+      Tables.documents(s, d).select(
+        col("doc_id"), length(col("text")).cast("bigint").as("chars"),
+        nWords.cast("bigint").as("n_words"),
+        awl.as("avg_word_len"), stopR.as("stop_ratio"), longR.as("long_ratio"),
+        score.as("quality"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS chars,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS avg_word_len,
+          CAST(len(list_filter(ws, w -> w IN ('the','a','of','in','is'))) AS DOUBLE) / len(ws) AS stop_ratio,
+          CAST(len(list_filter(ws, w -> length(w) > 6)) AS DOUBLE) / len(ws) AS long_ratio
+        FROM f)
+      SELECT doc_id, chars, n_words, avg_word_len, stop_ratio, long_ratio,
+        (CASE WHEN n_words BETWEEN 20 AND 80 THEN 0.4 ELSE 0.0 END +
+         CASE WHEN stop_ratio BETWEEN 0.05 AND 0.5 THEN 0.3 ELSE 0.0 END +
+         CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) AS quality
+      FROM m ORDER BY doc_id""")),
+
+    // ---- token counting: whitespace + BPE-ish regex ----
+    ("t03_tokens", (s: SparkSession, d: String) => {
+      val bpe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+      val nWs = size(split(trim(col("text")), "\\s+"))
+      val nBpe = regexp_count(col("text"), lit(bpe))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nWs.cast("bigint").as("n_ws_tokens"),
+        nBpe.cast("bigint").as("n_bpe_tokens"),
+        (length(col("text")).cast("double") / nBpe).as("chars_per_token"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- document fingerprint: native codegen expression with a
+    //      bit-exact SQL oracle (see GraftHash.polyFingerprint) ----
+    ("t04_fingerprint", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), polyFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id,
+          unnest(string_split(trim(text), ' ')) AS wd,
+          generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+        FROM documents),
+      ne AS (
+        SELECT doc_id, wd,
+          row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+        FROM w WHERE wd <> '')
+      SELECT doc_id,
+        CAST(sum((length(wd)*1000003 + ascii(wd)*31 + ascii(reverse(wd))) * ((i*131) % 1000000007)) % 1000000007 AS BIGINT) AS fp
+      FROM ne GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}
