@@ -20,7 +20,7 @@ object Dedup {
   type QFn = (SparkSession, String) => DataFrame
 
   /** distinct word-trigram shingles of `text`. */
-  private def shingles(text: Column): Column = {
+  def shingles(text: Column): Column = {
     val w = split(trim(text), " ")
     array_distinct(
       transform(sequence(lit(1), greatest(size(w) - 2, lit(1))),
@@ -37,6 +37,59 @@ object Dedup {
     Seq.fill(32)(((r.nextInt((MinhashP - 1).toInt) + 1).toLong, r.nextInt(MinhashP.toInt).toLong))
   }
 
+  /** MinHash+LSH near-duplicate pairs over (doc_id, text).
+    *
+    * Pipeline: shingle → 32-way minhash signature (one partial-agg
+    * groupBy) → 8 bands of 4 → self-join on band key (the only
+    * all-to-all shuffle, O(docs x 8) rows) → exact Jaccard verify on
+    * bucket-collided candidates only. At 100 TB the band join's key
+    * space keeps buckets tiny; skewed buckets are handled by AQE.
+    */
+  def minhashPairs(documents: DataFrame, jaccardMin: Double): DataFrame = {
+    val docs = documents.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val hashed = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), pmod(fnv64(col("shingle")), lit(MinhashP)).as("h"))
+    val sigCols = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"s$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = (0 until 8).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        xxhash64(col(s"s${4 * b}"), col(s"s${4 * b + 1}"), col(s"s${4 * b + 2}"), col(s"s${4 * b + 3}")).as("bkey"))
+    }.reduce(_ unionAll _)
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-duplicate pairs over (doc_id, text): block on each
+    * 16-bit chunk of the 64-bit signature — pigeonhole guarantees any
+    * pair within hamming<=maxHamming (<16) collides on some chunk.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int): DataFrame = {
+    val docs = documents.select(col("doc_id"), simhash64(col("text")).as("sig"))
+    val chunks = (0 until 4).map { c =>
+      docs.select(col("doc_id"), col("sig"), lit(c).as("chunk_id"),
+        shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xffffL)).as("chunk"))
+    }.reduce(_ unionAll _)
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming).distinct()
+      .orderBy("id_a", "id_b")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- exact dedup: hash groupBy on content ----
@@ -51,53 +104,12 @@ object Dedup {
       FROM documents GROUP BY text ORDER BY keep_id""")),
 
     // ---- MinHash + LSH near-dup pairs (no SQL oracle: custom hash) ----
-    ("d02_dedup_minhash", (s: SparkSession, d: String) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
-      val hashed = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), pmod(fnv64(col("shingle")), lit(MinhashP)).as("h"))
-      // 32-way minhash signature via one map-side-combinable aggregation
-      val sigCols = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-        min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"s$i")
-      }
-      val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      // 8 bands x 4 rows: band key = xxhash64 of the band's signature slice
-      val bands = (0 until 8).map { b =>
-        sigs.select(col("doc_id"), lit(b).as("band"),
-          xxhash64(col(s"s${4 * b}"), col(s"s${4 * b + 1}"), col(s"s${4 * b + 2}"), col(s"s${4 * b + 3}")).as("bkey"))
-      }.reduce(_ unionAll _)
-      val cands = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
-      // verify candidates with true Jaccard over shingle sets
-      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      cands.join(a, "id_a").join(b, "id_b")
-        .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
-    }, None),
+    ("d02_dedup_minhash", (s: SparkSession, d: String) =>
+      minhashPairs(Tables.documents(s, d), 0.5), None),
 
     // ---- SimHash near-dup pairs (no SQL oracle: custom hash) ----
-    ("d03_dedup_simhash", (s: SparkSession, d: String) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), simhash64(col("text")).as("sig"))
-      // block on each of the four 16-bit chunks: any pair within
-      // hamming<=6 must agree exactly on at least one chunk
-      val chunks = (0 until 4).map { c =>
-        docs.select(col("doc_id"), col("sig"), lit(c).as("chunk_id"),
-          shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xffffL)).as("chunk"))
-      }.reduce(_ unionAll _)
-      chunks.as("x").join(chunks.as("y"),
-          col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("bigint").as("hamming"))
-        .filter(col("hamming") <= 6).distinct()
-        .orderBy("id_a", "id_b")
-    }, None),
+    ("d03_dedup_simhash", (s: SparkSession, d: String) =>
+      simhashPairs(Tables.documents(s, d), 6), None),
 
     // ---- n-gram Jaccard similarity vs a query document ----
     ("d04_ngram_jaccard", (s: SparkSession, d: String) => {

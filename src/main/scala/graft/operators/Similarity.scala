@@ -24,18 +24,43 @@ object Similarity {
     Seq.fill(16)(Array.fill(64)(r.nextGaussian()))
   }
 
+  /** Brute-force cosine top-k of `embeddings` vs the vector with
+    * `queryId`: broadcast one row, codegen cosine per row, Spark plans
+    * the order+limit as TakeOrderedAndProject (per-partition top-k,
+    * driver merge — no full sort, no shuffle).
+    */
+  def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    embeddings.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(vectorCosine(col("embedding"), col("qe")), 6).as("cos"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(desc("cos"), col("vec_id")).limit(k)
+  }
+
+  /** Random-hyperplane LSH similar pairs: bucket by 16 sign bits, then
+    * exact-cosine only same-bucket candidates.
+    */
+  def lshPairs(embeddings: DataFrame, cosMin: Double): DataFrame = {
+    val bucket = hyperplanes.zipWithIndex.map { case (h, i) =>
+      val hCol = array(h.map(lit): _*).cast("array<float>")
+      when(vectorDot(col("embedding"), hCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = embeddings.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val a = bucketed.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(vectorCosine(col("ea"), col("eb")), 6).as("cos"))
+      .filter(col("cos") >= cosMin)
+      .orderBy("id_a", "id_b")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- brute-force cosine top-k vs query vector ----
-    ("s01_similarity_topk", (s: SparkSession, d: String) => {
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      e.crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(vectorCosine(col("embedding"), col("qe")), 6).as("cos"))
-        .filter(col("vec_id") =!= 0)
-        .orderBy(desc("cos"), col("vec_id")).limit(20)
-    }, Some("""
+    ("s01_similarity_topk", (s: SparkSession, d: String) =>
+      cosineTopK(Tables.embeddings(s, d), 0L, 20), Some("""
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b FROM embeddings, q),
       sums AS (
@@ -49,20 +74,7 @@ object Similarity {
       ORDER BY cos DESC, vec_id LIMIT 20""")),
 
     // ---- LSH-bucketed pairwise similarity (no SQL oracle: LSH family) ----
-    ("s02_similarity_lsh", (s: SparkSession, d: String) => {
-      val e = Tables.embeddings(s, d)
-      val bucket = hyperplanes.zipWithIndex.map { case (h, i) =>
-        val hCol = array(h.map(lit): _*).cast("array<float>")
-        when(vectorDot(col("embedding"), hCol) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val bucketed = e.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
-      val a = bucketed.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
-      val b = bucketed.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
-      a.join(b, "bucket").filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(vectorCosine(col("ea"), col("eb")), 6).as("cos"))
-        .filter(col("cos") >= 0.3)
-        .orderBy("id_a", "id_b")
-    }, None)
+    ("s02_similarity_lsh", (s: SparkSession, d: String) =>
+      lshPairs(Tables.embeddings(s, d), 0.3), None)
   )
 }

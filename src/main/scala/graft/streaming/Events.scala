@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** One event, micro-truncated epoch micros for state arithmetic. */
+case class Event(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)
+
+/** Emitted closed session. */
+case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+/** Per-user open-session state. */
+case class SessionState(start_us: Long, last_us: Long, n: Long)
+
+/** Structured Streaming pipelines over the events table.
+  *
+  * The batch-parity forms of these live in operators (q32 hourly
+  * windows, ss01 sessionization); here the same logic runs as
+  * incremental streams: file-source parquet → watermark → windowed
+  * aggregation, and flatMapGroupsWithState for gap sessionization.
+  * At scale the file source becomes Kafka; nothing else changes.
+  */
+object Events {
+
+  /** Parquet schema of the events table (ts read as nanos long). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files (the
+    * file source requires a directory; at scale this is the landing
+    * path new files arrive in, or a Kafka source instead).
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Hourly tumbling-window counts+sums with a 2h watermark —
+    * streaming twin of q32_events_window.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState — streaming
+    * twin of ss01_sessionize. Emits closed sessions; open sessions
+    * stay in state across micro-batches.
+    */
+  def sessionize(events: Dataset[Event], gapUs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = state.getOption
+      val out = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        cur match {
+          case Some(st) if e.ts_us - st.last_us <= gapUs =>
+            cur = Some(st.copy(last_us = e.ts_us, n = st.n + 1))
+          case Some(st) =>
+            out += Session(userId, st.start_us, st.last_us, st.n)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+}

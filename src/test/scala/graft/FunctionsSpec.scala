@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+
+  test("fnv64 matches published FNV-1a test vectors") {
+    import spark.implicits._
+    val got = Seq("a", "abc", "").toDF("s")
+      .select(fnv64(col("s"))).as[Long].collect()
+    assert(got(0) === 0xaf63dc4c8601ec8cL)
+    assert(got(1) === 0xe71fa2190541574bL)
+    assert(got(2) === 0xcbf29ce484222325L) // offset basis for empty input
+  }
+
+  test("vector dot/norm/cosine on known vectors") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val Array(dot, na, cos) = df.select(
+      vectorDot(col("a"), col("b")),
+      vectorNorm(col("a")),
+      vectorCosine(col("a"), col("b"))).as[(Double, Double, Double)].collect().map(t => t).flatMap(t => Seq(t._1, t._2, t._3))
+    assert(dot === 32.0)
+    assert(math.abs(na - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(cos - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+
+  test("polyFingerprint is stable and space-run insensitive") {
+    import spark.implicits._
+    val got = Seq("the quick fox", "the  quick   fox", " the quick fox ")
+      .toDF("s").select(polyFingerprint(col("s"))).as[Long].collect()
+    assert(got.distinct.length === 1) // empty words skipped, 1-based index
+  }
+
+  test("simhash64: identical text → identical sig; near text → small hamming") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val sigs = Seq(base, base, near, far).toDF("s")
+      .select(simhash64(col("s"))).as[Long].collect()
+    assert(sigs(0) === sigs(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0), sigs(2)) < ham(sigs(0), sigs(3)))
+  }
+
+  test("SQL names are registered via GraftExtensions") {
+    val r = spark.sql("SELECT graft_fnv64('abc') AS h, graft_dot(array(cast(1.0 as float), cast(2.0 as float)), array(cast(3.0 as float), cast(4.0 as float))) AS d")
+      .collect().head
+    assert(r.getLong(0) === 0xe71fa2190541574bL)
+    assert(r.getDouble(1) === 11.0)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the optimizations keenwa implements as
+  * rules must actually fire in Catalyst for graft's plans — predicate
+  * pushdown to parquet, column pruning, broadcast join selection,
+  * partial aggregation, whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  private val sf = GraftTestSession.sf
+
+  private def physicalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter pushed to parquet scan + column pruning") {
+    val plan = physicalPlan("q01_agg")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
+    // pruned read schema: no l_orderkey/l_partkey in the scan
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("l_partkey"), "scan should prune unused columns")
+  }
+
+  test("q01: partial (map-side) aggregation before the shuffle") {
+    val plan = physicalPlan("q01_agg")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_"), "expected partial aggregation")
+  }
+
+  test("q03: dimension side broadcast, no shuffle of customer") {
+    val plan = physicalPlan("q03_join_inner")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  private def codegen(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+  }
+
+  test("q01: stays inside whole-stage codegen") {
+    assert(codegen("q01_agg").contains("WholeStageCodegen"))
+  }
+
+  test("t04: custom fingerprint expression is codegen'd (no fallback)") {
+    // AQE materializes stages lazily: execute, then inspect the final
+    // plan — the `*(n)` prefix marks whole-stage-codegen'd operators
+    val df = SparkEntry.queries("t04_fingerprint")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[doc_id.*polyfingerprint""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("s01: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = physicalPlan("s01_similarity_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
