@@ -1,37 +1,96 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels called from generated code (whole-stage codegen
   * emits direct static calls — no boxing, no UDF serialization).
+  * All kernels iterate UTF8String bytes in place: no String
+  * conversion, no byte-array copy, which matters because these run
+  * once per shingle/word on the 100 TB text path. Word splitting is on
+  * the raw 0x20 byte — correct for any UTF-8 text (multi-byte code
+  * points never contain 0x20).
   * Reference behavior: document fingerprinting / near-dup hashing for
-  * training-data pipelines; the FNV/simhash constants are the standard
+  * training-data pipelines; FNV/simhash constants are the standard
   * public ones.
   */
 object GraftHash {
 
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
   /** FNV-1a 64-bit over the UTF-8 bytes of `s`. */
   def fnv64(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
+    val n = s.numBytes()
+    var h = FnvOffset
     var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
+    while (i < n) {
+      h ^= (s.getByte(i) & 0xffL)
+      h *= FnvPrime
       i += 1
     }
     h
   }
 
   def fnv64(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
+    var h = FnvOffset
     var i = 0
     while (i < bytes.length) {
       h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
+      h *= FnvPrime
       i += 1
     }
     h
+  }
+
+  /** FNV-1a 64 of the byte range [from, until) of `s`. */
+  private def fnvRange(s: UTF8String, from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) {
+      h ^= (s.getByte(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Distinct FNV-1a hashes of word n-gram shingles (n consecutive
+    * whitespace-separated words, hashed over their exact byte span
+    * including separating spaces). One pass, no intermediate strings.
+    * Documents shorter than n words hash their full word span.
+    */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numBytes()
+    // word boundaries: starts(i) .. ends(i)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && s.getByte(i) == ' ') i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && s.getByte(i) != ' ') i += 1
+        ends.add(i)
+      }
+    }
+    val nWords = starts.size()
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nWords > 0) {
+      val lastStart = math.max(nWords - n, 0)
+      var w = 0
+      while (w <= lastStart) {
+        val until = ends.get(math.min(w + n, nWords) - 1)
+        set.add(fnvRange(s, starts.get(w), until))
+        w += 1
+      }
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   private final val P = 1000000007L
@@ -42,6 +101,8 @@ object GraftHash {
     *   word_val(w) = length(w)*1000003 + code(first)*31 + code(last)
     *   fp = sum_i( word_val(w_i) * ((i*131) mod P) ) mod P, i 1-based,
     * empty words (runs of spaces) skipped. All intermediates fit i64.
+    * Lengths/codes are code points (not bytes) to match SQL length()
+    * and ascii() on non-ASCII text.
     */
   def polyFingerprint(s: UTF8String): Long = {
     val str = s.toString
@@ -55,7 +116,7 @@ object GraftHash {
         val start = i
         while (i < n && str.charAt(i) != ' ') i += 1
         wordIdx += 1
-        val len = i - start
+        val len = str.codePointCount(start, i)
         val first = str.codePointAt(start)
         val last = str.codePointBefore(i)
         val wordVal = len.toLong * 1000003L + first.toLong * 31L + last.toLong
@@ -67,16 +128,15 @@ object GraftHash {
 
   /** 64-bit SimHash over FNV-1a word hashes (whitespace tokens). */
   def simhash64(s: UTF8String): Long = {
-    val str = s.toString
+    val n = s.numBytes()
     val acc = new Array[Int](64)
     var i = 0
-    val n = str.length
     while (i < n) {
-      while (i < n && str.charAt(i) == ' ') i += 1
+      while (i < n && s.getByte(i) == ' ') i += 1
       if (i < n) {
         val start = i
-        while (i < n && str.charAt(i) != ' ') i += 1
-        val h = fnv64(UTF8String.fromString(str.substring(start, i)))
+        while (i < n && s.getByte(i) != ' ') i += 1
+        val h = fnvRange(s, start, i)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1

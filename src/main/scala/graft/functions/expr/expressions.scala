@@ -41,6 +41,20 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** Distinct word n-gram shingle hashes in one pass — replaces the
+  * split→sequence→transform→array_distinct→explode→hash composite
+  * with a single byte-level kernel (no intermediate string arrays).
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.GraftHash.shingleHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -21,6 +21,9 @@ package object functions {
   /** 64-bit SimHash over whitespace tokens. */
   def simhash64(c: Column): Column = col(expr.SimHash64(ex(c)))
 
+  /** Distinct FNV-1a hashes of word n-gram shingles (single pass). */
+  def shingleHashes(c: Column, n: Int = 3): Column = col(expr.ShingleHashes(ex(c), n))
+
   /** Dot product of two float-array columns (double). */
   def vectorDot(a: Column, b: Column): Column = col(expr.VectorDot(ex(a), ex(b)))
 

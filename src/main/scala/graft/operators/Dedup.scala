@@ -46,21 +46,44 @@ object Dedup {
     * space keeps buckets tiny; skewed buckets are handled by AQE.
     */
   def minhashPairs(documents: DataFrame, jaccardMin: Double): DataFrame = {
-    val docs = documents.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val hashed = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), pmod(fnv64(col("shingle")), lit(MinhashP)).as("h"))
+    // spread the CPU-bound shingle/hash map stage across all cores:
+    // a coarse input layout (one parquet file locally; oversized or
+    // skewed splits at scale) would otherwise serialize it, and the
+    // raw-text shuffle is cheap next to the shingle work it balances
+    val spread = documents.select(col("doc_id"), col("text"))
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    // one-pass distinct shingle hashes per doc (custom codegen kernel)
+    val docs = spread.select(col("doc_id"),
+      graft.functions.shingleHashes(col("text"), 3).as("sh"))
+    val hashed = docs.select(col("doc_id"), explode(col("sh")).as("h0"))
+      .select(col("doc_id"), pmod(col("h0"), lit(MinhashP)).as("h"))
     val sigCols = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"s$i")
     }
     val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bands = (0 until 8).map { b =>
-      sigs.select(col("doc_id"), lit(b).as("band"),
+    // one row per (doc, band) from a single signature pass — an 8-way
+    // unionAll would re-run the aggregation per band and the self-join
+    // would double it again
+    val bandArr = array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
         xxhash64(col(s"s${4 * b}"), col(s"s${4 * b + 1}"), col(s"s${4 * b + 2}"), col(s"s${4 * b + 3}")).as("bkey"))
-    }.reduce(_ unionAll _)
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // candidate pairs: collect each bucket once (buckets are tiny by
+    // LSH construction; exact duplicates should be removed by exact
+    // dedup first, which keeps bucket skew bounded at scale)
+    val buckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cands = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_x")), col("ids"))
+      .select(col("id_x"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    // exact Jaccard over the hashed shingle sets (standard practice:
+    // 64-bit collisions are negligible), candidates only
     val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cands.join(a, "id_a").join(b, "id_b")
@@ -76,15 +99,25 @@ object Dedup {
     * pair within hamming<=maxHamming (<16) collides on some chunk.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int): DataFrame = {
-    val docs = documents.select(col("doc_id"), simhash64(col("text")).as("sig"))
-    val chunks = (0 until 4).map { c =>
-      docs.select(col("doc_id"), col("sig"), lit(c).as("chunk_id"),
-        shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xffffL)).as("chunk"))
-    }.reduce(_ unionAll _)
-    chunks.as("x").join(chunks.as("y"),
-        col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+    val spread = documents.select(col("doc_id"), col("text"))
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    val docs = spread.select(col("doc_id"), simhash64(col("text")).as("sig"))
+    // one row per (doc, 16-bit chunk), then per-bucket pair generation
+    // (same single-pass shape as minhashPairs)
+    val chunkArr = array((0 until 4).map { c =>
+      shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xffffL))
+    }: _*)
+    val chunks = docs.select(col("doc_id"), col("sig"),
+        posexplode(chunkArr).as(Seq("chunk_id", "chunk")))
+    val buckets = chunks.groupBy(col("chunk_id"), col("chunk"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    buckets
+      .select(posexplode(col("ds")).as(Seq("i", "x")), col("ds"))
+      .select(col("x"), explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("y"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming).distinct()
       .orderBy("id_a", "id_b")
@@ -113,8 +146,13 @@ object Dedup {
 
     // ---- n-gram Jaccard similarity vs a query document ----
     ("d04_ngram_jaccard", (s: SparkSession, d: String) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
-      val q = docs.filter(col("doc_id") === 0).select(col("sh").as("qsh"))
+      val base = Tables.documents(s, d)
+      // parallelize the shingle map stage (single input file locally)
+      val docs = base.select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      val q = base.filter(col("doc_id") === 0)
+        .select(shingles(col("text")).as("qsh"))
       docs.crossJoin(broadcast(q))
         .select(col("doc_id"),
           (size(array_intersect(col("sh"), col("qsh"))).cast("double") /
