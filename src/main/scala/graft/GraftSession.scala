@@ -27,6 +27,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // events.parquet carries TIMESTAMP(NANOS); Spark reads it as a
       // nanos-since-epoch long (exact) and Tables.events derives the

@@ -34,6 +34,26 @@ object GraftVec {
     math.sqrt(s)
   }
 
+  /** Jaccard similarity of two long-array sets (sort+merge, no
+    * boxing). Inputs are distinct-by-construction hash sets.
+    */
+  def jaccardLongs(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    java.util.Arrays.sort(x)
+    java.util.Arrays.sort(y)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    val union = x.length + y.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val d = dot(a, b)
     val na = norm(a)

@@ -74,6 +74,20 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): VectorNorm = copy(child = c)
 }
 
+/** Fused set-Jaccard over long-hash arrays; the FuseJaccard optimizer
+  * rule rewrites size(array_intersect)/size(array_union) composites
+  * into this (one sort-merge pass instead of two hash-set builds).
+  */
+case class JaccardHashes(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.GraftVec.jaccardLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftVec.jaccardLongs($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardHashes =
+    copy(left = l, right = r)
+}
+
 case class VectorCosine(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =

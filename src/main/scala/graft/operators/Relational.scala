@@ -538,6 +538,38 @@ object Relational {
         CAST(day(o_orderdate) AS BIGINT) AS dom
       FROM orders ORDER BY o_orderkey""")),
 
+    // ---- ROLLUP (hierarchical grouping sets; beyond the reference's
+    //      unimplemented GROUPING SET TODO) ----
+    ("q33_rollup", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().cast("bigint").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        count(*) AS n,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ---- CUBE ----
+    ("q34_cube", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          grouping_id().cast("bigint").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
     // ---- hourly tumbling window over events (streaming batch-parity) ----
     ("q32_events_window", (s: SparkSession, d: String) => {
       Tables.events(s, d)

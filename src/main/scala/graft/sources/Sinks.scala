@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Write-side surface — the catalog/table-management analog of the
+  * reference's catalog API (/root/reference/src/catalog/mod.rs:1,
+  * mutable.rs:1; its index support maps to bucketed+sorted layout,
+  * which is how Spark gets index-like co-located joins).
+  *
+  * Scale notes: partitioned layout gives partition pruning on read
+  * (PartitionFilters in the scan); bucketed+sorted tables let equal-
+  * key joins and aggregations run with zero exchange; for 100 TB
+  * land the fact tables bucketed by their join key at write time and
+  * every downstream join of two same-bucketed tables skips both
+  * shuffles.
+  */
+object Sinks {
+
+  /** Hive-style partitioned parquet layout (directory per key value). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table registered in the session catalog. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+}

@@ -48,6 +48,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ham(sigs(0), sigs(2)) < ham(sigs(0), sigs(3)))
   }
 
+  test("fused jaccard (via FuseJaccard rule) matches set semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_intersect, array_union, size => asize}
+    val df = Seq((Array(1L, 2L, 3L), Array(2L, 3L, 4L))).toDF("a", "b")
+    val v = df.select((asize(array_intersect(col("a"), col("b"))).cast("double") /
+      asize(array_union(col("a"), col("b")))).as("j")).as[Double].head()
+    assert(v === 0.5)
+  }
+
   test("SQL names are registered via GraftExtensions") {
     val r = spark.sql("SELECT graft_fnv64('abc') AS h, graft_dot(array(cast(1.0 as float), cast(2.0 as float)), array(cast(3.0 as float), cast(4.0 as float))) AS d")
       .collect().head

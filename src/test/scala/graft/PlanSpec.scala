@@ -53,6 +53,12 @@ class PlanSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[doc_id.*polyfingerprint""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("FuseJaccard rule rewrites intersect/union composite to fused kernel") {
+    val df = SparkEntry.queries("d02_dedup_minhash")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("jaccardhashes"), opt.take(3000))
+  }
+
   test("s01: top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = physicalPlan("s01_similarity_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan)

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Sinks, Tables}
+
+/** Write-side checks: partition pruning on partitioned layout,
+  * exchange-free joins on bucketed tables, format round-trips.
+  */
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  private val sf = GraftTestSession.sf
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("partitioned write → partition pruning on read") {
+    val path = tmp("graft-part")
+    val orders = Tables.orders(spark, sf)
+    Sinks.writePartitioned(orders, path, "o_orderstatus")
+    val back = spark.read.parquet(path).filter(col("o_orderstatus") === "O")
+    assert(back.count() === orders.filter(col("o_orderstatus") === "O").count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+  }
+
+  test("bucketed tables join with zero exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Sinks.writeBucketed(Tables.orders(spark, sf), "b_orders", 8, "o_custkey")
+      Sinks.writeBucketed(Tables.customer(spark, sf), "b_customer", 8, "c_custkey")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      j.collect()
+      // the join itself must not shuffle either side (bucket
+      // co-location); only the groupBy above it may exchange. Check
+      // the AQE final plan only (the Initial Plan section repeats it).
+      val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("csv/json/orc round-trips preserve row counts") {
+    val n = Tables.nation(spark, sf)
+    val (c, jn, o) = (tmp("graft-csv"), tmp("graft-json"), tmp("graft-orc"))
+    Sinks.writeCsv(n, c)
+    Sinks.writeJson(n, jn)
+    Sinks.writeOrc(n, o)
+    assert(spark.read.option("header", "true").csv(c).count() === n.count())
+    assert(spark.read.json(jn).count() === n.count())
+    assert(spark.read.orc(o).count() === n.count())
+  }
+}
