@@ -12,7 +12,8 @@ object SparkEntry {
       graft.operators.Similarity.entries ++
       graft.operators.TextOps.entries ++
       graft.operators.Multimodal.entries ++
-      graft.operators.Sessionize.entries
+      graft.operators.Sessionize.entries ++
+      graft.operators.AsOf.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

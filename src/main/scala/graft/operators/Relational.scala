@@ -538,6 +538,56 @@ object Relational {
         CAST(day(o_orderdate) AS BIGINT) AS dom
       FROM orders ORDER BY o_orderkey""")),
 
+    // ---- window: lag / lead / dense_rank / ntile ----
+    ("q35_window_more", (s: SparkSession, d: String) => {
+      val wKey = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val wStatus = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderstatus"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(wKey).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(wKey).as("next_price"),
+        dense_rank().over(wStatus).cast("bigint").as("status_rank"),
+        ntile(4).over(wKey).cast("bigint").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        lag(o_totalprice, 1) OVER wk AS prev_price,
+        lead(o_totalprice, 1) OVER wk AS next_price,
+        CAST(dense_rank() OVER ws AS BIGINT) AS status_rank,
+        CAST(ntile(4) OVER wk AS BIGINT) AS quartile
+      FROM orders
+      WINDOW wk AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+             ws AS (PARTITION BY o_custkey ORDER BY o_orderstatus)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- equi-join with range predicate ----
+    ("q36_range_pred_join", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate").between(col("o_orderdate"),
+              col("o_orderdate") + expr("INTERVAL 60 DAY")))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders
+        ON l_orderkey = o_orderkey
+        AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- JSON column extraction ----
+    ("q37_json", (s: SparkSession, d: String) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events ORDER BY event_id""")),
+
     // ---- ROLLUP (hierarchical grouping sets; beyond the reference's
     //      unimplemented GROUPING SET TODO) ----
     ("q33_rollup", (s: SparkSession, d: String) => {
