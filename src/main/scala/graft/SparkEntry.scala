@@ -13,7 +13,8 @@ object SparkEntry {
       graft.operators.TextOps.entries ++
       graft.operators.Multimodal.entries ++
       graft.operators.Sessionize.entries ++
-      graft.operators.AsOf.entries
+      graft.operators.AsOf.entries ++
+      graft.operators.TopK.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Grouped top-k as a first-class operator: logical node + planner
+  * strategy + physical two-phase bounded-heap execution, registered
+  * through SparkSessionExtensions — the layer-(c) extension path
+  * (custom LogicalPlan/Strategy/SparkPlan) from the build notes, and
+  * graft's analog of the reference's implementation-rule machinery
+  * (/root/reference/src/rules/implementation/mod.rs:1).
+  *
+  * Why not window row_number + filter: that plan sorts every key's
+  * full row set (shuffle + per-partition sort of N rows). This
+  * operator keeps a size-k heap per key: a partial pass caps each map
+  * partition's output at k rows per key before the shuffle, the final
+  * pass merges — O(N log k) work, shuffle volume ~ k x keys instead
+  * of N. At 100 TB with k=3 that is the difference between shuffling
+  * the fact table and shuffling a rounding error.
+  */
+case class TopKPerKey(groupExprs: Seq[Expression], ord: Expression, tie: Expression,
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey = copy(child = c)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(gs, ord, tie, k, child) =>
+      // partial (pre-shuffle cap) -> final (exact per key)
+      TopKPerKeyExec(gs, ord, tie, k, partial = false,
+        TopKPerKeyExec(gs, ord, tie, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Keeps the top k rows per key by (ord DESC, tie ASC). `ord` must be
+  * double, `tie` long and unique per key for deterministic results.
+  */
+case class TopKPerKeyExec(groupExprs: Seq[Expression], ord: Expression, tie: Expression,
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  private final class Entry(val v: Double, val t: Long, val row: InternalRow)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (gs, ordE, tieE, kk) = (groupExprs, ord, tie, k)
+    val schema = child.output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(gs, schema)
+      val ordB = BindReferences.bindReference(ordE, schema)
+      val tieB = BindReferences.bindReference(tieE, schema)
+      // heap root = weakest entry (smallest v, then largest t)
+      val cmp = new java.util.Comparator[Entry] {
+        override def compare(a: Entry, b: Entry): Int = {
+          val c = java.lang.Double.compare(a.v, b.v)
+          if (c != 0) c else java.lang.Long.compare(b.t, a.t)
+        }
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[Entry]]
+      while (it.hasNext) {
+        val row = it.next()
+        val ov = ordB.eval(row)
+        if (ov != null) {
+          val v = ov.asInstanceOf[Double]
+          val t = tieB.eval(row).asInstanceOf[Long]
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[Entry](kk + 1, cmp)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < kk) {
+            heap.add(new Entry(v, t, row.copy()))
+          } else {
+            val worst = heap.peek()
+            if (v > worst.v || (v == worst.v && t < worst.t)) {
+              heap.poll()
+              heap.add(new Entry(v, t, row.copy()))
+            }
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala.map(_.row))
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec = copy(child = c)
+}

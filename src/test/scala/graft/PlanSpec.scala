@@ -59,6 +59,26 @@ class PlanSpec extends AnyFunSuite {
     assert(opt.contains("jaccardhashes"), opt.take(3000))
   }
 
+  test("tk01: custom TopKPerKeyExec plans two-phase around one exchange") {
+    val df = SparkEntry.queries("tk01_topk_per_key")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val idx = plan.indexOf("TopKPerKey")
+    assert(idx >= 0, plan)
+    val rest = plan.substring(idx)
+    // final TopKPerKey → exchange → partial TopKPerKey
+    assert(rest.contains("Exchange") && rest.indexOf("TopKPerKey", 1) > rest.indexOf("Exchange"), plan)
+  }
+
+  test("tk01 equals the window row_number formulation") {
+    val custom = SparkEntry.queries("tk01_topk_per_key")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val window = SparkEntry.queries("q18_window_ranking")(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(custom === window)
+  }
+
   test("s01: top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = physicalPlan("s01_similarity_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan)
