@@ -620,6 +620,46 @@ object Relational {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
+    // ---- SQL front end (keenwa: src/sql/mod.rs:1 via sqlparser-rs;
+    //      graft: Spark SQL text over registered views) ----
+    ("q40_sql_front", (s: SparkSession, d: String) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""
+        WITH co AS (
+          SELECT o_custkey, count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+          FROM v_orders GROUP BY o_custkey)
+        SELECT c.c_mktsegment,
+               count(*) AS n_cust,
+               CAST(sum(n_orders) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(spent AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM v_customer c JOIN co ON c.c_custkey = co.o_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment""")
+    }, Some("""
+      WITH co AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+        FROM orders GROUP BY o_custkey)
+      SELECT c.c_mktsegment,
+             count(*) AS n_cust,
+             CAST(sum(n_orders) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(spent AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM customer c JOIN co ON c.c_custkey = co.o_custkey
+      GROUP BY c.c_mktsegment
+      ORDER BY c.c_mktsegment""")),
+
+    // ---- HLL sketch distinct-count (DataSketches; no DuckDB parity —
+    //      rows-only check, exactness covered by q16 countDistinct) ----
+    ("q38_hll_sketch", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    }, None),
+
     // ---- hourly tumbling window over events (streaming batch-parity) ----
     ("q32_events_window", (s: SparkSession, d: String) => {
       Tables.events(s, d)

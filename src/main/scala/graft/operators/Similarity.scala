@@ -56,7 +56,62 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF-style ANN: coarse-quantize into cells (here: the label
+    * column's partitions with mean centroids), score the query against
+    * the tiny centroid table, then exact-search only the top-`nprobe`
+    * cells. Index build is one shuffle of the exploded vectors
+    * (one-time); each search scans ~nprobe/ncells of the data with a
+    * broadcast probe list — the scale path when the query volume is
+    * high. Centroids use exact decimal sums so results are
+    * deterministic (and DuckDB-oracle-checkable).
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ex = embeddings.select(col("label"), col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val cent = ex.groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") / count(lit(1))).as("c"))
+    val qv = ex.filter(col("vec_id") === queryId)
+      .select(col("pos"), col("v").cast("double").as("q"))
+    val cd = cent.join(broadcast(qv), "pos")
+      .groupBy(col("label"))
+      .agg((sum(col("c") * col("q")) /
+        (sqrt(sum(col("c") * col("c"))) * sqrt(sum(col("q") * col("q"))))).as("cos_qc"))
+    val probes = cd.orderBy(desc("cos_qc"), col("label")).limit(nprobe).select(col("label"))
+    val cand = embeddings.join(broadcast(probes), "label")
+    val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    cand.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(vectorCosine(col("embedding"), col("qe")), 6).as("cos"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(desc("cos"), col("vec_id")).limit(k)
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- IVF ANN: centroid probe selection + cell-pruned exact search ----
+    ("s03_similarity_ivf", (s: SparkSession, d: String) =>
+      ivfTopK(Tables.embeddings(s, d), 0L, 3, 10), Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      ex AS (SELECT label, vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos FROM embeddings),
+      cent AS (SELECT label, pos,
+                 CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS c
+               FROM ex GROUP BY label, pos),
+      qv AS (SELECT pos, CAST(v AS DOUBLE) AS qd FROM ex WHERE vec_id = 0),
+      cd AS (SELECT label,
+               sum(c * qd) / (sqrt(sum(c * c)) * sqrt(sum(qd * qd))) AS cos_qc
+             FROM cent JOIN qv USING (pos) GROUP BY label),
+      probes AS (SELECT label FROM cd ORDER BY cos_qc DESC, label LIMIT 3),
+      cand AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN probes USING (label)),
+      z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b FROM cand, q),
+      sums AS (SELECT vec_id,
+                 sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+                 sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+                 sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+               FROM z GROUP BY vec_id)
+      SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+      FROM sums WHERE vec_id <> 0
+      ORDER BY cos DESC, vec_id LIMIT 10""")),
 
     // ---- brute-force cosine top-k vs query vector ----
     ("s01_similarity_topk", (s: SparkSession, d: String) =>
