@@ -620,6 +620,125 @@ object Relational {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
+    // ---- statistics collection (keenwa: src/statistics/simple.rs:1;
+    //      row counts / NDV / min-max feeding the cost model) ----
+    ("q41_stats", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("ndv_orderkey"),
+        countDistinct(col("l_partkey")).as("ndv_partkey"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"), max(col("l_extendedprice")).as("max_price"),
+        count(col("l_returnflag")).as("nn_returnflag"))
+    }, Some("""
+      SELECT count(*) AS n_rows,
+        count(DISTINCT l_orderkey) AS ndv_orderkey,
+        count(DISTINCT l_partkey) AS ndv_partkey,
+        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        count(l_returnflag) AS nn_returnflag
+      FROM lineitem""")),
+
+    // ---- NULL semantics: nullif/coalesce/propagation ----
+    ("q42_null_semantics", (s: SparkSession, d: String) => {
+      val masked = nullif(col("o_orderstatus"), lit("P"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        masked.as("status_or_null"),
+        coalesce(masked, lit("unknown")).as("coalesced"),
+        (nullif(col("o_totalprice"), col("o_totalprice")) + lit(1.0)).as("null_arith"),
+        masked.isNull.as("was_p"),
+        when(masked.isNull, "masked").otherwise(masked).as("case_null"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        nullif(o_orderstatus, 'P') AS status_or_null,
+        coalesce(nullif(o_orderstatus, 'P'), 'unknown') AS coalesced,
+        nullif(o_totalprice, o_totalprice) + 1.0 AS null_arith,
+        nullif(o_orderstatus, 'P') IS NULL AS was_p,
+        CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 'masked'
+             ELSE nullif(o_orderstatus, 'P') END AS case_null
+      FROM orders ORDER BY o_orderkey""")),
+
+    // ---- extended string functions ----
+    ("q43_string_ext", (s: SparkSession, d: String) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 8).as("sub8"),
+        lpad(col("p_brand"), 12, "*").as("lpadded"),
+        rpad(col("p_brand"), 12, "*").as("rpadded"),
+        reverse(col("p_type")).as("revtype"),
+        repeat(col("p_brand"), 2).as("twice"),
+        split_part(col("p_brand"), lit("#"), lit(2)).as("brand_num"),
+        col("p_type").startsWith("PROMO").as("is_promo"),
+        col("p_type").contains("LARGE").as("has_large"),
+        ltrim(rtrim(concat(lit("  "), col("p_brand"), lit("  ")))).as("trimmed"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+        substring(p_name, 1, 8) AS sub8,
+        lpad(p_brand, 12, '*') AS lpadded,
+        rpad(p_brand, 12, '*') AS rpadded,
+        reverse(p_type) AS revtype,
+        repeat(p_brand, 2) AS twice,
+        split_part(p_brand, '#', 2) AS brand_num,
+        starts_with(p_type, 'PROMO') AS is_promo,
+        contains(p_type, 'LARGE') AS has_large,
+        ltrim(rtrim('  ' || p_brand || '  ')) AS trimmed
+      FROM part ORDER BY p_partkey""")),
+
+    // ---- math functions (transcendentals rounded to 8dp: JVM and
+    //      DuckDB libm may differ in the last ulp) ----
+    ("q44_math", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber").cast("bigint").as("ln"),
+        abs(col("l_discount") - 0.05).as("absd"),
+        ceil(col("l_quantity")).cast("bigint").as("ceilq"),
+        floor(col("l_extendedprice")).cast("bigint").as("floorp"),
+        round(col("l_extendedprice"), -2).as("round100"),
+        sqrt(col("l_quantity")).as("sqrtq"),
+        round(exp(col("l_discount")), 8).as("expd"),
+        round(log(col("l_extendedprice")), 8).as("lnp"),
+        pow(col("l_quantity"), lit(2)).as("q2"),
+        signum(col("l_discount") - 0.05).as("sgn"))
+        .orderBy("l_orderkey", "ln")
+    }, Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        abs(l_discount - 0.05) AS absd,
+        CAST(ceil(l_quantity) AS BIGINT) AS ceilq,
+        CAST(floor(l_extendedprice) AS BIGINT) AS floorp,
+        round(l_extendedprice, -2) AS round100,
+        sqrt(l_quantity) AS sqrtq,
+        round(exp(l_discount), 8) AS expd,
+        round(ln(l_extendedprice), 8) AS lnp,
+        pow(l_quantity, 2) AS q2,
+        sign(l_discount - 0.05) AS sgn
+      FROM lineitem ORDER BY l_orderkey, ln""")),
+
+    // ---- extended date functions ----
+    ("q45_date_ext", (s: SparkSession, d: String) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")), col("o_orderdate"))
+          .cast("bigint").as("days_to_2002"),
+        date_format(col("o_orderdate"), "EEEE").as("dayname"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+        weekofyear(col("o_orderdate")).cast("bigint").as("iso_week"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT) AS days_to_2002,
+        dayname(o_orderdate) AS dayname,
+        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+      FROM orders ORDER BY o_orderkey""")),
+
     // ---- SQL front end (keenwa: src/sql/mod.rs:1 via sqlparser-rs;
     //      graft: Spark SQL text over registered views) ----
     ("q40_sql_front", (s: SparkSession, d: String) => {
