@@ -34,29 +34,58 @@ object Multimodal {
       n_frames = if (m.media_type == "video") 1L + n % 24L else 1L)
   }
 
+  /** The decode pipeline as a reusable stage: binary payload + typed
+    * metadata through case-class Encoders and mapPartitions.
+    */
+  def decoded(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"))
+    media.as[MediaRow]
+      .mapPartitions { it =>
+        // decoder/codec init would go here, once per partition
+        it.map(decode)
+      }
+      .toDF()
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
-    ("m01_multimodal", (s: SparkSession, d: String) => {
-      import s.implicits._
-      val media = Tables.documents(s, d).select(
-        col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("media_type"))
-      media.as[MediaRow]
-        .mapPartitions { it =>
-          // decoder/codec init would go here, once per partition
-          it.map(decode)
-        }
-        .toDF()
-        .orderBy("doc_id")
-    }, Some("""
+    ("m01_multimodal", (s: SparkSession, d: String) =>
+      decoded(s, d).orderBy("doc_id"), Some("""
       SELECT doc_id,
         CASE WHEN doc_id % 3 = 0 THEN 'image'
              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
         CAST(64 + strlen(text) % 577 AS BIGINT) AS width,
         CAST(64 + (strlen(text) * 31) % 331 AS BIGINT) AS height,
         CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 24 ELSE 1 END AS BIGINT) AS n_frames
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // downstream aggregation over the decoded stage (pipeline
+    // composition: typed decode feeds a columnar rollup)
+    ("m02_media_stats", (s: SparkSession, d: String) => {
+      decoded(s, d).groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("width")).cast("double") / count(lit(1))).as("avg_width"),
+          (sum(col("height")).cast("double") / count(lit(1))).as("avg_height"),
+          sum(col("n_frames")).as("total_frames"))
+        .orderBy("media_type")
+    }, Some("""
+      WITH dec AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+          64 + strlen(text) % 577 AS width,
+          64 + (strlen(text) * 31) % 331 AS height,
+          CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 24 ELSE 1 END AS n_frames
+        FROM documents)
+      SELECT media_type, count(*) AS n,
+        CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,
+        CAST(sum(height) AS DOUBLE) / count(*) AS avg_height,
+        CAST(sum(n_frames) AS BIGINT) AS total_frames
+      FROM dec GROUP BY media_type ORDER BY media_type"""))
   )
 }

@@ -39,7 +39,37 @@ object Sessionize {
         .select(col("user_id"), col("session_id").cast("bigint").as("session_id"),
           col("n_events"), col("dur_ns"))
         .orderBy("user_id", "session_id")
+    }, ss01OracleSql),
+
+    // same sessions via Spark's native session_window (the streaming-
+    // ready form); output matches ss01 minus the ordinal session_id
+    ("ss02_session_window", (s: SparkSession, d: String) => {
+      Tables.events(s, d)
+        .withColumn("tus", expr("(ts_ns div 1000) * 1000"))
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("tus")) - min(col("tus"))).as("dur_ns"))
+        .select(col("user_id"), col("n_events"), col("dur_ns"))
+        .orderBy("user_id", "n_events", "dur_ns")
     }, Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+      l AS (SELECT user_id, event_id, tns,
+              lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS p
+            FROM e),
+      f AS (SELECT user_id, event_id, tns,
+              CASE WHEN p IS NULL OR tns - p > 1800000000000 THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sess AS (SELECT user_id, tns,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM f)
+      SELECT user_id, count(*) AS n_events,
+        CAST(max(tns) - min(tns) AS BIGINT) AS dur_ns
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, n_events, dur_ns"""))
+  )
+
+  private lazy val ss01OracleSql = Some("""
       WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
       l AS (SELECT user_id, event_id, tns,
               lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS p
@@ -55,6 +85,5 @@ object Sessionize {
         count(*) AS n_events,
         CAST(max(tns) - min(tns) AS BIGINT) AS dur_ns
       FROM sess GROUP BY user_id, session_id
-      ORDER BY user_id, session_id"""))
-  )
+      ORDER BY user_id, session_id""")
 }
