@@ -83,9 +83,15 @@ object Dedup {
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
     // exact Jaccard over the hashed shingle sets (standard practice:
-    // 64-bit collisions are negligible), candidates only
-    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    // 64-bit collisions are negligible) — but only for docs that are
+    // actually candidates: at scale the verify stage must re-shingle
+    // ~0.1% of the corpus, not all of it (AQE broadcasts the tiny id
+    // list into the prune join)
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val candDocs = docs.join(candIds, "doc_id")
+    val a = candDocs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = candDocs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cands.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

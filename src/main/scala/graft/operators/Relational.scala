@@ -620,6 +620,25 @@ object Relational {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
+    // ---- ANY/ALL subqueries (left as TODO in the reference:
+    //      README "ANY/ALL <subquery>") ----
+    ("q46_any_all", (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d)
+      // > ALL(open-order prices) ≡ > max; < ANY ≡ < max (non-empty,
+      // non-null subquery) — the standard decorrelation
+      val agg = o.filter(col("o_orderstatus") === "P")
+        .agg(max(col("o_totalprice")).as("p_max"))
+      o.crossJoin(broadcast(agg))
+        .select(col("o_orderkey"),
+          (col("o_totalprice") > col("p_max")).as("gt_all_p"),
+          (col("o_totalprice") < col("p_max")).as("lt_any_p"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'P') AS gt_all_p,
+        o_totalprice < ANY (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'P') AS lt_any_p
+      FROM orders ORDER BY o_orderkey""")),
+
     // ---- statistics collection (keenwa: src/statistics/simple.rs:1;
     //      row counts / NDV / min-max feeding the cost model) ----
     ("q41_stats", (s: SparkSession, d: String) => {
