@@ -620,6 +620,30 @@ object Relational {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
+    // ---- WITH RECURSIVE (reference TODO; Spark 4 UnionLoop):
+    //      recursive month spine left-joined to order counts ----
+    ("q47_recursive_cte", (s: SparkSession, d: String) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders_rec")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-12-01 00:00:00')
+        SELECT date_format(m, 'yyyy-MM') AS month, count(o_orderkey) AS n
+        FROM months LEFT JOIN v_orders_rec
+          ON date_trunc('month', o_orderdate) = m
+        GROUP BY m ORDER BY month""")
+    }, Some("""
+      WITH RECURSIVE months(m) AS (
+        SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < TIMESTAMP '2001-12-01 00:00:00')
+      SELECT strftime(m, '%Y-%m') AS month, count(o_orderkey) AS n
+      FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+      GROUP BY m ORDER BY month""")),
+
     // ---- ANY/ALL subqueries (left as TODO in the reference:
     //      README "ANY/ALL <subquery>") ----
     ("q46_any_all", (s: SparkSession, d: String) => {
