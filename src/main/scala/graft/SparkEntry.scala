@@ -14,7 +14,8 @@ object SparkEntry {
       graft.operators.Multimodal.entries ++
       graft.operators.Sessionize.entries ++
       graft.operators.AsOf.entries ++
-      graft.operators.TopK.entries
+      graft.operators.TopK.entries ++
+      graft.operators.Skyline.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
