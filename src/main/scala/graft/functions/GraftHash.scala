@@ -93,6 +93,34 @@ object GraftHash {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Universal-hash family for minhash: h_i(x) = (a_i*x + b_i) mod
+    * MinhashP over Z_p, p = 2^31-1. Operands reduced below 2^31 so all
+    * products fit in 63 bits (Spark 4 ANSI mode throws on overflow).
+    */
+  final val MinhashP = 2147483647L
+  final val MinhashN = 32
+  private val minhashA, minhashB = new Array[Long](MinhashN)
+  locally {
+    val r = new scala.util.Random(42)
+    var i = 0
+    while (i < MinhashN) {
+      minhashA(i) = (r.nextInt((MinhashP - 1).toInt) + 1).toLong
+      minhashB(i) = r.nextInt(MinhashP.toInt).toLong
+      i += 1
+    }
+  }
+
+  /** Fold one shingle hash into a minhash signature buffer in place. */
+  def minhashUpdate(buf: Array[Long], rawHash: Long): Unit = {
+    val hp = ((rawHash % MinhashP) + MinhashP) % MinhashP
+    var i = 0
+    while (i < MinhashN) {
+      val v = (minhashA(i) * hp + minhashB(i)) % MinhashP
+      if (v < buf(i)) buf(i) = v
+      i += 1
+    }
+  }
+
   private final val P = 1000000007L
 
   /** Positional polynomial fingerprint over whitespace-split words.

@@ -27,15 +27,6 @@ object Dedup {
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
   }
 
-  /** Universal-hash family h_i(x) = (a_i*x + b_i) mod p over Z_p,
-    * p = 2^31-1. Inputs are first reduced mod p so every product fits
-    * in 63 bits — Spark 4 is ANSI mode, wrap-around would throw.
-    */
-  private val MinhashP = 2147483647L
-  private val minhashParams: Seq[(Long, Long)] = {
-    val r = new scala.util.Random(42)
-    Seq.fill(32)(((r.nextInt((MinhashP - 1).toInt) + 1).toLong, r.nextInt(MinhashP.toInt).toLong))
-  }
 
   /** MinHash+LSH near-duplicate pairs over (doc_id, text).
     *
@@ -52,21 +43,20 @@ object Dedup {
     // raw-text shuffle is cheap next to the shingle work it balances
     val spread = documents.select(col("doc_id"), col("text"))
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-    // one-pass distinct shingle hashes per doc (custom codegen kernel)
+    // one-pass distinct shingle hashes per doc (custom codegen kernel),
+    // folded into one 32-wide signature buffer per doc by the custom
+    // MinHashSig aggregate (map-side partial, compact shuffle buffer)
     val docs = spread.select(col("doc_id"),
       graft.functions.shingleHashes(col("text"), 3).as("sh"))
-    val hashed = docs.select(col("doc_id"), explode(col("sh")).as("h0"))
-      .select(col("doc_id"), pmod(col("h0"), lit(MinhashP)).as("h"))
-    val sigCols = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"s$i")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sigs = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.minhashSig(col("h")).as("sig"))
     // one row per (doc, band) from a single signature pass — an 8-way
     // unionAll would re-run the aggregation per band and the self-join
     // would double it again
     val bandArr = array((0 until 8).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(col(s"s${4 * b}"), col(s"s${4 * b + 1}"), col(s"s${4 * b + 2}"), col(s"s${4 * b + 3}")).as("bkey"))
+        xxhash64((1 to 4).map(i => element_at(col("sig"), 4 * b + i)): _*).as("bkey"))
     }: _*)
     val bands = sigs.select(col("doc_id"), explode(bandArr).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))

@@ -26,5 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("graft_simhash64", xs => SimHash64(xs.head)))
     e.injectFunction(fn("graft_dot", xs => VectorDot(xs(0), xs(1))))
     e.injectFunction(fn("graft_norm", xs => VectorNorm(xs.head)))
+    e.injectFunction(fn("graft_shingle_hashes", xs => ShingleHashes(xs.head, 3)))
+    e.injectFunction(fn("graft_minhash_sig", xs => MinHashSig(xs.head)))
   }
 }

@@ -57,6 +57,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(v === 0.5)
   }
 
+  test("minhashSig aggregate: identical sets → identical signatures") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 30L), (2L, 20L), (2L, 10L), // same set, different order
+      (3L, 99L)).toDF("g", "h")
+    val sigs = df.groupBy(col("g")).agg(minhashSig(col("h")).as("sig"))
+      .orderBy("g").as[(Long, Seq[Long])].collect()
+    assert(sigs(0)._2 === sigs(1)._2) // order-insensitive
+    assert(sigs(0)._2 !== sigs(2)._2)
+    assert(sigs(0)._2.length === 32)
+  }
+
   test("SQL names are registered via GraftExtensions") {
     val r = spark.sql("SELECT graft_fnv64('abc') AS h, graft_dot(array(cast(1.0 as float), cast(2.0 as float)), array(cast(3.0 as float), cast(4.0 as float))) AS d")
       .collect().head
