@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Local scale probe: replicates the sf0.1 documents corpus Nx with
+  * perturbed near-duplicate text (replica i appends a distinct token),
+  * then times the dedup pipelines on the result. This is a stress
+  * harness for throughput evidence, not a correctness gate — the
+  * replicas ARE near-dups, so LSH bucket pressure and the candidate
+  * verify stage get exercised for real.
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(20)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val work = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val spark = GraftSession.local(32)
+    import spark.implicits._
+
+    val base = graft.sources.Tables.documents(spark, sfDir)
+    val nBase = base.count()
+    val replicas = (0 until reps).map { i =>
+      base.select((col("doc_id") * reps + i).as("doc_id"),
+        concat(col("text"), lit(s" rep$i")).as("text"))
+    }.reduce(_ unionAll _)
+    replicas.write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val docs = spark.read.parquet(s"$work/documents.parquet")
+    val n = docs.count()
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-18s $sec%8.2f s  ($rows rows, ${n / sec}%.0f docs/s)")
+    }
+    println(s"[scale] corpus: $n docs (${nBase}x$reps)")
+    time("minhashPairs")(graft.operators.Dedup.minhashPairs(docs, 0.8).count())
+    time("simhashPairs")(graft.operators.Dedup.simhashPairs(docs, 6).count())
+    time("fingerprint")(docs.select(graft.functions.polyFingerprint(col("text"))).count())
+    spark.stop()
+  }
+}

@@ -35,6 +35,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("checkpointed file stream restarts incrementally, no reprocessing") {
+    val src = Files.createTempDirectory("graft-ckpt-src")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val out = Files.createTempDirectory("graft-ckpt-out").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), src.resolve("part1.parquet"))
+
+    def runOnce(): Unit = {
+      val q = Events.readStream(spark, src.toString)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 === 1000) // sf0.001 events
+
+    // new file arrives; restart from the same checkpoint
+    Files.copy(Paths.get(s"$sf/events.parquet"), src.resolve("part2.parquet"))
+    runOnce()
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2000) // part1 not reprocessed, part2 appended
+  }
+
+  test("stream-static join enriches events with a dimension") {
+    import spark.implicits._
+    val dim = (0L until 25L).map(k => (k, s"cohort-$k")).toDF("cohort_id", "cohort_name")
+    val enriched = Events.readStream(spark, streamDir)
+      .withColumn("cohort_id", col("user_id") % 25)
+      .join(dim, "cohort_id")
+      .groupBy(col("cohort_name")).agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.format("memory").queryName("cohort_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cohort_out").collect().map(_.toSeq).toSet
+    val batch = graft.sources.Tables.events(spark, sf)
+      .withColumn("cohort_id", col("user_id") % 25)
+      .join(dim, "cohort_id")
+      .groupBy(col("cohort_name")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("stateful sessionize: emitted + open sessions match batch ss01") {
     import spark.implicits._
     val events = graft.sources.Tables.events(spark, sf)
