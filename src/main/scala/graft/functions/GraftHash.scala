@@ -56,10 +56,23 @@ object GraftHash {
     h
   }
 
-  /** Distinct FNV-1a hashes of word n-gram shingles (n consecutive
-    * whitespace-separated words, hashed over their exact byte span
-    * including separating spaces). One pass, no intermediate strings.
-    * Documents shorter than n words hash their full word span.
+  /** Fold the byte range [from, until) into a running FNV-1a state. */
+  private def fnvFold(h0: Long, s: UTF8String, from: Int, until: Int): Long = {
+    var h = h0
+    var i = from
+    while (i < until) {
+      h ^= (s.getByte(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Distinct FNV-1a hashes of word n-gram shingles: n consecutive
+    * whitespace-separated words folded with a single 0x20 separator
+    * (whitespace-run normalized — "a  b" shingles like "a b"). One
+    * pass, no intermediate strings. Documents shorter than n words
+    * hash their full word sequence.
     */
   def shingleHashes(s: UTF8String, n: Int): ArrayData = {
     val len = s.numBytes()
@@ -81,8 +94,15 @@ object GraftHash {
       val lastStart = math.max(nWords - n, 0)
       var w = 0
       while (w <= lastStart) {
-        val until = ends.get(math.min(w + n, nWords) - 1)
-        set.add(fnvRange(s, starts.get(w), until))
+        val last = math.min(w + n, nWords) - 1
+        var h = FnvOffset
+        var j = w
+        while (j <= last) {
+          h = fnvFold(h, s, starts.get(j), ends.get(j))
+          if (j < last) { h ^= (' ' & 0xffL); h *= FnvPrime }
+          j += 1
+        }
+        set.add(h)
         w += 1
       }
     }

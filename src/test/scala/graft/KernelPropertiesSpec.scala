@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftHash, GraftVec}
+
+/** Property tests for the byte-level kernels against naive reference
+  * implementations (catches word-boundary, empty-input, and unicode
+  * edge cases the corpus never exercises).
+  */
+class KernelPropertiesSpec extends AnyFunSuite {
+
+  /** raw-scalacheck sampling (no scalatestplus bridge in the deps) */
+  private def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit =
+    (0 until n).foreach(_ => g.sample.foreach(f))
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 200).foreach(_ => for (a <- ga.sample; b <- gb.sample) f(a, b))
+
+  private val wordGen = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("héllo", "wörld", "日本語", "données", ""))
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOfN(12, wordGen)
+    seps <- Gen.listOfN(12, Gen.oneOf(" ", "  ", "   "))
+  } yield words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  private def naiveShingles(s: String, n: Int): Set[Long] = {
+    val words = s.split(" +").filter(_.nonEmpty)
+    if (words.isEmpty) Set.empty
+    else {
+      val grams =
+        if (words.length <= n) Seq(words.mkString(" "))
+        else words.sliding(n).map(_.mkString(" ")).toSeq
+      grams.map(g => GraftHash.fnv64(g.getBytes("UTF-8"))).toSet
+    }
+  }
+
+  test("shingleHashes matches the naive split/sliding implementation") {
+    forAll(textGen) { s =>
+      val got = GraftHash.shingleHashes(UTF8String.fromString(s), 3).toLongArray().toSet
+      assert(got === naiveShingles(s, 3))
+    }
+  }
+
+  test("shingleHashes is whitespace-run and edge-space insensitive") {
+    forAll(textGen) { s =>
+      val a = GraftHash.shingleHashes(UTF8String.fromString(s), 3).toLongArray().toSet
+      val b = GraftHash.shingleHashes(UTF8String.fromString("  " + s.replace(" ", "  ") + " "), 3)
+        .toLongArray().toSet
+      assert(a === b)
+    }
+  }
+
+  test("jaccardLongs equals naive set jaccard") {
+    val arrGen = Gen.listOf(Gen.chooseNum(0L, 50L)).map(_.distinct.toArray)
+    forAll2(arrGen, arrGen) { (a, b) =>
+      val got = GraftVec.jaccardLongs(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b))
+      val (sa, sb) = (a.toSet, b.toSet)
+      val expected =
+        if (sa.isEmpty && sb.isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(got === expected)
+    }
+  }
+
+  test("minhashUpdate is order-insensitive and monotone") {
+    val setGen = Gen.nonEmptyListOf(Gen.long).map(_.distinct)
+    forAll(setGen) { xs =>
+      val b1 = Array.fill(GraftHash.MinhashN)(Long.MaxValue)
+      val b2 = Array.fill(GraftHash.MinhashN)(Long.MaxValue)
+      xs.foreach(GraftHash.minhashUpdate(b1, _))
+      scala.util.Random.shuffle(xs).foreach(GraftHash.minhashUpdate(b2, _))
+      assert(b1.toSeq === b2.toSeq)
+      // superset can only lower signature values
+      val b3 = b1.clone()
+      GraftHash.minhashUpdate(b3, 12345L)
+      assert(b3.zip(b1).forall { case (s, o) => s <= o })
+    }
+  }
+
+  test("simhash64 of identical byte content is stable; empty is zero-ish") {
+    forAll(textGen) { s =>
+      val a = GraftHash.simhash64(UTF8String.fromString(s))
+      val b = GraftHash.simhash64(UTF8String.fromString(s))
+      assert(a === b)
+    }
+    assert(GraftHash.simhash64(UTF8String.fromString("")) === 0L)
+  }
+
+  test("fnv64 byte-iterating kernel equals byte-array form") {
+    forAll(textGen) { s =>
+      assert(GraftHash.fnv64(UTF8String.fromString(s)) ===
+        GraftHash.fnv64(s.getBytes("UTF-8")))
+    }
+  }
+}
