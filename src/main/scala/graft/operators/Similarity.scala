@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.functions.{vectorCosine, vectorDot}
+import graft.operators.Dedup
 
 /** Approximate-nearest-neighbor search over embedding columns.
   *
@@ -127,6 +128,48 @@ object Similarity {
       SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
       FROM sums WHERE vec_id <> 0
       ORDER BY cos DESC, vec_id LIMIT 20""")),
+
+    // ---- hybrid retrieval: 0.5*embedding-cosine + 0.5*trigram-jaccard
+    //      vs query id 0 (documents and embeddings joined on id) ----
+    ("h01_hybrid_retrieval", (s: SparkSession, d: String) => {
+      val sh = Dedup.shingles(col("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), sh.as("sh"))
+      val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val both = docs.join(embs, col("doc_id") === col("vec_id"))
+      val q = both.filter(col("doc_id") === 0)
+        .select(col("sh").as("qsh"), col("embedding").as("qe"))
+      both.crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          round(lit(0.5) * round(vectorCosine(col("embedding"), col("qe")), 6) +
+            lit(0.5) * (size(array_intersect(col("sh"), col("qsh"))).cast("double") /
+              size(array_union(col("sh"), col("qsh")))), 6).as("score"))
+        .filter(col("doc_id") =!= 0)
+        .orderBy(desc("score"), col("doc_id")).limit(20)
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      tri0 AS (SELECT doc_id, ws,
+                 unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM w),
+      tri AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tg
+              FROM tri0),
+      qt AS (SELECT tg FROM tri WHERE doc_id = 0),
+      inter AS (SELECT t.doc_id, count(*) AS ni FROM tri t JOIN qt USING (tg) GROUP BY 1),
+      sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+      qn AS (SELECT count(*) AS nq FROM qt),
+      jac AS (SELECT s.doc_id,
+                CAST(coalesce(ni, 0) AS DOUBLE) / (n + nq - coalesce(ni, 0)) AS jaccard
+              FROM sizes s LEFT JOIN inter i ON s.doc_id = i.doc_id, qn),
+      qe AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+      z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qemb) AS b FROM embeddings, qe),
+      sums AS (SELECT vec_id,
+                 sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+                 sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+                 sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+               FROM z GROUP BY vec_id),
+      cos AS (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS c FROM sums)
+      SELECT j.doc_id, round(0.5 * c + 0.5 * jaccard, 6) AS score
+      FROM jac j JOIN cos ON j.doc_id = cos.vec_id
+      WHERE j.doc_id <> 0
+      ORDER BY score DESC, j.doc_id LIMIT 20""")),
 
     // ---- LSH-bucketed pairwise similarity (no SQL oracle: LSH family) ----
     ("s02_similarity_lsh", (s: SparkSession, d: String) =>

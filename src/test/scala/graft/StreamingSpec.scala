@@ -78,6 +78,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join: purchases to signups within 24h") {
+    val purchases = Events.readStream(spark, streamDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = Events.readStream(spark, streamDir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      expr("""p_user = s_user AND s_ts BETWEEN p_ts - INTERVAL 24 HOURS AND p_ts"""))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_out").select("p_id", "s_id").collect().map(_.toSeq).toSet
+
+    val ev = graft.sources.Tables.events(spark, sf)
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val bs = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val batch = bp.join(bs,
+      expr("""p_user = s_user AND s_ts BETWEEN p_ts - INTERVAL 24 HOURS AND p_ts"""))
+      .select("p_id", "s_id").collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("stateful sessionize: emitted + open sessions match batch ss01") {
     import spark.implicits._
     val events = graft.sources.Tables.events(spark, sf)
