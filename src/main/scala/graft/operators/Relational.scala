@@ -620,6 +620,26 @@ object Relational {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
+    // ---- higher-order array functions (lambdas over nested data) ----
+    ("q48_higher_order", (s: SparkSession, d: String) => {
+      val ws = split(trim(col("text")), " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        aggregate(transform(ws, w => length(w).cast("long")), lit(0L), (acc, x) => acc + x)
+          .as("sum_word_lens"),
+        size(filter(ws, w => length(w) > 4)).cast("bigint").as("n_long_words"),
+        exists(ws, w => w === "spark").as("mentions_spark"),
+        forall(ws, w => length(w) < 20).as("all_short"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+      SELECT doc_id,
+        CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_word_lens,
+        CAST(len(list_filter(ws, w -> length(w) > 4)) AS BIGINT) AS n_long_words,
+        len(list_filter(ws, w -> w = 'spark')) > 0 AS mentions_spark,
+        len(list_filter(ws, w -> length(w) >= 20)) = 0 AS all_short
+      FROM w ORDER BY doc_id""")),
+
     // ---- WITH RECURSIVE (reference TODO; Spark 4 UnionLoop):
     //      recursive month spine left-joined to order counts ----
     ("q47_recursive_cte", (s: SparkSession, d: String) => {

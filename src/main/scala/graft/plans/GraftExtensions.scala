@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     import graft.functions.expr._
     e.injectOptimizerRule(_ => FuseJaccard)
+    e.injectOptimizerRule(_ => PruneTopKPerKey)
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectFunction(fn("graft_fnv64", xs => Fnv64(xs.head)))
     e.injectFunction(fn("graft_poly_fingerprint", xs => PolyFingerprint(xs.head)))

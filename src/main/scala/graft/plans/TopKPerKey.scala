@@ -28,6 +28,29 @@ case class TopKPerKey(groupExprs: Seq[Expression], ord: Expression, tie: Express
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey = copy(child = c)
 }
 
+/** Column pruning through the custom node — Catalyst's generic
+  * ColumnPruning can't see inside foreign operators, so without this a
+  * TopKPerKey over a wide table shuffles every column (the analog of
+  * the reference's redundant-projection removal,
+  * /root/reference/src/rules/rewrite/remove_redundant_projections.rs:1).
+  * Rewrites Project(TopKPerKey(child)) → Project(TopKPerKey(Project'(child)))
+  * where Project' keeps only columns the parent or the operator needs.
+  */
+object PruneTopKPerKey extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, tk @ TopKPerKey(gs, o, t, _, child)) =>
+      val needed = AttributeSet(p.references ++
+        gs.flatMap(_.references) ++ o.references ++ t.references)
+      if (needed.size < child.output.size) {
+        val kept = child.output.filter(needed.contains)
+        p.copy(child = tk.copy(child = Project(kept, child)))
+      } else p
+  }
+}
+
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(gs, ord, tie, k, child) =>

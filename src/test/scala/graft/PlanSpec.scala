@@ -70,6 +70,13 @@ class PlanSpec extends AnyFunSuite {
     assert(rest.contains("Exchange") && rest.indexOf("TopKPerKey", 1) > rest.indexOf("Exchange"), plan)
   }
 
+  test("PruneTopKPerKey: only referenced columns reach the scan") {
+    val df = SparkEntry.queries("tk01_topk_per_key")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // orders has 6 columns; the query touches 3 — the scan must prune
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"), plan)
+  }
+
   test("tk01 equals the window row_number formulation") {
     val custom = SparkEntry.queries("tk01_topk_per_key")(spark, sf)
       .collect().map(_.toSeq).toSet
