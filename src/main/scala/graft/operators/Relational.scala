@@ -620,6 +620,65 @@ object Relational {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
+    // ---- correlated scalar subquery in SELECT list (keenwa
+    //      subqueries_tests.yaml: "SELECT a1, (SELECT count(b1) FROM b
+    //      WHERE b1=a1) FROM a") → decorrelated left join + count ----
+    ("q49_correlated_scalar_select", (s: SparkSession, d: String) => {
+      val co = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      Tables.customer(s, d)
+        .join(co, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey,
+        (SELECT count(o_orderkey) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---- TPC-H Q5 shape: 6-table join chain, broadcast dims ----
+    ("q50_tpch_q5", (s: SparkSession, d: String) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1999-01-01 00:00:00"))
+      val l = Tables.lineitem(s, d)
+      broadcast(r)
+        .join(n, col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(sup), col("s_nationkey") === col("n_nationkey"))
+        .join(l, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }, Some("""
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+        JOIN supplier ON s_nationkey = n_nationkey
+        JOIN lineitem ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // ---- PIVOT (status columns from rows) ----
+    ("q51_pivot", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority,
+        count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- higher-order array functions (lambdas over nested data) ----
     ("q48_higher_order", (s: SparkSession, d: String) => {
       val ws = split(trim(col("text")), " ")
