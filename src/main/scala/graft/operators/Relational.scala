@@ -620,6 +620,35 @@ object Relational {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
+    // ---- every interval class the reference supports (README "Time
+    //      intervals": Year, Year-Month, Month, Day, Day-Hour,
+    //      Day-Minute, Day-Second; expr_interval_tests.yaml) ----
+    ("q52_interval_classes", (s: SparkSession, d: String) => {
+      def f(c: Column) = date_format(c, "yyyy-MM-dd HH:mm:ss")
+      val t = col("o_orderdate")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        f(t + expr("INTERVAL 1 YEAR")).as("plus_y"),
+        f(t + expr("INTERVAL '1-2' YEAR TO MONTH")).as("plus_ym"),
+        f(t + expr("INTERVAL 14 MONTH")).as("plus_m"),
+        f(t + expr("INTERVAL 40 DAY")).as("plus_d"),
+        f(t + expr("INTERVAL '2 06' DAY TO HOUR")).as("plus_dh"),
+        f(t + expr("INTERVAL '2 06:30' DAY TO MINUTE")).as("plus_dm"),
+        f(t + expr("INTERVAL '2 06:30:15' DAY TO SECOND")).as("plus_ds"),
+        f(t - expr("INTERVAL 90 MINUTE")).as("minus_min"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        strftime(o_orderdate + INTERVAL 1 YEAR, '%Y-%m-%d %H:%M:%S') AS plus_y,
+        strftime(o_orderdate + INTERVAL 14 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_ym,
+        strftime(o_orderdate + INTERVAL 14 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_m,
+        strftime(o_orderdate + INTERVAL 40 DAY, '%Y-%m-%d %H:%M:%S') AS plus_d,
+        strftime(o_orderdate + INTERVAL '2 days 6 hours', '%Y-%m-%d %H:%M:%S') AS plus_dh,
+        strftime(o_orderdate + INTERVAL '2 days 6 hours 30 minutes', '%Y-%m-%d %H:%M:%S') AS plus_dm,
+        strftime(o_orderdate + INTERVAL '2 days 6 hours 30 minutes 15 seconds', '%Y-%m-%d %H:%M:%S') AS plus_ds,
+        strftime(o_orderdate - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS minus_min
+      FROM orders ORDER BY o_orderkey""")),
+
     // ---- correlated scalar subquery in SELECT list (keenwa
     //      subqueries_tests.yaml: "SELECT a1, (SELECT count(b1) FROM b
     //      WHERE b1=a1) FROM a") → decorrelated left join + count ----
