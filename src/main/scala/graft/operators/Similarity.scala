@@ -133,7 +133,10 @@ object Similarity {
     //      vs query id 0 (documents and embeddings joined on id) ----
     ("h01_hybrid_retrieval", (s: SparkSession, d: String) => {
       val sh = Dedup.shingles(col("text"))
-      val docs = Tables.documents(s, d).select(col("doc_id"), sh.as("sh"))
+      // parallelize the shingle map stage (single input file locally)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), sh.as("sh"))
       val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val both = docs.join(embs, col("doc_id") === col("vec_id"))
       val q = both.filter(col("doc_id") === 0)
