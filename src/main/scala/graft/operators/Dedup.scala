@@ -174,6 +174,27 @@ object Dedup {
       WHERE s.doc_id <> 0 AND coalesce(ni, 0) > 0
       ORDER BY s.doc_id""")),
 
+    // ---- deterministic train/val/test split (reproducible sampling:
+    //      a Knuth-hash bucket per doc, no RNG — identical assignment
+    //      on every engine and every rerun) ----
+    ("d06_train_split", (s: SparkSession, d: String) => {
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000003L)) % 100
+      val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+      Tables.documents(s, d)
+        .select(col("doc_id"), split.as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+        .orderBy("split")
+    }, Some("""
+      WITH b AS (
+        SELECT doc_id,
+          CASE WHEN (doc_id * 2654435761) % 1000003 % 100 < 80 THEN 'train'
+               WHEN (doc_id * 2654435761) % 1000003 % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents)
+      SELECT split, count(*) AS n, min(doc_id) AS first_id
+      FROM b GROUP BY split ORDER BY split""")),
+
     // ---- embedding-cosine near-dup, blocked on label ----
     ("d05_dedup_embedding", (s: SparkSession, d: String) => {
       val e = Tables.embeddings(s, d)

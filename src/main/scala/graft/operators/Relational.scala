@@ -620,6 +620,21 @@ object Relational {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
+    // ---- exact percentiles (continuous interpolation) ----
+    ("q53_percentile", (s: SparkSession, d: String) => {
+      Tables.orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus,
+        round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---- every interval class the reference supports (README "Time
     //      intervals": Year, Year-Month, Month, Day, Day-Hour,
     //      Day-Minute, Day-Second; expr_interval_tests.yaml) ----
