@@ -50,6 +50,32 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("binaryFile source feeds the multimodal decode path") {
+    import spark.implicits._
+    val dir = tmp("graft-bin")
+    Seq("img-one", "img-two-longer", "img-3").zipWithIndex.foreach { case (payload, i) =>
+      Files.write(java.nio.file.Paths.get(s"$dir/media$i.bin"), payload.getBytes("UTF-8"))
+    }
+    val bin = spark.read.format("binaryFile").load(dir)
+    assert(bin.columns.toSet === Set("path", "modificationTime", "length", "content"))
+    val media = bin.select(
+      abs(hash(col("path"))).cast("bigint").as("doc_id"),
+      col("content").as("payload"), lit("image").as("media_type"))
+      .as[graft.operators.MediaRow]
+    // same stubbed decode kernel as the m01 pipeline, real file source
+    val widths = media.map(m => 64L + m.payload.length % 577L).collect().sorted
+    assert(widths === Array(64L + 5, 64L + 7, 64L + 14))
+  }
+
+  test("parquet sink honors zstd compression") {
+    val path = tmp("graft-zstd")
+    Tables.nation(spark, sf).write.mode("overwrite")
+      .option("compression", "zstd").parquet(path)
+    val files = new java.io.File(path).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")), files.mkString(","))
+    assert(spark.read.parquet(path).count() === 25)
+  }
+
   test("csv/json/orc round-trips preserve row counts") {
     val n = Tables.nation(spark, sf)
     val (c, jn, o) = (tmp("graft-csv"), tmp("graft-json"), tmp("graft-orc"))
