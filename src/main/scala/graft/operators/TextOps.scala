@@ -109,6 +109,28 @@ object TextOps {
         CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
       FROM documents ORDER BY doc_id""")),
 
+    // ---- intra-document repetition ratio (quality filter: repeated
+    //      n-grams signal low-quality/generated text) ----
+    ("t05_repetition", (s: SparkSession, d: String) => {
+      val w = split(trim(col("text")), " ")
+      val tris = transform(sequence(lit(1), greatest(size(w) - 2, lit(1))),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(tris).cast("bigint").as("n_trigrams"),
+        size(array_distinct(tris)).cast("bigint").as("n_distinct"),
+        (lit(1.0) - size(array_distinct(tris)).cast("double") / size(tris)).as("repetition"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      t0 AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM w),
+      tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tg FROM t0),
+      agg AS (SELECT doc_id, count(*) AS n_trigrams, count(DISTINCT tg) AS n_distinct
+              FROM tri GROUP BY doc_id)
+      SELECT doc_id, n_trigrams, n_distinct,
+        1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams AS repetition
+      FROM agg ORDER BY doc_id""")),
+
     // ---- document fingerprint: native codegen expression with a
     //      bit-exact SQL oracle (see GraftHash.polyFingerprint) ----
     ("t04_fingerprint", (s: SparkSession, d: String) => {

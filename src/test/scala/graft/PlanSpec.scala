@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape assertions: the optimizations keenwa implements as
@@ -84,6 +85,25 @@ class PlanSpec extends AnyFunSuite {
       .select("o_custkey", "o_orderkey", "o_totalprice")
       .collect().map(_.toSeq).toSet
     assert(custom === window)
+  }
+
+  test("runtime bloom-filter pruning injects on selective shuffle joins") {
+    // the 100 TB relevance: a selective dim filter becomes a row-level
+    // bloom filter applied inside the fact scan before the shuffle
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val l = graft.sources.Tables.lineitem(spark, sf)
+      val p = graft.sources.Tables.part(spark, sf).filter(col("p_size") === 1)
+      val j = l.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"), plan.take(3000))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("s01: top-k plans as TakeOrderedAndProject (no global sort)") {
