@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Point-in-interval join without a nested-loop: intervals are
+  * exploded onto fixed-width buckets, points map to one bucket, the
+  * join becomes an equi-join on (key, bucket) with an exact refine
+  * filter. Spark plans a raw inequality join as
+  * BroadcastNestedLoopJoin (O(n·m) — unusable at scale); this
+  * composition is O(n + m·buckets_per_interval) shuffle rows.
+  * (Preference order honored: composition of built-ins, no custom
+  * physical operator needed.)
+  */
+object RangeJoin {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Join `points` (pt = time column) to `intervals` [startCol, endCol]
+    * sharing equi-key `on`. bucketWidth must be >= typical interval
+    * length for few buckets per interval.
+    */
+  def pointIntervalJoin(points: DataFrame, intervals: DataFrame, on: String,
+      pt: String, startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
+    val ivals = intervals.withColumn("_b",
+      explode(sequence(col(startCol) div bucketWidth, col(endCol) div bucketWidth)))
+    val pts = points.withColumn("_b", col(pt) div bucketWidth)
+    pts.join(ivals, Seq(on, "_b"))
+      .filter(col(pt) >= col(startCol) && col(pt) <= col(endCol))
+      .drop("_b")
+  }
+
+  private implicit class DivCol(c: Column) {
+    def div(w: Long): Column = expr(s"(${c.toString}) div $w")
+  }
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+    // events joined back to their user's session intervals (sessions
+    // derived as in ss01), counting events per session interval
+    ("rj01_point_interval", (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .withColumn("tus", expr("ts_ns div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val sessions = ev
+        .select(col("user_id"), col("event_id"), col("tus"),
+          lag(col("tus"), 1).over(w).as("prev"))
+        .select(col("user_id"), col("event_id"), col("tus"),
+          when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L).as("is_new"))
+        .select(col("user_id"), col("tus"), sum(col("is_new")).over(wRun).as("sid"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("tus")).as("s_start"), max(col("tus")).as("s_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("tus"))
+      pointIntervalJoin(purchases, sessions, on = "user_id",
+        pt = "tus", startCol = "s_start", endCol = "s_end",
+        bucketWidth = 3600L * 1000000L) // 1h buckets (µs)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .select(col("user_id"), col("sid").cast("bigint").as("sid"), col("n_purchases"))
+        .orderBy("user_id", "sid")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                   epoch_ns(ts) // 1000 AS tus FROM events),
+      l AS (SELECT user_id, event_id, tus, event_type,
+              lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS p
+            FROM e),
+      f AS (SELECT user_id, tus, event_type,
+              CASE WHEN p IS NULL OR tus - p > 1800000000 THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sess0 AS (SELECT user_id, tus, event_type,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f),
+      sessions AS (SELECT user_id, sid, min(tus) AS s_start, max(tus) AS s_end
+                   FROM sess0 GROUP BY user_id, sid),
+      purchases AS (SELECT user_id, event_id, tus FROM e WHERE event_type = 'purchase')
+      SELECT p.user_id, CAST(s.sid AS BIGINT) AS sid, count(*) AS n_purchases
+      FROM purchases p JOIN sessions s
+        ON p.user_id = s.user_id AND p.tus BETWEEN s.s_start AND s.s_end
+      GROUP BY p.user_id, s.sid ORDER BY p.user_id, sid"""))
+  )
+}
