@@ -26,6 +26,31 @@ object Sinks {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Compact a parquet directory to ~`targetFileMB`-sized files —
+    * the small-files remediation every long-running 100 TB ingest
+    * needs (file-count pressure on the namenode/listing, tiny-row-
+    * group scan overhead). Size-based partition count from the actual
+    * on-disk footprint.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileMB: Int = 128): Unit = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum).getOrElse(0L)
+    val parts = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val tmp = path + "_compact_tmp"
+    spark.read.parquet(path).repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap
+    val old = new java.io.File(path + "_compact_old")
+    dir.renameTo(old)
+    new java.io.File(tmp).renameTo(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(old)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

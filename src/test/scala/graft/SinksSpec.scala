@@ -76,6 +76,21 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === 25)
   }
 
+  test("compactParquet merges small files, preserves data") {
+    val path = tmp("graft-compact")
+    val li = Tables.lineitem(spark, sf)
+    li.repartition(40).write.mode("overwrite").parquet(path) // 40 tiny files
+    val before = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before === 40)
+    val checksum = li.agg(sum(col("l_orderkey"))).collect().head.getLong(0)
+    Sinks.compactParquet(spark, path, targetFileMB = 128)
+    val after = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < 5, s"expected few files, got $after")
+    val back = spark.read.parquet(path)
+    assert(back.count() === li.count())
+    assert(back.agg(sum(col("l_orderkey"))).collect().head.getLong(0) === checksum)
+  }
+
   test("csv/json/orc round-trips preserve row counts") {
     val n = Tables.nation(spark, sf)
     val (c, jn, o) = (tmp("graft-csv"), tmp("graft-json"), tmp("graft-orc"))
