@@ -620,6 +620,30 @@ object Relational {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
+    // ---- CAST matrix (expr_basic_tests.yaml cast forms; double→int
+    //      via trunc: Spark truncates, DuckDB rounds) ----
+    ("q54_casts", (s: SparkSession, d: String) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_orderkey").cast("string").as("key_str"),
+        col("o_totalprice").cast(DecimalType(12, 1)).cast("double").as("price_dec1"),
+        expr("CAST(floor(o_totalprice) AS BIGINT)").as("price_int"),
+        lit("42").cast("bigint").as("s2i"),
+        lit(1).cast("boolean").as("i2b"),
+        date_format(lit("2000-01-02").cast("date"), "yyyy-MM-dd").as("s2d"),
+        date_format(lit("2000-01-02 03:04:05").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").as("s2ts"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        CAST(o_orderkey AS VARCHAR) AS key_str,
+        CAST(CAST(o_totalprice AS DECIMAL(12,1)) AS DOUBLE) AS price_dec1,
+        CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+        CAST('42' AS BIGINT) AS s2i,
+        CAST(1 AS BOOLEAN) AS i2b,
+        strftime(CAST('2000-01-02' AS DATE), '%Y-%m-%d') AS s2d,
+        strftime(CAST('2000-01-02 03:04:05' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS s2ts
+      FROM orders ORDER BY o_orderkey""")),
+
     // ---- exact percentiles (continuous interpolation) ----
     ("q53_percentile", (s: SparkSession, d: String) => {
       Tables.orders(s, d).groupBy(col("o_orderstatus"))
