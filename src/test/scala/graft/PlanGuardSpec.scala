@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fleet-wide regression guards over every declared query. */
+class PlanGuardSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  private val sf = GraftTestSession.sf
+
+  /** Queries that intentionally broadcast a one-row/tiny relation via
+    * crossJoin (planned as BroadcastNestedLoopJoin — fine: the inner
+    * side is a single broadcast row, not an O(n·m) product).
+    */
+  private val broadcastSingleton = Set(
+    "q07_join_cross", "q20_subquery_scalar", "d04_ngram_jaccard",
+    "d05_dedup_embedding", "s01_similarity_topk", "s03_similarity_ivf",
+    "h01_hybrid_retrieval", "q46_any_all")
+
+  test("no query plans an unintended cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val nlJoin = plan.contains("BroadcastNestedLoopJoin") && !broadcastSingleton(name)
+      if (cartesian || nlJoin) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unintended product joins in: $offenders")
+  }
+
+  test("oracle SQL never sums raw doubles (SURVEY §4 determinism rule)") {
+    // every sum(...) in an oracle must aggregate decimals/ints, not raw
+    // double columns whose addition order would change low bits
+    val rawDoubleSum = """sum\((l_quantity|l_extendedprice|l_discount|l_tax|o_totalprice|value|p_retailprice|c_acctbal|s_acctbal)\b""".r
+    val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
+      rawDoubleSum.findFirstIn(sql.toLowerCase).isDefined
+    }.keys.toSeq.sorted
+    assert(offenders.isEmpty, s"raw double sums in oracles: $offenders")
+  }
+
+  test("every query output is deterministically ordered or aggregated to one row") {
+    // ORDER BY (spark side: final Sort/TakeOrdered) or global agg
+    val unordered = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sf)
+      val plan = df.queryExecution.optimizedPlan.toString
+      val ordered = plan.contains("Sort") || plan.contains("GlobalLimit") ||
+        df.schema.nonEmpty && fn(spark, sf).queryExecution.analyzed.maxRows.exists(_ <= 1)
+      if (!ordered) Some(name) else None
+    }
+    assert(unordered.isEmpty, s"queries without deterministic order: $unordered")
+  }
+}
