@@ -174,6 +174,24 @@ object GraftHash {
     acc
   }
 
+  /** Morton/Z-order interleave of the low 32 bits of x and y: sorting
+    * by the result clusters rows that are close in BOTH dimensions,
+    * tightening parquet row-group min/max bounds for two columns at
+    * once (multi-dimensional data skipping).
+    */
+  def mortonInterleave(x: Long, y: Long): Long = {
+    def spread(v0: Long): Long = {
+      var v = v0 & 0xffffffffL
+      v = (v | (v << 16)) & 0x0000ffff0000ffffL
+      v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+      v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    spread(x) | (spread(y) << 1)
+  }
+
   /** 64-bit SimHash over FNV-1a word hashes (whitespace tokens). */
   def simhash64(s: UTF8String): Long = {
     val n = s.numBytes()

@@ -55,6 +55,17 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
+/** Morton/Z-order code of two long columns (low 32 bits each). */
+case class ZOrder(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.GraftHash.mortonInterleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftHash.mortonInterleave($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder =
+    copy(left = l, right = r)
+}
+
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =

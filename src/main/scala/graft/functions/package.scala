@@ -24,6 +24,10 @@ package object functions {
   /** Distinct FNV-1a hashes of word n-gram shingles (single pass). */
   def shingleHashes(c: Column, n: Int = 3): Column = col(expr.ShingleHashes(ex(c), n))
 
+  /** Morton/Z-order code of two long columns (low 32 bits each). */
+  def zorder(a: Column, b: Column): Column =
+    col(expr.ZOrder(ex(a.cast("bigint")), ex(b.cast("bigint"))))
+
   /** Aggregate: 32-wide minhash signature over a long hash column. */
   def minhashSig(c: Column): Column =
     col(expr.MinHashSig(ex(c)).toAggregateExpression())

@@ -51,6 +51,29 @@ object Sinks {
     rm(old)
   }
 
+  /** Z-order clustered parquet: globally sort by the Morton code of
+    * two columns so each output file's min/max bounds are tight in
+    * BOTH dimensions — parquet predicate pushdown then skips files/
+    * row-groups for range filters on either column.
+    */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    // normalize both dimensions to 16-bit range first — unbalanced bit
+    // widths would make the wider column dominate the curve and leave
+    // the narrow one unclustered
+    val Array(mn1, mx1, mn2, mx2) = df
+      .agg(min(col(c1)), max(col(c1)), min(col(c2)), max(col(c2)))
+      .collect().head.toSeq.map(_.toString.toDouble.toLong).toArray
+    def scale(c: String, mn: Long, mx: Long) = {
+      val span = math.max(mx - mn, 1L)
+      (col(c).cast("bigint") - lit(mn)) * lit(65535L) / lit(span)
+    }
+    val z = graft.functions.zorder(scale(c1, mn1, mx1), scale(c2, mn2, mx2))
+    df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

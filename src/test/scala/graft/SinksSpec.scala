@@ -91,6 +91,29 @@ class SinksSpec extends AnyFunSuite {
     assert(back.agg(sum(col("l_orderkey"))).collect().head.getLong(0) === checksum)
   }
 
+  test("z-ordered write clusters both dimensions per file") {
+    val path = tmp("graft-zorder")
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_orderkey", "l_quantity")
+    Sinks.writeZOrdered(li, path, "l_partkey", "l_orderkey", numFiles = 8)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 4)
+    // per-file spans must be far tighter than the global span in BOTH
+    // dimensions (that's what makes row-group skipping effective)
+    def spans(col1: String): (Double, Double) = {
+      val global = li.agg(max(col(col1)) - min(col(col1))).collect().head.getLong(0).toDouble
+      val perFile = files.map { f =>
+        val r = spark.read.parquet(f).agg(max(col(col1)) - min(col(col1))).collect().head
+        r.getLong(0).toDouble
+      }
+      (perFile.sum / perFile.length, global)
+    }
+    val (avgP, globalP) = spans("l_partkey")
+    val (avgO, globalO) = spans("l_orderkey")
+    assert(avgP < globalP * 0.6, s"partkey clustering weak: $avgP vs $globalP")
+    assert(avgO < globalO * 0.6, s"orderkey clustering weak: $avgO vs $globalO")
+  }
+
   test("csv/json/orc round-trips preserve row counts") {
     val n = Tables.nation(spark, sf)
     val (c, jn, o) = (tmp("graft-csv"), tmp("graft-json"), tmp("graft-orc"))
