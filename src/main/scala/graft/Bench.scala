@@ -6,20 +6,42 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Force FULL evaluation of every row/column: a noop sink defeats the
+    // count-only column pruning that made projection-heavy queries look
+    // like bare scans. (count() prunes everything under the aggregate.)
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // steady-state measurement: one untimed pass (JIT, codegen cache,
     // parquet footers), then the timed pass
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      try run(fn) catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // keep the JSON line SHORT — the driver parses it from a 2000-char
+    // tail of stdout; r1's full-precision 78-query map overflowed that
+    // and the round's bench went unparsed. Per-query times are emitted
+    // for a headline subset spanning every operator family; "value" is
+    // still the total across ALL queries (full detail in BENCH_FULL.json).
+    def f3(v: Double): String = (math.round(v * 1000) / 1000.0).toString // locale-safe
+    val headline = Seq(
+      "q01_agg", "q03_join_inner", "q50_tpch_q5", "q18_window_ranking",
+      "q27_arith", "q47_recursive_cte", "d01_dedup_exact", "d02_dedup_minhash",
+      "d03_dedup_simhash", "d04_ngram_jaccard", "d05_dedup_embedding",
+      "s01_similarity_topk", "s03_similarity_ivf", "t01_langid", "t03_tokens",
+      "t04_fingerprint", "t05_repetition", "m01_multimodal", "ss01_sessionize",
+      "ao01_asof_join", "rj01_point_interval", "tk01_topk_per_key",
+      "h01_hybrid_retrieval")
+    def jsonMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full)
+    val qs = jsonMap(results.filter { case (k, _) => headline.contains(k) })
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

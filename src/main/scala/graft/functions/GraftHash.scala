@@ -147,8 +147,12 @@ object GraftHash {
     *
     * Deliberately SQL-portable (bit-exact DuckDB oracle):
     *   word_val(w) = length(w)*1000003 + code(first)*31 + code(last)
-    *   fp = sum_i( word_val(w_i) * ((i*131) mod P) ) mod P, i 1-based,
-    * empty words (runs of spaces) skipped. All intermediates fit i64.
+    *   fp = sum_i( (word_val(w_i) mod P) * ((i*131) mod P) ) mod P,
+    * i 1-based, empty words (runs of spaces) skipped. word_val is
+    * reduced mod P BEFORE the multiply: a ~8600-code-point word pushes
+    * word_val past 2^33, and *(P-1) would overflow i64 (the oracle
+    * computes in wider precision — parity would silently break). With
+    * both operands < P the product stays < 2^60.
     * Lengths/codes are code points (not bytes) to match SQL length()
     * and ascii() on non-ASCII text.
     */
@@ -167,7 +171,7 @@ object GraftHash {
         val len = str.codePointCount(start, i)
         val first = str.codePointAt(start)
         val last = str.codePointBefore(i)
-        val wordVal = len.toLong * 1000003L + first.toLong * 31L + last.toLong
+        val wordVal = (len.toLong * 1000003L + first.toLong * 31L + last.toLong) % P
         acc = (acc + wordVal * ((wordIdx.toLong * 131L) % P)) % P
       }
     }

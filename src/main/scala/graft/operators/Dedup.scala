@@ -19,12 +19,18 @@ import graft.functions.simhash64
 object Dedup {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** distinct word-trigram shingles of `text`. */
+  /** distinct word-trigram shingles of `text`. Documents shorter than 3
+    * words yield their full word sequence as the single shingle —
+    * mirrors [[graft.functions.shingleHashes]], and avoids ANSI-mode
+    * INVALID_ARRAY_INDEX_IN_ELEMENT_AT on 1–2-word docs (element_at
+    * past the array end throws under Spark 4's default ANSI). */
   def shingles(text: Column): Column = {
     val w = split(trim(text), " ")
     array_distinct(
-      transform(sequence(lit(1), greatest(size(w) - 2, lit(1))),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array(concat_ws(" ", w))))
   }
 
 

@@ -69,11 +69,11 @@ object RangeJoin {
       l AS (SELECT user_id, event_id, tus, event_type,
               lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS p
             FROM e),
-      f AS (SELECT user_id, tus, event_type,
+      f AS (SELECT user_id, event_id, tus, event_type,
               CASE WHEN p IS NULL OR tus - p > 1800000000 THEN 1 ELSE 0 END AS is_new
             FROM l),
       sess0 AS (SELECT user_id, tus, event_type,
-              sum(is_new) OVER (PARTITION BY user_id ORDER BY tus
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
             FROM f),
       sessions AS (SELECT user_id, sid, min(tus) AS s_start, max(tus) AS s_end

@@ -484,8 +484,10 @@ object Relational {
       val words = split(trim(col("text")), " ")
       Tables.documents(s, d).select(
         col("doc_id"),
-        element_at(words, 1).as("first_word"),
-        element_at(words, 3).as("third_word"),
+        // try_element_at: NULL past the array end (= DuckDB ws[i]), where
+        // ANSI-mode element_at would throw on a <3-word document
+        try_element_at(words, lit(1)).as("first_word"),
+        try_element_at(words, lit(3)).as("third_word"),
         size(words).cast("bigint").as("n_words"),
         struct(col("lang").as("lang"), col("source").as("source")).getField("lang").as("t_lang"))
         .orderBy("doc_id")
@@ -890,7 +892,7 @@ object Relational {
         round(exp(col("l_discount")), 8).as("expd"),
         round(log(col("l_extendedprice")), 8).as("lnp"),
         pow(col("l_quantity"), lit(2)).as("q2"),
-        signum(col("l_discount") - 0.05).as("sgn"))
+        signum(col("l_discount") - 0.05).cast("bigint").as("sgn"))
         .orderBy("l_orderkey", "ln")
     }, Some("""
       SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
@@ -902,7 +904,7 @@ object Relational {
         round(exp(l_discount), 8) AS expd,
         round(ln(l_extendedprice), 8) AS lnp,
         pow(l_quantity, 2) AS q2,
-        sign(l_discount - 0.05) AS sgn
+        CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn
       FROM lineitem ORDER BY l_orderkey, ln""")),
 
     // ---- extended date functions ----

@@ -113,8 +113,12 @@ object TextOps {
     //      n-grams signal low-quality/generated text) ----
     ("t05_repetition", (s: SparkSession, d: String) => {
       val w = split(trim(col("text")), " ")
-      val tris = transform(sequence(lit(1), greatest(size(w) - 2, lit(1))),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+      // <3-word docs: one "trigram" = the full word sequence (ANSI-safe:
+      // element_at past the end throws under Spark 4 default ANSI mode)
+      val tris = when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array(concat_ws(" ", w)))
       Tables.documents(s, d).select(
         col("doc_id"),
         size(tris).cast("bigint").as("n_trigrams"),
@@ -124,7 +128,9 @@ object TextOps {
     }, Some("""
       WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
       t0 AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM w),
-      tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tg FROM t0),
+      tri AS (SELECT doc_id,
+                CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     ELSE array_to_string(ws, ' ') END AS tg FROM t0),
       agg AS (SELECT doc_id, count(*) AS n_trigrams, count(DISTINCT tg) AS n_distinct
               FROM tri GROUP BY doc_id)
       SELECT doc_id, n_trigrams, n_distinct,
@@ -148,7 +154,7 @@ object TextOps {
           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
         FROM w WHERE wd <> '')
       SELECT doc_id,
-        CAST(sum((length(wd)*1000003 + ascii(wd)*31 + ascii(reverse(wd))) * ((i*131) % 1000000007)) % 1000000007 AS BIGINT) AS fp
+        CAST(sum(((length(wd)*1000003 + ascii(wd)*31 + ascii(reverse(wd))) % 1000000007) * ((i*131) % 1000000007)) % 1000000007 AS BIGINT) AS fp
       FROM ne GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

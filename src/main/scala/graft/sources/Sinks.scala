@@ -35,16 +35,31 @@ object Sinks {
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileMB: Int = 128): Unit = {
     val dir = new java.io.File(path)
-    val bytes = Option(dir.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
-      .map(_.length()).sum).getOrElse(0L)
-    val parts = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
-    val tmp = path + "_compact_tmp"
-    spark.read.parquet(path).repartition(parts)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap
+    require(dir.isDirectory, s"compactParquet: $path is not a directory")
+    // a repartition+rewrite would FLATTEN a Hive-partitioned layout (and
+    // the top-level size scan would see 0 bytes -> 1 file); refuse instead
+    val subdirs = Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    require(subdirs.isEmpty,
+      s"compactParquet: $path has a partitioned layout (${subdirs.head.getName}, ...); " +
+        "compact each leaf partition directory instead")
+    val tmp = new java.io.File(path + "_compact_tmp")
     val old = new java.io.File(path + "_compact_old")
-    dir.renameTo(old)
-    new java.io.File(tmp).renameTo(dir)
+    // leftovers from a crashed prior run: bail rather than silently
+    // swapping stale data in (or deleting the only good backup)
+    require(!tmp.exists && !old.exists,
+      s"compactParquet: stale $tmp or $old exists — inspect/remove before rerunning")
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    val parts = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    spark.read.parquet(path).repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    // atomic-ish swap; every rename checked — a silent no-op here would
+    // leave the data uncompacted while claiming success
+    require(dir.renameTo(old), s"compactParquet: rename $path -> $old failed")
+    if (!tmp.renameTo(dir)) { // restore the original before failing
+      old.renameTo(dir)
+      sys.error(s"compactParquet: rename $tmp -> $path failed (original restored)")
+    }
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }

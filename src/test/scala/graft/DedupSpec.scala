@@ -39,4 +39,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)))
     assert(!pairs.contains((2L, 3L)))
   }
+
+  test("shingles: <3-word docs yield the full word sequence (ANSI-safe)") {
+    import org.apache.spark.sql.functions.col
+    val out = docs(1L -> "one", 2L -> "two words", 3L -> "a b c", 4L -> "a b c d")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(out(1L) === List("one"))
+    assert(out(2L) === List("two words"))
+    assert(out(3L) === List("a b c"))
+    assert(out(4L) === List("a b c", "b c d"))
+  }
+
+  test("minhashPairs survives 1-2 word docs in the corpus") {
+    val rows = Dedup.minhashPairs(
+      docs(1L -> base, 2L -> near, 3L -> "hi", 4L -> "tiny doc"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet === Set((1L, 2L)))
+  }
 }

@@ -91,6 +91,24 @@ class SinksSpec extends AnyFunSuite {
     assert(back.agg(sum(col("l_orderkey"))).collect().head.getLong(0) === checksum)
   }
 
+  test("compactParquet refuses stale swap dirs and partitioned layouts") {
+    val path = tmp("graft-compact-guard")
+    Tables.nation(spark, sf).write.mode("overwrite").parquet(path)
+    val stale = new java.io.File(path + "_compact_old")
+    stale.mkdirs()
+    intercept[IllegalArgumentException] {
+      Sinks.compactParquet(spark, path)
+    }
+    stale.delete()
+    val part = tmp("graft-compact-part")
+    Sinks.writePartitioned(Tables.nation(spark, sf), part, "n_regionkey")
+    intercept[IllegalArgumentException] {
+      Sinks.compactParquet(spark, part)
+    }
+    // partitioned data untouched by the refusal
+    assert(spark.read.parquet(part).count() === 25)
+  }
+
   test("z-ordered write clusters both dimensions per file") {
     val path = tmp("graft-zorder")
     val li = Tables.lineitem(spark, sf).select("l_partkey", "l_orderkey", "l_quantity")
