@@ -130,6 +130,10 @@ object GraftHash {
     }
   }
 
+  /** The (a_i, b_i) pairs, exposed so the DuckDB oracle SQL can
+    * recompute signatures with the exact same hash family. */
+  def minhashConsts: Seq[(Long, Long)] = minhashA.zip(minhashB).toSeq
+
   /** Fold one shingle hash into a minhash signature buffer in place. */
   def minhashUpdate(buf: Array[Long], rawHash: Long): Unit = {
     val hp = ((rawHash % MinhashP) + MinhashP) % MinhashP

@@ -11,8 +11,8 @@ import graft.functions.simhash64
   *
   * Scale design: nothing here is all-pairs. MinHash/LSH shuffles
   * O(docs x bands) band-key rows and verifies Jaccard only inside
-  * buckets; SimHash blocks on 16-bit chunks (pigeonhole: hamming<=6
-  * over 64 bits guarantees one of 4 chunks is exact); n-gram Jaccard
+  * buckets; SimHash blocks on 8-bit chunks (pigeonhole: hamming<=7
+  * over 64 bits guarantees one of 8 chunks is exact); n-gram Jaccard
   * scores against a query document (linear); exact dedup is one
   * hash-shuffle groupBy.
   */
@@ -97,17 +97,25 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs over (doc_id, text): block on each
-    * 16-bit chunk of the 64-bit signature — pigeonhole guarantees any
-    * pair within hamming<=maxHamming (<16) collides on some chunk.
+    * 8-bit chunk of the 64-bit signature — pigeonhole over 8 chunks
+    * guarantees any pair within hamming<=7 agrees exactly on some
+    * chunk (k-bit-error recall needs >=k+1 blocks; the earlier 4x16
+    * layout silently missed pairs with errors spread over all 4
+    * chunks — caught by the brute-force DuckDB oracle). Bucket
+    * cardinality per chunk position is 2^8; at 100 TB the per-bucket
+    * pair generation is the quadratic term, so scale = more/wider
+    * blocks + this same exact-verify, or pre-partition by a
+    * locality-preserving prefix (Manku et al. WWW'07 layout).
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, s"8-block blocking is only complete for hamming<=7, got $maxHamming")
     val spread = documents.select(col("doc_id"), col("text"))
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
     val docs = spread.select(col("doc_id"), simhash64(col("text")).as("sig"))
-    // one row per (doc, 16-bit chunk), then per-bucket pair generation
+    // one row per (doc, 8-bit chunk), then per-bucket pair generation
     // (same single-pass shape as minhashPairs)
-    val chunkArr = array((0 until 4).map { c =>
-      shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xffffL))
+    val chunkArr = array((0 until 8).map { c =>
+      shiftrightunsigned(col("sig"), 8 * c).bitwiseAND(lit(0xffL))
     }: _*)
     val chunks = docs.select(col("doc_id"), col("sig"),
         posexplode(chunkArr).as(Seq("chunk_id", "chunk")))
@@ -138,13 +146,75 @@ object Dedup {
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY text ORDER BY keep_id""")),
 
-    // ---- MinHash + LSH near-dup pairs (no SQL oracle: custom hash) ----
+    // ---- MinHash + LSH near-dup pairs. Full DuckDB oracle: the SQL
+    //      recomputes FNV shingle hashes, the 32-perm signatures with
+    //      the kernel's own (a,b) constants, band 4-tuples, bucket
+    //      candidates, and the exact-jaccard verify — the whole
+    //      pipeline is held to bit-exact parity ----
     ("d02_dedup_minhash", (s: SparkSession, d: String) =>
-      minhashPairs(Tables.documents(s, d), 0.5), None),
+      minhashPairs(Tables.documents(s, d), 0.5), Some(s"""
+      WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      tri AS (
+        SELECT DISTINCT doc_id,
+          CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               ELSE array_to_string(ws, ' ') END AS tg
+        FROM (SELECT doc_id, ws,
+                unnest(generate_series(1, greatest(len(ws)-2, 1))) AS i FROM w)),
+      th AS (SELECT tg, ${OracleSql.fnvU64("tg")} AS h
+             FROM (SELECT DISTINCT tg FROM tri)),
+      dochash AS (SELECT DISTINCT doc_id, h FROM tri JOIN th USING (tg)),
+      hpv AS (SELECT doc_id,
+                ((${OracleSql.signed("h")} % 2147483647) + 2147483647)
+                  % 2147483647 AS hp
+              FROM dochash),
+      consts(i, a, b) AS ${OracleSql.minhashConstsValues},
+      sig AS (SELECT doc_id, c.i, min((c.a * hp + c.b) % 2147483647) AS s
+              FROM hpv CROSS JOIN consts c GROUP BY doc_id, c.i),
+      bands AS (SELECT doc_id, i // 4 AS band, list(s ORDER BY i) AS bkey
+                FROM sig GROUP BY doc_id, i // 4),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM dochash GROUP BY doc_id),
+      inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+                FROM cand c JOIN dochash x ON x.doc_id = c.id_a
+                            JOIN dochash y ON y.doc_id = c.id_b AND y.h = x.h
+                GROUP BY c.id_a, c.id_b)
+      SELECT i.id_a, i.id_b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                   JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
+      ORDER BY id_a, id_b""")),
 
-    // ---- SimHash near-dup pairs (no SQL oracle: custom hash) ----
+    // ---- SimHash near-dup pairs. Bit-exact DuckDB oracle: FNV-1a 64
+    //      per word via list_reduce in mod-2^64 HUGEINT arithmetic,
+    //      per-bit majority vote, brute-force hamming join — the
+    //      blocked Spark plan must equal the exhaustive truth ----
     ("d03_dedup_simhash", (s: SparkSession, d: String) =>
-      simhashPairs(Tables.documents(s, d), 6), None),
+      simhashPairs(Tables.documents(s, d), 6), Some(s"""
+      WITH wocc AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> ''),
+      dw AS (SELECT DISTINCT w FROM wocc),
+      wh AS (SELECT w, ${OracleSql.fnvU64("w")} AS h FROM dw),
+      bits AS (
+        SELECT o.doc_id, bb.b,
+          sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        FROM wocc o JOIN wh USING (w)
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+        GROUP BY o.doc_id, bb.b),
+      sig AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b
+                        ELSE CAST(0 AS HUGEINT) END)
+               % 18446744073709551616 AS UBIGINT) AS s
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 6
+      ORDER BY id_a, id_b""")),
 
     // ---- n-gram Jaccard similarity vs a query document ----
     ("d04_ngram_jaccard", (s: SparkSession, d: String) => {

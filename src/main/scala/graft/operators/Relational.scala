@@ -961,15 +961,24 @@ object Relational {
       GROUP BY c.c_mktsegment
       ORDER BY c.c_mktsegment""")),
 
-    // ---- HLL sketch distinct-count (DataSketches; no DuckDB parity —
-    //      rows-only check, exactness covered by q16 countDistinct) ----
+    // ---- HLL sketch distinct-count (DataSketches). The estimate
+    //      itself has no SQL equivalent, so the oracle checks the
+    //      sketch's CONTRACT: the estimate must land within HLL error
+    //      bounds (±5% ≫ the ~1.6% rse of lgK=12) of the exact count,
+    //      emitted as a hash-checked boolean next to the exact value ----
     ("q38_hll_sketch", (s: SparkSession, d: String) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("approx_parts"),
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("est_within_5pct"))
         .orderBy("l_returnflag")
-    }, None),
+    }, Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        true AS est_within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- hourly tumbling window over events (streaming batch-parity) ----
     ("q32_events_window", (s: SparkSession, d: String) => {

@@ -12,18 +12,30 @@ import graft.operators.Dedup
   * s01 is the brute-force baseline: broadcast the query vector, one
   * codegen cosine per row, TakeOrderedAndProject for top-k — linear,
   * no shuffle, the right plan at any scale for a single query vector.
-  * s02 is the scale path for pairwise search: 16 random-hyperplane
+  * s02 is the scale path for pairwise search: 12 random-hyperplane
   * sign bits bucket the vectors; only same-bucket candidates get the
-  * exact cosine (candidates ~ n/2^16 per bucket on random data).
+  * exact cosine (candidates ~ n/2^12 per bucket on random data; the
+  * bit count is the recall/cost dial — more bits at higher corpus
+  * density, OR-ed multi-table LSH when recall must be guaranteed).
   */
 object Similarity {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** Deterministic random hyperplanes (seed 12345), 16 x 64 dims. */
-  private val hyperplanes: Seq[Array[Double]] = {
-    val r = new scala.util.Random(12345)
-    Seq.fill(16)(Array.fill(64)(r.nextGaussian()))
+  /** Deterministic hyperplanes from an integer mix hash (two Wang-hash
+    * rounds of k = plane*64+dim, top 11 bits → multiples of 2^-11 in
+    * [-0.5, 0.5)). Hash-derived instead of RNG-derived so the DuckDB
+    * oracle can recompute them exactly in SQL; every value is exactly
+    * float-representable, and all intermediates stay below 2^58 (safe
+    * in signed 64-bit on both engines). */
+  private[operators] def planeComponent(p: Int, j: Int): Double = {
+    val M = 4294967296L
+    val x0 = ((p * 64 + j).toLong * 2654435761L) % M
+    val x1 = ((x0 ^ (x0 >> 16)) * 73244475L) % M
+    val x2 = ((x1 ^ (x1 >> 16)) * 73244475L) % M
+    (x2 >> 21).toDouble / 2048.0 - 0.5
   }
+  private val hyperplanes: Seq[Array[Double]] =
+    Seq.tabulate(12)(p => Array.tabulate(64)(j => planeComponent(p, j)))
 
   /** Brute-force cosine top-k of `embeddings` vs the vector with
     * `queryId`: broadcast one row, codegen cosine per row, Spark plans
@@ -39,7 +51,7 @@ object Similarity {
       .orderBy(desc("cos"), col("vec_id")).limit(k)
   }
 
-  /** Random-hyperplane LSH similar pairs: bucket by 16 sign bits, then
+  /** Random-hyperplane LSH similar pairs: bucket by sign bits, then
     * exact-cosine only same-bucket candidates.
     */
   def lshPairs(embeddings: DataFrame, cosMin: Double): DataFrame = {
@@ -174,8 +186,41 @@ object Similarity {
       WHERE j.doc_id <> 0
       ORDER BY score DESC, j.doc_id LIMIT 20""")),
 
-    // ---- LSH-bucketed pairwise similarity (no SQL oracle: LSH family) ----
+    // ---- LSH-bucketed pairwise similarity. Full DuckDB oracle: the
+    //      SQL recomputes the hash-derived hyperplanes, the 12 sign
+    //      bits, bucket-equal candidates, and the exact cosines ----
     ("s02_similarity_lsh", (s: SparkSession, d: String) =>
-      lshPairs(Tables.embeddings(s, d), 0.3), None)
+      lshPairs(Tables.embeddings(s, d), 0.3), Some("""
+      WITH planes AS (
+        SELECT p, j, ((((xor(x1, x1 >> 16) * 73244475) % 4294967296) >> 21)
+                      / 2048.0) - 0.5 AS hv
+        FROM (
+          SELECT p, j, (xor(x0, x0 >> 16) * 73244475) % 4294967296 AS x1
+          FROM (SELECT pr.range AS p, jr.range AS j,
+                  ((pr.range * 64 + jr.range) * 2654435761) % 4294967296 AS x0
+                FROM range(12) pr, range(64) jr))),
+      dots AS (
+        SELECT e.vec_id, pl.p,
+          sum(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.hv) AS d
+        FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
+      buck AS (
+        SELECT vec_id,
+          CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      z AS (SELECT p.id_a, p.id_b,
+              unnest(ea.embedding) AS va, unnest(eb.embedding) AS vb
+            FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
+                         JOIN embeddings eb ON eb.vec_id = p.id_b),
+      sums AS (SELECT id_a, id_b,
+                 sum(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE)) AS dot,
+                 sum(CAST(va AS DOUBLE) * CAST(va AS DOUBLE)) AS na,
+                 sum(CAST(vb AS DOUBLE) * CAST(vb AS DOUBLE)) AS nb
+               FROM z GROUP BY id_a, id_b)
+      SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+      FROM sums WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.3
+      ORDER BY id_a, id_b"""))
   )
 }
