@@ -992,6 +992,155 @@ object Relational {
       SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
         event_type, count(*) AS n,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- explicit GROUPING SETS (beyond rollup/cube: arbitrary set
+    //      list; the reference left GROUPING SET support as a TODO) ----
+    ("q55_grouping_sets", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"),
+          grouping(col("o_orderstatus")).cast("bigint").as("g_status"),
+          grouping(col("o_orderpriority")).cast("bigint").as("g_prio"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("rev"), col("g_status"), col("g_prio"))
+        .orderBy("status", "priority")
+    }, Some("""
+      SELECT coalesce(o_orderstatus, '(all)') AS status,
+             coalesce(o_orderpriority, '(all)') AS priority,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY status, priority""")),
+
+    // ---- LATERAL correlated subquery (per-row dependent subplan;
+    //      Spark plans it as a DomainJoin-decorrelated join) ----
+    ("q56_lateral", (s: SparkSession, d: String) => {
+      Tables.customer(s, d).filter(col("c_custkey") < 50)
+        .createOrReplaceTempView("v_cust_lat")
+      Tables.orders(s, d).createOrReplaceTempView("v_ord_lat")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM v_cust_lat c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_ord_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_orderkey""")
+    }, Some("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey < 50
+      ORDER BY c.c_custkey, t.o_orderkey""")),
+
+    // ---- UNPIVOT/melt (wide → long; Spark Unpivot node) ----
+    ("q57_unpivot", (s: SparkSession, d: String) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")
+    }, Some("""
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice', p_retailprice FROM part
+      ORDER BY p_partkey, metric""")),
+
+    // ---- regex matrix: extract / global replace / match / extract_all
+    //      (patterns kept RE2-compatible — DuckDB's engine has no
+    //      backreferences, so parity requires the common subset) ----
+    ("q58_regex", (s: SparkSession, d: String) => {
+      Tables.part(s, d).select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"),
+        col("p_name").rlike("r[aeiou]").as("has_r_vowel"),
+        size(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)))
+          .cast("bigint").as("n_tokens"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+        regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+        regexp_matches(p_name, 'r[aeiou]') AS has_r_vowel,
+        CAST(len(regexp_extract_all(p_name, '[a-z]+', 0)) AS BIGINT) AS n_tokens
+      FROM part ORDER BY p_partkey""")),
+
+    // ---- MapType construction + access (DuckDB map extraction yields
+    //      lists, so the oracle states the equivalent scalar truth) ----
+    ("q59_map", (s: SparkSession, d: String) => {
+      val m = map(lit("price"), col("p_retailprice"),
+        lit("size"), col("p_size").cast("double"))
+      Tables.part(s, d).select(col("p_partkey"),
+        element_at(m, "size").as("m_size"),
+        element_at(m, "price").as("m_price"),
+        array_join(map_keys(m), ",").as("m_keys"),
+        size(m).cast("bigint").as("m_n"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey, CAST(p_size AS DOUBLE) AS m_size,
+        p_retailprice AS m_price, 'price,size' AS m_keys,
+        CAST(2 AS BIGINT) AS m_n
+      FROM part ORDER BY p_partkey""")),
+
+    // ---- TPC-H Q10 shape: returned-item revenue by customer ----
+    ("q60_tpch_q10", (s: SparkSession, d: String) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val n = Tables.nation(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey")).limit(20)
+    }, Some("""
+      SELECT c_custkey, c_name, n_name,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ---- TPC-H Q18 shape: large-quantity orders (agg-filter semi) ----
+    ("q61_tpch_q18", (s: SparkSession, d: String) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    }, Some("""
+      WITH big AS (
+        SELECT l_orderkey,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300)
+      SELECT c_name, c_custkey, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice, sum_qty
+      FROM orders JOIN big ON o_orderkey = l_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey"""))
   )
 }
