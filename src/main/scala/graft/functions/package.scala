@@ -32,6 +32,17 @@ package object functions {
   def minhashSig(c: Column): Column =
     col(expr.MinHashSig(ex(c)).toAggregateExpression())
 
+  /** Aggregate: theta sketch (compact bytes) over a long column. */
+  def thetaSketch(c: Column): Column =
+    col(expr.ThetaSketchAgg(ex(c)).toAggregateExpression())
+
+  /** Distinct-count estimate of a theta-sketch column. */
+  def thetaEstimate(c: Column): Column = col(expr.ThetaEstimate(ex(c)))
+
+  /** Intersection-cardinality estimate of two theta-sketch columns. */
+  def thetaIntersectEstimate(a: Column, b: Column): Column =
+    col(expr.ThetaIntersectEstimate(ex(a), ex(b)))
+
   /** Dot product of two float-array columns (double). */
   def vectorDot(a: Column, b: Column): Column = col(expr.VectorDot(ex(a), ex(b)))
 

@@ -133,6 +133,39 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over an undirected edge list `(id_a, id_b)`
+    * — the dedup-resolution step that turns near-dup PAIRS into
+    * CLUSTERS so one canonical doc per cluster survives. Iterative
+    * min-label propagation: each round every node adopts the smallest
+    * label among itself and its neighbors, converging in
+    * O(component diameter) rounds (near-dup clusters are shallow).
+    * Each round is one shuffle on node id; `localCheckpoint` truncates
+    * the growing lineage so round N's plan doesn't replay rounds
+    * 1..N-1. (GraphX has an RDD-based equivalent; this stays on the
+    * DataFrame path so Catalyst/AQE handle partitioning and skew.)
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionAll(edges.select(col("id_b").as("x"), col("id_a").as("y")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = labels.join(sym, col("id") === col("y"))
+        .groupBy(col("x")).agg(min(col("lab")).as("nlab"))
+      val next = labels.join(nbrMin, col("id") === col("x"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+          col("lab").as("prev"))
+        .localCheckpoint(true)
+      converged = next.filter(col("lab") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("lab"))
+      iter += 1
+    }
+    labels
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- exact dedup: hash groupBy on content ----
@@ -295,6 +328,70 @@ object Dedup {
         FROM p GROUP BY id_a, id_b)
       SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
       FROM sums WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.35
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b""")),
+
+    // ---- near-dup clusters: connected components over the d05 edge
+    //      set (pair list → canonical clusters). Oracle: recursive-CTE
+    //      transitive closure, component = min reachable id ----
+    ("d07_dedup_components", (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("eb"))
+      val edges = a.join(b, "label").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.vectorCosine(col("ea"), col("eb")), 6).as("cos"))
+        .filter(col("cos") >= 0.35)
+        .select(col("id_a"), col("id_b"))
+      connectedComponents(edges)
+        .groupBy(col("lab").as("component"))
+        .agg(count(lit(1)).as("csize"), max(col("id")).as("max_id"))
+        .orderBy("component")
+    }, Some("""
+      WITH RECURSIVE p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+      sums AS (
+        SELECT id_a, id_b,
+          sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+          sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+          sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        FROM p GROUP BY id_a, id_b),
+      edges AS (
+        SELECT id_a, id_b FROM sums
+        WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.35),
+      sym AS (SELECT id_a AS x, id_b AS y FROM edges
+              UNION ALL SELECT id_b, id_a FROM edges),
+      reach(id, r) AS (
+        SELECT x, x FROM (SELECT DISTINCT x FROM sym)
+        UNION
+        SELECT reach.id, s.y FROM reach JOIN sym s ON s.x = reach.r),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+      SELECT component, count(*) AS csize, max(id) AS max_id
+      FROM comp GROUP BY component ORDER BY component""")),
+
+    // ---- deterministic stratified sample: fixed-rate hash sample
+    //      WITHIN each label stratum (no RNG — same rows selected on
+    //      every engine/run; the per-stratum knob a 100 TB training
+    //      mix needs for rebalancing sources) ----
+    ("d08_stratified_sample", (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val sampled = e.filter(
+        pmod(col("vec_id") * lit(2654435761L), lit(1000003L)) % 100 < 20)
+      sampled.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_sample"), min(col("vec_id")).as("first_id"))
+        .join(e.groupBy(col("label")).agg(count(lit(1)).as("n_total")), "label")
+        .select(col("label"), col("n_total"), col("n_sample"), col("first_id"))
+        .orderBy("label")
+    }, Some("""
+      WITH s AS (
+        SELECT label, count(*) AS n_sample, min(vec_id) AS first_id
+        FROM embeddings
+        WHERE (vec_id * 2654435761) % 1000003 % 100 < 20
+        GROUP BY label),
+      t AS (SELECT label, count(*) AS n_total FROM embeddings GROUP BY label)
+      SELECT label, n_total, n_sample, first_id
+      FROM s JOIN t USING (label) ORDER BY label"""))
   )
 }

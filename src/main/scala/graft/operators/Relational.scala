@@ -1141,6 +1141,39 @@ object Relational {
         strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice, sum_qty
       FROM orders JOIN big ON o_orderkey = l_orderkey
                   JOIN customer ON o_custkey = c_custkey
-      ORDER BY o_totalprice DESC, o_orderkey"""))
+      ORDER BY o_totalprice DESC, o_orderkey""")),
+
+    // ---- theta sketches (custom TypedImperativeAggregate over
+    //      DataSketches): distinct counts AND their intersection —
+    //      the set-op capability HLL lacks. Oracle checks the sketch
+    //      contract: estimates within error bounds of exact, as
+    //      hash-compared booleans beside the exact counts ----
+    ("q62_theta_sketch", (s: SparkSession, d: String) => {
+      import graft.functions.{thetaSketch, thetaEstimate, thetaIntersectEstimate}
+      val l = Tables.lineitem(s, d)
+      val sk = l.agg(
+        thetaSketch(when(col("l_returnflag") === "R", col("l_partkey"))).as("sk_r"),
+        thetaSketch(when(col("l_linestatus") === "F", col("l_partkey"))).as("sk_f"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_partkey"))).as("exact_r"),
+        countDistinct(when(col("l_linestatus") === "F", col("l_partkey"))).as("exact_f"))
+      val both = l.filter(col("l_returnflag") === "R").select("l_partkey")
+        .intersect(l.filter(col("l_linestatus") === "F").select("l_partkey"))
+        .agg(count(lit(1)).as("exact_both"))
+      sk.crossJoin(both).select(
+        col("exact_r"), col("exact_f"), col("exact_both"),
+        (abs(thetaEstimate(col("sk_r")) - col("exact_r")) <=
+          col("exact_r") * 0.05).as("r_within_5pct"),
+        (abs(thetaEstimate(col("sk_f")) - col("exact_f")) <=
+          col("exact_f") * 0.05).as("f_within_5pct"),
+        (abs(thetaIntersectEstimate(col("sk_r"), col("sk_f")) - col("exact_both")) <=
+          col("exact_both") * 0.10).as("both_within_10pct"))
+    }, Some("""
+      WITH r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      f AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_linestatus = 'F')
+      SELECT (SELECT count(*) FROM r) AS exact_r,
+             (SELECT count(*) FROM f) AS exact_f,
+             (SELECT count(*) FROM r JOIN f USING (l_partkey)) AS exact_both,
+             true AS r_within_5pct, true AS f_within_5pct,
+             true AS both_within_10pct"""))
   )
 }

@@ -99,7 +99,58 @@ object Similarity {
       .orderBy(desc("cos"), col("vec_id")).limit(k)
   }
 
+  /** Learned-centroid IVF: MLlib KMeans builds the coarse quantizer
+    * (vs s03's label-derived cells), the query probes the `nprobe`
+    * nearest centroids, and only those cells are exact-searched. The
+    * output is the INDEX CONTRACT, not the vectors: recall@topK of the
+    * pruned search vs the brute-force truth — which makes the
+    * ML-trained index oracle-checkable (fixed seed → deterministic
+    * centers → deterministic recall on a fixed corpus). Index build is
+    * one MLlib job (one-time, amortized over queries); search scans
+    * ~nprobe/k of the data. Driver-side work touches only the k
+    * centroid vectors.
+    */
+  def kmeansIvfRecall(embeddings: DataFrame, queryId: Long, k: Int,
+      nprobe: Int, topK: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    val fv = embeddings.withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(7L).setMaxIter(20)
+      .setFeaturesCol("fv").fit(fv)
+    val qd = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    def cosArr(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, cosArr(c.toArray, qd)) }
+      .sortBy { case (i, s) => (-s, i) }.take(nprobe).map(_._1)
+    val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val ivfTop = model.transform(fv)
+      .filter(col("prediction").isin(probes: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(vectorCosine(col("embedding"), col("qe")), 6).as("cos"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(desc("cos"), col("vec_id")).limit(topK)
+    val recall = ivfTop.select("vec_id")
+      .intersect(cosineTopK(embeddings, queryId, topK).select("vec_id"))
+      .count().toDouble / topK
+    spark.range(1).select(
+      lit(k).cast("bigint").as("k"),
+      lit(nprobe).cast("bigint").as("nprobe"),
+      lit(recall >= 0.5).as("recall_ok"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- KMeans-trained IVF: oracle checks the index recall contract ----
+    ("s04_similarity_kmeans_ivf", (s: SparkSession, d: String) =>
+      kmeansIvfRecall(Tables.embeddings(s, d), 0L, 8, 2, 10), Some("""
+      SELECT CAST(8 AS BIGINT) AS k, CAST(2 AS BIGINT) AS nprobe,
+        true AS recall_ok""")),
 
     // ---- IVF ANN: centroid probe selection + cell-pruned exact search ----
     ("s03_similarity_ivf", (s: SparkSession, d: String) =>

@@ -155,6 +155,45 @@ object TextOps {
         FROM w WHERE wd <> '')
       SELECT doc_id,
         CAST(sum(((length(wd)*1000003 + ascii(wd)*31 + ascii(reverse(wd))) % 1000000007) * ((i*131) % 1000000007)) % 1000000007 AS BIGINT) AS fp
-      FROM ne GROUP BY doc_id ORDER BY doc_id"""))
+      FROM ne GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- PII scrubbing: detect + redact emails/phones with RE2-safe
+    //      patterns (codegen regexp ops, zero-shuffle column map). The
+    //      corpus has no PII, so a deterministic synthetic contact
+    //      string is appended per doc and the redaction is verified
+    //      end-to-end against the oracle's regexp engine ----
+    ("t06_pii_scrub", (s: SparkSession, d: String) => {
+      val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+      val phonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+      val aug = concat(col("text"),
+        lit(" contact: user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      val scrubbed = regexp_replace(
+        regexp_replace(aug, emailPat, "[EMAIL]"), phonePat, "[PHONE]")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(aug, lit(emailPat), lit(0))).cast("bigint").as("n_emails"),
+        size(regexp_extract_all(aug, lit(phonePat), lit(0))).cast("bigint").as("n_phones"),
+        length(scrubbed).cast("bigint").as("scrubbed_len"),
+        substring(scrubbed, -40, 40).as("scrubbed_tail"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH aug AS (
+        SELECT doc_id,
+          text || ' contact: user' || doc_id || '@example.com or +1-555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents),
+      scr AS (
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+            '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS sc,
+          CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', 0)) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '\+1-[0-9]{3}-[0-9]{4}', 0)) AS BIGINT) AS n_phones
+        FROM aug)
+      SELECT doc_id, n_emails, n_phones,
+        CAST(length(sc) AS BIGINT) AS scrubbed_len,
+        CASE WHEN length(sc) >= 40 THEN right(sc, 40) ELSE sc END AS scrubbed_tail
+      FROM scr ORDER BY doc_id"""))
   )
 }

@@ -57,4 +57,37 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.toSet === Set((1L, 2L)))
   }
+
+  test("simhashPairs blocking equals brute-force truth (recall regression)") {
+    // perturbed-replica corpus: every blocked result set must equal the
+    // exhaustive hamming<=6 pair set (the 4x16-chunk layout failed this:
+    // errors spread over all 4 chunks escaped every bucket)
+    import org.apache.spark.sql.functions._
+    val fillers = Seq("rain", "snow", "wind", "mist", "heat", "dust", "fog", "ice")
+    val corpus = (0 until 64).map { i =>
+      i.toLong -> s"the quick brown fox jumps over the lazy dog while ${fillers(i % 8)} falls on day $i near the ${fillers((i / 8) % 8)} bridge"
+    }
+    val d = docs(corpus: _*)
+    val sigs = d.select(col("doc_id"), graft.functions.simhash64(col("text")).as("sig"))
+    val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashPairs(d, 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "corpus should contain hamming<=6 pairs")
+    assert(blocked === brute)
+  }
+
+  test("connectedComponents: chain merges, disjoint stays split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds) + island 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L && comps(4L) === 1L)
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+  }
 }

@@ -14,7 +14,9 @@ class PlanGuardSpec extends AnyFunSuite {
   private val broadcastSingleton = Set(
     "q07_join_cross", "q20_subquery_scalar", "d04_ngram_jaccard",
     "d05_dedup_embedding", "s01_similarity_topk", "s03_similarity_ivf",
-    "h01_hybrid_retrieval", "q46_any_all")
+    "h01_hybrid_retrieval", "q46_any_all",
+    "q62_theta_sketch", // 1-row sketch agg × 1-row exact-intersection agg
+    "s04_similarity_kmeans_ivf") // broadcast 1-row query vector
 
   test("no query plans an unintended cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
