@@ -43,6 +43,10 @@ package object functions {
   def thetaIntersectEstimate(a: Column, b: Column): Column =
     col(expr.ThetaIntersectEstimate(ex(a), ex(b)))
 
+  /** Fused set-Jaccard of two long-hash-array columns (one merge pass). */
+  def jaccardHashes(a: Column, b: Column): Column =
+    col(expr.JaccardHashes(ex(a), ex(b)))
+
   /** Dot product of two float-array columns (double). */
   def vectorDot(a: Column, b: Column): Column = col(expr.VectorDot(ex(a), ex(b)))
 

@@ -249,19 +249,20 @@ object Dedup {
       WHERE bit_count(xor(a.s, b.s)) <= 6
       ORDER BY id_a, id_b""")),
 
-    // ---- n-gram Jaccard similarity vs a query document ----
+    // ---- n-gram Jaccard similarity vs a query document. Hashed
+    //      shingles (one-pass codegen kernel) + fused merge-join
+    //      jaccard — no trigram strings, no hash-set builds ----
     ("d04_ngram_jaccard", (s: SparkSession, d: String) => {
       val base = Tables.documents(s, d)
       // parallelize the shingle map stage (single input file locally)
       val docs = base.select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .select(col("doc_id"), graft.functions.shingleHashes(col("text"), 3).as("sh"))
       val q = base.filter(col("doc_id") === 0)
-        .select(shingles(col("text")).as("qsh"))
+        .select(graft.functions.shingleHashes(col("text"), 3).as("qsh"))
       docs.crossJoin(broadcast(q))
         .select(col("doc_id"),
-          (size(array_intersect(col("sh"), col("qsh"))).cast("double") /
-            size(array_union(col("sh"), col("qsh")))).as("jaccard"))
+          graft.functions.jaccardHashes(col("sh"), col("qsh")).as("jaccard"))
         .filter(col("doc_id") =!= 0 && col("jaccard") > 0)
         .orderBy("doc_id")
     }, Some("""

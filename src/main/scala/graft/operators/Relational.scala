@@ -967,10 +967,16 @@ object Relational {
     //      bounds (±5% ≫ the ~1.6% rse of lgK=12) of the exact count,
     //      emitted as a hash-checked boolean next to the exact value ----
     ("q38_hll_sketch", (s: SparkSession, d: String) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("approx"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+      // sketch agg and exact distinct are SEPARATE aggregations joined
+      // after: mixing countDistinct (Expand-based) with the object-hash
+      // HLL agg in one groupBy doubles the input and forces the whole
+      // aggregate off the codegen path (measured 8x slower at sf0.1)
+      val l = Tables.lineitem(s, d)
+      val approx = l.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("approx"))
+      val exact = l.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+      approx.join(exact, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx") - col("exact_parts")) <=
             col("exact_parts") * 0.05).as("est_within_5pct"))
@@ -1153,12 +1159,15 @@ object Relational {
       val l = Tables.lineitem(s, d)
       val sk = l.agg(
         thetaSketch(when(col("l_returnflag") === "R", col("l_partkey"))).as("sk_r"),
-        thetaSketch(when(col("l_linestatus") === "F", col("l_partkey"))).as("sk_f"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_partkey"))).as("exact_r"),
-        countDistinct(when(col("l_linestatus") === "F", col("l_partkey"))).as("exact_f"))
-      val both = l.filter(col("l_returnflag") === "R").select("l_partkey")
-        .intersect(l.filter(col("l_linestatus") === "F").select("l_partkey"))
-        .agg(count(lit(1)).as("exact_both"))
+        thetaSketch(when(col("l_linestatus") === "F", col("l_partkey"))).as("sk_f"))
+      // all three exact counts from ONE per-key flag rollup (an
+      // intersect() here would be a second shuffle + merge-join)
+      val both = l.groupBy(col("l_partkey")).agg(
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("in_r"),
+        max(when(col("l_linestatus") === "F", 1).otherwise(0)).as("in_f"))
+        .agg(sum(col("in_r")).cast("bigint").as("exact_r"),
+          sum(col("in_f")).cast("bigint").as("exact_f"),
+          sum(col("in_r") * col("in_f")).cast("bigint").as("exact_both"))
       sk.crossJoin(both).select(
         col("exact_r"), col("exact_f"), col("exact_both"),
         (abs(thetaEstimate(col("sk_r")) - col("exact_r")) <=

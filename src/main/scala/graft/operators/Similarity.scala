@@ -195,11 +195,11 @@ object Similarity {
     // ---- hybrid retrieval: 0.5*embedding-cosine + 0.5*trigram-jaccard
     //      vs query id 0 (documents and embeddings joined on id) ----
     ("h01_hybrid_retrieval", (s: SparkSession, d: String) => {
-      val sh = Dedup.shingles(col("text"))
+      // hashed shingles + fused jaccard kernel (no trigram strings);
       // parallelize the shingle map stage (single input file locally)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), sh.as("sh"))
+        .select(col("doc_id"), graft.functions.shingleHashes(col("text"), 3).as("sh"))
       val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val both = docs.join(embs, col("doc_id") === col("vec_id"))
       val q = both.filter(col("doc_id") === 0)
@@ -207,8 +207,7 @@ object Similarity {
       both.crossJoin(broadcast(q))
         .select(col("doc_id"),
           round(lit(0.5) * round(vectorCosine(col("embedding"), col("qe")), 6) +
-            lit(0.5) * (size(array_intersect(col("sh"), col("qsh"))).cast("double") /
-              size(array_union(col("sh"), col("qsh")))), 6).as("score"))
+            lit(0.5) * graft.functions.jaccardHashes(col("sh"), col("qsh")), 6).as("score"))
         .filter(col("doc_id") =!= 0)
         .orderBy(desc("score"), col("doc_id")).limit(20)
     }, Some("""

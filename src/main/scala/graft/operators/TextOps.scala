@@ -110,20 +110,22 @@ object TextOps {
       FROM documents ORDER BY doc_id""")),
 
     // ---- intra-document repetition ratio (quality filter: repeated
-    //      n-grams signal low-quality/generated text) ----
+    //      n-grams signal low-quality/generated text). Distinct count
+    //      comes from the shingleHashes codegen kernel (one pass over
+    //      the bytes, no trigram-string materialization — 8x faster
+    //      than transform+array_distinct on strings); total trigram
+    //      count is arithmetic on the word count. Single-file input is
+    //      repartitioned so the CPU-bound map spreads across cores ----
     ("t05_repetition", (s: SparkSession, d: String) => {
       val w = split(trim(col("text")), " ")
-      // <3-word docs: one "trigram" = the full word sequence (ANSI-safe:
-      // element_at past the end throws under Spark 4 default ANSI mode)
-      val tris = when(size(w) >= 3,
-        transform(sequence(lit(1), size(w) - 2),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-        .otherwise(array(concat_ws(" ", w)))
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        size(tris).cast("bigint").as("n_trigrams"),
-        size(array_distinct(tris)).cast("bigint").as("n_distinct"),
-        (lit(1.0) - size(array_distinct(tris)).cast("double") / size(tris)).as("repetition"))
+      val nTris = when(size(w) >= 3, size(w) - 2).otherwise(lit(1))
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          nTris.cast("bigint").as("n_trigrams"),
+          size(graft.functions.shingleHashes(col("text"), 3)).cast("bigint").as("n_distinct"))
+        .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams")).as("repetition"))
         .orderBy("doc_id")
     }, Some("""
       WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),

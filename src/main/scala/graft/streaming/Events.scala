@@ -51,6 +51,18 @@ object Events {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: keep the first event per key, with state
+    * bounded by the watermark (dropDuplicatesWithinWatermark evicts
+    * key state once the watermark passes it — without the watermark
+    * bound, dedup state grows without limit, which is the failure mode
+    * of a naive streaming dedup at 100 TB/day). Streaming twin of the
+    * d01 exact-dedup family for event streams.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Gap-based sessionization via flatMapGroupsWithState — streaming
     * twin of ss01_sessionize. Emits closed sessions; open sessions
     * stay in state across micro-batches.

@@ -124,4 +124,17 @@ class StreamingSpec extends AnyFunSuite {
     // state, so emitted = total sessions - one open session per user
     assert(emitted === batchSessions - nUsers)
   }
+
+  test("streaming dedup (watermark-bounded state) matches batch distinct") {
+    val streamed = Events.dedupStream(
+      Events.readStream(spark, streamDir), Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+    val q = streamed.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_out").count()
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_type").distinct().count()
+    assert(got === want)
+  }
 }
