@@ -11,8 +11,8 @@ import graft.functions.simhash64
   *
   * Scale design: nothing here is all-pairs. MinHash/LSH shuffles
   * O(docs x bands) band-key rows and verifies Jaccard only inside
-  * buckets; SimHash blocks on 8-bit chunks (pigeonhole: hamming<=7
-  * over 64 bits guarantees one of 8 chunks is exact); n-gram Jaccard
+  * buckets; SimHash blocks on 2-of-8 chunk-pair keys (complete for
+  * hamming<=6, 2^16 bucket selectivity); n-gram Jaccard
   * scores against a query document (linear); exact dedup is one
   * hash-shuffle groupBy.
   */
@@ -96,26 +96,31 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-duplicate pairs over (doc_id, text): block on each
-    * 8-bit chunk of the 64-bit signature — pigeonhole over 8 chunks
-    * guarantees any pair within hamming<=7 agrees exactly on some
-    * chunk (k-bit-error recall needs >=k+1 blocks; the earlier 4x16
-    * layout silently missed pairs with errors spread over all 4
-    * chunks — caught by the brute-force DuckDB oracle). Bucket
-    * cardinality per chunk position is 2^8; at 100 TB the per-bucket
-    * pair generation is the quadratic term, so scale = more/wider
-    * blocks + this same exact-verify, or pre-partition by a
-    * locality-preserving prefix (Manku et al. WWW'07 layout).
+  /** SimHash near-duplicate pairs over (doc_id, text): Manku-style
+    * (WWW'07) blocking — split the 64-bit signature into 8 chunks of
+    * 8 bits and key each doc on all C(8,2)=28 ORDERED CHUNK PAIRS
+    * (16-bit keys). Completeness: b blocks with keys of m blocks give
+    * recall 1 for hamming <= b-m; here 8-2=6 errors can corrupt at
+    * most 6 chunks, so >=2 chunks are clean and their pair key
+    * collides. (The earlier 4x16 single-chunk layout was only
+    * complete for hamming<=3 and silently missed pairs — caught by
+    * the brute-force DuckDB oracle.) Scale: bucket key space is 2^16
+    * per combo, so expected bucket size is n/65536 — the quadratic
+    * per-bucket pair term stays bounded at corpus scale for 28x the
+    * (cheap) band rows; wider signatures or 3-chunk keys extend the
+    * same dial.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 7, s"8-block blocking is only complete for hamming<=7, got $maxHamming")
+    require(maxHamming <= 6, s"2-of-8 chunk-pair blocking is only complete for hamming<=6, got $maxHamming")
     val spread = documents.select(col("doc_id"), col("text"))
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
     val docs = spread.select(col("doc_id"), simhash64(col("text")).as("sig"))
-    // one row per (doc, 8-bit chunk), then per-bucket pair generation
-    // (same single-pass shape as minhashPairs)
-    val chunkArr = array((0 until 8).map { c =>
-      shiftrightunsigned(col("sig"), 8 * c).bitwiseAND(lit(0xffL))
+    // one row per (doc, chunk-pair key), then per-bucket pair
+    // generation (same single-pass shape as minhashPairs)
+    def chunk(c: Int) = shiftrightunsigned(col("sig"), 8 * c).bitwiseAND(lit(0xffL))
+    val combos = for { a <- 0 until 8; b <- a + 1 until 8 } yield (a, b)
+    val chunkArr = array(combos.map { case (a, b) =>
+      chunk(a) * 256L + chunk(b)
     }: _*)
     val chunks = docs.select(col("doc_id"), col("sig"),
         posexplode(chunkArr).as(Seq("chunk_id", "chunk")))

@@ -35,6 +35,24 @@ object RangeJoin {
     def div(w: Long): Column = expr(s"(${c.toString}) div $w")
   }
 
+  /** Interval×interval overlap join on a shared grid: both sides
+    * explode onto fixed-width buckets, candidates come from the
+    * bucket equi-join, the exact overlap predicate refines, and
+    * `distinct` collapses pairs that met in several buckets. Same
+    * scale rationale as [[pointIntervalJoin]]: Spark plans the raw
+    * inequality pair as a nested-loop product; this is
+    * O((n+m)·buckets_per_interval) shuffle rows on a key Catalyst
+    * hash-partitions like any equi-join.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      sa: String, ea: String, sb: String, eb: String, bucketWidth: Long): DataFrame = {
+    val ab = a.withColumn("_b", explode(sequence(col(sa) div bucketWidth, col(ea) div bucketWidth)))
+    val bb = b.withColumn("_b", explode(sequence(col(sb) div bucketWidth, col(eb) div bucketWidth)))
+    ab.join(bb, "_b")
+      .filter(col(sa) <= col(eb) && col(sb) <= col(ea))
+      .drop("_b").distinct()
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // events joined back to their user's session intervals (sessions
     // derived as in ss01), counting events per session interval
