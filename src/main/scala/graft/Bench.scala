@@ -12,13 +12,20 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // steady-state measurement: one untimed pass (JIT, codegen cache,
-    // parquet footers), then the timed pass
+    // parquet footers), then the timed pass. Failures are RECORDED,
+    // not swallowed: a broken query must fail the bench loudly, not be
+    // silently timed as its time-to-throw.
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => }
     }
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => }
+      try run(fn) catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // keep the JSON line SHORT — the driver parses it from a 2000-char
@@ -38,10 +45,12 @@ object Bench {
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full)
     val qs = jsonMap(results.filter { case (k, _) => headline.contains(k) })
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

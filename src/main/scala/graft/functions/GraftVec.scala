@@ -60,4 +60,63 @@ object GraftVec {
     val nb = norm(b)
     if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
   }
+
+  /** Deterministic hyperplane component for random-hyperplane LSH:
+    * two Wang-style integer mix rounds of (plane*64 + dim), top 11
+    * bits mapped to multiples of 2^-11 in [-0.5, 0.5). Hash-derived
+    * instead of RNG-derived so the DuckDB oracle can recompute the
+    * planes exactly in SQL; every value is exactly
+    * float-representable and all intermediates stay below 2^58 (safe
+    * in signed 64-bit on both engines).
+    */
+  def planeComponent(p: Int, j: Int): Double = {
+    val M = 4294967296L
+    val x0 = ((p * 64 + j).toLong * 2654435761L) % M
+    val x1 = ((x0 ^ (x0 >> 16)) * 73244475L) % M
+    val x2 = ((x1 ^ (x1 >> 16)) * 73244475L) % M
+    (x2 >> 21).toDouble / 2048.0 - 0.5
+  }
+
+  // plane matrices are tiny (planes x dim doubles) and derived from
+  // constants, so each executor materializes its own copy on first
+  // use — no broadcast, no closure capture
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+  private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((numPlanes.toLong << 32) | dim,
+      _ => Array.tabulate(numPlanes)(p => Array.tabulate(dim)(j => planeComponent(p, j))))
+
+  /** All `tables` banded-LSH bucket keys of a float vector in ONE
+    * pass: table t's key packs the sign bits of the dots with
+    * hyperplanes [t*bits, (t+1)*bits). OR-ed multi-table LSH — a pair
+    * is a candidate if ANY table key collides — so recall is
+    * 1-(1-p^bits)^tables per pair (p = 1 - angle/pi), dialable to 1,
+    * while each table's bucket count 2^bits bounds per-bucket
+    * quadratic work. One kernel call per row keeps the 100 TB index
+    * build inside whole-stage codegen (tables*bits dot products of
+    * dim mults each), embarrassingly parallel, zero shuffle.
+    */
+  def lshKeys(v: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val dim = v.numElements()
+    val h = planes(tables * bits, dim)
+    val keys = new Array[Long](tables)
+    var t = 0
+    var p = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val row = h(p)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += v.getFloat(i).toDouble * row(i); i += 1 }
+        if (s > 0) key |= (1L << b)
+        b += 1
+        p += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    ArrayData.toArrayData(keys)
+  }
 }

@@ -99,6 +99,20 @@ case class JaccardHashes(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** Banded-LSH bucket keys (one array<long> of `tables` keys) of a
+  * float-vector column in one codegen pass — the index-build kernel
+  * for OR-ed multi-table random-hyperplane LSH.
+  */
+case class LshBucketKeys(child: Expression, tables: Int, bits: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.GraftVec.lshKeys(v.asInstanceOf[ArrayData], tables, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.lshKeys($c, $tables, $bits)")
+  override protected def withNewChildInternal(c: Expression): LshBucketKeys = copy(child = c)
+}
+
 case class VectorCosine(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =

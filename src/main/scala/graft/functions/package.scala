@@ -55,4 +55,9 @@ package object functions {
 
   /** Cosine similarity of two float-array columns (double). */
   def vectorCosine(a: Column, b: Column): Column = col(expr.VectorCosine(ex(a), ex(b)))
+
+  /** Banded-LSH bucket keys (array of `tables` longs) of a
+    * float-vector column — one codegen pass over all hyperplanes. */
+  def lshBucketKeys(c: Column, tables: Int, bits: Int): Column =
+    col(expr.LshBucketKeys(ex(c), tables, bits))
 }

@@ -141,33 +141,53 @@ object Dedup {
   /** Connected components over an undirected edge list `(id_a, id_b)`
     * — the dedup-resolution step that turns near-dup PAIRS into
     * CLUSTERS so one canonical doc per cluster survives. Iterative
-    * min-label propagation: each round every node adopts the smallest
-    * label among itself and its neighbors, converging in
-    * O(component diameter) rounds (near-dup clusters are shallow).
-    * Each round is one shuffle on node id; `localCheckpoint` truncates
-    * the growing lineage so round N's plan doesn't replay rounds
-    * 1..N-1. (GraphX has an RDD-based equivalent; this stays on the
-    * DataFrame path so Catalyst/AQE handle partitioning and skew.)
+    * min-label propagation with POINTER HALVING: each round every
+    * node adopts the smallest label among itself and its neighbors,
+    * then additionally jumps to its label's label — path lengths halve
+    * each round, so convergence is O(log diameter) (plain propagation
+    * is O(diameter) and chain-shaped corpora can exceed any fixed
+    * round budget). Each round is two key shuffles; lineage is cut
+    * per round: with a reliable checkpoint dir configured
+    * (`sparkContext.setCheckpointDir`) rounds checkpoint to it — an
+    * executor loss at 100 TB replays one round, not all — otherwise
+    * memory-only `localCheckpoint` (the local-harness default).
+    * Throws instead of silently returning under-merged labels if the
+    * round budget is exhausted. (GraphX has an RDD-based equivalent;
+    * this stays on the DataFrame path so Catalyst/AQE handle
+    * partitioning and skew.)
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("id_a").as("x"), col("id_b").as("y"))
-      .unionAll(edges.select(col("id_b").as("x"), col("id_a").as("y")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("x").as("id")).distinct()
-      .select(col("id"), col("id").as("lab")).localCheckpoint(true)
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val sym = cut(edges.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionAll(edges.select(col("id_b").as("x"), col("id_a").as("y"))))
+    var labels = cut(sym.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val nbrMin = labels.join(sym, col("id") === col("y"))
         .groupBy(col("x")).agg(min(col("lab")).as("nlab"))
-      val next = labels.join(nbrMin, col("id") === col("x"), "left")
-        .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+      val hop = labels.join(nbrMin, col("id") === col("x"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
           col("lab").as("prev"))
-        .localCheckpoint(true)
+      // pointer halving: lab := label(lab) (labels only decrease, so
+      // the jump is always toward the component minimum)
+      val m = labels.select(col("id").as("mid"), col("lab").as("mlab"))
+      val next = cut(hop.join(m, hop("lab") === m("mid"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("mlab"), col("lab"))).as("lab"),
+          col("prev")))
       converged = next.filter(col("lab") < col("prev")).isEmpty
       labels = next.select(col("id"), col("lab"))
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(pointer-halving needs ~log2(diameter); raise maxIter)")
     labels
   }
 
@@ -293,7 +313,10 @@ object Dedup {
     //      a Knuth-hash bucket per doc, no RNG — identical assignment
     //      on every engine and every rerun) ----
     ("d06_train_split", (s: SparkSession, d: String) => {
-      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000003L)) % 100
+      // (id * 2654435761) % 1000003 == ((id % 1000003) * 427799) % 1000003
+      // (427799 = 2654435761 % 1000003): mod-first keeps intermediates
+      // < 2^39, so Spark 4 ANSI mode can't overflow at any id scale
+      val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L), lit(1000003L)) % 100
       val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
       Tables.documents(s, d)
         .select(col("doc_id"), split.as("split"))
@@ -303,29 +326,28 @@ object Dedup {
     }, Some("""
       WITH b AS (
         SELECT doc_id,
-          CASE WHEN (doc_id * 2654435761) % 1000003 % 100 < 80 THEN 'train'
-               WHEN (doc_id * 2654435761) % 1000003 % 100 < 90 THEN 'val'
+          CASE WHEN (doc_id % 1000003) * 427799 % 1000003 % 100 < 80 THEN 'train'
+               WHEN (doc_id % 1000003) * 427799 % 1000003 % 100 < 90 THEN 'val'
                ELSE 'test' END AS split
         FROM documents)
       SELECT split, count(*) AS n, min(doc_id) AS first_id
       FROM b GROUP BY split ORDER BY split""")),
 
-    // ---- embedding-cosine near-dup, blocked on label ----
-    ("d05_dedup_embedding", (s: SparkSession, d: String) => {
-      val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("eb"))
-      a.join(b, "label").filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(graft.functions.vectorCosine(col("ea"), col("eb")), 6).as("cos"))
-        .filter(col("cos") >= 0.35)
-        .orderBy("id_a", "id_b")
-    }, Some("""
+    // ---- embedding-cosine near-dup: banded-LSH candidates + exact
+    //      cosine refine (Similarity.nearDupPairs — 48 tables x 4
+    //      sign bits, OR-ed). The oracle is the EXHAUSTIVE all-pairs
+    //      truth, so a hash match proves the LSH candidate stage hit
+    //      recall 1.0 at the 0.35 threshold on the gate corpus
+    //      (deterministic hash-derived planes: the result is
+    //      replay-identical). The old label-blocked all-pairs join
+    //      was O(n^2/L) — a scale-killer; candidate volume here
+    //      tracks true-pair structure (graft.Scale embedding probe) ----
+    ("d05_dedup_embedding", (s: SparkSession, d: String) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), 0.35), Some("""
       WITH p AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                unnest(a.embedding) AS x, unnest(b.embedding) AS y
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id),
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
       sums AS (
         SELECT id_a, id_b,
           sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
@@ -337,16 +359,11 @@ object Dedup {
       ORDER BY id_a, id_b""")),
 
     // ---- near-dup clusters: connected components over the d05 edge
-    //      set (pair list → canonical clusters). Oracle: recursive-CTE
-    //      transitive closure, component = min reachable id ----
+    //      set (LSH-bucketed pair list → canonical clusters). Oracle:
+    //      recursive-CTE transitive closure over the exhaustive truth
+    //      edges, component = min reachable id ----
     ("d07_dedup_components", (s: SparkSession, d: String) => {
-      val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("eb"))
-      val edges = a.join(b, "label").filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(graft.functions.vectorCosine(col("ea"), col("eb")), 6).as("cos"))
-        .filter(col("cos") >= 0.35)
+      val edges = Similarity.nearDupPairs(Tables.embeddings(s, d), 0.35)
         .select(col("id_a"), col("id_b"))
       connectedComponents(edges)
         .groupBy(col("lab").as("component"))
@@ -356,8 +373,7 @@ object Dedup {
       WITH RECURSIVE p AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                unnest(a.embedding) AS x, unnest(b.embedding) AS y
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id),
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
       sums AS (
         SELECT id_a, id_b,
           sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
@@ -383,8 +399,9 @@ object Dedup {
     //      mix needs for rebalancing sources) ----
     ("d08_stratified_sample", (s: SparkSession, d: String) => {
       val e = Tables.embeddings(s, d)
+      // mod-first (see d06): identical value, ANSI-overflow-safe
       val sampled = e.filter(
-        pmod(col("vec_id") * lit(2654435761L), lit(1000003L)) % 100 < 20)
+        pmod(pmod(col("vec_id"), lit(1000003L)) * lit(427799L), lit(1000003L)) % 100 < 20)
       sampled.groupBy(col("label"))
         .agg(count(lit(1)).as("n_sample"), min(col("vec_id")).as("first_id"))
         .join(e.groupBy(col("label")).agg(count(lit(1)).as("n_total")), "label")
@@ -394,7 +411,7 @@ object Dedup {
       WITH s AS (
         SELECT label, count(*) AS n_sample, min(vec_id) AS first_id
         FROM embeddings
-        WHERE (vec_id * 2654435761) % 1000003 % 100 < 20
+        WHERE (vec_id % 1000003) * 427799 % 1000003 % 100 < 20
         GROUP BY label),
       t AS (SELECT label, count(*) AS n_total FROM embeddings GROUP BY label)
       SELECT label, n_total, n_sample, first_id

@@ -30,6 +30,30 @@ object OracleSql {
         CASE WHEN $c >= 9223372036854775808 THEN 18446744073709551616
              ELSE 0 END AS BIGINT)"""
 
+  /** CTE chain `planes, dots, lshkeys` recomputing the banded-LSH
+    * bucket keys of the embeddings table exactly as the
+    * [[graft.functions.GraftVec.lshKeys]] kernel does: hash-derived
+    * hyperplane components (two integer mix rounds, multiples of
+    * 2^-11 — bit-exact in SQL), per-plane dot products, sign bits
+    * packed per table. Compose with a `pairs` join on (tbl, bkey). */
+  def lshKeysCtes(tables: Int, bits: Int): String = s"""
+      planes AS (
+        SELECT p, j, ((((xor(x1, x1 >> 16) * 73244475) % 4294967296) >> 21)
+                      / 2048.0) - 0.5 AS hv
+        FROM (
+          SELECT p, j, (xor(x0, x0 >> 16) * 73244475) % 4294967296 AS x1
+          FROM (SELECT pr.range AS p, jr.range AS j,
+                  ((pr.range * 64 + jr.range) * 2654435761) % 4294967296 AS x0
+                FROM range(${tables * bits}) pr, range(64) jr))),
+      dots AS (
+        SELECT e.vec_id, pl.p,
+          sum(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.hv) AS d
+        FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
+      lshkeys AS (
+        SELECT vec_id, p // $bits AS tbl,
+          CAST(sum(CASE WHEN d > 0 THEN 1 << (p % $bits) ELSE 0 END) AS BIGINT) AS bkey
+        FROM dots GROUP BY vec_id, p // $bits)"""
+
   /** The minhash universal-hash constants as a VALUES table
     * `(i, a, b)` with 0-based i — generated from the same arrays the
     * codegen kernel uses, so the oracle can recompute signatures. */

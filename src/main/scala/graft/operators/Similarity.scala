@@ -12,30 +12,68 @@ import graft.operators.Dedup
   * s01 is the brute-force baseline: broadcast the query vector, one
   * codegen cosine per row, TakeOrderedAndProject for top-k — linear,
   * no shuffle, the right plan at any scale for a single query vector.
-  * s02 is the scale path for pairwise search: 12 random-hyperplane
-  * sign bits bucket the vectors; only same-bucket candidates get the
-  * exact cosine (candidates ~ n/2^12 per bucket on random data; the
-  * bit count is the recall/cost dial — more bits at higher corpus
-  * density, OR-ed multi-table LSH when recall must be guaranteed).
+  * s02 is the scale path for pairwise search: OR-ed multi-table
+  * banded LSH (`tables` keys of `bits` hyperplane sign bits each; a
+  * pair is a candidate iff ANY table key collides) bounds per-bucket
+  * quadratic work by 2^bits per table while the table count dials
+  * per-pair recall 1-(1-p^bits)^tables toward 1 — the same
+  * band-OR construction d02 uses for minhash. s05 MEASURES that
+  * recall against the brute-force truth and gates on it.
   */
 object Similarity {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** Deterministic hyperplanes from an integer mix hash (two Wang-hash
-    * rounds of k = plane*64+dim, top 11 bits → multiples of 2^-11 in
-    * [-0.5, 0.5)). Hash-derived instead of RNG-derived so the DuckDB
-    * oracle can recompute them exactly in SQL; every value is exactly
-    * float-representable, and all intermediates stay below 2^58 (safe
-    * in signed 64-bit on both engines). */
-  private[operators] def planeComponent(p: Int, j: Int): Double = {
-    val M = 4294967296L
-    val x0 = ((p * 64 + j).toLong * 2654435761L) % M
-    val x1 = ((x0 ^ (x0 >> 16)) * 73244475L) % M
-    val x2 = ((x1 ^ (x1 >> 16)) * 73244475L) % M
-    (x2 >> 21).toDouble / 2048.0 - 0.5
+  /** Default LSH shape: 48 tables x 4 bits (192 hash-derived
+    * hyperplanes). At the 0.30-cosine threshold (per-bit agreement
+    * p ~ 0.60) per-pair recall is 1-(1-p^4)^48 ~ 0.999; measured
+    * recall on the gate corpus is 1.0 (s05). `bits` is the
+    * scale dial: raise toward log2(n) as corpus density grows. */
+  val LshTables = 48
+  val LshBits = 4
+
+  /** Deterministic hash-derived hyperplanes — kernel + derivation in
+    * [[graft.functions.GraftVec.planeComponent]] (kept recomputable
+    * in DuckDB SQL for the oracle). */
+  private[operators] def planeComponent(p: Int, j: Int): Double =
+    graft.functions.GraftVec.planeComponent(p, j)
+
+  /** Distinct candidate pairs sharing >=1 of the `tables` LSH bucket
+    * keys. One codegen kernel call per row builds all keys, one
+    * groupBy on (table, key) collects buckets (tiny by construction;
+    * skewed ones are AQE-split), pairs are generated inside each
+    * bucket — candidate volume tracks true-pair structure, not n^2.
+    */
+  def lshCandidatePairs(embeddings: DataFrame,
+      tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
+    val keyed = embeddings.select(col("vec_id"),
+      posexplode(graft.functions.lshBucketKeys(col("embedding"), tables, bits))
+        .as(Seq("tbl", "bkey")))
+    keyed.groupBy(col("tbl"), col("bkey"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("i", "id_x")), col("ids"))
+      .select(col("id_x"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
   }
-  private val hyperplanes: Seq[Array[Double]] =
-    Seq.tabulate(12)(p => Array.tabulate(64)(j => planeComponent(p, j)))
+
+  /** Pairwise near-duplicate search: LSH-bucketed candidates + exact
+    * cosine refine. The semi-joins fetch only candidate vectors, so
+    * the exact-cosine stage touches ~candidate volume, not n^2.
+    */
+  def nearDupPairs(embeddings: DataFrame, cosMin: Double,
+      tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
+    val cands = lshCandidatePairs(embeddings, tables, bits)
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(vectorCosine(col("ea"), col("eb")), 6).as("cos"))
+      .filter(col("cos") >= cosMin)
+      .orderBy("id_a", "id_b")
+  }
 
   /** Brute-force cosine top-k of `embeddings` vs the vector with
     * `queryId`: broadcast one row, codegen cosine per row, Spark plans
@@ -51,22 +89,25 @@ object Similarity {
       .orderBy(desc("cos"), col("vec_id")).limit(k)
   }
 
-  /** Random-hyperplane LSH similar pairs: bucket by sign bits, then
-    * exact-cosine only same-bucket candidates.
+  /** Measured recall of the banded-LSH candidate stage vs the
+    * brute-force truth at `cosMin` — the index CONTRACT (pattern:
+    * s04's recall gate). Brute truth is gate-corpus-sized by design;
+    * at scale the contract runs on a sample.
     */
-  def lshPairs(embeddings: DataFrame, cosMin: Double): DataFrame = {
-    val bucket = hyperplanes.zipWithIndex.map { case (h, i) =>
-      val hCol = array(h.map(lit): _*).cast("array<float>")
-      when(vectorDot(col("embedding"), hCol) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val bucketed = embeddings.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
-    val a = bucketed.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
-    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(vectorCosine(col("ea"), col("eb")), 6).as("cos"))
-      .filter(col("cos") >= cosMin)
-      .orderBy("id_a", "id_b")
+  def lshRecall(embeddings: DataFrame, cosMin: Double,
+      tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(round(vectorCosine(col("ea"), col("eb")), 6) >= cosMin)
+      .select(col("id_a"), col("id_b"))
+    val cands = lshCandidatePairs(embeddings, tables, bits)
+    val nTrue = truth.count()
+    val nFound = truth.join(cands, Seq("id_a", "id_b"), "left_semi").count()
+    val recall = if (nTrue == 0) 1.0 else nFound.toDouble / nTrue
+    embeddings.sparkSession.range(1).select(
+      lit(nTrue).as("n_true"), lit(nFound).as("n_found"),
+      round(lit(recall), 6).as("recall"), lit(recall >= 0.95).as("recall_ok"))
   }
 
   /** IVF-style ANN: coarse-quantize into cells (here: the label
@@ -236,30 +277,18 @@ object Similarity {
       WHERE j.doc_id <> 0
       ORDER BY score DESC, j.doc_id LIMIT 20""")),
 
-    // ---- LSH-bucketed pairwise similarity. Full DuckDB oracle: the
-    //      SQL recomputes the hash-derived hyperplanes, the 12 sign
-    //      bits, bucket-equal candidates, and the exact cosines ----
+    // ---- multi-table banded-LSH pairwise similarity. Full DuckDB
+    //      oracle: the SQL recomputes the 192 hash-derived
+    //      hyperplanes, the 48 4-bit table keys, OR-ed bucket-equal
+    //      candidates, and the exact-cosine refine — hash parity
+    //      holds independent of recall (which s05 measures) ----
     ("s02_similarity_lsh", (s: SparkSession, d: String) =>
-      lshPairs(Tables.embeddings(s, d), 0.3), Some("""
-      WITH planes AS (
-        SELECT p, j, ((((xor(x1, x1 >> 16) * 73244475) % 4294967296) >> 21)
-                      / 2048.0) - 0.5 AS hv
-        FROM (
-          SELECT p, j, (xor(x0, x0 >> 16) * 73244475) % 4294967296 AS x1
-          FROM (SELECT pr.range AS p, jr.range AS j,
-                  ((pr.range * 64 + jr.range) * 2654435761) % 4294967296 AS x0
-                FROM range(12) pr, range(64) jr))),
-      dots AS (
-        SELECT e.vec_id, pl.p,
-          sum(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.hv) AS d
-        FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
-      buck AS (
-        SELECT vec_id,
-          CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
-        FROM dots GROUP BY vec_id),
+      nearDupPairs(Tables.embeddings(s, d), 0.3), Some(s"""
+      WITH ${OracleSql.lshKeysCtes(LshTables, LshBits)},
       pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM lshkeys a JOIN lshkeys b
+          ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
       z AS (SELECT p.id_a, p.id_b,
               unnest(ea.embedding) AS va, unnest(eb.embedding) AS vb
             FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
@@ -271,6 +300,37 @@ object Similarity {
                FROM z GROUP BY id_a, id_b)
       SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
       FROM sums WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.3
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b""")),
+
+    // ---- recall contract of the banded-LSH candidate stage vs the
+    //      brute-force truth at cos>=0.3. The oracle recomputes BOTH
+    //      sides in SQL (LSH keys + exhaustive pairs), so the measured
+    //      recall itself is held to bit-exact parity ----
+    ("s05_lsh_recall", (s: SparkSession, d: String) =>
+      lshRecall(Tables.embeddings(s, d), 0.3), Some(s"""
+      WITH ${OracleSql.lshKeysCtes(LshTables, LshBits)},
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM lshkeys a JOIN lshkeys b
+          ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+      tz AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               unnest(a.embedding) AS x, unnest(b.embedding) AS y
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      ts AS (SELECT id_a, id_b,
+               sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+               sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+               sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+             FROM tz GROUP BY id_a, id_b),
+      truth AS (SELECT id_a, id_b FROM ts
+                WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.3),
+      m AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+                   (SELECT count(*) FROM truth t JOIN cand c
+                      USING (id_a, id_b)) AS n_found)
+      SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_found AS BIGINT) AS n_found,
+        round(CASE WHEN n_true = 0 THEN 1.0
+                   ELSE CAST(n_found AS DOUBLE) / n_true END, 6) AS recall,
+        (CASE WHEN n_true = 0 THEN 1.0
+              ELSE CAST(n_found AS DOUBLE) / n_true END) >= 0.95 AS recall_ok
+      FROM m"""))
   )
 }

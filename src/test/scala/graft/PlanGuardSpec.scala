@@ -13,16 +13,22 @@ class PlanGuardSpec extends AnyFunSuite {
     */
   private val broadcastSingleton = Set(
     "q07_join_cross", "q20_subquery_scalar", "d04_ngram_jaccard",
-    "d05_dedup_embedding", "s01_similarity_topk", "s03_similarity_ivf",
+    "s01_similarity_topk", "s03_similarity_ivf",
     "h01_hybrid_retrieval", "q46_any_all",
     "q62_theta_sketch", // 1-row sketch agg × 1-row exact-intersection agg
     "s04_similarity_kmeans_ivf") // broadcast 1-row query vector
 
+  /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
+    * s05 measures LSH recall against the brute-force truth, which is
+    * all-pairs by definition (gate-corpus-sized; sampled at scale). */
+  private val intendedAllPairs = Set("s05_lsh_recall")
+
   test("no query plans an unintended cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      val cartesian = plan.contains("CartesianProduct")
-      val nlJoin = plan.contains("BroadcastNestedLoopJoin") && !broadcastSingleton(name)
+      val cartesian = plan.contains("CartesianProduct") && !intendedAllPairs(name)
+      val nlJoin = plan.contains("BroadcastNestedLoopJoin") &&
+        !broadcastSingleton(name) && !intendedAllPairs(name)
       if (cartesian || nlJoin) Some(name) else None
     }
     assert(offenders.isEmpty, s"unintended product joins in: $offenders")
