@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // comma-separated query-name filter for focused iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    def selected = SparkEntry.queries
+      .filter { case (n, _) => only.isEmpty || only(n) }
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Force FULL evaluation of every row/column: a noop sink defeats the
@@ -15,11 +20,11 @@ object Bench {
     // parquet footers), then the timed pass. Failures are RECORDED,
     // not swallowed: a broken query must fail the bench loudly, not be
     // silently timed as its time-to-throw.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => }
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn) catch {
         case e: Throwable =>

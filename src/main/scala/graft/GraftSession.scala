@@ -26,6 +26,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // cost-based optimization — the reference's core concern
+      // (/root/reference/src/optimizer.rs:1, src/cost/simple.rs:1):
+      // harmless without statistics; once tables carry ANALYZE stats,
+      // CostBasedJoinReorder re-associates inner joins by cost
+      // (join commute/assoc ~ src/rules/transformation.rs:1; PlanSpec
+      // asserts a deliberately bad join order gets flipped)
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.sql.cbo.planStats.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

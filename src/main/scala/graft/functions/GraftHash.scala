@@ -226,4 +226,52 @@ object GraftHash {
     }
     out
   }
+
+  /** Format micros-since-epoch as `yyyy-MM-dd HH:mm:ss` (UTC) with
+    * pure integer math — civil date via the days-from-epoch algorithm
+    * (Howard Hinnant, "chrono-Compatible Low-Level Date Algorithms",
+    * public domain derivation) and direct digit writes. Bit-identical
+    * to `date_format(ts, 'yyyy-MM-dd HH:mm:ss')` in a UTC session for
+    * years 1..9999 (property-tested), at a fraction of the
+    * DateTimeFormatter cost — this is the hot path of any
+    * string-timestamp projection over a fact table.
+    */
+  def fmtTimestamp(micros: Long): UTF8String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val days = Math.floorDiv(secs, 86400L)
+    val sod = (secs - days * 86400L).toInt
+    val z = days + 719468L
+    val era = Math.floorDiv(z, 146097L)
+    val doe = (z - era * 146097L).toInt
+    val yoe = (doe - doe / 1460 + doe / 36524 - doe / 146096) / 365
+    val doy = doe - (365 * yoe + yoe / 4 - yoe / 100)
+    val mp = (5 * doy + 2) / 153
+    val d = doy - (153 * mp + 2) / 5 + 1
+    val m = if (mp < 10) mp + 3 else mp - 9
+    val y = (yoe + era * 400 + (if (m <= 2) 1 else 0)).toInt
+    val hh = sod / 3600
+    val mi = (sod / 60) % 60
+    val ss = sod % 60
+    val b = new Array[Byte](19)
+    b(0) = ('0' + y / 1000).toByte
+    b(1) = ('0' + (y / 100) % 10).toByte
+    b(2) = ('0' + (y / 10) % 10).toByte
+    b(3) = ('0' + y % 10).toByte
+    b(4) = '-'
+    b(5) = ('0' + m / 10).toByte
+    b(6) = ('0' + m % 10).toByte
+    b(7) = '-'
+    b(8) = ('0' + d / 10).toByte
+    b(9) = ('0' + d % 10).toByte
+    b(10) = ' '
+    b(11) = ('0' + hh / 10).toByte
+    b(12) = ('0' + hh % 10).toByte
+    b(13) = ':'
+    b(14) = ('0' + mi / 10).toByte
+    b(15) = ('0' + mi % 10).toByte
+    b(16) = ':'
+    b(17) = ('0' + ss / 10).toByte
+    b(18) = ('0' + ss % 10).toByte
+    UTF8String.fromBytes(b)
+  }
 }

@@ -86,6 +86,22 @@ object GraftVec {
     planeCache.computeIfAbsent((numPlanes.toLong << 32) | dim,
       _ => Array.tabulate(numPlanes)(p => Array.tabulate(dim)(j => planeComponent(p, j))))
 
+  /** 0-based index of the first position where two long arrays agree,
+    * -1 if none — the dedup predicate of OR-ed multi-table LSH: a
+    * candidate pair is emitted only from its FIRST colliding table,
+    * so no global distinct() of the multiplied candidate stream is
+    * needed. One fused loop, no allocation (vs zip_with +
+    * array_position composites). */
+  def firstMatch(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** All `tables` banded-LSH bucket keys of a float vector in ONE
     * pass: table t's key packs the sign bits of the dots with
     * hyperplanes [t*bits, (t+1)*bits). OR-ed multi-table LSH — a pair

@@ -99,6 +99,19 @@ case class JaccardHashes(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** `yyyy-MM-dd HH:mm:ss` UTC rendering of a timestamp column via the
+  * integer-math kernel — replaces date_format's DateTimeFormatter on
+  * string-timestamp hot paths (bit-identical in a UTC session).
+  */
+case class FormatTimestamp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.GraftHash.fmtTimestamp(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.fmtTimestamp($c)")
+  override protected def withNewChildInternal(c: Expression): FormatTimestamp = copy(child = c)
+}
+
 /** Banded-LSH bucket keys (one array<long> of `tables` keys) of a
   * float-vector column in one codegen pass — the index-build kernel
   * for OR-ed multi-table random-hyperplane LSH.
@@ -111,6 +124,19 @@ case class LshBucketKeys(child: Expression, tables: Int, bits: Int) extends Unar
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.lshKeys($c, $tables, $bits)")
   override protected def withNewChildInternal(c: Expression): LshBucketKeys = copy(child = c)
+}
+
+/** First index where two long-array columns agree (-1 if none) — the
+  * per-row dedup predicate of multi-table LSH candidate generation.
+  */
+case class FirstMatch(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.GraftVec.firstMatch(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftVec.firstMatch($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstMatch =
+    copy(left = l, right = r)
 }
 
 case class VectorCosine(left: Expression, right: Expression) extends BinaryExpression {

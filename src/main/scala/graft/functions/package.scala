@@ -60,4 +60,11 @@ package object functions {
     * float-vector column — one codegen pass over all hyperplanes. */
   def lshBucketKeys(c: Column, tables: Int, bits: Int): Column =
     col(expr.LshBucketKeys(ex(c), tables, bits))
+
+  /** `yyyy-MM-dd HH:mm:ss` (UTC) of a timestamp column — integer-math
+    * kernel, bit-identical to date_format in a UTC session. */
+  def fmtTimestamp(c: Column): Column = col(expr.FormatTimestamp(ex(c)))
+
+  /** First index where two long-array columns agree (-1 if none). */
+  def firstMatch(a: Column, b: Column): Column = col(expr.FirstMatch(ex(a), ex(b)))
 }

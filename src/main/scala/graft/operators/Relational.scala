@@ -93,13 +93,20 @@ object Relational {
       GROUP BY o_orderkey, o_orderdate
       ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
 
-    // ---- left outer join ----
+    // ---- left outer join. Partial-agg-below-join (the rewrite a
+    //      keenwa-class optimizer applies): orders pre-aggregates by
+    //      o_custkey BEFORE the join, so the join carries one row per
+    //      customer instead of one per order — at 100x the fact size
+    //      the shuffle shrinks ~10x and c_name strings never ride
+    //      through the fact shuffle ----
     ("q04_join_left", (s: SparkSession, d: String) => {
+      val perCust = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(col("o_orderkey")).as("pn"), dsum(col("o_totalprice")).as("pt"))
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_custkey"), col("c_name"))
-        .agg(count(col("o_orderkey")).as("n_orders"),
-          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("pn"), lit(0L)).as("n_orders"),
+          coalesce(col("pt"), lit(0.0)).as("total_spent"))
         .orderBy("c_custkey")
     }, Some("""
       SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
@@ -665,7 +672,10 @@ object Relational {
     //      intervals": Year, Year-Month, Month, Day, Day-Hour,
     //      Day-Minute, Day-Second; expr_interval_tests.yaml) ----
     ("q52_interval_classes", (s: SparkSession, d: String) => {
-      def f(c: Column) = date_format(c, "yyyy-MM-dd HH:mm:ss")
+      // the per-row cost here is 8 string renderings of a timestamp —
+      // the integer-math kernel replaces DateTimeFormatter (same
+      // output, property-tested); interval arithmetic itself is cheap
+      def f(c: Column) = graft.functions.fmtTimestamp(c)
       val t = col("o_orderdate")
       Tables.orders(s, d).select(
         col("o_orderkey"),
@@ -770,7 +780,12 @@ object Relational {
       FROM w ORDER BY doc_id""")),
 
     // ---- WITH RECURSIVE (reference TODO; Spark 4 UnionLoop):
-    //      recursive month spine left-joined to order counts ----
+    //      recursive month spine joined to PRE-AGGREGATED order
+    //      counts (the q04 rewrite again): the spine comes out of
+    //      UnionLoop with unknown stats and can't be broadcast as the
+    //      preserved side of a left join, so instead the fact side is
+    //      collapsed to ~one row per month before the join — the join
+    //      input is spine-sized regardless of fact scale ----
     ("q47_recursive_cte", (s: SparkSession, d: String) => {
       Tables.orders(s, d).createOrReplaceTempView("v_orders_rec")
       s.sql("""
@@ -778,11 +793,14 @@ object Relational {
           SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
           UNION ALL
           SELECT m + INTERVAL 1 MONTH FROM months
-          WHERE m < TIMESTAMP '2001-12-01 00:00:00')
-        SELECT date_format(m, 'yyyy-MM') AS month, count(o_orderkey) AS n
-        FROM months LEFT JOIN v_orders_rec
-          ON date_trunc('month', o_orderdate) = m
-        GROUP BY m ORDER BY month""")
+          WHERE m < TIMESTAMP '2001-12-01 00:00:00'),
+        mo AS (
+          SELECT date_trunc('month', o_orderdate) AS mm,
+            count(o_orderkey) AS mn
+          FROM v_orders_rec GROUP BY 1)
+        SELECT date_format(m, 'yyyy-MM') AS month, coalesce(mn, 0) AS n
+        FROM months LEFT JOIN mo ON mm = m
+        ORDER BY month""")
     }, Some("""
       WITH RECURSIVE months(m) AS (
         SELECT TIMESTAMP '1995-01-01 00:00:00' AS m

@@ -43,37 +43,52 @@ object Similarity {
     * skewed ones are AQE-split), pairs are generated inside each
     * bucket — candidate volume tracks true-pair structure, not n^2.
     */
-  def lshCandidatePairs(embeddings: DataFrame,
-      tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
-    val keyed = embeddings.select(col("vec_id"),
-      posexplode(graft.functions.lshBucketKeys(col("embedding"), tables, bits))
-        .as(Seq("tbl", "bkey")))
+  /** One bucket-collected candidate stream carrying `payload` columns
+    * per vector. Pairs are generated inside each (table, key) bucket
+    * and emitted exactly once — from their FIRST colliding table, an
+    * allocation-free per-row predicate over the two key arrays — so
+    * the multiplied candidate stream never needs a global distinct()
+    * re-shuffle. Buckets are bounded by the 2^bits key space per
+    * table (`bits` is the density dial; raise it toward log2(n) as
+    * the corpus grows).
+    */
+  private def lshBucketedPairs(embeddings: DataFrame, tables: Int, bits: Int,
+      payload: Seq[String]): DataFrame = {
+    val cols = (Seq("vec_id", "keys") ++ payload).map(col)
+    val keyed = embeddings.select(col("vec_id"), col("embedding"),
+      graft.functions.lshBucketKeys(col("embedding"), tables, bits).as("keys"))
+      .select(posexplode(col("keys")).as(Seq("tbl", "bkey")), struct(cols: _*).as("v"))
     keyed.groupBy(col("tbl"), col("bkey"))
-      .agg(collect_list(col("vec_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(posexplode(col("ids")).as(Seq("i", "id_x")), col("ids"))
-      .select(col("id_x"),
-        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_y"))
-      .select(least(col("id_x"), col("id_y")).as("id_a"),
-        greatest(col("id_x"), col("id_y")).as("id_b"))
-      .distinct()
+      .agg(collect_list(col("v")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("tbl"), posexplode(col("ds")).as(Seq("i", "x")), col("ds"))
+      .select(col("tbl"), col("x"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("y"))
+      .filter(graft.functions.firstMatch(col("x.keys"), col("y.keys")) === col("tbl"))
   }
 
-  /** Pairwise near-duplicate search: LSH-bucketed candidates + exact
-    * cosine refine. The semi-joins fetch only candidate vectors, so
-    * the exact-cosine stage touches ~candidate volume, not n^2.
+  /** Distinct candidate id pairs sharing >=1 of the `tables` LSH
+    * bucket keys (minimal payload; used by the s05 recall contract).
+    */
+  def lshCandidatePairs(embeddings: DataFrame,
+      tables: Int = LshTables, bits: Int = LshBits): DataFrame =
+    lshBucketedPairs(embeddings, tables, bits, Nil)
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("id_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"))
+
+  /** Pairwise near-duplicate search: LSH-bucketed candidates with the
+    * exact-cosine refine FUSED into the pair-generation row (the
+    * embedding rides through the band shuffle) — one shuffle, no
+    * refine joins, no distinct.
     */
   def nearDupPairs(embeddings: DataFrame, cosMin: Double,
-      tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
-    val cands = lshCandidatePairs(embeddings, tables, bits)
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-    cands.join(a, "id_a").join(b, "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(vectorCosine(col("ea"), col("eb")), 6).as("cos"))
+      tables: Int = LshTables, bits: Int = LshBits): DataFrame =
+    lshBucketedPairs(embeddings, tables, bits, Seq("embedding"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("id_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"),
+        round(vectorCosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
       .filter(col("cos") >= cosMin)
       .orderBy("id_a", "id_b")
-  }
 
   /** Brute-force cosine top-k of `embeddings` vs the vector with
     * `queryId`: broadcast one row, codegen cosine per row, Spark plans

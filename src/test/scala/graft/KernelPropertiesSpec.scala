@@ -97,4 +97,26 @@ class KernelPropertiesSpec extends AnyFunSuite {
         GraftHash.fnv64(s.getBytes("UTF-8")))
     }
   }
+
+  test("fmtTimestamp equals java.time UTC formatting across years 1..9999") {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    // full domain incl. pre-1970, leap days, century non-leap years
+    val microsGen = Gen.chooseNum(
+      java.time.Instant.parse("0001-01-01T00:00:00Z").getEpochSecond * 1000000L,
+      java.time.Instant.parse("9999-12-31T23:59:59Z").getEpochSecond * 1000000L)
+    forAll(microsGen, n = 2000) { us =>
+      val expected = fmt.format(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L)))
+      assert(GraftHash.fmtTimestamp(us).toString === expected, s"micros=$us")
+    }
+    // fixed edges: epoch, leap day, 2100 non-leap, sub-second floor
+    for (s <- Seq("1970-01-01T00:00:00Z", "2000-02-29T23:59:59Z",
+        "2100-02-28T12:34:56Z", "1969-12-31T23:59:59Z")) {
+      val us = java.time.Instant.parse(s).getEpochSecond * 1000000L + 999999L
+      assert(GraftHash.fmtTimestamp(us).toString ===
+        fmt.format(java.time.Instant.parse(s)))
+    }
+  }
 }

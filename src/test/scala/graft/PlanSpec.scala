@@ -110,4 +110,46 @@ class PlanSpec extends AnyFunSuite {
     val plan = physicalPlan("s01_similarity_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("CBO join reorder: ANALYZE stats flip a deliberately bad join order") {
+    // the reference's reason to exist: cost-based join re-association
+    // (/root/reference/src/optimizer.rs, src/rules/transformation.rs).
+    // lineitem JOIN orders first is the bad order when the selective
+    // filter sits on customer; with rowCount+column stats Catalyst's
+    // CostBasedJoinReorder must move customer into the first join.
+    Seq("customer", "orders", "lineitem").foreach { n =>
+      // the warehouse dir outlives the in-memory catalog across JVMs:
+      // clear both the entry and any orphaned location before saving
+      spark.sql(s"DROP TABLE IF EXISTS cbo_$n")
+      val loc = new java.io.File(s"/tmp/graft-warehouse/cbo_$n")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+      graft.sources.Tables.load(spark, sf, n)
+        .write.mode("overwrite").saveAsTable(s"cbo_$n")
+      spark.sql(s"ANALYZE TABLE cbo_$n COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val q = """SELECT c.c_mktsegment, count(*) AS n
+               FROM cbo_lineitem l
+               JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+               JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+               WHERE c.c_acctbal > 9900
+               GROUP BY c.c_mktsegment"""
+    def leafOrder(reorder: Boolean): Seq[String] = {
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", reorder.toString)
+      try {
+        val plan = spark.sql(q).queryExecution.optimizedPlan.toString
+        Seq("cbo_lineitem", "cbo_orders", "cbo_customer").sortBy(plan.indexOf)
+      } finally spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    }
+    val literal = leafOrder(reorder = false)
+    val cbo = leafOrder(reorder = true)
+    assert(literal.head == "cbo_lineitem", s"baseline should keep the written order: $literal")
+    assert(cbo != literal, s"CBO did not reorder the join (still $cbo)")
+    assert(cbo.indexOf("cbo_customer") < cbo.indexOf("cbo_lineitem"),
+      s"the filtered dimension should join before the fact table: $cbo")
+  }
 }
