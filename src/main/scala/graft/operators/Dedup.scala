@@ -211,13 +211,16 @@ object Dedup {
     //      pipeline is held to bit-exact parity ----
     ("d02_dedup_minhash", (s: SparkSession, d: String) =>
       minhashPairs(Tables.documents(s, d), 0.5), Some(s"""
-      WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      WITH w AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+                 FROM documents),
       tri AS (
         SELECT DISTINCT doc_id,
           CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                ELSE array_to_string(ws, ' ') END AS tg
         FROM (SELECT doc_id, ws,
-                unnest(generate_series(1, greatest(len(ws)-2, 1))) AS i FROM w)),
+                unnest(generate_series(1, greatest(len(ws)-2, 1))) AS i
+              FROM w WHERE len(ws) > 0)),
       th AS (SELECT tg, ${OracleSql.fnvU64("tg")} AS h
              FROM (SELECT DISTINCT tg FROM tri)),
       dochash AS (SELECT DISTINCT doc_id, h FROM tri JOIN th USING (tg)),
@@ -291,11 +294,13 @@ object Dedup {
         .filter(col("doc_id") =!= 0 && col("jaccard") > 0)
         .orderBy("doc_id")
     }, Some("""
-      WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      WITH w AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+                 FROM documents),
       tri0 AS (
         SELECT doc_id, ws,
           unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
-        FROM w),
+        FROM w WHERE len(ws) > 0),
       tri AS (
         SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tg
         FROM tri0),

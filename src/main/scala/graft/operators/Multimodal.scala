@@ -12,32 +12,47 @@ case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
 case class DecodedRow(doc_id: Long, media_type: String,
     width: Long, height: Long, n_frames: Long)
 
-/** Multimodal column pipeline: media as opaque binary columns with
-  * typed metadata, decoded per-partition through a typed Dataset.
-  *
-  * The decode kernel is a STUB — a deterministic arithmetic fake
-  * standing in for a real image/audio codec (libs not present in this
-  * environment). Everything around it is the real 100 TB plumbing:
-  * binary column in parquet, case-class Encoders, mapPartitions batch
-  * iteration (one decoder init per partition, not per row), and a
-  * columnar result that downstream queries can aggregate.
+/** Injection seam for a real media codec (libjpeg/ffmpeg/...):
+  * `open()` runs ONCE PER PARTITION on the executor — do the
+  * expensive library/native init there and return the per-row decode
+  * function. Implementations must be Serializable (the instance ships
+  * in the task closure; the opened state does not).
   */
-object Multimodal {
-  type QFn = (SparkSession, String) => DataFrame
+trait MediaCodec extends Serializable {
+  def open(): MediaRow => DecodedRow
+}
 
-  /** STUB decode: deterministic fake; a real codec would parse payload. */
-  private def decode(m: MediaRow): DecodedRow = {
+/** Default STUB codec: deterministic arithmetic fake standing in for
+  * a real decoder (image/audio libs are absent in this environment).
+  */
+object StubCodec extends MediaCodec {
+  def open(): MediaRow => DecodedRow = { m =>
     val n = m.payload.length.toLong
     DecodedRow(m.doc_id, m.media_type,
       width = 64L + n % 577L,
       height = 64L + (n * 31L) % 331L,
       n_frames = if (m.media_type == "video") 1L + n % 24L else 1L)
   }
+}
+
+/** Multimodal column pipeline: media as opaque binary columns with
+  * typed metadata, decoded per-partition through a typed Dataset.
+  *
+  * The decode kernel is the [[MediaCodec]] seam (default: the
+  * declared [[StubCodec]]). Everything around it is the real 100 TB
+  * plumbing: binary column in parquet, case-class Encoders,
+  * mapPartitions batch iteration (one decoder init per partition, not
+  * per row), and a columnar result that downstream queries can
+  * aggregate.
+  */
+object Multimodal {
+  type QFn = (SparkSession, String) => DataFrame
 
   /** The decode pipeline as a reusable stage: binary payload + typed
     * metadata through case-class Encoders and mapPartitions.
     */
-  def decoded(s: SparkSession, d: String): DataFrame = {
+  def decoded(s: SparkSession, d: String,
+      codec: MediaCodec = StubCodec): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d).select(
       col("doc_id"),
@@ -47,7 +62,7 @@ object Multimodal {
         .otherwise("video").as("media_type"))
     media.as[MediaRow]
       .mapPartitions { it =>
-        // decoder/codec init would go here, once per partition
+        val decode = codec.open() // codec/library init, once per partition
         it.map(decode)
       }
       .toDF()

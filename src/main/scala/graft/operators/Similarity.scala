@@ -37,12 +37,6 @@ object Similarity {
   private[operators] def planeComponent(p: Int, j: Int): Double =
     graft.functions.GraftVec.planeComponent(p, j)
 
-  /** Distinct candidate pairs sharing >=1 of the `tables` LSH bucket
-    * keys. One codegen kernel call per row builds all keys, one
-    * groupBy on (table, key) collects buckets (tiny by construction;
-    * skewed ones are AQE-split), pairs are generated inside each
-    * bucket — candidate volume tracks true-pair structure, not n^2.
-    */
   /** One bucket-collected candidate stream carrying `payload` columns
     * per vector. Pairs are generated inside each (table, key) bucket
     * and emitted exactly once — from their FIRST colliding table, an
@@ -171,7 +165,13 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
-    val fv = embeddings.withColumn("fv", array_to_vector(col("embedding")))
+    // pin partitioning + within-partition order before the fit:
+    // KMeans' centroid updates sum floats per partition, so a
+    // different defaultParallelism or shuffle fetch order would
+    // perturb centers and flake the fixed-seed recall contract
+    val fv = embeddings.repartition(8, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .withColumn("fv", array_to_vector(col("embedding")))
     val model = new KMeans().setK(k).setSeed(7L).setMaxIter(20)
       .setFeaturesCol("fv").fit(fv)
     val qd = embeddings.filter(col("vec_id") === queryId)
@@ -204,8 +204,8 @@ object Similarity {
 
     // ---- KMeans-trained IVF: oracle checks the index recall contract ----
     ("s04_similarity_kmeans_ivf", (s: SparkSession, d: String) =>
-      kmeansIvfRecall(Tables.embeddings(s, d), 0L, 8, 2, 10), Some("""
-      SELECT CAST(8 AS BIGINT) AS k, CAST(2 AS BIGINT) AS nprobe,
+      kmeansIvfRecall(Tables.embeddings(s, d), 0L, 8, 3, 10), Some("""
+      SELECT CAST(8 AS BIGINT) AS k, CAST(3 AS BIGINT) AS nprobe,
         true AS recall_ok""")),
 
     // ---- IVF ANN: centroid probe selection + cell-pruned exact search ----
@@ -267,9 +267,12 @@ object Similarity {
         .filter(col("doc_id") =!= 0)
         .orderBy(desc("score"), col("doc_id")).limit(20)
     }, Some("""
-      WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      WITH w AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+                 FROM documents),
       tri0 AS (SELECT doc_id, ws,
-                 unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM w),
+                 unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM w WHERE len(ws) > 0),
       tri AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tg
               FROM tri0),
       qt AS (SELECT tg FROM tri WHERE doc_id = 0),

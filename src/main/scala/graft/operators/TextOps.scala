@@ -18,6 +18,45 @@ object TextOps {
   private val stopwords = Seq("the", "a", "of", "in", "is")
   private def words: Column = split(trim(col("text")), " ")
 
+  /** Injection seam for a real tokenizer (BPE/SentencePiece/...):
+    * `open()` runs ONCE PER PARTITION on the executor — load merges/
+    * vocab there and return the per-doc token counter. Must be
+    * Serializable (ships in the task closure).
+    */
+  trait Tokenizer extends Serializable {
+    def open(): String => Long
+  }
+
+  /** Default stand-in: the BPE-ish regex t03 uses (letter runs, digit
+    * runs, single punctuation — the shape of a byte-pair vocabulary,
+    * not a trained one). */
+  object RegexTokenizer extends Tokenizer {
+    val pattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    def open(): String => Long = {
+      val p = java.util.regex.Pattern.compile(pattern)
+      s => { val m = p.matcher(s); var n = 0L; while (m.find()) n += 1; n }
+    }
+  }
+
+  /** Token counts through the [[Tokenizer]] seam. The default regex
+    * tokenizer takes the codegen fast path (regexp_count column, no
+    * JVM lambda per row); any injected tokenizer runs via
+    * mapPartitions with one open() per partition.
+    */
+  def tokenCounts(docs: DataFrame, tok: Tokenizer = RegexTokenizer): DataFrame =
+    if (tok eq RegexTokenizer)
+      docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(RegexTokenizer.pattern)).cast("bigint").as("n_tokens"))
+    else {
+      import docs.sparkSession.implicits._
+      docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val count = tok.open() // vocab/merges load, once per partition
+          it.map { case (id, text) => (id, count(text)) }
+        }
+        .toDF("doc_id", "n_tokens")
+    }
+
   /** count of words of `ws` that fall in `set` (codegen higher-order fn). */
   private def nIn(ws: Column, set: Seq[String]): Column =
     size(filter(ws, w => w.isin(set: _*)))
@@ -93,7 +132,7 @@ object TextOps {
 
     // ---- token counting: whitespace + BPE-ish regex ----
     ("t03_tokens", (s: SparkSession, d: String) => {
-      val bpe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+      val bpe = RegexTokenizer.pattern // the Tokenizer seam's default
       val nWs = size(split(trim(col("text")), "\\s+"))
       val nBpe = regexp_count(col("text"), lit(bpe))
       Tables.documents(s, d).select(

@@ -34,36 +34,43 @@ object Sinks {
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileMB: Int = 128): Unit = {
-    val dir = new java.io.File(path)
-    require(dir.isDirectory, s"compactParquet: $path is not a directory")
+    import org.apache.hadoop.fs.Path
+    // Hadoop FileSystem API throughout: a 100 TB ingest lives on
+    // HDFS/S3/GCS, where java.io.File cannot reach. (Object-store
+    // renames are copies, not atomic — same swap protocol, weaker
+    // atomicity; a transactional table format is the next step up.)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir) && fs.getFileStatus(dir).isDirectory,
+      s"compactParquet: $path is not a directory")
     // a repartition+rewrite would FLATTEN a Hive-partitioned layout (and
     // the top-level size scan would see 0 bytes -> 1 file); refuse instead
-    val subdirs = Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    val entries = fs.listStatus(dir)
+    val subdirs = entries.filter(_.isDirectory)
     require(subdirs.isEmpty,
-      s"compactParquet: $path has a partitioned layout (${subdirs.head.getName}, ...); " +
+      s"compactParquet: $path has a partitioned layout (${subdirs.head.getPath.getName}, ...); " +
         "compact each leaf partition directory instead")
-    val tmp = new java.io.File(path + "_compact_tmp")
-    val old = new java.io.File(path + "_compact_old")
+    val tmp = new Path(path + "_compact_tmp")
+    val old = new Path(path + "_compact_old")
     // leftovers from a crashed prior run: bail rather than silently
     // swapping stale data in (or deleting the only good backup)
-    require(!tmp.exists && !old.exists,
+    require(!fs.exists(tmp) && !fs.exists(old),
       s"compactParquet: stale $tmp or $old exists — inspect/remove before rerunning")
-    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    val bytes = entries
+      .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
     val parts = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
     spark.read.parquet(path).repartition(parts)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // atomic-ish swap; every rename checked — a silent no-op here would
     // leave the data uncompacted while claiming success
-    require(dir.renameTo(old), s"compactParquet: rename $path -> $old failed")
-    if (!tmp.renameTo(dir)) { // restore the original before failing
-      old.renameTo(dir)
+    require(fs.rename(dir, old), s"compactParquet: rename $path -> $old failed")
+    if (!fs.rename(tmp, dir)) { // restore the original before failing
+      fs.rename(old, dir)
       sys.error(s"compactParquet: rename $tmp -> $path failed (original restored)")
     }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(old)
+    fs.delete(old, true)
+    ()
   }
 
   /** Z-order clustered parquet: globally sort by the Morton code of

@@ -98,6 +98,28 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("kernels are BYTE-level on UTF-8 multibyte text (documented contract)") {
+    // Contract: graft's hash kernels read UTF-8 BYTES, never code
+    // points — correct and deterministic for any input. Only the
+    // DuckDB ORACLE (OracleSql.fnvU64's unicode(substr(..)) fold) is
+    // ASCII-bound, which the gate corpus satisfies; non-ASCII parity
+    // would need a byte-level fold on the oracle side.
+    val multi = Seq("héllo wörld déjà", "日本語 テスト 文字列", "mixé ascii and ünïcode",
+      "a é 日", "naïve café entrée")
+    for (s <- multi) {
+      val u = UTF8String.fromString(s)
+      // fnv64 over the whole string equals the byte-array fold
+      assert(GraftHash.fnv64(u) === GraftHash.fnv64(s.getBytes("UTF-8")))
+      // shingles equal the naive byte-level reference (multibyte words
+      // hash by their UTF-8 bytes, not their code points)
+      assert(GraftHash.shingleHashes(u, 3).toLongArray().toSet === naiveShingles(s, 3))
+      // stable across identical byte content
+      assert(GraftHash.simhash64(u) === GraftHash.simhash64(UTF8String.fromString(s)))
+      assert(GraftHash.polyFingerprint(u) ===
+        GraftHash.polyFingerprint(UTF8String.fromString(s)))
+    }
+  }
+
   test("fmtTimestamp equals java.time UTC formatting across years 1..9999") {
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")

@@ -91,6 +91,18 @@ class SinksSpec extends AnyFunSuite {
     assert(back.agg(sum(col("l_orderkey"))).collect().head.getLong(0) === checksum)
   }
 
+  test("compactParquet works through a scheme-qualified file: URI (FS API)") {
+    // the compactor resolves paths via Hadoop FileSystem, so any
+    // scheme (hdfs:, s3a:, gs:) rides the same code path as file:
+    val local = tmp("graft-compact-uri")
+    val path = "file:" + local
+    Tables.nation(spark, sf).repartition(10).write.mode("overwrite").parquet(path)
+    Sinks.compactParquet(spark, path, targetFileMB = 128)
+    val after = new java.io.File(local).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after === 1, s"expected 1 file, got $after")
+    assert(spark.read.parquet(path).count() === 25)
+  }
+
   test("compactParquet refuses stale swap dirs and partitioned layouts") {
     val path = tmp("graft-compact-guard")
     Tables.nation(spark, sf).write.mode("overwrite").parquet(path)
