@@ -42,30 +42,38 @@ object Dedup {
     * bucket-collided candidates only. At 100 TB the band join's key
     * space keeps buckets tiny; skewed buckets are handled by AQE.
     */
-  def minhashPairs(documents: DataFrame, jaccardMin: Double): DataFrame = {
-    // spread the CPU-bound shingle/hash map stage across all cores:
-    // a coarse input layout (one parquet file locally; oversized or
-    // skewed splits at scale) would otherwise serialize it, and the
-    // raw-text shuffle is cheap next to the shingle work it balances
-    val spread = documents.select(col("doc_id"), col("text"))
+  /** (doc_id, sh): one-pass distinct shingle-hash set per doc (custom
+    * codegen kernel), with the CPU-bound map stage spread across all
+    * cores first — a coarse input layout (one parquet file locally;
+    * oversized or skewed splits at scale) would otherwise serialize
+    * it, and the raw-text shuffle is cheap next to the shingle work
+    * it balances. */
+  private def shingled(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"))
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-    // one-pass distinct shingle hashes per doc (custom codegen kernel),
-    // folded into one 32-wide signature buffer per doc by the custom
-    // MinHashSig aggregate (map-side partial, compact shuffle buffer)
-    val docs = spread.select(col("doc_id"),
-      graft.functions.shingleHashes(col("text"), 3).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.shingleHashes(col("text"), 3).as("sh"))
+
+  /** (doc_id, band, bkey): 8 band keys of 4 signature slots each from
+    * the 32-way minhash signature (one partial-agg groupBy through the
+    * custom MinHashSig aggregate; one row per (doc, band) from a
+    * single signature pass — an 8-way unionAll would re-run the
+    * aggregation per band). */
+  private def minhashBands(docs: DataFrame): DataFrame = {
     val sigs = docs.select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.minhashSig(col("h")).as("sig"))
-    // one row per (doc, band) from a single signature pass — an 8-way
-    // unionAll would re-run the aggregation per band and the self-join
-    // would double it again
     val bandArr = array((0 until 8).map { b =>
       struct(lit(b).as("band"),
         xxhash64((1 to 4).map(i => element_at(col("sig"), 4 * b + i)): _*).as("bkey"))
     }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandArr).as("bb"))
+    sigs.select(col("doc_id"), explode(bandArr).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  def minhashPairs(documents: DataFrame, jaccardMin: Double): DataFrame = {
+    val docs = shingled(documents)
+    val bands = minhashBands(docs)
     // candidate pairs: collect each bucket once (buckets are tiny by
     // LSH construction; exact duplicates should be removed by exact
     // dedup first, which keeps bucket skew bounded at scale)
@@ -94,6 +102,35 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= jaccardMin)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Cross-set near-duplicate detection: which docs of `batch` have a
+    * near-dup (jaccard >= jaccardMin) in `corpus`. THE incremental
+    * ingest shape: batch band keys join corpus band keys, so each
+    * increment costs O(batch bands + cross-bucket candidates) — no
+    * corpus self-pairs, no recompute of corpus-vs-corpus. At 100 TB
+    * the corpus band table is a materialized signature store (write
+    * `minhashBands` output once, bucketed by (band, bkey)); the
+    * per-batch join then shuffles only the new docs' bands.
+    */
+  def minhashPairsAgainst(corpus: DataFrame, batch: DataFrame,
+      jaccardMin: Double): DataFrame = {
+    val cd = shingled(corpus)
+    val bd = shingled(batch)
+    val cb = minhashBands(cd)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
+    val bb = minhashBands(bd)
+      .select(col("doc_id").as("batch_id"), col("band"), col("bkey"))
+    val cands = bb.join(cb, Seq("band", "bkey"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    // exact-jaccard verify on cross-bucket candidates only (the joins
+    // prune the shingle recompute to candidate ids)
+    val a = bd.select(col("doc_id").as("batch_id"), col("sh").as("sh_a"))
+    val c = cd.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b"))
+    cands.join(a, "batch_id").join(c, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        graft.functions.jaccardHashes(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
   }
 
   /** SimHash near-duplicate pairs over (doc_id, text): Manku-style
@@ -420,6 +457,112 @@ object Dedup {
         GROUP BY label),
       t AS (SELECT label, count(*) AS n_total FROM embeddings GROUP BY label)
       SELECT label, n_total, n_sample, first_id
-      FROM s JOIN t USING (label) ORDER BY label"""))
+      FROM s JOIN t USING (label) ORDER BY label""")),
+
+    // ---- incremental (batch-vs-corpus) dedup: classify each NEW doc
+    //      against the existing corpus — exact (content match) or
+    //      near (cross-set minhash-LSH) — without recomputing any
+    //      corpus-vs-corpus pair. The production ingest shape; full
+    //      bit-exact oracle (same CTE chain as d02, candidates
+    //      restricted to batch x corpus) ----
+    ("d09_incremental_dedup", (s: SparkSession, d: String) => {
+      val all = Tables.documents(s, d)
+      // deterministic ~20% "new batch" (d06's ANSI-safe Knuth hash)
+      val isBatch =
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L), lit(1000003L)) % 5 === 0
+      val batch = all.filter(isBatch)
+      val corpus = all.filter(!isBatch)
+      val exact = batch.select(col("doc_id").as("e_id"), col("text"))
+        .join(corpus.select(col("doc_id").as("corpus_id"), col("text")), "text")
+        .groupBy(col("e_id")).agg(min(col("corpus_id")).as("exact_id"))
+      val near = minhashPairsAgainst(corpus, batch, 0.5)
+        .groupBy(col("batch_id").as("n_id"))
+        .agg(min(col("corpus_id")).as("near_id"))
+      batch.select(col("doc_id"))
+        .join(exact, col("doc_id") === col("e_id"), "left")
+        .join(near, col("doc_id") === col("n_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_id").isNotNull, "exact")
+            .when(col("near_id").isNotNull, "near")
+            .otherwise("unique").as("status"),
+          coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH w AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+                 FROM documents),
+      tri AS (
+        SELECT DISTINCT doc_id,
+          CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               ELSE array_to_string(ws, ' ') END AS tg
+        FROM (SELECT doc_id, ws,
+                unnest(generate_series(1, greatest(len(ws)-2, 1))) AS i
+              FROM w WHERE len(ws) > 0)),
+      th AS (SELECT tg, ${OracleSql.fnvU64("tg")} AS h
+             FROM (SELECT DISTINCT tg FROM tri)),
+      dochash AS (SELECT DISTINCT doc_id, h FROM tri JOIN th USING (tg)),
+      hpv AS (SELECT doc_id,
+                ((${OracleSql.signed("h")} % 2147483647) + 2147483647)
+                  % 2147483647 AS hp
+              FROM dochash),
+      consts(i, a, b) AS ${OracleSql.minhashConstsValues},
+      sig AS (SELECT doc_id, c.i, min((c.a * hp + c.b) % 2147483647) AS s
+              FROM hpv CROSS JOIN consts c GROUP BY doc_id, c.i),
+      bands AS (SELECT doc_id, i // 4 AS band, list(s ORDER BY i) AS bkey
+                FROM sig GROUP BY doc_id, i // 4),
+      flag AS (SELECT doc_id,
+                 (doc_id % 1000003) * 427799 % 1000003 % 5 = 0 AS isb
+               FROM documents),
+      cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+               FROM bands a JOIN flag fa ON fa.doc_id = a.doc_id AND fa.isb
+                    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    JOIN flag fb ON fb.doc_id = b.doc_id AND NOT fb.isb),
+      sizes AS (SELECT doc_id, count(*) AS n FROM dochash GROUP BY doc_id),
+      inter AS (SELECT c.batch_id, c.corpus_id, count(*) AS ni
+                FROM cand c JOIN dochash x ON x.doc_id = c.batch_id
+                            JOIN dochash y ON y.doc_id = c.corpus_id AND y.h = x.h
+                GROUP BY c.batch_id, c.corpus_id),
+      near AS (SELECT batch_id, min(corpus_id) AS near_id
+               FROM inter i JOIN sizes sa ON sa.doc_id = i.batch_id
+                            JOIN sizes sb ON sb.doc_id = i.corpus_id
+               WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
+               GROUP BY batch_id),
+      ex AS (SELECT b.doc_id AS batch_id, min(c.doc_id) AS exact_id
+             FROM documents b JOIN flag fb ON fb.doc_id = b.doc_id AND fb.isb
+                  JOIN documents c ON c.text = b.text
+                  JOIN flag fc ON fc.doc_id = c.doc_id AND NOT fc.isb
+             GROUP BY b.doc_id)
+      SELECT d.doc_id,
+        CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+             WHEN n.near_id IS NOT NULL THEN 'near'
+             ELSE 'unique' END AS status,
+        coalesce(e.exact_id, n.near_id, -1) AS match_id
+      FROM documents d JOIN flag f ON f.doc_id = d.doc_id AND f.isb
+      LEFT JOIN ex e ON e.batch_id = d.doc_id
+      LEFT JOIN near n ON n.batch_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
+    // ---- deterministic per-stratum EXACT-k sample (reservoir-k
+    //      without RNG): the k smallest Knuth-hash values per stratum,
+    //      via the custom TopKPerKey operator — per-partition bounded
+    //      heaps cap the shuffle at k x strata rows (d08 is the
+    //      RATE-based knob; this is the exact-count one) ----
+    ("d10_topk_sample", (s: SparkSession, d: String) => {
+      val hk = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L), lit(1000003L))
+      // TopKPerKey keeps the LARGEST ord values; negate for smallest-k
+      val df = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), (-hk).as("negk"))
+      graft.operators.TopK.topKPerKey(df, Seq("source"), "negk", "doc_id", 5)
+        .select(col("source"), col("doc_id"), (-col("negk")).cast("bigint").as("hk"))
+        .orderBy("source", "hk", "doc_id")
+    }, Some("""
+      SELECT source, doc_id,
+        CAST((doc_id % 1000003) * 427799 % 1000003 AS BIGINT) AS hk
+      FROM (SELECT source, doc_id,
+              row_number() OVER (PARTITION BY source
+                ORDER BY (doc_id % 1000003) * 427799 % 1000003, doc_id) AS rn
+            FROM documents)
+      WHERE rn <= 5
+      ORDER BY source, hk, doc_id"""))
   )
 }

@@ -1201,6 +1201,45 @@ object Relational {
              (SELECT count(*) FROM f) AS exact_f,
              (SELECT count(*) FROM r JOIN f USING (l_partkey)) AS exact_both,
              true AS r_within_5pct, true AS f_within_5pct,
-             true AS both_within_10pct"""))
+             true AS both_within_10pct""")),
+
+    // ---- MERGE / upsert (SCD-1): apply a change set (updates +
+    //      inserts) to a target table as one full-outer join on the
+    //      key + coalesce resolution — the Delta/Iceberg MERGE INTO
+    //      shape without the transaction layer. Scale: one key
+    //      shuffle of the target; a small change set broadcasts
+    //      (AQE picks it), so steady-state ingest never rewrites
+    //      unmatched rows through the join ----
+    ("q63_merge_upsert", (s: SparkSession, d: String) => {
+      val target = Tables.orders(s, d)
+      // simulated change set: 1-in-7 price updates + 1-in-1000 inserts
+      val updates = target.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") + lit(10.0)).as("new_price"))
+      val inserts = target.filter(col("o_orderkey") % 1000 === 3)
+        .select((col("o_orderkey") + lit(100000000L)).as("k"),
+          col("o_totalprice").as("new_price"))
+      val source = updates.unionAll(inserts)
+      target.join(source, col("o_orderkey") === col("k"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+          coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderkey").isNull, "inserted")
+            .when(col("k").isNull, "kept")
+            .otherwise("updated").as("merge_action"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      WITH src AS (
+        SELECT o_orderkey AS k, o_totalprice + 10.0 AS new_price
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 3)
+      SELECT coalesce(t.o_orderkey, s.k) AS o_orderkey,
+        coalesce(s.new_price, t.o_totalprice) AS o_totalprice,
+        CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+             WHEN s.k IS NULL THEN 'kept' ELSE 'updated' END AS merge_action
+      FROM orders t FULL JOIN src s ON t.o_orderkey = s.k
+      ORDER BY o_orderkey"""))
   )
 }

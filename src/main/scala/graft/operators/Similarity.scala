@@ -349,6 +349,49 @@ object Similarity {
                    ELSE CAST(n_found AS DOUBLE) / n_true END, 6) AS recall,
         (CASE WHEN n_true = 0 THEN 1.0
               ELSE CAST(n_found AS DOUBLE) / n_true END) >= 0.95 AS recall_ok
-      FROM m"""))
+      FROM m""")),
+
+    // ---- int8 scalar quantization of the embedding column (4x
+    //      memory/IO cut for ANN at scale): per-vector max-abs scale,
+    //      symmetric round-to-nearest codes in [-127,127], exact
+    //      reconstruction-error audit. Zero-shuffle codegen column
+    //      map + one partial-agg rollup; every float op is a
+    //      correctly-rounded IEEE op so the oracle matches bit-exactly ----
+    ("s06_quantize_int8", (s: SparkSession, d: String) => {
+      val xd = transform(col("embedding"), x => x.cast("double"))
+      val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), xd.as("xd"), mx.as("mx"))
+        .filter(col("mx") > 0)
+        .withColumn("scale", lit(127.0) / col("mx"))
+        .withColumn("codes",
+          transform(col("xd"), x => round(x * col("scale")).cast("long")))
+        .withColumn("csum",
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c))
+        .withColumn("err", array_max(zip_with(col("xd"), col("codes"),
+          (x, c) => abs(x - c.cast("double") / col("scale")))))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("csum")).as("code_sum"),
+          round(max(col("err")), 9).as("max_err"))
+        .orderBy("label")
+    }, Some("""
+      WITH q AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings),
+      sc AS (SELECT vec_id, label, xd, CAST(127 AS DOUBLE) / mx AS scale
+             FROM q WHERE mx > 0),
+      c AS (SELECT vec_id, label, scale, xd,
+              list_transform(xd, x -> CAST(round(x * scale) AS BIGINT)) AS codes
+            FROM sc),
+      e AS (SELECT vec_id, label,
+              CAST(list_sum(codes) AS BIGINT) AS csum,
+              list_max(list_transform(range(1, len(xd) + 1),
+                i -> abs(xd[i] - CAST(codes[i] AS DOUBLE) / scale))) AS err
+            FROM c)
+      SELECT label, count(*) AS n, CAST(sum(csum) AS BIGINT) AS code_sum,
+        round(max(err), 9) AS max_err
+      FROM e GROUP BY label ORDER BY label"""))
   )
 }

@@ -235,6 +235,91 @@ object TextOps {
       SELECT doc_id, n_emails, n_phones,
         CAST(length(sc) AS BIGINT) AS scrubbed_len,
         CASE WHEN length(sc) >= 40 THEN right(sc, 40) ELSE sc END AS scrubbed_tail
-      FROM scr ORDER BY doc_id"""))
+      FROM scr ORDER BY doc_id""")),
+
+    // ---- BM25 retrieval scoring (Okapi, Lucene's non-negative idf):
+    //      query = distinct terms of doc 0. Scale shape: tokenize once,
+    //      broadcast-semi-join down to query terms EARLY (the tf stream
+    //      is docs x query-terms, not docs x vocab), df + corpus stats
+    //      are tiny broadcasts. Float discipline: idf is rounded to 6dp
+    //      after ln (kills the last-ulp libm divergence), per-term
+    //      scores to 10dp, and the per-doc sum runs in decimal so it is
+    //      aggregation-order-independent ----
+    ("t07_bm25", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+      val words = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val qterms = words.filter(col("doc_id") === 0).select(col("w")).distinct()
+      val tf = words.join(broadcast(qterms), "w")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val idf = round(log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))), 6)
+      val tfFac = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+      tf.join(broadcast(dfreq), "w").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(idf * tfFac, 10).cast("decimal(28,10)").as("ts"))
+        .groupBy(col("doc_id")).agg(sum(col("ts")).as("sdec"))
+        .select(col("doc_id"), round(col("sdec").cast("double"), 6).as("bm25"))
+        .filter(col("doc_id") =!= 0)
+        .orderBy(desc("bm25"), col("doc_id")).limit(20)
+    }, Some("""
+      WITH words AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        WHERE w <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      q AS (SELECT DISTINCT w FROM words WHERE doc_id = 0),
+      tf AS (SELECT doc_id, w, count(*) AS tf
+             FROM words JOIN q USING (w) GROUP BY doc_id, w),
+      dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      term AS (
+        SELECT t.doc_id,
+          CAST(round(
+            round(ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5) /
+                           (CAST(f.df AS DOUBLE) + 0.5)), 6) *
+            ((CAST(t.tf AS DOUBLE) * 2.2) /
+             (CAST(t.tf AS DOUBLE) +
+              1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) /
+                     (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))),
+            10) AS DECIMAL(28,10)) AS ts
+        FROM tf t JOIN dfreq f USING (w) JOIN dl d ON d.doc_id = t.doc_id, stats s)
+      SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS bm25
+      FROM term WHERE doc_id <> 0
+      GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+    // ---- vocabulary building: global token counts + corpus share,
+    //      top-100 — the tokenizer-training precursor. One partial-agg
+    //      groupBy + TakeOrdered top-k; the 1-row total is a broadcast ----
+    ("t08_vocab", (s: SparkSession, d: String) => {
+      val words = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(split(trim(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val total = words.agg(count(lit(1)).as("total"))
+      words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("w").as("token"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"))
+        .orderBy(desc("n"), col("token")).limit(100)
+    }, Some("""
+      WITH nz AS (
+        SELECT w FROM (
+          SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        WHERE w <> ''),
+      tot AS (SELECT count(*) AS total FROM nz)
+      SELECT w AS token, count(*) AS n,
+        round(CAST(count(*) AS DOUBLE) / (SELECT total FROM tot), 6) AS share
+      FROM nz GROUP BY w
+      ORDER BY n DESC, token LIMIT 100"""))
   )
 }

