@@ -17,13 +17,18 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // steady-state measurement: one untimed pass (JIT, codegen cache,
-    // parquet footers), then the timed pass. Failures are RECORDED,
-    // not swallowed: a broken query must fail the bench loudly, not be
-    // silently timed as its time-to-throw.
-    selected.foreach { case (_, fn) =>
-      try run(fn) catch { case _: Throwable => }
-    }
+    // parquet footers), then the timed pass. Failures are RECORDED in
+    // BOTH passes, not swallowed: a broken query must fail the bench
+    // loudly, not be warmed as a no-op and then timed cold (or timed
+    // as its time-to-throw).
     val failed = scala.collection.mutable.ListBuffer[String]()
+    selected.foreach { case (name, fn) =>
+      try run(fn) catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] WARMUP FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn) catch {
