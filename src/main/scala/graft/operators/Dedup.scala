@@ -104,6 +104,100 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Sub-document units: explode each doc into fixed `windowWords`-word
+    * windows (non-overlapping), the unit grain real pretraining corpora
+    * deduplicate at — boilerplate, partial copies, and quotes recur at
+    * the paragraph/window level even when whole documents differ.
+    * Output: (doc_id, uid, utext), uid = doc_id * 2^20 + window index
+    * (supports docs up to 2^20 windows and ids up to 2^43 — ANSI mode
+    * throws loudly rather than wrapping beyond that). One explode, no
+    * shuffle; unit count is ~words/windowWords per doc.
+    */
+  def subdocUnits(documents: DataFrame, windowWords: Int = 16): DataFrame = {
+    val ws = filter(split(trim(col("text")), " "), w => w =!= "")
+    documents.select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ws")) - 1, lit(windowWords)),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(windowWords)))))
+          .as(Seq("uidx", "utext")))
+      .select(col("doc_id"),
+        (col("doc_id") * lit(1048576L) + col("uidx")).as("uid"), col("utext"))
+  }
+
+  /** Sub-document near-dup dedup: minhash-LSH over window units,
+    * CROSS-DOC pairs only, rolled up to a per-doc duplicated-unit
+    * fraction (the filter signal: drop or trim docs whose windows are
+    * mostly copies of other docs). Same machinery and shuffle budget
+    * as [[minhashPairs]] — O(units x 8) band rows, bucket-collected
+    * candidates, semi-join-pruned verify — with same-doc pairs
+    * discarded at the candidate stage (before the verify joins).
+    */
+  def subdocDupStats(documents: DataFrame, windowWords: Int = 16,
+      jaccardMin: Double = 0.5): DataFrame = {
+    val units = subdocUnits(documents, windowWords)
+    val docs = shingled(units.select(col("uid").as("doc_id"), col("utext").as("text")))
+    val bands = minhashBands(docs)
+    val buckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // uid unpacking must be integer-exact at any scale: a double
+    // division would corrupt doc ids once uid passes 2^53
+    val docOf: Column => Column = u => shiftright(u, 20)
+    val cands = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_x")), col("ids"))
+      .select(col("id_x"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_y"))
+      .filter(docOf(col("id_x")) =!= docOf(col("id_y"))) // cross-doc only
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val candDocs = docs.join(candIds, "doc_id")
+    val a = candDocs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = candDocs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val dupUnits = cands.join(a, "id_a").join(b, "id_b")
+      .filter(graft.functions.jaccardHashes(col("sh_a"), col("sh_b")) >= jaccardMin)
+      .select(explode(array(col("id_a"), col("id_b"))).as("uid")).distinct()
+    val perDoc = units.groupBy(col("doc_id")).agg(count(lit(1)).as("n_units"))
+    val dupPerDoc = dupUnits.select(docOf(col("uid")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_units"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_units"),
+        coalesce(col("n_dup_units"), lit(0L)).as("n_dup_units"),
+        round(coalesce(col("n_dup_units"), lit(0L)).cast("double") / col("n_units"), 6)
+          .as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  /** Eval-set decontamination: count each corpus doc's distinct 8-gram
+    * shingle hashes shared with ANY doc of a (small) eval set, and flag
+    * docs at >= `minShared` — the standard pre-training hygiene step
+    * that keeps benchmark text out of the training mix. Scale shape:
+    * the eval side collapses to one distinct hash set (tiny — eval
+    * suites are MBs, corpora are TBs) and BROADCASTS into the corpus
+    * shingle stream; the only shuffle is the per-doc count of matches,
+    * which carries contaminated shingles only.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+      minShared: Int = 3): DataFrame = {
+    val sh = graft.functions.shingleHashes(col("text"), n)
+    val evalH = evalSet
+      .repartition(evalSet.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(sh).as("h")).distinct()
+    val corpusH = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(sh).as("h"))
+    val shared = corpusH.join(broadcast(evalH), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id")).join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_8grams"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-set near-duplicate detection: which docs of `batch` have a
     * near-dup (jaccard >= jaccardMin) in `corpus`. THE incremental
     * ingest shape: batch band keys join corpus band keys, so each
@@ -563,6 +657,95 @@ object Dedup {
                 ORDER BY (doc_id % 1000003) * 427799 % 1000003, doc_id) AS rn
             FROM documents)
       WHERE rn <= 5
-      ORDER BY source, hk, doc_id"""))
+      ORDER BY source, hk, doc_id""")),
+
+    // ---- sub-document near-dup dedup: minhash-LSH at the 16-word
+    //      WINDOW grain, cross-doc pairs only, rolled up to per-doc
+    //      duplicated-unit fraction. Full bit-exact oracle: d02's CTE
+    //      chain (FNV shingle hashes, 32-perm signatures, bands,
+    //      exact-jaccard verify) over the exploded units ----
+    ("d11_subdoc_dedup", (s: SparkSession, d: String) =>
+      subdocDupStats(Tables.documents(s, d), 16, 0.5), Some(s"""
+      WITH w AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+                 FROM documents),
+      u AS (SELECT doc_id, doc_id * 1048576 + (i // 16) AS uid,
+              list_slice(ws, i + 1, least(i + 16, len(ws))) AS uw
+            FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1, 16)) AS i
+                  FROM w WHERE len(ws) > 0)),
+      tri AS (SELECT DISTINCT uid,
+                CASE WHEN len(uw) >= 3 THEN uw[i] || ' ' || uw[i+1] || ' ' || uw[i+2]
+                     ELSE array_to_string(uw, ' ') END AS tg
+              FROM (SELECT uid, uw,
+                      unnest(generate_series(1, greatest(len(uw) - 2, 1))) AS i
+                    FROM u)),
+      th AS (SELECT tg, ${OracleSql.fnvU64("tg")} AS h
+             FROM (SELECT DISTINCT tg FROM tri)),
+      uh AS (SELECT DISTINCT uid, h FROM tri JOIN th USING (tg)),
+      hpv AS (SELECT uid,
+                ((${OracleSql.signed("h")} % 2147483647) + 2147483647)
+                  % 2147483647 AS hp
+              FROM uh),
+      consts(i, a, b) AS ${OracleSql.minhashConstsValues},
+      sig AS (SELECT uid, c.i, min((c.a * hp + c.b) % 2147483647) AS s
+              FROM hpv CROSS JOIN consts c GROUP BY uid, c.i),
+      bands AS (SELECT uid, i // 4 AS band, list(s ORDER BY i) AS bkey
+                FROM sig GROUP BY uid, i // 4),
+      cand AS (SELECT DISTINCT a.uid AS id_a, b.uid AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bkey = b.bkey AND a.uid < b.uid
+                    AND a.uid // 1048576 <> b.uid // 1048576),
+      sizes AS (SELECT uid, count(*) AS n FROM uh GROUP BY uid),
+      inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+                FROM cand c JOIN uh x ON x.uid = c.id_a
+                            JOIN uh y ON y.uid = c.id_b AND y.h = x.h
+                GROUP BY c.id_a, c.id_b),
+      pairs AS (SELECT i.id_a, i.id_b
+                FROM inter i JOIN sizes sa ON sa.uid = i.id_a
+                             JOIN sizes sb ON sb.uid = i.id_b
+                WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5),
+      dup AS (SELECT DISTINCT uid FROM (SELECT id_a AS uid FROM pairs
+                                        UNION ALL SELECT id_b AS uid FROM pairs)),
+      nu AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY doc_id),
+      nd AS (SELECT uid // 1048576 AS doc_id, count(*) AS n_dup_units
+             FROM dup GROUP BY 1)
+      SELECT nu.doc_id, nu.n_units,
+        CAST(coalesce(nd.n_dup_units, 0) AS BIGINT) AS n_dup_units,
+        round(CAST(coalesce(nd.n_dup_units, 0) AS DOUBLE) / nu.n_units, 6)
+          AS dup_fraction
+      FROM nu LEFT JOIN nd ON nd.doc_id = nu.doc_id
+      ORDER BY nu.doc_id""")),
+
+    // ---- eval-set decontamination: distinct 8-gram shingle hashes
+    //      shared with a broadcast eval set (~2% hash split), flag at
+    //      >= 3 shared. Oracle: exact shingle-string intersection ----
+    ("d12_decontaminate", (s: SparkSession, d: String) => {
+      val all = Tables.documents(s, d)
+      val isEval =
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L), lit(1000003L)) % 50 === 0
+      decontaminate(all.filter(!isEval), all.filter(isEval), 8, 3)
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+                 FROM documents),
+      f AS (SELECT doc_id,
+              (doc_id % 1000003) * 427799 % 1000003 % 50 = 0 AS ev
+            FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(ws) >= 8
+                   THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                     || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+                   ELSE array_to_string(ws, ' ') END AS tg
+            FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+                  FROM w WHERE len(ws) > 0)),
+      eh AS (SELECT DISTINCT tg FROM g JOIN f USING (doc_id) WHERE ev),
+      sh AS (SELECT g.doc_id, count(*) AS n
+             FROM g JOIN f USING (doc_id) JOIN eh USING (tg)
+             WHERE NOT ev GROUP BY g.doc_id)
+      SELECT d.doc_id, CAST(coalesce(sh.n, 0) AS BIGINT) AS n_shared_8grams,
+        coalesce(sh.n, 0) >= 3 AS contaminated
+      FROM documents d JOIN f USING (doc_id) LEFT JOIN sh ON sh.doc_id = d.doc_id
+      WHERE NOT f.ev ORDER BY d.doc_id"""))
   )
 }

@@ -91,6 +91,42 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked === brute)
   }
 
+  test("subdocUnits: fixed word windows with packed uids") {
+    val units = Dedup.subdocUnits(docs(3L -> ("w " * 40).trim), 16)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(units.length === 3) // 16 + 16 + 8 words
+    assert(units.map(_._1).toSet === Set(3L * 1048576, 3L * 1048576 + 1, 3L * 1048576 + 2))
+    assert(units.last._2.split(" ").length === 8)
+  }
+
+  test("subdocDupStats: flags shared windows cross-doc, ignores same-doc repeats") {
+    val blockA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val blockB = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val blockC = "red orange yellow green blue indigo violet cyan magenta teal maroon navy olive coral amber jade"
+    val blockD = "ant bee cat dog elk fox gnu hen ibis jay kite lark mole newt owl pig"
+    // doc 1 = A+B; doc 2 = A+C (shares window A cross-doc); doc 3 = D+D
+    // (repeats its OWN window only — must NOT count, dedup is cross-doc)
+    val stats = Dedup.subdocDupStats(docs(
+      1L -> s"$blockA $blockB", 2L -> s"$blockA $blockC",
+      3L -> s"$blockD $blockD"), 16, 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats(1L) === ((2L, 1L))) // A shared with doc2; B unique
+    assert(stats(2L) === ((2L, 1L))) // A shared; C unique
+    assert(stats(3L) === ((2L, 0L))) // identical windows, but same-doc only
+  }
+
+  test("decontaminate: counts shared 8-grams vs broadcast eval set") {
+    val evalDoc = "the capital of france is paris and the capital of italy is rome always"
+    val contaminated = s"intro words here $evalDoc trailing content words"
+    val clean = "totally unrelated text about mountains rivers forests deserts oceans and valleys spanning many words"
+    val out = Dedup.decontaminate(
+      docs(1L -> contaminated, 2L -> clean), docs(100L -> evalDoc), 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val m = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L)._1 >= 3 && m(1L)._2, s"doc 1 should be contaminated: $out")
+    assert(m(2L) === ((0L, false)))
+  }
+
   test("connectedComponents: chain merges, disjoint stays split") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
