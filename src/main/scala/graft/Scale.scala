@@ -72,6 +72,25 @@ object Scale {
       f"LSH candidates ${cands}%,d (${allPairs.toDouble / cands}%.0fx fewer), " +
       f"planted near-dup pairs ${cliquePairs}%,d, found ${found}%,d " +
       f"(recall ${found.toDouble / cliquePairs}%.4f)")
+
+    // ---- incremental-dedup probe: per-increment cost must track the
+    // BATCH size against a FIXED corpus (the signature store carries
+    // all corpus-side work; only the batch shingles/signs/shuffles).
+    // Batches are perturbed copies of corpus docs so the cross-set
+    // candidate stage does real verify work, not empty joins.
+    val t0 = System.nanoTime()
+    graft.operators.Dedup.writeSignatureStore(docs, "scale_sig", 32)
+    println(f"[scale] signature store build (corpus $n docs): ${(System.nanoTime() - t0) / 1e9}%.2f s (one-time)")
+    Seq(n / 64, n / 16, n / 4).foreach { bsz =>
+      val batch = docs.filter(col("doc_id") % (n / bsz) === 0)
+        .select(col("doc_id") + 1000000000L as "doc_id",
+          concat(col("text"), lit(" probe")).as("text"))
+      val tb = System.nanoTime()
+      val pairs = graft.operators.Dedup
+        .minhashPairsAgainstStore(spark, "scale_sig", batch, 0.8).count()
+      val sec = (System.nanoTime() - tb) / 1e9
+      println(f"[scale] incremental batch=$bsz%-7d $sec%8.2f s  ($pairs pairs, ${bsz / sec}%.0f docs/s)")
+    }
     spark.stop()
   }
 }

@@ -227,6 +227,48 @@ object Dedup {
       .filter(col("jaccard") >= jaccardMin)
   }
 
+  /** Materialize the corpus signature store that makes incremental
+    * dedup cost ∝ batch size: the band table keyed by a single
+    * `skey = xxhash64(band, bkey)` and the per-doc shingle sets for
+    * the verify stage, both written as BUCKETED+SORTED tables. Every
+    * subsequent batch join then reads the store with ZERO exchange on
+    * the store side — only the (small) batch shuffles. skey folding
+    * band into one column is what lets the store bucket on one key;
+    * cross-band skey collisions can only ADD candidates, and the
+    * exact-jaccard verify removes them.
+    */
+  def writeSignatureStore(corpus: DataFrame, name: String, buckets: Int = 8): Unit = {
+    val cd = shingled(corpus)
+    val bands = minhashBands(cd)
+      .select(col("doc_id"), xxhash64(col("band"), col("bkey")).as("skey"))
+    graft.sources.Sinks.writeBucketed(bands, s"${name}_bands", buckets, "skey")
+    graft.sources.Sinks.writeBucketed(cd, s"${name}_shingles", buckets, "doc_id")
+  }
+
+  /** [[minhashPairsAgainst]] against a materialized signature store
+    * (see [[writeSignatureStore]]): the corpus is never re-shingled,
+    * re-signed, or re-banded — per-increment cost is the batch's own
+    * shingle/sign work plus the cross-bucket candidates.
+    */
+  def minhashPairsAgainstStore(spark: SparkSession, name: String,
+      batch: DataFrame, jaccardMin: Double): DataFrame = {
+    val bd = shingled(batch)
+    val bb = minhashBands(bd)
+      .select(col("doc_id").as("batch_id"),
+        xxhash64(col("band"), col("bkey")).as("skey"))
+    val cb = spark.table(s"${name}_bands")
+      .select(col("doc_id").as("corpus_id"), col("skey"))
+    val cands = bb.join(cb, "skey")
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val a = bd.select(col("doc_id").as("batch_id"), col("sh").as("sh_a"))
+    val c = spark.table(s"${name}_shingles")
+      .select(col("doc_id").as("corpus_id"), col("sh").as("sh_b"))
+    cands.join(a, "batch_id").join(c, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        graft.functions.jaccardHashes(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
+  }
+
   /** SimHash near-duplicate pairs over (doc_id, text): Manku-style
     * (WWW'07) blocking — split the 64-bit signature into 8 chunks of
     * 8 bits and key each doc on all C(8,2)=28 ORDERED CHUNK PAIRS

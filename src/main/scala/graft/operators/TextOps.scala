@@ -38,6 +38,119 @@ object TextOps {
     }
   }
 
+  /** Real byte-pair-encoding tokenizer behind the [[Tokenizer]] seam.
+    *
+    * Training ([[graft.tools.TrainBpe]]): standard BPE over the corpus
+    * word-frequency table — repeatedly merge the most frequent
+    * adjacent symbol pair, ties broken lexicographically so the run is
+    * deterministic. The committed merge table
+    * (resources/graft/bpe_merges.txt) was trained once on the sf0.01
+    * corpus and is data-independent at APPLY time, which is what lets
+    * the DuckDB oracle replay the identical merge chain as static SQL.
+    *
+    * Encoding: each merge, in rank order, is applied exhaustively
+    * left-to-right (non-overlapping) — exactly the semantics of the
+    * oracle's nested replace() chain, so token counts are bit-equal.
+    * Per-partition open() loads the merges once and memoizes
+    * distinct-word encodings (Zipf makes the cache hit rate ~1).
+    */
+  object Bpe {
+    def loadMerges(): Vector[(String, String)] = {
+      val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+      require(in != null, "resource graft/bpe_merges.txt missing — run graft.tools.TrainBpe")
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { l => val Array(a, b) = l.split(" ", 2); (a, b) }.toVector
+      finally in.close()
+    }
+
+    /** Split into codepoint symbols (matches the oracle's
+      * regexp_split_to_array(w,''), which splits codepoints, not
+      * UTF-16 units). */
+    def symbols(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+
+    /** One left-to-right non-overlapping pass merging (a,b) → ab. */
+    private def applyMerge(toks: Vector[String], a: String, b: String): Vector[String] =
+      if (toks.length < 2) toks
+      else {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.result()
+      }
+
+    /** Apply the merge table in rank order to one word. */
+    def encodeTokens(word: String, merges: Seq[(String, String)]): Vector[String] = {
+      var toks = symbols(word)
+      merges.foreach { case (a, b) => toks = applyMerge(toks, a, b) }
+      toks
+    }
+
+    /** Train `nMerges` BPE merges from (word, count) pairs. Stops early
+      * when no pair occurs twice. Deterministic: ties break on the
+      * pair's lexicographic order. */
+    def train(wordCounts: Seq[(String, Long)], nMerges: Int): Vector[(String, String)] = {
+      var vocab: Vector[(Vector[String], Long)] =
+        wordCounts.map { case (w, c) => (symbols(w), c) }.toVector
+      val merges = Vector.newBuilder[(String, String)]
+      var k = 0
+      var done = false
+      while (k < nMerges && !done) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocab.foreach { case (toks, c) =>
+          var i = 0
+          while (i + 1 < toks.length) {
+            val p = (toks(i), toks(i + 1))
+            counts(p) = counts.getOrElse(p, 0L) + c
+            i += 1
+          }
+        }
+        val best = counts.minByOption { case ((a, b), c) => (-c, a, b) }
+        best match {
+          case Some(((a, b), n)) if n >= 2 =>
+            merges += ((a, b))
+            vocab = vocab.map { case (toks, c) => (applyMerge(toks, a, b), c) }
+            k += 1
+          case _ => done = true
+        }
+      }
+      merges.result()
+    }
+
+    /** The committed merge table as a [[Tokenizer]]: counts BPE tokens
+      * over whitespace words. */
+    object Tok extends Tokenizer {
+      def open(): String => Long = {
+        val merges = loadMerges()
+        val cache = scala.collection.mutable.HashMap.empty[String, Long]
+        text => {
+          // split on single space, drop empties — EXACTLY the oracle's
+          // list_filter(string_split(text,' '), w -> w <> '') (no trim:
+          // trim semantics differ between JVM and DuckDB)
+          var n = 0L
+          text.split(" ").foreach { w =>
+            if (w.nonEmpty)
+              n += cache.getOrElseUpdate(w, encodeTokens(w, merges).length.toLong)
+          }
+          n
+        }
+      }
+    }
+  }
+
   /** Token counts through the [[Tokenizer]] seam. The default regex
     * tokenizer takes the codegen fast path (regexp_count column, no
     * JVM lambda per row); any injected tokenizer runs via
@@ -320,6 +433,45 @@ object TextOps {
       SELECT w AS token, count(*) AS n,
         round(CAST(count(*) AS DOUBLE) / (SELECT total FROM tot), 6) AS share
       FROM nz GROUP BY w
-      ORDER BY n DESC, token LIMIT 100"""))
+      ORDER BY n DESC, token LIMIT 100""")),
+
+    // ---- real BPE token counting through the Tokenizer seam: the
+    //      committed merge table (trained by graft.tools.TrainBpe over
+    //      this corpus's word table — the t08 precursor) is applied
+    //      per word via mapPartitions with one merges-load + one
+    //      word-encoding memo per partition. The oracle replays the
+    //      SAME merge chain in DuckDB: each symbol wrapped chr(31)s
+    //      chr(30) so replace() can only match whole symbols, one
+    //      nested replace per merge in rank order (left-to-right
+    //      non-overlapping — exactly applyMerge's semantics) ----
+    ("t09_bpe_tokens", (s: SparkSession, d: String) => {
+      tokenCounts(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism),
+        Bpe.Tok)
+        .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
+        .orderBy("doc_id")
+    }, Some(bpeOracleSql))
   )
+
+  /** DuckDB replay of the committed BPE merge table (see the t09
+    * entry): marker-wrap every codepoint, fold one replace() per merge
+    * in rank order, count tokens as split-parts minus one. Generated
+    * from the same resource the JVM tokenizer loads, so the two sides
+    * cannot drift.
+    */
+  private def bpeOracleSql: String = {
+    def sym(x: String) = s"chr(31)||'${x.replace("'", "''")}'||chr(30)"
+    val marked =
+      "array_to_string(list_transform(regexp_split_to_array(w,''), c -> chr(31)||c||chr(30)), '')"
+    val chain = Bpe.loadMerges().foldLeft(marked) { case (acc, (a, b)) =>
+      s"replace($acc, ${sym(a)}||${sym(b)}, ${sym(a + b)})"
+    }
+    s"""
+      SELECT doc_id,
+        CAST(coalesce(list_sum(list_transform(
+          list_filter(string_split(text, ' '), w -> w <> ''),
+          w -> len(string_split($chain, chr(30))) - 1)), 0) AS BIGINT) AS bpe_tokens
+      FROM documents ORDER BY doc_id"""
+  }
 }

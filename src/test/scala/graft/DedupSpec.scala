@@ -127,6 +127,50 @@ class DedupSpec extends AnyFunSuite {
     assert(m(2L) === ((0L, false)))
   }
 
+  test("signature store: batch join reads the corpus store with zero exchange") {
+    import org.apache.spark.sql.functions._
+    val corpus = docs(1L -> base, 3L -> far)
+    val batch = docs(2L -> near,
+      5L -> "nothing here resembles anything in the corpus at all today")
+    try {
+      Dedup.writeSignatureStore(corpus, "sigstore", 4)
+      // (1) same answer as the recompute path
+      val viaStore = Dedup.minhashPairsAgainstStore(spark, "sigstore", batch, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = Dedup.minhashPairsAgainst(corpus, batch, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaStore === direct && viaStore === Set((2L, 1L)))
+      // (2) the store side of the band join must not shuffle: the
+      // bucketed scan IS the exchange, written once at store build
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val bb = batch
+          .select(col("doc_id").as("batch_id"),
+            graft.functions.shingleHashes(col("text"), 3).as("sh"))
+          .select(col("batch_id"), explode(col("sh")).as("h"))
+          .groupBy(col("batch_id"))
+          .agg(graft.functions.minhashSig(col("h")).as("sig"))
+          .select(col("batch_id"), xxhash64(element_at(col("sig"), 1)).as("skey"))
+        val j = bb.join(spark.table("sigstore_bands"), "skey")
+        j.collect()
+        val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+        // the store-side subtree (the SortMergeJoin lines NOT prefixed
+        // with the first child's ':' gutter) must scan bucketed and
+        // never exchange — the bucketed write IS its shuffle; only the
+        // batch side (minhash agg + join key) shuffles
+        val storeSide = plan.linesIterator
+          .dropWhile(!_.contains("SortMergeJoin")).drop(1)
+          .filterNot(_.trim.startsWith(":")).mkString("\n")
+        assert(storeSide.contains("Bucketed: true"), plan)
+        assert(!storeSide.contains("Exchange"), s"store side must not re-shuffle:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sigstore_bands")
+      spark.sql("DROP TABLE IF EXISTS sigstore_shingles")
+    }
+  }
+
   test("connectedComponents: chain merges, disjoint stays split") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -55,6 +55,38 @@ class PipelineSeamsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("Bpe.train: greedy most-frequent pair, deterministic, stops when no pair repeats") {
+    // (a,b) occurs 2*2+3=7 times, (b,a) 2 — so (a,b) merges first;
+    // then (ab,ab) occurs twice in 'abab'; then nothing repeats.
+    val merges = TextOps.Bpe.train(Seq("abab" -> 2L, "ab" -> 3L), 10)
+    assert(merges === Vector(("a", "b"), ("ab", "ab")))
+    assert(merges === TextOps.Bpe.train(Seq("ab" -> 3L, "abab" -> 2L), 10))
+  }
+
+  test("Bpe.encodeTokens: left-to-right non-overlapping, merges in rank order only") {
+    import TextOps.Bpe.encodeTokens
+    assert(encodeTokens("lllll", Seq(("l", "l"))) === Vector("ll", "ll", "l"))
+    assert(encodeTokens("abcabc", Seq(("a", "b"), ("ab", "c"))) ===
+      Vector("abc", "abc"))
+    // a later merge creating an earlier pair must NOT re-trigger it
+    // (rank-order single pass — the oracle replace() chain's semantics)
+    assert(encodeTokens("aab", Seq(("a", "b"), ("a", "ab"))) ===
+      Vector("aab"))
+    assert(encodeTokens("aab", Seq(("a", "ab"), ("a", "b"))) ===
+      Vector("a", "ab"))
+  }
+
+  test("Bpe.Tok: committed merge table loads and counts = sum of per-word encodings") {
+    val merges = TextOps.Bpe.loadMerges()
+    assert(merges.nonEmpty && merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty })
+    val count = TextOps.Bpe.Tok.open()
+    assert(count("") === 0L)
+    assert(count("   ") === 0L)
+    val byHand = TextOps.Bpe.encodeTokens("the", merges).length +
+      TextOps.Bpe.encodeTokens("merchant", merges).length
+    assert(count("the  merchant") === byHand.toLong)
+  }
+
   test("MediaCodec seam: injected codec replaces the stub decode") {
     val opens = spark.sparkContext.longAccumulator("codec_opens")
     val fixed = new MediaCodec {
