@@ -20,11 +20,25 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
-  /** Bucketed + sorted table registered in the session catalog. */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+  /** Bucketed + sorted table registered in the session catalog.
+    * An in-memory catalog (tests, probes, fresh clusters) dies with
+    * the JVM but leaves the warehouse directory behind, and
+    * saveAsTable refuses to adopt an orphan location — so a location
+    * no live table owns is cleared first (Hadoop FS API: works on
+    * HDFS/S3 the same as locally).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Compact a parquet directory to ~`targetFileMB`-sized files —
     * the small-files remediation every long-running 100 TB ingest
