@@ -21,7 +21,9 @@ object Bench {
     // BOTH passes, not swallowed: a broken query must fail the bench
     // loudly, not be warmed as a no-op and then timed cold (or timed
     // as its time-to-throw).
-    val failed = scala.collection.mutable.ListBuffer[String]()
+    // LinkedHashSet: a query failing in BOTH passes is one failure,
+    // not two (a ListBuffer double-counted n_failed)
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     selected.foreach { case (name, fn) =>
       try run(fn) catch {
         case e: Throwable =>
@@ -48,10 +50,11 @@ object Bench {
       "q01_agg", "q03_join_inner", "q50_tpch_q5", "q18_window_ranking",
       "q27_arith", "q47_recursive_cte", "d01_dedup_exact", "d02_dedup_minhash",
       "d03_dedup_simhash", "d04_ngram_jaccard", "d05_dedup_embedding",
+      "d11_subdoc_dedup", "d12_decontaminate",
       "s01_similarity_topk", "s03_similarity_ivf", "t01_langid", "t03_tokens",
-      "t04_fingerprint", "t05_repetition", "m01_multimodal", "ss01_sessionize",
-      "ao01_asof_join", "rj01_point_interval", "tk01_topk_per_key",
-      "h01_hybrid_retrieval")
+      "t04_fingerprint", "t05_repetition", "t09_bpe_tokens", "m01_multimodal",
+      "ss01_sessionize", "ao01_asof_join", "rj01_point_interval",
+      "tk01_topk_per_key", "h01_hybrid_retrieval")
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -760,13 +760,15 @@ object Dedup {
 
     // ---- eval-set decontamination: distinct 8-gram shingle hashes
     //      shared with a broadcast eval set (~2% hash split), flag at
-    //      >= 3 shared. Oracle: exact shingle-string intersection ----
+    //      >= 3 shared. Oracle replays the SAME fnvU64 chain as d02/d11
+    //      (intersects 64-bit hashes, not strings) so both sides share
+    //      collision behavior at any corpus scale ----
     ("d12_decontaminate", (s: SparkSession, d: String) => {
       val all = Tables.documents(s, d)
       val isEval =
         pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L), lit(1000003L)) % 50 === 0
       decontaminate(all.filter(!isEval), all.filter(isEval), 8, 3)
-    }, Some("""
+    }, Some(s"""
       WITH w AS (SELECT doc_id,
                    list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
                  FROM documents),
@@ -781,10 +783,13 @@ object Dedup {
             FROM (SELECT doc_id, ws,
                     unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
                   FROM w WHERE len(ws) > 0)),
-      eh AS (SELECT DISTINCT tg FROM g JOIN f USING (doc_id) WHERE ev),
-      sh AS (SELECT g.doc_id, count(*) AS n
-             FROM g JOIN f USING (doc_id) JOIN eh USING (tg)
-             WHERE NOT ev GROUP BY g.doc_id)
+      th AS (SELECT tg, ${OracleSql.fnvU64("tg")} AS h
+             FROM (SELECT DISTINCT tg FROM g)),
+      gh AS (SELECT DISTINCT doc_id, h FROM g JOIN th USING (tg)),
+      eh AS (SELECT DISTINCT h FROM gh JOIN f USING (doc_id) WHERE ev),
+      sh AS (SELECT gh.doc_id, count(*) AS n
+             FROM gh JOIN f USING (doc_id) JOIN eh USING (h)
+             WHERE NOT ev GROUP BY gh.doc_id)
       SELECT d.doc_id, CAST(coalesce(sh.n, 0) AS BIGINT) AS n_shared_8grams,
         coalesce(sh.n, 0) >= 3 AS contaminated
       FROM documents d JOIN f USING (doc_id) LEFT JOIN sh ON sh.doc_id = d.doc_id

@@ -28,6 +28,27 @@ object Relational {
     sum(c.cast(DecimalType(18, scale))).cast("double")
   private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
 
+  /** `> ALL(S)` / `< ANY(S)` decorrelation over S = totalprice of the
+    * orders matching `subqPred`. The max-based rewrite alone returns
+    * NULL for an empty S where SQL says `> ALL(∅)` is TRUE and
+    * `< ANY(∅)` is FALSE — so the broadcast aggregate also carries the
+    * subquery row count and the comparisons switch on it. (o_totalprice
+    * is non-null, so count=0 is the only way p_max can be null; a
+    * nullable subquery column would additionally need the
+    * count-vs-count(col) three-valued cases.)
+    */
+  def anyAllRewrite(orders: DataFrame, subqPred: Column): DataFrame = {
+    val agg = orders.filter(subqPred)
+      .agg(max(col("o_totalprice")).as("p_max"), count(lit(1)).as("p_n"))
+    orders.crossJoin(broadcast(agg))
+      .select(col("o_orderkey"),
+        when(col("p_n") === 0, lit(true))
+          .otherwise(col("o_totalprice") > col("p_max")).as("gt_all_p"),
+        when(col("p_n") === 0, lit(false))
+          .otherwise(col("o_totalprice") < col("p_max")).as("lt_any_p"))
+      .orderBy("o_orderkey")
+  }
+
   /** (name, spark query, oracle SQL) triples. */
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -817,16 +838,7 @@ object Relational {
     // ---- ANY/ALL subqueries (left as TODO in the reference:
     //      README "ANY/ALL <subquery>") ----
     ("q46_any_all", (s: SparkSession, d: String) => {
-      val o = Tables.orders(s, d)
-      // > ALL(open-order prices) ≡ > max; < ANY ≡ < max (non-empty,
-      // non-null subquery) — the standard decorrelation
-      val agg = o.filter(col("o_orderstatus") === "P")
-        .agg(max(col("o_totalprice")).as("p_max"))
-      o.crossJoin(broadcast(agg))
-        .select(col("o_orderkey"),
-          (col("o_totalprice") > col("p_max")).as("gt_all_p"),
-          (col("o_totalprice") < col("p_max")).as("lt_any_p"))
-        .orderBy("o_orderkey")
+      anyAllRewrite(Tables.orders(s, d), col("o_orderstatus") === "P")
     }, Some("""
       SELECT o_orderkey,
         o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'P') AS gt_all_p,
@@ -1243,6 +1255,34 @@ object Relational {
         CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
              WHEN s.k IS NULL THEN 'kept' ELSE 'updated' END AS merge_action
       FROM orders t FULL JOIN src s ON t.o_orderkey = s.k
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // ---- bitwise operators (left as TODO in the reference:
+    //      README "Bitwise operators") — AND/OR/XOR/NOT/shifts/
+    //      popcount as a query-surface matrix. All codegen'd
+    //      comparisons on 64-bit two's-complement in both engines;
+    //      DuckDB's ^ is exponentiation, so the oracle uses xor() ----
+    ("q64_bitwise", (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d)
+      o.select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("bor"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+        bitwise_not(col("o_orderkey")).as("bnot"),
+        shiftleft(col("o_orderkey"), 3).as("shl"),
+        shiftright(col("o_orderkey"), 2).as("shr"),
+        bit_count(col("o_orderkey")).cast("bigint").as("popcnt"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        o_orderkey & 255 AS band,
+        o_orderkey | 4096 AS bor,
+        xor(o_orderkey, o_custkey) AS bxor,
+        ~o_orderkey AS bnot,
+        o_orderkey << 3 AS shl,
+        o_orderkey >> 2 AS shr,
+        CAST(bit_count(o_orderkey) AS BIGINT) AS popcnt
+      FROM orders ORDER BY o_orderkey"""))
   )
 }

@@ -57,7 +57,11 @@ object Skyline {
     var n = cur.count()
     var prev = Long.MaxValue
     while (n > maxGlobalRows) {
-      if (parts <= 2 || n >= prev)
+      // even an input arriving with <=2 partitions gets folds at
+      // parts=2 (repartition co-mingles points, so correlated data
+      // keeps collapsing); only NON-SHRINKAGE — anti-correlated data
+      // whose skyline is O(n) — aborts
+      if (n >= prev)
         throw new IllegalStateException(
           s"skyline2: candidate union has $n rows (> $maxGlobalRows) and is no longer " +
             "shrinking — near-linear skyline (anti-correlated data); raise maxGlobalRows " +

@@ -51,6 +51,17 @@ object TextOps {
     * Encoding: each merge, in rank order, is applied exhaustively
     * left-to-right (non-overlapping) — exactly the semantics of the
     * oracle's nested replace() chain, so token counts are bit-equal.
+    *
+    * DELIBERATE DEVIATION from canonical BPE apply: canonical apply
+    * iteratively re-scans for the lowest-rank pair present, so a later
+    * merge that creates an earlier merge's pair re-triggers it; this
+    * single rank-order pass does not (pinned by PipelineSeamsSpec:
+    * encodeTokens("aab", [(a,b),(a,ab)]) = [aab] where canonical BPE
+    * yields one more merge). The single pass is what makes the merge
+    * chain replayable as a static SQL replace() cascade — token counts
+    * from this tokenizer are internally consistent but not guaranteed
+    * equal to an HF/SentencePiece apply of the same merge table.
+    *
     * Per-partition open() loads the merges once and memoizes
     * distinct-word encodings (Zipf makes the cache hit rate ~1).
     */

@@ -25,15 +25,38 @@ object Sinks {
     * the JVM but leaves the warehouse directory behind, and
     * saveAsTable refuses to adopt an orphan location — so a location
     * no live table owns is cleared first (Hadoop FS API: works on
-    * HDFS/S3 the same as locally).
+    * HDFS/S3 the same as locally). Two safety rails for a SHARED
+    * warehouse dir: the location is resolved the same way saveAsTable
+    * resolves it (the name's database, or the CURRENT database — not
+    * blindly the warehouse root), and the delete only fires when the
+    * directory contains nothing but table-write artifacts (part-files
+    * / commit-protocol markers) — anything else might be live data
+    * owned by another application, and we refuse rather than delete.
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val (db, tbl) = table.split('.') match {
+        case Array(d, t) => (d, t)
+        case _           => (spark.catalog.currentDatabase, table)
+      }
+      val loc = new Path(new Path(spark.catalog.getDatabase(db).locationUri),
+        tbl.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (fs.exists(loc)) {
+        val it = fs.listFiles(loc, true)
+        while (it.hasNext) {
+          val n = it.next().getPath.getName
+          val tableArtifact = n.startsWith("part-") || n.startsWith("_SUCCESS") ||
+            n.startsWith("_committed") || n.startsWith("_started") ||
+            n.startsWith("_temporary") || n.startsWith(".")
+          require(tableArtifact,
+            s"writeBucketed: orphan location $loc contains non-table file '$n' — " +
+              "refusing to delete data this session does not own; remove it manually")
+        }
+        fs.delete(loc, true)
+      }
     }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)

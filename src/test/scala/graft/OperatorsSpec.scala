@@ -81,6 +81,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(after === before + 10.0)
   }
 
+  test("anyAllRewrite: empty subquery gives SQL semantics (> ALL(∅)=TRUE, < ANY(∅)=FALSE)") {
+    import spark.implicits._
+    val orders = Seq((1L, 10.0, "O"), (2L, 20.0, "F"), (3L, 30.0, "O"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+    // no 'Z' orders → vacuous ALL is true for every row, ANY false
+    val empty = graft.operators.Relational
+      .anyAllRewrite(orders, col("o_orderstatus") === "Z")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(empty.toSeq === Seq((1L, true, false), (2L, true, false), (3L, true, false)))
+    // non-empty: > ALL ≡ > max(20), < ANY ≡ < max(20)
+    val some = graft.operators.Relational
+      .anyAllRewrite(orders, col("o_orderstatus") === "F")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(some.toSeq === Seq((1L, false, true), (2L, false, false), (3L, true, false)))
+  }
+
   test("t07 BM25: a doc repeating the query's rare terms outranks one without them") {
     // corpus semantics on the real output: scores strictly ordered,
     // all positive, and every scored doc shares at least one term

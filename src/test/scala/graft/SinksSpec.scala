@@ -50,6 +50,36 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("writeBucketed clears a dead table-write orphan, refuses foreign data") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val warehouse = spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri
+      .stripPrefix("file:")
+    // (1) genuine orphan — only commit-protocol artifacts → cleared, write succeeds
+    val orphan = Paths.get(warehouse, "b_orphan")
+    JFiles.createDirectories(orphan)
+    JFiles.write(orphan.resolve("part-00000-dead.parquet"), Array[Byte](1, 2, 3))
+    JFiles.write(orphan.resolve("_SUCCESS"), Array[Byte]())
+    try {
+      Sinks.writeBucketed(Tables.nation(spark, sf), "b_orphan", 2, "n_nationkey")
+      assert(spark.table("b_orphan").count() === 25)
+    } finally spark.sql("DROP TABLE IF EXISTS b_orphan")
+    // (2) location holding a file we did not write → refuse, data intact
+    val foreign = Paths.get(warehouse, "b_foreign")
+    JFiles.createDirectories(foreign)
+    val alien = foreign.resolve("live_data.csv")
+    JFiles.write(alien, "not ours".getBytes("UTF-8"))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sinks.writeBucketed(Tables.nation(spark, sf), "b_foreign", 2, "n_nationkey")
+      }
+      assert(e.getMessage.contains("refusing to delete"))
+      assert(JFiles.exists(alien), "foreign file must survive the refusal")
+    } finally {
+      JFiles.delete(alien)
+      JFiles.delete(foreign)
+    }
+  }
+
   test("binaryFile source feeds the multimodal decode path") {
     import spark.implicits._
     val dir = tmp("graft-bin")

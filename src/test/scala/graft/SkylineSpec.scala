@@ -23,6 +23,20 @@ class SkylineSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(0L))
   }
 
+  test("skyline2 folds at parts<=2 instead of failing (few input partitions)") {
+    import spark.implicits._
+    // partition 0: a 50-point staircase (mutually non-dominated);
+    // partition 1: the single point that dominates all of it. Phase 1
+    // yields 51 candidates from only 2 partitions — the fold loop must
+    // still run (repartition co-mingles dominator and staircase, each
+    // round roughly halves) rather than aborting on parts<=2.
+    val pts = (1 to 50).map(i => (i.toLong, i.toDouble, i.toDouble)) :+ ((0L, 0.0, 100.0))
+    val df = spark.sparkContext.parallelize(pts, 2).toDF("id", "mn", "mx")
+    val out = Skyline.skyline2(df, "id", "mn", "mx", maxGlobalRows = 10)
+      .collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(0L))
+  }
+
   test("skyline2 throws on near-linear (anti-correlated) skylines") {
     import spark.implicits._
     // (i, i): all points mutually non-dominated — the skyline IS the
