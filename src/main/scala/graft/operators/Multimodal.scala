@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -22,8 +22,8 @@ trait MediaCodec extends Serializable {
   def open(): MediaRow => DecodedRow
 }
 
-/** Default STUB codec: deterministic arithmetic fake standing in for
-  * a real decoder (image/audio libs are absent in this environment).
+/** STUB codec for formats whose decode libraries are absent in this
+  * environment (audio/video): deterministic arithmetic on the payload.
   */
 object StubCodec extends MediaCodec {
   def open(): MediaRow => DecodedRow = { m =>
@@ -35,47 +35,116 @@ object StubCodec extends MediaCodec {
   }
 }
 
+/** REAL image decode through the seam: `javax.imageio` is pure JDK, so
+  * image rows need no stub. Width/height come out of the actual PNG/
+  * JPEG bitstream (`ImageIO.read`), not payload arithmetic; audio and
+  * video rows (codecs genuinely absent here) fall back to [[StubCodec]].
+  * open() is the once-per-partition init point: disable ImageIO's
+  * temp-file cache (executors decode in memory, not on local disk).
+  */
+object ImageIoCodec extends MediaCodec {
+  def open(): MediaRow => DecodedRow = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val fallback = StubCodec.open()
+    m =>
+      if (m.media_type == "image") {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"undecodable image payload for doc ${m.doc_id}")
+        DecodedRow(m.doc_id, m.media_type,
+          img.getWidth.toLong, img.getHeight.toLong, 1L)
+      } else fallback(m)
+  }
+}
+
+/** Deterministic tiny PNGs — REAL image bytes (encoded by the JDK's
+  * ImageIO) standing in for an ingest's image column. Dimensions and
+  * pixel content derive from doc_id alone, so the SQL oracle knows the
+  * decode truth without itself decoding: a hash match proves the codec
+  * read the true dimensions out of the bitstream.
+  */
+object PngGen {
+  def dims(docId: Long): (Int, Int) =
+    (8 + (docId % 57).toInt, 8 + ((docId * 31L) % 41).toInt)
+
+  def png(docId: Long): Array[Byte] = {
+    val (w, h) = dims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (x * 31 + y * 7 + (docId % 251).toInt * 13) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+}
+
 /** Multimodal column pipeline: media as opaque binary columns with
   * typed metadata, decoded per-partition through a typed Dataset.
   *
-  * The decode kernel is the [[MediaCodec]] seam (default: the
-  * declared [[StubCodec]]). Everything around it is the real 100 TB
-  * plumbing: binary column in parquet, case-class Encoders,
+  * Image rows carry REAL PNG bytes (generated deterministically by
+  * [[PngGen]] — the ingest stand-in) and are decoded by the REAL
+  * [[ImageIoCodec]] kernel; audio/video rows keep the declared
+  * [[StubCodec]] (their libraries are absent here). Everything else is
+  * the real 100 TB plumbing: binary column, case-class Encoders,
   * mapPartitions batch iteration (one decoder init per partition, not
-  * per row), and a columnar result that downstream queries can
-  * aggregate.
+  * per row), zero shuffles end to end, and a columnar result that
+  * downstream queries can aggregate.
   */
 object Multimodal {
   type QFn = (SparkSession, String) => DataFrame
+
+  /** The ingest stand-in: one MediaRow per document — image rows get
+    * real PNG payloads, audio/video rows the raw text bytes. A narrow
+    * typed map (media synthesis is per-row imperative work, same shape
+    * a real ingest's fetch/transcode stage has).
+    */
+  def mediaFrames(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      col("doc_id"), col("text"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, mt) =>
+        MediaRow(id,
+          if (mt == "image") PngGen.png(id) else text.getBytes("UTF-8"), mt)
+      })
+  }
 
   /** The decode pipeline as a reusable stage: binary payload + typed
     * metadata through case-class Encoders and mapPartitions.
     */
   def decoded(s: SparkSession, d: String,
-      codec: MediaCodec = StubCodec): DataFrame = {
-    import s.implicits._
-    val media = Tables.documents(s, d).select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("media_type"))
-    media.as[MediaRow]
+      codec: MediaCodec = ImageIoCodec): DataFrame =
+    mediaFrames(s, d)
       .mapPartitions { it =>
         val decode = codec.open() // codec/library init, once per partition
         it.map(decode)
-      }
+      }(org.apache.spark.sql.Encoders.product[DecodedRow])
       .toDF()
-  }
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(
+    // image dims are decoded from real PNG bitstreams; the oracle
+    // replays PngGen's dimension formula (audio/video stay on the
+    // declared stub arithmetic over the payload = text bytes)
     ("m01_multimodal", (s: SparkSession, d: String) =>
       decoded(s, d).orderBy("doc_id"), Some("""
       SELECT doc_id,
         CASE WHEN doc_id % 3 = 0 THEN 'image'
              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        CAST(64 + strlen(text) % 577 AS BIGINT) AS width,
-        CAST(64 + (strlen(text) * 31) % 331 AS BIGINT) AS height,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 57
+                  ELSE 64 + strlen(text) % 577 END AS BIGINT) AS width,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 31) % 41
+                  ELSE 64 + (strlen(text) * 31) % 331 END AS BIGINT) AS height,
         CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 24 ELSE 1 END AS BIGINT) AS n_frames
       FROM documents ORDER BY doc_id""")),
 
@@ -93,8 +162,10 @@ object Multimodal {
         SELECT doc_id,
           CASE WHEN doc_id % 3 = 0 THEN 'image'
                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-          64 + strlen(text) % 577 AS width,
-          64 + (strlen(text) * 31) % 331 AS height,
+          CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 57
+               ELSE 64 + strlen(text) % 577 END AS width,
+          CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 31) % 41
+               ELSE 64 + (strlen(text) * 31) % 331 END AS height,
           CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 24 ELSE 1 END AS n_frames
         FROM documents)
       SELECT media_type, count(*) AS n,

@@ -87,6 +87,40 @@ class PipelineSeamsSpec extends AnyFunSuite {
     assert(count("the  merchant") === byHand.toLong)
   }
 
+  test("ImageIoCodec: real PNG bytes in, true bitstream dimensions out") {
+    import graft.operators.{ImageIoCodec, PngGen}
+    // PngGen emits genuine PNGs (magic bytes), and the codec's dims
+    // come from ImageIO.read of the bitstream — not payload arithmetic
+    val ids = Seq(0L, 3L, 57L, 123456L, 9999999L)
+    ids.foreach { id =>
+      val bytes = PngGen.png(id)
+      assert((bytes.take(8).map(_ & 0xff) sameElements
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)), s"not a PNG for id $id")
+      val decode = ImageIoCodec.open()
+      val got = decode(MediaRow(id, bytes, "image"))
+      val (w, h) = PngGen.dims(id)
+      assert(got.width === w.toLong && got.height === h.toLong && got.n_frames === 1L)
+    }
+    // stub arithmetic must NOT predict the real dims (the decode is
+    // doing real work, not reproducing the old fake)
+    val real = ImageIoCodec.open()(MediaRow(3L, PngGen.png(3L), "image"))
+    val fake = graft.operators.StubCodec.open()(MediaRow(3L, PngGen.png(3L), "image"))
+    assert((real.width != fake.width) || (real.height != fake.height))
+  }
+
+  test("m01 pipeline: image rows decode through ImageIO, audio/video through the stub") {
+    val out = Multimodal.decoded(spark, sf)
+      .orderBy("doc_id").limit(9).collect()
+    out.foreach { r =>
+      val (id, mt, w, h) = (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      if (mt == "image") {
+        val (ew, eh) = graft.operators.PngGen.dims(id)
+        assert(w === ew.toLong && h === eh.toLong, s"doc $id")
+      } else assert(w >= 64L && h >= 64L, s"doc $id") // stub arithmetic domain
+    }
+    assert(out.exists(_.getString(1) == "image"))
+  }
+
   test("MediaCodec seam: injected codec replaces the stub decode") {
     val opens = spark.sparkContext.longAccumulator("codec_opens")
     val fixed = new MediaCodec {
