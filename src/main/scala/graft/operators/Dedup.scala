@@ -237,12 +237,70 @@ object Dedup {
     * cross-band skey collisions can only ADD candidates, and the
     * exact-jaccard verify removes them.
     */
-  def writeSignatureStore(corpus: DataFrame, name: String, buckets: Int = 8): Unit = {
-    val cd = shingled(corpus)
+  /** (bands keyed by skey, per-doc shingle sets) for a document set —
+    * the two frames a signature store holds. */
+  private def storeFrames(documents: DataFrame): (DataFrame, DataFrame) = {
+    val cd = shingled(documents)
     val bands = minhashBands(cd)
       .select(col("doc_id"), xxhash64(col("band"), col("bkey")).as("skey"))
+    (bands, cd)
+  }
+
+  def writeSignatureStore(corpus: DataFrame, name: String, buckets: Int = 8): Unit = {
+    val (bands, cd) = storeFrames(corpus)
     graft.sources.Sinks.writeBucketed(bands, s"${name}_bands", buckets, "skey")
     graft.sources.Sinks.writeBucketed(cd, s"${name}_shingles", buckets, "doc_id")
+  }
+
+  /** APPEND a batch's bands+shingles to an existing signature store —
+    * the store-maintenance half of the production loop (classify →
+    * append uniques → next batch sees them), with no overwrite and no
+    * rebuild. Append-mode saveAsTable validates the bucket spec
+    * against the catalog and writes one more file per bucket: reads
+    * stay bucketed (zero store-side exchange; with >1 file per bucket
+    * the join adds a per-bucket sort, never a shuffle). Compact
+    * per-bucket files periodically if append cadence is high.
+    */
+  def appendToSignatureStore(batch: DataFrame, name: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    // the store's own bucket count, from the catalog — append-mode
+    // saveAsTable rejects a mismatched spec, so don't make callers
+    // re-supply what the table already knows
+    val buckets = {
+      val rows = batch.sparkSession.sql(s"DESCRIBE TABLE EXTENDED ${name}_bands").collect()
+      rows.find(_.getString(0) == "Num Buckets").map(_.getString(1).trim.toInt)
+        .getOrElse(sys.error(s"${name}_bands is not a bucketed signature store"))
+    }
+    val (bands, cd) = storeFrames(batch)
+    bands.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "skey").sortBy("skey")
+      .format("parquet").saveAsTable(s"${name}_bands")
+    cd.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${name}_shingles")
+  }
+
+  /** One production ingest step: classify `batch` against the store
+    * (near-dup at `jaccardMin` → the smallest matching corpus id),
+    * append the UNIQUE docs' signatures so the next batch dedups
+    * against them, and return the classification. The classification
+    * is localCheckpoint-ed (batch-sized) before the append so the
+    * append job does not read the very tables it writes.
+    */
+  def ingestBatch(spark: SparkSession, name: String, batch: DataFrame,
+      jaccardMin: Double): DataFrame = {
+    val matches = minhashPairsAgainstStore(spark, name, batch, jaccardMin)
+      .groupBy(col("batch_id")).agg(min(col("corpus_id")).as("match_id"))
+    val classified = batch.select(col("doc_id"))
+      .join(matches, col("doc_id") === col("batch_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, "near").otherwise("unique").as("status"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"))
+      .localCheckpoint(true)
+    val uniques = batch.join(
+      classified.filter(col("status") === "unique").select("doc_id"), "doc_id")
+    appendToSignatureStore(uniques, name)
+    classified
   }
 
   /** [[minhashPairsAgainst]] against a materialized signature store

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming incremental near-dup dedup — the real ingest shape at
+  * 100 TB: a document stream is classified micro-batch by micro-batch
+  * against the materialized signature store
+  * ([[graft.operators.Dedup.writeSignatureStore]]), and each batch's
+  * UNIQUE docs' signatures are appended so every later micro-batch
+  * dedups against everything that came before, without ever touching
+  * the corpus again (per-batch cost ∝ batch size; the store side of
+  * the classify join is bucketed and exchange-free).
+  *
+  * foreachBatch because the classify-then-append step is a batch
+  * pipeline over each micro-batch (two actions: the classification
+  * write and the store append) — not expressible as a single
+  * incremental operator. The parquet result sink is append-only; a
+  * micro-batch retried after a crash mid-append can re-emit rows, so
+  * at scale the result sink should be transactional or keyed by
+  * (micro_batch, doc_id) for idempotent upsert.
+  */
+object DedupStream {
+
+  /** Start the pipeline: `docStream` must be a streaming DataFrame of
+    * (doc_id, text). Classifications land at `outPath` as parquet with
+    * a micro_batch column; progress checkpoints at `checkpoint`.
+    */
+  def start(store: String, docStream: DataFrame, jaccardMin: Double,
+      outPath: String, checkpoint: String): StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val classified = graft.operators.Dedup
+          .ingestBatch(batch.sparkSession, store, batch, jaccardMin)
+        classified.withColumn("micro_batch", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

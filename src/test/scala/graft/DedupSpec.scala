@@ -171,6 +171,52 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("signature store append: a second batch dedups against the first batch's appended uniques") {
+    import org.apache.spark.sql.functions._
+    val tuneA = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early mountain dusk settles"
+    val tuneB = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early winter dusk settles"
+    try {
+      Dedup.writeSignatureStore(docs(1L -> base, 3L -> far), "sigapp", 4)
+      val n0 = spark.table("sigapp_shingles").count()
+      // batch 1: doc 10 is brand new (appended), doc 11 near-dups corpus doc 1
+      val b1 = Dedup.ingestBatch(spark, "sigapp", docs(10L -> tuneA, 11L -> near), 0.5)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(b1(10L) === (("unique", -1L)))
+      assert(b1(11L) === (("near", 1L)))
+      assert(spark.table("sigapp_shingles").count() === n0 + 1) // only the unique appended
+      // batch 2: doc 20 near-dups BATCH 1's doc 10 — visible only
+      // because the append landed in the store
+      val b2 = Dedup.ingestBatch(spark, "sigapp", docs(20L -> tuneB), 0.5)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(b2(20L) === (("near", 10L)))
+      // post-append reads stay bucketed and exchange-free on the store
+      // side (append adds files per bucket; it must not break the
+      // store's zero-shuffle contract)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val probe = docs(30L -> tuneA)
+          .select(col("doc_id").as("batch_id"),
+            graft.functions.shingleHashes(col("text"), 3).as("sh"))
+          .select(col("batch_id"), explode(col("sh")).as("h"))
+          .groupBy(col("batch_id"))
+          .agg(graft.functions.minhashSig(col("h")).as("sig"))
+          .select(col("batch_id"), xxhash64(element_at(col("sig"), 1)).as("skey"))
+        val j = probe.join(spark.table("sigapp_bands"), "skey")
+        j.collect()
+        val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+        val storeSide = plan.linesIterator
+          .dropWhile(!_.contains("SortMergeJoin")).drop(1)
+          .filterNot(_.trim.startsWith(":")).mkString("\n")
+        assert(storeSide.contains("Bucketed: true"), plan)
+        assert(!storeSide.contains("Exchange"), s"store side must not re-shuffle after append:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sigapp_bands")
+      spark.sql("DROP TABLE IF EXISTS sigapp_shingles")
+    }
+  }
+
   test("connectedComponents: chain merges, disjoint stays split") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -125,6 +125,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted === batchSessions - nUsers)
   }
 
+  test("streaming incremental dedup: batch 2 near-dups against batch 1's appended uniques") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills near the old stone bridge"
+    val tuneA = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early mountain dusk settles"
+    val tuneB = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early winter dusk settles"
+
+    def addFile(src: java.nio.file.Path, name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-dstream-stage")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+
+    graft.operators.Dedup.writeSignatureStore(
+      Seq((1L, base)).toDF("doc_id", "text"), "sigstream", 4)
+    try {
+      val src = Files.createTempDirectory("graft-dstream-src")
+      val out = Files.createTempDirectory("graft-dstream-out").toString
+      val ckpt = Files.createTempDirectory("graft-dstream-ckpt").toString
+      // micro-batch 1: doc 10 brand new, doc 11 near-dups the seeded corpus
+      addFile(src, "b1.parquet", Seq(10L -> tuneA,
+        11L -> "the quick brown fox jumps over the lazy dog while snow falls on the quiet hills near the old stone bridge"))
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(src.toString)
+      val q = graft.streaming.DedupStream.start("sigstream", stream, 0.5, out, ckpt)
+      try {
+        q.processAllAvailable()
+        // micro-batch 2: doc 20 near-dups BATCH 1's doc 10 — only
+        // visible through the per-batch store append
+        addFile(src, "b2.parquet", Seq(20L -> tuneB))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(out)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got(10L) === (("unique", -1L, 0L)))
+      assert(got(11L) === (("near", 1L, 0L)))
+      assert(got(20L) === (("near", 10L, 1L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sigstream_bands")
+      spark.sql("DROP TABLE IF EXISTS sigstream_shingles")
+    }
+  }
+
   test("streaming dedup (watermark-bounded state) matches batch distinct") {
     val streamed = Events.dedupStream(
       Events.readStream(spark, streamDir), Seq("user_id", "event_type"))
