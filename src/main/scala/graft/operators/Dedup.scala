@@ -198,6 +198,55 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact duplicated-substring spans (the Lee et al. "Deduplicating
+    * Training Data" companion to d11's near-dup windows): per doc, the
+    * MAXIMAL word runs of >= `minWords` words in which every k-word
+    * window also occurs verbatim in ANOTHER document — the spans a
+    * substring-level dedup would trim. Positioned k-gram hashes
+    * (64-bit FNV, the standard hash-equality approximation of a
+    * suffix-array match; the oracle replays the same chain so both
+    * sides share collision behavior), cross-doc-shared hashes by one
+    * groupBy(h) (min(doc) != max(doc) — no count-distinct sketch
+    * needed), then gaps-and-islands over each doc's surviving
+    * positions. Shuffle budget: one O(positions) hash shuffle + one
+    * join back on h + one per-doc window over DUPLICATED positions
+    * only (at corpus scale the overwhelmingly common case is a tiny
+    * duplicated fraction, so the window stage is cheap; the two
+    * O(positions) stages are the irreducible cost of positional
+    * k-grams, same budget class as d11's band explode).
+    */
+  def substringDupSpans(documents: DataFrame, k: Int = 8,
+      minWords: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = filter(split(trim(col("text")), " "), w => w =!= "")
+    val pos = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+          i => fnv64(concat_ws(" ", slice(col("ws"), i, lit(k))))))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = pos.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"))
+    // (doc_id, pos) is unique by construction (one h per position, one
+    // dup row per h) — no distinct needed
+    val marked = pos.join(dup, "h").select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_word"),
+        (count(lit(1)) + (k - 1)).as("n_words"))
+      .filter(col("n_words") >= minWords)
+      .select(col("doc_id"), col("start_word").cast("bigint").as("start_word"),
+        col("n_words").cast("bigint").as("n_words"))
+      .orderBy("doc_id", "start_word")
+  }
+
   /** Cross-set near-duplicate detection: which docs of `batch` have a
     * near-dup (jaccard >= jaccardMin) in `corpus`. THE incremental
     * ingest shape: batch band keys join corpus band keys, so each
@@ -851,6 +900,32 @@ object Dedup {
       SELECT d.doc_id, CAST(coalesce(sh.n, 0) AS BIGINT) AS n_shared_8grams,
         coalesce(sh.n, 0) >= 3 AS contaminated
       FROM documents d JOIN f USING (doc_id) LEFT JOIN sh ON sh.doc_id = d.doc_id
-      WHERE NOT f.ev ORDER BY d.doc_id"""))
+      WHERE NOT f.ev ORDER BY d.doc_id""")),
+
+    // ---- exact duplicated-substring spans: maximal word runs whose
+    //      every 8-word window recurs verbatim in another doc. Full
+    //      bit-exact oracle: positioned fnvU64 8-gram hashes,
+    //      cross-doc-shared hash set, gaps-and-islands window SQL ----
+    ("d13_substring_dedup", (s: SparkSession, d: String) =>
+      substringDupSpans(Tables.documents(s, d), 8, 16), Some(s"""
+      WITH w AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+                 FROM documents),
+      p AS (SELECT doc_id, i AS pos,
+              array_to_string(list_slice(ws, i, i + 7), ' ') AS tg
+            FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+                  FROM w WHERE len(ws) >= 8)),
+      th AS (SELECT tg, ${OracleSql.fnvU64("tg")} AS h
+             FROM (SELECT DISTINCT tg FROM p)),
+      ph AS (SELECT doc_id, pos, h FROM p JOIN th USING (tg)),
+      dup AS (SELECT h FROM ph GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+      m AS (SELECT doc_id, pos FROM ph JOIN dup USING (h)),
+      runs AS (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM m)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
+        CAST(count(*) + 7 AS BIGINT) AS n_words
+      FROM runs GROUP BY doc_id, grp HAVING count(*) + 7 >= 16
+      ORDER BY doc_id, start_word"""))
   )
 }

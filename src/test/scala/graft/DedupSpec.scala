@@ -115,6 +115,24 @@ class DedupSpec extends AnyFunSuite {
     assert(stats(3L) === ((2L, 0L))) // identical windows, but same-doc only
   }
 
+  test("substringDupSpans: maximal cross-doc runs only, short and same-doc spans dropped") {
+    val shared20 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val shared10 = "one two three four five six seven eight nine ten"
+    val selfBlock = "ant bee cat dog elk fox gnu hen"
+    // doc 1: 5-word prefix + the 20-word shared block + 5-word suffix
+    // doc 2: the same 20-word block + unrelated tail
+    // doc 3: repeats its OWN 8-word block twice (same-doc only → no rows)
+    // docs 4/5: share only a 10-word block (< 16 → filtered)
+    val spans = Dedup.substringDupSpans(docs(
+      1L -> s"red orange yellow green blue $shared20 maroon navy olive coral amber",
+      2L -> s"$shared20 winter spring summer autumn solstice equinox harvest frost thaw bloom",
+      3L -> s"$selfBlock $selfBlock",
+      4L -> s"$shared10 quark lepton boson hadron meson photon gluon neutrino",
+      5L -> s"$shared10 sonnet haiku ballad ode elegy epic hymn limerick"), 8, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq === Seq((1L, 6L, 20L), (2L, 1L, 20L)))
+  }
+
   test("decontaminate: counts shared 8-grams vs broadcast eval set") {
     val evalDoc = "the capital of france is paris and the capital of italy is rome always"
     val contaminated = s"intro words here $evalDoc trailing content words"
