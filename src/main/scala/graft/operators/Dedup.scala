@@ -926,6 +926,47 @@ object Dedup {
       SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
         CAST(count(*) + 7 AS BIGINT) AS n_words
       FROM runs GROUP BY doc_id, grp HAVING count(*) + 7 >= 16
-      ORDER BY doc_id, start_word"""))
+      ORDER BY doc_id, start_word""")),
+
+    // ---- source-mix rebalancing: per-source keep rates toward a
+    //      UNIFORM target share, applied with the deterministic Knuth
+    //      hash (no RNG — the same docs are kept on every engine and
+    //      every rerun). The training-mix knob d08's docstring
+    //      promises: downsample over-represented sources, keep
+    //      under-represented ones whole. Scale shape: rates come from
+    //      one tiny per-source count (broadcast back); the sample
+    //      filter is a codegen map over the scan — no extra shuffle ----
+    ("d14_mix_rebalance", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L), lit(1000003L))
+      val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      val tot = per.agg(sum(col("n_total")).as("n"), count(lit(1)).as("k"))
+      val rates = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_total"),
+          least(lit(1.0),
+            col("n").cast("double") / col("k") / col("n_total")).as("rate"))
+      val sampled = docs.select(col("source"), h.as("h"))
+        .join(broadcast(rates), "source")
+        .filter(col("h") < floor(col("rate") * lit(1000003L)).cast("bigint"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_total"), round(col("rate"), 6).as("rate"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("source")
+    }, Some("""
+      WITH per AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_total) AS BIGINT) AS n, count(*) AS k FROM per),
+      rates AS (SELECT source, n_total,
+                  least(1.0, CAST(n AS DOUBLE) / k / n_total) AS rate
+                FROM per, tot),
+      samp AS (SELECT d.source, count(*) AS n_sampled
+               FROM documents d JOIN rates r USING (source)
+               WHERE (d.doc_id % 1000003) * 427799 % 1000003
+                     < floor(r.rate * 1000003)
+               GROUP BY d.source)
+      SELECT source, CAST(n_total AS BIGINT) AS n_total,
+        round(rate, 6) AS rate,
+        CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled
+      FROM rates LEFT JOIN samp USING (source) ORDER BY source"""))
   )
 }

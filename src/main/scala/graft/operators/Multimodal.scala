@@ -132,6 +132,41 @@ object Multimodal {
       }(org.apache.spark.sql.Encoders.product[DecodedRow])
       .toDF()
 
+  /** Per-image channel statistics computed from the DECODED RASTER —
+    * the feature-extraction stage of a multimodal pipeline, and the
+    * proof the codec reads actual pixels (not just the header): exact
+    * BIGINT channel sums over every pixel, which the oracle replays
+    * from the generator's pixel formula. Integer sums, not float
+    * means, so parity is exact at any image size. Zero shuffles; the
+    * raster scan rides the same one-init-per-partition seam.
+    */
+  def imageStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaFrames(s, d)
+      .filter(_.media_type == "image")
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          require(img != null, s"undecodable image payload for doc ${m.doc_id}")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = img.getRGB(x, y)
+              sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (m.doc_id, img.getWidth.toLong * img.getHeight, sr, sg, sb)
+        }
+      }
+      .toDF("doc_id", "n_pixels", "sum_r", "sum_g", "sum_b")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // image dims are decoded from real PNG bitstreams; the oracle
     // replays PngGen's dimension formula (audio/video stay on the
@@ -172,6 +207,29 @@ object Multimodal {
         CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,
         CAST(sum(height) AS DOUBLE) / count(*) AS avg_height,
         CAST(sum(n_frames) AS BIGINT) AS total_frames
-      FROM dec GROUP BY media_type ORDER BY media_type"""))
+      FROM dec GROUP BY media_type ORDER BY media_type""")),
+
+    // raster-level feature extraction: exact per-channel pixel sums
+    // out of the decoded image. The oracle replays the generator's
+    // pixel formula over every (x,y) — a hash match proves the codec
+    // decoded the actual raster, not just the header
+    ("m03_image_stats", (s: SparkSession, d: String) =>
+      imageStats(s, d).orderBy("doc_id"), Some("""
+      WITH img AS (
+        SELECT doc_id, 8 + doc_id % 57 AS w, 8 + (doc_id * 31) % 41 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      px AS (
+        SELECT doc_id, w, w * h AS n_pixels,
+          unnest(generate_series(0, w * h - 1)) AS i
+        FROM img),
+      ch AS (
+        SELECT doc_id, n_pixels,
+          (((i % w) * 31 + (i // w) * 7 + (doc_id % 251) * 13) & 16777215) AS v
+        FROM px)
+      SELECT doc_id, CAST(n_pixels AS BIGINT) AS n_pixels,
+        CAST(sum((v >> 16) & 255) AS BIGINT) AS sum_r,
+        CAST(sum((v >> 8) & 255) AS BIGINT) AS sum_g,
+        CAST(sum(v & 255) AS BIGINT) AS sum_b
+      FROM ch GROUP BY doc_id, n_pixels ORDER BY doc_id"""))
   )
 }

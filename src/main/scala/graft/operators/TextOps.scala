@@ -185,6 +185,31 @@ object TextOps {
   private def nIn(ws: Column, set: Seq[String]): Column =
     size(filter(ws, w => w.isin(set: _*)))
 
+  /** Gopher/Dolma-style hard rule gate over (doc_id, text): keep/drop
+    * with the FIRST failing rule named (rule order: word_count,
+    * mean_word_len, stopwords, alpha_words, symbol_ratio). All rules
+    * are integer comparisons — sums and cross-multiplied rationals,
+    * no float thresholds — so oracle parity is exact at any scale.
+    */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val ws = filter(split(trim(col("text")), " "), w => w =!= "")
+    val n = size(ws).cast("bigint")
+    val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val stopC = nIn(ws, stopwords).cast("bigint")
+    val alphaC = size(filter(ws, w => w.rlike("[a-z]"))).cast("bigint")
+    val nonspace = length(regexp_replace(col("text"), " ", "")).cast("bigint")
+    val sym = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("bigint")
+    val reason = when(!n.between(10L, 100000L), "word_count")
+      .when(sumLen < n * 3 || sumLen > n * 10, "mean_word_len")
+      .when(stopC < 2, "stopwords")
+      .when(alphaC * 5 < n * 4, "alpha_words")
+      .when(sym * 10 > nonspace, "symbol_ratio")
+    documents.select(
+      col("doc_id"), n.as("n_words"),
+      reason.isNull.as("keep"), reason.as("reject_reason"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- language ID: per-language marker-word counts, argmax ----
@@ -462,8 +487,68 @@ object TextOps {
         Bpe.Tok)
         .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
         .orderBy("doc_id")
-    }, Some(bpeOracleSql))
-  )
+    }, Some(bpeOracleSql)),
+
+    // ---- Gopher/Dolma-style hard rule gate: keep/drop with the FIRST
+    //      failing rule named, enabling per-rule loss accounting over
+    //      a corpus. Every rule is an INTEGER comparison (sums and
+    //      cross-multiplied rationals, no float thresholds) so parity
+    //      with the oracle is exact at any scale. Pure codegen column
+    //      map — zero shuffles, pipelines into the scan ----
+    ("t10_gopher_rules", (s: SparkSession, d: String) =>
+      gopherRules(Tables.documents(s, d)), Some("""
+      WITH f AS (SELECT doc_id, text,
+                   list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+                 FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n,
+              CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sumlen,
+              len(list_filter(ws, w -> w IN ('the','a','of','in','is'))) AS stopc,
+              len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alphac,
+              length(replace(text, ' ', '')) AS nonspace,
+              length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS sym
+            FROM f),
+      r AS (SELECT doc_id, n,
+              CASE WHEN n < 10 OR n > 100000 THEN 'word_count'
+                   WHEN sumlen < n * 3 OR sumlen > n * 10 THEN 'mean_word_len'
+                   WHEN stopc < 2 THEN 'stopwords'
+                   WHEN alphac * 5 < n * 4 THEN 'alpha_words'
+                   WHEN sym * 10 > nonspace THEN 'symbol_ratio' END AS reject_reason
+            FROM m)
+      SELECT doc_id, n AS n_words, reject_reason IS NULL AS keep, reject_reason
+      FROM r ORDER BY doc_id""")),
+
+    // ---- word-rarity quality score: per doc, the mean and minimum
+    //      CORPUS frequency of its words (the CCNet-style LM-filter
+    //      signal without transcendentals: -log p would tie parity to
+    //      libm rounding; exact integer frequencies + one IEEE divide
+    //      round-trip identically on both engines). Scale shape: the
+    //      corpus unigram table is one partial-agg groupBy; scoring
+    //      re-joins it on word — both shuffles O(word occurrences) ----
+    ("t11_word_rarity", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val occ = docs.select(col("doc_id"),
+          explode(filter(split(trim(col("text")), " "), w => w =!= "")).as("w"))
+      val freq = occ.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+      occ.join(freq, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("cf")).as("sum_cf"),
+          min(col("cf")).as("min_cf"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("sum_cf").cast("double") / col("n_words"), 6).as("mean_word_freq"),
+          col("min_cf").as("rarest_word_freq"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH occ AS (
+        SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS w
+        FROM documents),
+      freq AS (SELECT w, count(*) AS cf FROM occ GROUP BY w)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        round(CAST(sum(cf) AS DOUBLE) / count(*), 6) AS mean_word_freq,
+        CAST(min(cf) AS BIGINT) AS rarest_word_freq
+      FROM occ JOIN freq USING (w)
+      GROUP BY doc_id ORDER BY doc_id""")))
 
   /** DuckDB replay of the committed BPE merge table (see the t09
     * entry): marker-wrap every codepoint, fold one replace() per merge

@@ -97,6 +97,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(some.toSeq === Seq((1L, false, true), (2L, false, false), (3L, true, false)))
   }
 
+  test("gopherRules: first failing rule named, clean doc kept") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> "the cat sat of the mat with nice red hats in town",
+      2L -> "too short here",
+      3L -> "a b c d e f g h i j k l",
+      4L -> "cats dogs bird fish goat lion tiger bear wolf deer",
+      5L -> "the of 1234 5678 9012 3456 7890 1234 5678 9012 3456 7890",
+      6L -> "the of aa!!! bb@@@ cc### dd$$$ ee%%% ff^^^ gg&&& hh*** ii((( jj)))"
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.gopherRules(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getString(3)))).toMap
+    assert(got(1L) === ((true, null)))
+    assert(got(2L) === ((false, "word_count")))
+    assert(got(3L) === ((false, "mean_word_len")))
+    assert(got(4L) === ((false, "stopwords")))
+    assert(got(5L) === ((false, "alpha_words")))
+    assert(got(6L) === ((false, "symbol_ratio")))
+  }
+
   test("t07 BM25: a doc repeating the query's rare terms outranks one without them") {
     // corpus semantics on the real output: scores strictly ordered,
     // all positive, and every scored doc shares at least one term

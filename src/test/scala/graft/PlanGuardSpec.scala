@@ -18,7 +18,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q62_theta_sketch", // 1-row sketch agg × 1-row exact-intersection agg
     "s04_similarity_kmeans_ivf", // broadcast 1-row query vector
     "t07_bm25", // broadcast 1-row corpus stats (n_docs, sum_dl)
-    "t08_vocab") // broadcast 1-row token total
+    "t08_vocab", // broadcast 1-row token total
+    "d14_mix_rebalance") // broadcast 1-row corpus total (n, k)
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
