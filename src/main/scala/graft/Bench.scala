@@ -32,6 +32,10 @@ object Bench {
       }
     }
     val results = selected.map { case (name, fn) =>
+      // settle the heap between queries (untimed): per-query deltas
+      // otherwise carry GC interleave from the previous query — r4's
+      // driver run showed a 5x artifact on one query from this
+      System.gc()
       val t0 = System.nanoTime()
       try run(fn) catch {
         case e: Throwable =>
