@@ -37,6 +37,10 @@ object Scale {
     time("minhashPairs")(graft.operators.Dedup.minhashPairs(docs, 0.8).count())
     time("simhashPairs")(graft.operators.Dedup.simhashPairs(docs, 6).count())
     time("fingerprint")(docs.select(graft.functions.polyFingerprint(col("text"))).count())
+    // replicas share the whole base text, so every doc carries long
+    // cross-doc duplicated runs — worst-case pressure on the
+    // positioned-hash + window stages
+    time("substringDup")(graft.operators.Dedup.substringDupSpans(docs, 8, 16).count())
 
     // ---- embedding near-dup probe: replicas perturbed in one
     // dimension are TRUE near-dups (pairwise cos ~0.99), the base
@@ -90,6 +94,31 @@ object Scale {
         .minhashPairsAgainstStore(spark, "scale_sig", batch, 0.8).count()
       val sec = (System.nanoTime() - tb) / 1e9
       println(f"[scale] incremental batch=$bsz%-7d $sec%8.2f s  ($pairs pairs, ${bsz / sec}%.0f docs/s)")
+    }
+
+    // ---- append-cadence probe: the full production loop (classify →
+    // append uniques) run batch after batch against the SAME store —
+    // per-batch cost must stay flat as the store grows. doc_id % 64
+    // === r pins each round's parity, so rounds alternate: odd r →
+    // word-reversed docs (novel shingle sets → appended), even r →
+    // perturbed corpus copies (classify 'near' vs the corpus). Round
+    // 3's reversed docs are OTHER REPLICAS of round 1's base docs, so
+    // they classify 'near' against round 1's APPENDS — proving later
+    // batches see earlier batches through the store.
+    (1 to 3).foreach { r =>
+      val batch = docs.filter(col("doc_id") % 64 === r).select(
+        (col("doc_id") + 3000000000L * r).as("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" probe")))
+          .otherwise(array_join(reverse(split(col("text"), " ")), " ")).as("text"))
+      val bsz = batch.count()
+      val tb = System.nanoTime()
+      val byStatus = graft.operators.Dedup
+        .ingestBatch(spark, "scale_sig", batch, 0.8)
+        .groupBy(col("status")).count()
+        .collect().map(x => s"${x.getString(0)}=${x.getLong(1)}").sorted.mkString(" ")
+      val sec = (System.nanoTime() - tb) / 1e9
+      val stored = spark.table("scale_sig_shingles").count()
+      println(f"[scale] ingest round $r batch=$bsz%-6d $sec%8.2f s  ($byStatus; store=$stored docs)")
     }
     spark.stop()
   }
