@@ -329,6 +329,45 @@ object Dedup {
       .format("parquet").saveAsTable(s"${name}_shingles")
   }
 
+  /** Compact a signature store in place: every append lands one more
+    * file per bucket, and once buckets span many files the store-side
+    * merge join pays a per-bucket sort (never a shuffle — but sorts
+    * cost too). Rewriting each table through a bucketed temp table +
+    * catalog rename restores one-sorted-file-per-bucket. Run on the
+    * maintenance cadence appends warrant; readers started mid-swap see
+    * the old or new table atomically per-name (the rename pair is not
+    * one transaction — schedule in the ingest's quiet window, or move
+    * to a transactional table format for concurrent readers).
+    */
+  def compactSignatureStore(spark: SparkSession, name: String): Unit = {
+    Seq(s"${name}_bands" -> "skey", s"${name}_shingles" -> "doc_id")
+      .foreach { case (table, key) =>
+        val buckets = {
+          val rows = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+          rows.find(_.getString(0) == "Num Buckets").map(_.getString(1).trim.toInt)
+            .getOrElse(sys.error(s"$table is not a bucketed signature store"))
+        }
+        // the write reads the OLD table and lands in the temp table's
+        // own location — saveAsTable is an action, so the read
+        // completes before the catalog swap below. Repartition on the
+        // writer's own bucket-id EXPRESSION (pmod(murmur3(key), n) —
+        // the id the filename suffix carries): equal ids must land in
+        // one task whatever partition indexing the shuffle uses, so
+        // each bucket's rows are written by exactly one task → exactly
+        // one sorted file per bucket. (Repartitioning on the raw key
+        // column does NOT guarantee task↔bucket alignment — observed
+        // on Spark 4: same-bucket keys split across tasks, re-mixing
+        // files.) One maintenance shuffle of the store, the price of
+        // the rewrite.
+        graft.sources.Sinks.writeBucketed(
+          spark.table(table)
+            .repartition(buckets, pmod(hash(col(key)), lit(buckets))),
+          s"${table}_compact", buckets, key)
+        spark.sql(s"DROP TABLE $table")
+        spark.sql(s"ALTER TABLE ${table}_compact RENAME TO $table")
+      }
+  }
+
   /** One production ingest step: classify `batch` against the store
     * (near-dup at `jaccardMin` → the smallest matching corpus id),
     * append the UNIQUE docs' signatures so the next batch dedups

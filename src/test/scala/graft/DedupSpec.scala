@@ -235,6 +235,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("signature store compaction: one sorted file per bucket, same answers") {
+    import org.apache.spark.sql.functions.col
+    val tuneA = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early mountain dusk settles"
+    try {
+      Dedup.writeSignatureStore(docs(1L -> base, 3L -> far), "sigcomp", 4)
+      Dedup.appendToSignatureStore(docs(10L -> tuneA), "sigcomp")
+      Dedup.appendToSignatureStore(docs(11L -> "completely novel content about glaciers carving deep valleys through ancient granite mountains over countless millennia"), "sigcomp")
+      def bandsFiles(): Int = {
+        val loc = spark.sql("DESCRIBE TABLE EXTENDED sigcomp_bands").collect()
+          .find(_.getString(0) == "Location").get.getString(1).stripPrefix("file:")
+        new java.io.File(loc).listFiles().count(_.getName.startsWith("part-"))
+      }
+      val nBefore = bandsFiles()
+      assert(nBefore >= 10, s"3 writes x 4 buckets (minus empty) expected ~12 files, got $nBefore")
+      val before = Dedup.minhashPairsAgainstStore(spark, "sigcomp", docs(20L -> near), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Dedup.compactSignatureStore(spark, "sigcomp")
+      assert(bandsFiles() <= 4, s"at most one file per bucket after compaction, got ${bandsFiles()}")
+      val after = Dedup.minhashPairsAgainstStore(spark, "sigcomp", docs(20L -> near), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after === before && after === Set((20L, 1L)))
+      // still a bucketed table (the zero-exchange contract survives)
+      val probe = spark.table("sigcomp_bands").groupBy(col("skey")).count()
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sigcomp_bands")
+      spark.sql("DROP TABLE IF EXISTS sigcomp_shingles")
+      spark.sql("DROP TABLE IF EXISTS sigcomp_bands_compact")
+      spark.sql("DROP TABLE IF EXISTS sigcomp_shingles_compact")
+    }
+  }
+
   test("connectedComponents: chain merges, disjoint stays split") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
