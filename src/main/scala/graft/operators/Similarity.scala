@@ -200,6 +200,49 @@ object Similarity {
       lit(recall >= 0.5).as("recall_ok"))
   }
 
+  /** Product quantization (Jégou et al., TPAMI 2011): split each
+    * vector into `m` subvectors and code each against a per-subspace
+    * codebook of `k` centroids — the memory layout behind
+    * billion-scale ANN (m bytes per vector instead of 4·dim). The
+    * codebook here is the first `k` vectors' subvectors (deterministic
+    * — the standard structure with a data-sampled init; an MLlib
+    * kmeans-per-subspace codebook drops into the same assignment
+    * kernel, cf. s04's trained coarse quantizer). Assignment is a
+    * zero-shuffle codegen column map: per subspace, argmin of the
+    * in-order L2² distance over the broadcast codebook literals, ties
+    * to the smallest centroid id via struct ordering. Output carries
+    * the codes plus the exact reconstruction error the quantization
+    * pays (the audit an ANN pipeline gates on). Driver-side work is
+    * the k·dim-double codebook only.
+    */
+  def pqQuantize(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    val cb: Map[Long, Array[Double]] = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    require(cb.size == k, s"codebook needs vec_ids 0..${k - 1}")
+    val emb = col("embedding").cast("array<double>")
+    def subv(s: Int) = slice(emb, s * sub + 1, sub)
+    def centLit(j: Int, s: Int) =
+      array((0 until sub).map(t => lit(cb(j.toLong)(s * sub + t))): _*)
+    // in-order summation (aggregate folds left-to-right) so the oracle
+    // can replay the identical float addition chain
+    def dist(s: Int, j: Int) = aggregate(
+      zip_with(subv(s), centLit(j, s), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, d) => acc + d)
+    def best(s: Int) = array_min(array((0 until k).map(j =>
+      struct(dist(s, j).as("d"), lit(j.toLong).as("j"))): _*))
+    val bests = (0 until m).map(s => best(s).as(s"b$s"))
+    embeddings.select((col("vec_id") +: bests): _*)
+      .select(col("vec_id"),
+        array_join(array((0 until m).map(s => col(s"b$s").getField("j")): _*), ",")
+          .as("codes"),
+        round((0 until m).map(s => col(s"b$s").getField("d")).reduce(_ + _), 6)
+          .as("recon_err"))
+      .orderBy("vec_id")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- KMeans-trained IVF: oracle checks the index recall contract ----
@@ -392,6 +435,29 @@ object Similarity {
             FROM c)
       SELECT label, count(*) AS n, CAST(sum(csum) AS BIGINT) AS code_sum,
         round(max(err), 9) AS max_err
-      FROM e GROUP BY label ORDER BY label"""))
+      FROM e GROUP BY label ORDER BY label""")),
+
+    // ---- product quantization: 8 subspaces x 16 centroids, codes +
+    //      exact reconstruction error. Oracle replays the codebook
+    //      (first-16 vectors), the in-order L2 sums (list(ORDER BY) +
+    //      list_sum = the same left-to-right float chain), and the
+    //      (dist, j) argmin tie-break ----
+    ("s07_pq_quantize", (s: SparkSession, d: String) =>
+      pqQuantize(Tables.embeddings(s, d), 8, 16), Some("""
+      WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                    CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+      cent AS (SELECT vec_id AS j, pos, v AS c FROM ex WHERE vec_id < 16),
+      d AS (SELECT e.vec_id, c.j, (e.pos - 1) // 8 AS s,
+              list_sum(list((e.v - c.c) * (e.v - c.c) ORDER BY e.pos)) AS dist
+            FROM ex e JOIN cent c USING (pos)
+            GROUP BY e.vec_id, c.j, (e.pos - 1) // 8),
+      pick AS (SELECT vec_id, s, j, dist,
+                 row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+               FROM d)
+      SELECT vec_id,
+        array_to_string(list(j ORDER BY s), ',') AS codes,
+        round(list_sum(list(dist ORDER BY s)), 6) AS recon_err
+      FROM pick WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""))
   )
 }

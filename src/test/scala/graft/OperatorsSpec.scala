@@ -97,6 +97,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(some.toSeq === Seq((1L, false, true), (2L, false, false), (3L, true, false)))
   }
 
+  test("pqQuantize: codebook vectors code to themselves with zero error") {
+    val out = graft.operators.Similarity
+      .pqQuantize(graft.sources.Tables.embeddings(spark, GraftTestSession.sf), 8, 16)
+      .filter(col("vec_id") < 16).collect()
+    assert(out.length === 16)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === Array.fill(8)(id).mkString(","), s"vec $id")
+      assert(r.getDouble(2) === 0.0, s"vec $id")
+    }
+  }
+
   test("gopherRules: first failing rule named, clean doc kept") {
     import spark.implicits._
     val rows = Seq(
