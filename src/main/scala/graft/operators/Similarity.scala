@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -215,32 +215,82 @@ object Similarity {
     * pays (the audit an ANN pipeline gates on). Driver-side work is
     * the k·dim-double codebook only.
     */
-  def pqQuantize(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
-    val dim = 64
-    val sub = dim / m
-    val cb: Map[Long, Array[Double]] = embeddings.filter(col("vec_id") < k)
+  private val PqDim = 64
+
+  /** Codebook: the first `k` vectors, as driver-side double arrays
+    * (k·dim doubles — tiny; a kmeans-per-subspace fit drops in here). */
+  private def pqCodebook(embeddings: DataFrame, k: Int): Map[Long, Array[Double]] = {
+    val cb = embeddings.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     require(cb.size == k, s"codebook needs vec_ids 0..${k - 1}")
+    cb
+  }
+
+  /** Per-subspace (min distance, centroid id) struct columns. In-order
+    * summation (aggregate folds left-to-right) so the oracle can
+    * replay the identical float addition chain; ties resolve to the
+    * smallest centroid id via struct ordering. */
+  private def pqBests(cb: Map[Long, Array[Double]], m: Int, k: Int): Seq[Column] = {
+    val sub = PqDim / m
     val emb = col("embedding").cast("array<double>")
     def subv(s: Int) = slice(emb, s * sub + 1, sub)
     def centLit(j: Int, s: Int) =
       array((0 until sub).map(t => lit(cb(j.toLong)(s * sub + t))): _*)
-    // in-order summation (aggregate folds left-to-right) so the oracle
-    // can replay the identical float addition chain
     def dist(s: Int, j: Int) = aggregate(
       zip_with(subv(s), centLit(j, s), (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, d) => acc + d)
-    def best(s: Int) = array_min(array((0 until k).map(j =>
-      struct(dist(s, j).as("d"), lit(j.toLong).as("j"))): _*))
-    val bests = (0 until m).map(s => best(s).as(s"b$s"))
-    embeddings.select((col("vec_id") +: bests): _*)
+    (0 until m).map(s => array_min(array((0 until k).map(j =>
+      struct(dist(s, j).as("d"), lit(j.toLong).as("j"))): _*)).as(s"b$s"))
+  }
+
+  def pqQuantize(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+    val cb = pqCodebook(embeddings, k)
+    embeddings.select((col("vec_id") +: pqBests(cb, m, k)): _*)
       .select(col("vec_id"),
         array_join(array((0 until m).map(s => col(s"b$s").getField("j")): _*), ",")
           .as("codes"),
         round((0 until m).map(s => col(s"b$s").getField("d")).reduce(_ + _), 6)
           .as("recon_err"))
       .orderBy("vec_id")
+  }
+
+  /** PQ asymmetric-distance search (ADC): score the FULL query vector
+    * against the QUANTIZED corpus — per subspace, one lookup into the
+    * broadcast m×k table of ||q_s − c_{s,j}||² distances, summed in
+    * subspace order. This is the search half of s07's memory layout:
+    * at scale the scan reads m small codes per vector instead of
+    * 4·dim bytes, and the only per-row work is m table lookups + m−1
+    * adds. Zero shuffles; top-k via TakeOrdered. Driver-side work is
+    * the codebook + the m×k LUT.
+    */
+  def pqSearch(embeddings: DataFrame, queryId: Long, topK: Int,
+      m: Int = 8, k: Int = 16): DataFrame = {
+    val sub = PqDim / m
+    val cb = pqCodebook(embeddings, k)
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    // LUT[s][j] = ||q_s - c_{s,j}||^2, summed in dimension order (the
+    // same left-to-right chain the oracle replays)
+    def lut(s: Int, j: Int): Double = {
+      var d = 0.0
+      var t = 0
+      while (t < sub) {
+        val diff = q(s * sub + t) - cb(j.toLong)(s * sub + t)
+        d += diff * diff
+        t += 1
+      }
+      d
+    }
+    def lutLit(s: Int) = array((0 until k).map(j => lit(lut(s, j))): _*)
+    val adc = (0 until m).map(s =>
+      element_at(lutLit(s), col(s"b$s").getField("j").cast("int") + 1))
+      .reduce(_ + _)
+    embeddings.select((col("vec_id") +: pqBests(cb, m, k)): _*)
+      .select(col("vec_id"), adc.as("adc"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("adc"), col("vec_id")).limit(topK)
+      .select(col("vec_id"), round(col("adc"), 6).as("adc_dist"))
   }
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(
@@ -458,6 +508,34 @@ object Similarity {
       SELECT vec_id,
         array_to_string(list(j ORDER BY s), ',') AS codes,
         round(list_sum(list(dist ORDER BY s)), 6) AS recon_err
-      FROM pick WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""))
+      FROM pick WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---- PQ asymmetric-distance search: full query vector vs the
+    //      quantized corpus via the m x k lookup table. Oracle replays
+    //      codes, the LUT's in-order float chains, and the final
+    //      subspace-order ADC sum ----
+    ("s08_pq_search", (s: SparkSession, d: String) =>
+      pqSearch(Tables.embeddings(s, d), 0L, 20, 8, 16), Some("""
+      WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                    CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+      cent AS (SELECT vec_id AS j, pos, v AS c FROM ex WHERE vec_id < 16),
+      d AS (SELECT e.vec_id, c.j, (e.pos - 1) // 8 AS s,
+              list_sum(list((e.v - c.c) * (e.v - c.c) ORDER BY e.pos)) AS dist
+            FROM ex e JOIN cent c USING (pos)
+            GROUP BY e.vec_id, c.j, (e.pos - 1) // 8),
+      pick AS (SELECT vec_id, s, j, dist,
+                 row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+               FROM d),
+      lut AS (SELECT c.j, (c.pos - 1) // 8 AS s,
+                list_sum(list((q.v - c.c) * (q.v - c.c) ORDER BY c.pos)) AS ld
+              FROM cent c JOIN ex q ON q.pos = c.pos AND q.vec_id = 0
+              GROUP BY c.j, (c.pos - 1) // 8),
+      adc AS (SELECT p.vec_id, list_sum(list(l.ld ORDER BY p.s)) AS adc
+              FROM pick p JOIN lut l ON l.s = p.s AND l.j = p.j
+              WHERE p.rn = 1 GROUP BY p.vec_id)
+      SELECT vec_id, round(adc, 6) AS adc_dist
+      FROM adc WHERE vec_id <> 0
+      ORDER BY adc, vec_id LIMIT 20"""))
   )
 }
