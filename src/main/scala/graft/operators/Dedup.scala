@@ -967,6 +967,32 @@ object Dedup {
       FROM runs GROUP BY doc_id, grp HAVING count(*) + 7 >= 16
       ORDER BY doc_id, start_word""")),
 
+    // ---- normalization + exact dedup: lowercase, strip non-alnum,
+    //      collapse whitespace, THEN hash-group — the standard first
+    //      pipeline stage; catches reformatted copies byte-exact
+    //      dedup (d01) misses. n_forms counts distinct RAW texts per
+    //      normalized group (the evidence normalization earned its
+    //      keep). Same single-shuffle budget as d01 ----
+    ("d15_normalized_dedup", (s: SparkSession, d: String) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), norm.as("ntext"))
+        .groupBy(col("ntext"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          countDistinct(col("text")).as("n_forms"))
+        .select(col("keep_id"), col("n_copies"), col("n_forms"))
+        .orderBy("keep_id")
+    }, Some("""
+      WITH n AS (
+        SELECT doc_id, text,
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS ntext
+        FROM documents)
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        count(DISTINCT text) AS n_forms
+      FROM n GROUP BY ntext ORDER BY keep_id""")),
+
     // ---- source-mix rebalancing: per-source keep rates toward a
     //      UNIFORM target share, applied with the deterministic Knuth
     //      hash (no RNG — the same docs are kept on every engine and

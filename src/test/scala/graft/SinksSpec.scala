@@ -174,6 +174,35 @@ class SinksSpec extends AnyFunSuite {
     assert(avgO < globalO * 0.6, s"orderkey clustering weak: $avgO vs $globalO")
   }
 
+  test("malformed JSON records: permissive capture vs dropmalformed") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = tmp("graft-badjson")
+    JFiles.write(Paths.get(s"$dir/data.json"), Seq(
+      """{"doc_id": 1, "text": "good row"}""",
+      """{"doc_id": 2, "text": "also good"}""",
+      """{"doc_id": "THREE", "text": 42""", // truncated + type-broken
+      """not json at all"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val schema = "doc_id LONG, text STRING, _corrupt_record STRING"
+    // PERMISSIVE (the 100 TB default): bad rows land in _corrupt_record
+    // instead of killing the job; the pipeline quarantines them
+    // (cached: Spark disallows querying only _corrupt_record straight
+    // off the raw files)
+    val perm = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    try {
+      assert(perm.count() === 4)
+      assert(perm.filter(col("_corrupt_record").isNotNull).count() === 2)
+      assert(perm.filter(col("_corrupt_record").isNull)
+        .select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+    } finally perm.unpersist()
+    // DROPMALFORMED: quietly keep only parseable rows
+    val dropped = spark.read.schema("doc_id LONG, text STRING")
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() === 2)
+  }
+
   test("csv/json/orc round-trips preserve row counts") {
     val n = Tables.nation(spark, sf)
     val (c, jn, o) = (tmp("graft-csv"), tmp("graft-json"), tmp("graft-orc"))
