@@ -57,6 +57,68 @@ object ImageIoCodec extends MediaCodec {
   }
 }
 
+/** REAL audio decode through the same seam: `javax.sound.sampled` is
+  * pure JDK, so WAV/PCM rows need no stub either. The typed metadata
+  * mapping for audio is documented on [[DecodedRow]]'s generic fields:
+  * width = sample rate (Hz), height = channel count, n_frames = PCM
+  * frame count — all read out of the actual RIFF/WAVE header by
+  * `AudioSystem.getAudioInputStream`, not payload arithmetic. Video
+  * rows (codecs genuinely absent in the JDK) fall back to [[StubCodec]].
+  */
+object JdkMediaCodec extends MediaCodec {
+  def open(): MediaRow => DecodedRow = {
+    val image = ImageIoCodec.open()
+    val fallback = StubCodec.open()
+    m =>
+      m.media_type match {
+        case "image" => image(m)
+        case "audio" =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val fmt = ais.getFormat
+          DecodedRow(m.doc_id, m.media_type,
+            width = fmt.getSampleRate.toLong,
+            height = fmt.getChannels.toLong,
+            n_frames = ais.getFrameLength)
+        case _ => fallback(m)
+      }
+  }
+}
+
+/** Deterministic tiny WAVs — REAL RIFF/WAVE bytes (encoded by the
+  * JDK's AudioSystem) standing in for an ingest's audio column.
+  * Sample rate, channel count, frame count, and every 16-bit PCM
+  * sample derive from doc_id alone, so the SQL oracle knows the
+  * decode truth without itself decoding.
+  */
+object WavGen {
+  def sampleRate(docId: Long): Int = 8000 + (docId % 5).toInt * 1000
+  def channels(docId: Long): Int = 1 + (docId % 2).toInt
+  def frames(docId: Long): Int = 200 + (docId % 300).toInt
+  /** i-th interleaved 16-bit sample; mirrors the oracle's formula. */
+  def sample(docId: Long, i: Int): Int =
+    ((i.toLong * 31L + docId * 7L) % 65536L - 32768L).toInt
+
+  def wav(docId: Long): Array[Byte] = {
+    val (sr, ch, fr) = (sampleRate(docId), channels(docId), frames(docId))
+    val pcm = new Array[Byte](fr * ch * 2) // 16-bit little-endian signed
+    var i = 0
+    while (i < fr * ch) {
+      val v = sample(docId, i)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, ch, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, fr.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+}
+
 /** Deterministic tiny PNGs — REAL image bytes (encoded by the JDK's
   * ImageIO) standing in for an ingest's image column. Dimensions and
   * pixel content derive from doc_id alone, so the SQL oracle knows the
@@ -89,10 +151,11 @@ object PngGen {
 /** Multimodal column pipeline: media as opaque binary columns with
   * typed metadata, decoded per-partition through a typed Dataset.
   *
-  * Image rows carry REAL PNG bytes (generated deterministically by
-  * [[PngGen]] — the ingest stand-in) and are decoded by the REAL
-  * [[ImageIoCodec]] kernel; audio/video rows keep the declared
-  * [[StubCodec]] (their libraries are absent here). Everything else is
+  * Image rows carry REAL PNG bytes ([[PngGen]]) decoded by ImageIO;
+  * audio rows carry REAL WAV bytes ([[WavGen]]) decoded by
+  * javax.sound — both pure-JDK kernels behind [[JdkMediaCodec]].
+  * Only video rows keep the declared [[StubCodec]] (no video codec in
+  * the JDK). Everything else is
   * the real 100 TB plumbing: binary column, case-class Encoders,
   * mapPartitions batch iteration (one decoder init per partition, not
   * per row), zero shuffles end to end, and a columnar result that
@@ -102,9 +165,10 @@ object Multimodal {
   type QFn = (SparkSession, String) => DataFrame
 
   /** The ingest stand-in: one MediaRow per document — image rows get
-    * real PNG payloads, audio/video rows the raw text bytes. A narrow
-    * typed map (media synthesis is per-row imperative work, same shape
-    * a real ingest's fetch/transcode stage has).
+    * real PNG payloads, audio rows real WAV payloads, video rows the
+    * raw text bytes. A narrow typed map (media synthesis is per-row
+    * imperative work, same shape a real ingest's fetch/transcode
+    * stage has).
     */
   def mediaFrames(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
@@ -115,8 +179,11 @@ object Multimodal {
         .otherwise("video").as("media_type"))
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, text, mt) =>
-        MediaRow(id,
-          if (mt == "image") PngGen.png(id) else text.getBytes("UTF-8"), mt)
+        MediaRow(id, mt match {
+          case "image" => PngGen.png(id)
+          case "audio" => WavGen.wav(id)
+          case _       => text.getBytes("UTF-8")
+        }, mt)
       })
   }
 
@@ -124,7 +191,7 @@ object Multimodal {
     * metadata through case-class Encoders and mapPartitions.
     */
   def decoded(s: SparkSession, d: String,
-      codec: MediaCodec = ImageIoCodec): DataFrame =
+      codec: MediaCodec = JdkMediaCodec): DataFrame =
     mediaFrames(s, d)
       .mapPartitions { it =>
         val decode = codec.open() // codec/library init, once per partition
@@ -167,20 +234,53 @@ object Multimodal {
       .toDF("doc_id", "n_pixels", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Sample-level audio feature extraction: exact abs-sum over every
+    * decoded 16-bit PCM sample — the audio analogue of [[imageStats]],
+    * and the proof the codec reads actual samples out of the WAV data
+    * chunk (little-endian reassembly included), not just the header.
+    * The oracle replays [[WavGen]]'s sample formula per index.
+    */
+  def audioStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaFrames(s, d)
+      .filter(_.media_type == "audio")
+      .mapPartitions { it =>
+        it.map { m =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          var (i, sumAbs) = (0, 0L)
+          while (i + 1 < bytes.length) {
+            val v = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+            sumAbs += math.abs(v)
+            i += 2
+          }
+          (m.doc_id, fmt.getSampleRate.toLong, bytes.length.toLong / 2, sumAbs)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "sum_abs")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
-    // image dims are decoded from real PNG bitstreams; the oracle
-    // replays PngGen's dimension formula (audio/video stay on the
-    // declared stub arithmetic over the payload = text bytes)
+    // image dims are decoded from real PNG bitstreams, audio format
+    // from real RIFF/WAVE headers; the oracle replays the PngGen /
+    // WavGen parameter formulas (video stays on the declared stub
+    // arithmetic over the payload = text bytes)
     ("m01_multimodal", (s: SparkSession, d: String) =>
       decoded(s, d).orderBy("doc_id"), Some("""
       SELECT doc_id,
         CASE WHEN doc_id % 3 = 0 THEN 'image'
              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
         CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 57
+                  WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 1000
                   ELSE 64 + strlen(text) % 577 END AS BIGINT) AS width,
         CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 31) % 41
+                  WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
                   ELSE 64 + (strlen(text) * 31) % 331 END AS BIGINT) AS height,
-        CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 24 ELSE 1 END AS BIGINT) AS n_frames
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                  WHEN doc_id % 3 = 1 THEN 200 + doc_id % 300
+                  ELSE 1 + strlen(text) % 24 END AS BIGINT) AS n_frames
       FROM documents ORDER BY doc_id""")),
 
     // downstream aggregation over the decoded stage (pipeline
@@ -198,10 +298,14 @@ object Multimodal {
           CASE WHEN doc_id % 3 = 0 THEN 'image'
                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
           CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 57
+               WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 1000
                ELSE 64 + strlen(text) % 577 END AS width,
           CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 31) % 41
+               WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
                ELSE 64 + (strlen(text) * 31) % 331 END AS height,
-          CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 24 ELSE 1 END AS n_frames
+          CASE WHEN doc_id % 3 = 0 THEN 1
+               WHEN doc_id % 3 = 1 THEN 200 + doc_id % 300
+               ELSE 1 + strlen(text) % 24 END AS n_frames
         FROM documents)
       SELECT media_type, count(*) AS n,
         CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,
@@ -230,6 +334,29 @@ object Multimodal {
         CAST(sum((v >> 16) & 255) AS BIGINT) AS sum_r,
         CAST(sum((v >> 8) & 255) AS BIGINT) AS sum_g,
         CAST(sum(v & 255) AS BIGINT) AS sum_b
-      FROM ch GROUP BY doc_id, n_pixels ORDER BY doc_id"""))
+      FROM ch GROUP BY doc_id, n_pixels ORDER BY doc_id""")),
+
+    // sample-level audio feature extraction: exact abs-sum over the
+    // decoded PCM. The oracle replays WavGen's per-index sample
+    // formula — a hash match proves the codec decoded the actual
+    // 16-bit little-endian data chunk, not just the WAV header
+    ("m04_audio_stats", (s: SparkSession, d: String) =>
+      audioStats(s, d).orderBy("doc_id"), Some("""
+      WITH aud AS (
+        SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS sr,
+          (1 + doc_id % 2) * (200 + doc_id % 300) AS n_samples
+        FROM documents WHERE doc_id % 3 = 1),
+      sm AS (
+        SELECT doc_id, sr, n_samples,
+          unnest(generate_series(0, n_samples - 1)) AS i
+        FROM aud),
+      v AS (
+        SELECT doc_id, sr, n_samples,
+          ((i * 31 + doc_id * 7) % 65536) - 32768 AS s
+        FROM sm)
+      SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+        CAST(n_samples AS BIGINT) AS n_samples,
+        CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+      FROM v GROUP BY doc_id, sr, n_samples ORDER BY doc_id"""))
   )
 }

@@ -108,17 +108,45 @@ class PipelineSeamsSpec extends AnyFunSuite {
     assert((real.width != fake.width) || (real.height != fake.height))
   }
 
-  test("m01 pipeline: image rows decode through ImageIO, audio/video through the stub") {
+  test("WavGen + JdkMediaCodec: real RIFF/WAVE bytes in, true header + sample data out") {
+    import graft.operators.{JdkMediaCodec, WavGen}
+    val ids = Seq(1L, 4L, 7L, 1234567L)
+    ids.foreach { id =>
+      val bytes = WavGen.wav(id)
+      assert(new String(bytes.take(4), "US-ASCII") === "RIFF", s"not RIFF for id $id")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE", s"not WAVE for id $id")
+      val got = JdkMediaCodec.open()(MediaRow(id, bytes, "audio"))
+      assert(got.width === WavGen.sampleRate(id).toLong, s"sample rate, doc $id")
+      assert(got.height === WavGen.channels(id).toLong, s"channels, doc $id")
+      assert(got.n_frames === WavGen.frames(id).toLong, s"frames, doc $id")
+    }
+    // round-trip the data chunk: decode-side abs-sum equals the
+    // generator formula's (proves little-endian sample reassembly)
+    val id = 7L
+    val n = WavGen.frames(id) * WavGen.channels(id)
+    val want = (0 until n).map(i => math.abs(WavGen.sample(id, i).toLong)).sum
+    val row = Multimodal.audioStats(spark, sf)
+      .filter(col("doc_id") === id).collect().head
+    assert(row.getLong(3) === want)
+  }
+
+  test("m01 pipeline: image/audio rows decode through JDK codecs, video through the stub") {
     val out = Multimodal.decoded(spark, sf)
       .orderBy("doc_id").limit(9).collect()
     out.foreach { r =>
       val (id, mt, w, h) = (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
-      if (mt == "image") {
-        val (ew, eh) = graft.operators.PngGen.dims(id)
-        assert(w === ew.toLong && h === eh.toLong, s"doc $id")
-      } else assert(w >= 64L && h >= 64L, s"doc $id") // stub arithmetic domain
+      mt match {
+        case "image" =>
+          val (ew, eh) = graft.operators.PngGen.dims(id)
+          assert(w === ew.toLong && h === eh.toLong, s"doc $id")
+        case "audio" =>
+          assert(w === graft.operators.WavGen.sampleRate(id).toLong &&
+            h === graft.operators.WavGen.channels(id).toLong, s"doc $id")
+        case _ => assert(w >= 64L && h >= 64L, s"doc $id") // stub arithmetic domain
+      }
     }
     assert(out.exists(_.getString(1) == "image"))
+    assert(out.exists(_.getString(1) == "audio"))
   }
 
   test("MediaCodec seam: injected codec replaces the stub decode") {
