@@ -54,9 +54,13 @@ object Bench {
       "q01_agg", "q03_join_inner", "q50_tpch_q5", "q18_window_ranking",
       "q27_arith", "q47_recursive_cte", "d01_dedup_exact", "d02_dedup_minhash",
       "d03_dedup_simhash", "d04_ngram_jaccard", "d05_dedup_embedding",
-      "d11_subdoc_dedup", "d12_decontaminate",
-      "s01_similarity_topk", "s03_similarity_ivf", "t01_langid", "t03_tokens",
-      "t04_fingerprint", "t05_repetition", "t09_bpe_tokens", "m01_multimodal",
+      "d11_subdoc_dedup", "d12_decontaminate", "d13_substring_dedup",
+      "d15_normalized_dedup",
+      "s01_similarity_topk", "s03_similarity_ivf", "s07_pq_quantize",
+      "s08_pq_search", "t01_langid", "t03_tokens",
+      "t04_fingerprint", "t05_repetition", "t09_bpe_tokens",
+      "t10_gopher_rules", "t12_pack_chunks", "t13_pack_greedy",
+      "m01_multimodal", "m03_image_stats", "m04_audio_stats",
       "ss01_sessionize", "ao01_asof_join", "rj01_point_interval",
       "tk01_topk_per_key", "h01_hybrid_retrieval")
     def jsonMap(m: Iterable[(String, Double)]): String =

@@ -11,6 +11,7 @@ object SparkEntry {
       graft.operators.Dedup.entries ++
       graft.operators.Similarity.entries ++
       graft.operators.TextOps.entries ++
+      graft.operators.Pack.entries ++
       graft.operators.Multimodal.entries ++
       graft.operators.Sessionize.entries ++
       graft.operators.AsOf.entries ++
