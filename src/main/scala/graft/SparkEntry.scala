@@ -12,6 +12,7 @@ object SparkEntry {
       graft.operators.Similarity.entries ++
       graft.operators.TextOps.entries ++
       graft.operators.Pack.entries ++
+      graft.operators.Pipeline.entries ++
       graft.operators.Multimodal.entries ++
       graft.operators.Sessionize.entries ++
       graft.operators.AsOf.entries ++

@@ -46,33 +46,39 @@ object Pack {
   /** (doc_id, shard, n_tokens) base — shard is mod-based here so the
     * oracle can replay it; a production ingest would hash.
     */
-  private def base(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+  def tokenBase(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       (col("doc_id") % NShards).cast("bigint").as("shard"),
       size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
+
+  /** The chunk-assign stage over any (doc_id, shard, n_tokens) base —
+    * reused by the end-to-end pipeline ([[Pipeline]]) on its filtered
+    * doc set.
+    */
+  def chunkAssign(base: DataFrame): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"start div $Cap").as("start_bin"),
+        (col("start") % Cap).as("bin_offset"),
+        expr(s"(start + n_tokens - 1) div $Cap").as("end_bin"))
+  }
 
   /** Chunked packing: cut the per-shard concatenated token stream
     * every [[Cap]] tokens. start_bin/end_bin are the bins the doc's
     * first/last token land in; bin_offset is the position of the
     * first token inside start_bin.
     */
-  def packChunks(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    base(s, d)
-      .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
-        expr(s"start div $Cap").as("start_bin"),
-        (col("start") % Cap).as("bin_offset"),
-        expr(s"(start + n_tokens - 1) div $Cap").as("end_bin"))
-      .orderBy("doc_id")
-  }
+  def packChunks(s: SparkSession, d: String): DataFrame =
+    chunkAssign(tokenBase(Tables.documents(s, d))).orderBy("doc_id")
 
   /** Greedy no-split packing: first-fit sequential fold per shard. */
   def packGreedy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    base(s, d)
+    tokenBase(Tables.documents(s, d))
       .repartition(NShards, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .as[(Long, Long, Long)]

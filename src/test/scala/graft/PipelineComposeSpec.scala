@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Pack, Pipeline, TextOps}
+
+/** p01: the composed pipeline must agree with its standalone stages. */
+class PipelineComposeSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  private val sf = GraftTestSession.sf
+
+  test("p01 manifest = gate-passing, dedup-surviving docs, chunk-packed") {
+    val manifest = Pipeline.trainingManifest(spark, sf).collect()
+    val ids = manifest.map(_.getLong(0)).toSet
+    assert(ids.nonEmpty)
+
+    // every manifest doc passes the standalone t10 gate
+    val keep = TextOps.gopherRules(graft.sources.Tables.documents(spark, sf))
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(keep))
+    // something was actually filtered (the gate + dedup earn their keep)
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(ids.size < total)
+
+    // packing invariant holds per shard over the SURVIVING doc set
+    manifest.groupBy(_.getLong(1)).foreach { case (_, docs) =>
+      var start = 0L
+      docs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) === start / Pack.Cap, s"doc ${r.getLong(0)} start_bin")
+        assert(r.getLong(4) === start % Pack.Cap, s"doc ${r.getLong(0)} bin_offset")
+        start += r.getLong(2)
+      }
+    }
+  }
+
+  test("p01 dedup stage: no two manifest docs share a normalized form") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ids = Pipeline.trainingManifest(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val normed = docs.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " ")).as("ntext"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val surviving = normed.filter { case (id, _) => ids.contains(id) }
+    assert(surviving.map(_._2).distinct.length === surviving.length)
+    // and each survivor is the lowest gate-passing id of its group
+    val keep = TextOps.gopherRules(docs).filter(col("keep"))
+      .collect().map(_.getLong(0)).toSet
+    val lowestPerForm = normed.filter(n => keep.contains(n._1))
+      .groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+    assert(ids === lowestPerForm)
+  }
+}
