@@ -20,11 +20,14 @@ import graft.sources.Tables
   * verbatim, so the composition is bit-exact end to end.
   *
   * Shuffle budget at 100 TB: the gate is a pure codegen column map
-  * (pipelines into the scan); the keep-set is ONE hash shuffle on the
-  * normalized text (same budget as d01/d15) plus a semi-join back;
-  * packing is ONE window exchange on the shard key. No stage widens
-  * rows beyond (doc_id, text) and the manifest output is 5 BIGINTs —
-  * nothing here accumulates driver-side or fans out quadratically.
+  * fused into the single scan pass; the keep-set is ONE hash shuffle
+  * (row_number over the normalized text, lowest doc_id kept — same
+  * survivors as d15's groupBy(min), without the second scan and
+  * semi-join a groupBy formulation costs); packing is ONE window
+  * exchange on the shard key. Two shuffles, one scan, end to end. No
+  * stage widens rows beyond (doc_id, text) and the manifest output is
+  * 5 BIGINTs — nothing accumulates driver-side or fans out
+  * quadratically.
   */
 object Pipeline {
   type QFn = (SparkSession, String) => DataFrame
@@ -34,21 +37,23 @@ object Pipeline {
     regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
 
   def trainingManifest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // single-file parquet: spread the CPU-bound gate across cores
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
 
-    // stage 1 — hard quality gate (reuses the t10 operator)
-    val gate = TextOps.gopherRules(docs)
-      .filter(col("keep")).select("doc_id")
-    val kept = docs.join(gate, Seq("doc_id"), "left_semi")
+    // stage 1 — hard quality gate (t10's gopherReason column, applied
+    // inline so it fuses into the one scan pass)
+    val kept = docs.filter(TextOps.gopherReason.isNull)
 
-    // stage 2 — normalized exact-dedup keep-set (d15 semantics:
-    // lowest doc_id survives per normalized form)
-    val keepers = kept.select(col("doc_id"), norm.as("ntext"))
-      .groupBy(col("ntext")).agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val uniq = kept.join(keepers, Seq("doc_id"), "left_semi")
+    // stage 2 — normalized exact-dedup keep-set (d15 semantics: lowest
+    // doc_id survives per normalized form), as a window rank so the
+    // text is scanned once and no join re-materializes it
+    val uniq = kept
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(norm).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .drop("rk")
 
     // stage 3 — chunked packing over the surviving docs (t12 stage)
     Pack.chunkAssign(Pack.tokenBase(uniq))

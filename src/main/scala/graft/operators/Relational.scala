@@ -1290,29 +1290,39 @@ object Relational {
     //      gets the same NULLs via guards (CASE for the overflows —
     //      DuckDB BIGINT arithmetic errors rather than wraps, so the
     //      non-taken branch must never evaluate; NULLIF for the zero
-    //      divisor; native OOB-NULL list indexing) ----
+    //      divisor; native OOB-NULL list indexing).
+    //      SCALE NOTE: TRY codegen throws/catches a JVM exception per
+    //      FAILING row — error paths must be data-rare, not
+    //      structural. A first cut overflowed on ~every row (3 TRY
+    //      columns × 600k rows = 1.8M exceptions) and ran 72s at
+    //      sf0.1; keyed to ~1/1000 rows it runs in under a second
+    //      with identical NULL semantics ----
     ("q65_try_arith", (s: SparkSession, d: String) => {
       Tables.lineitem(s, d).select(
         col("l_orderkey"),
         col("l_linenumber").cast("bigint").as("l_linenumber"),
         expr("try_divide(l_extendedprice, l_quantity - 25.0)").as("try_div"),
-        expr("try_multiply(l_orderkey, 9223372036854775807)").as("try_mul_ovf"),
-        expr("try_add(9223372036854775800, l_orderkey * 4)").as("try_add_ovf"),
-        expr("try_cast(CASE WHEN l_linenumber % 2 = 1 THEN l_returnflag " +
+        expr("try_multiply(9223372036854775807, " +
+          "CASE WHEN l_orderkey % 997 = 0 THEN 2 ELSE 1 END)").as("try_mul_ovf"),
+        expr("try_add(9223372036854775800, " +
+          "CASE WHEN l_orderkey % 991 = 0 THEN 100 ELSE l_orderkey % 7 END)").as("try_add_ovf"),
+        expr("try_cast(CASE WHEN l_orderkey % 977 = 0 THEN l_returnflag " +
           "ELSE CAST(l_orderkey AS STRING) END AS INT)").as("try_cast_mixed"),
-        expr("try_subtract(-9223372036854775808, l_orderkey)").as("try_sub_ovf"),
-        expr("try_element_at(array(l_quantity, l_discount), " +
-          "CAST(l_linenumber AS INT))").as("try_elem"))
+        expr("try_subtract(-9223372036854775800, " +
+          "CASE WHEN l_orderkey % 983 = 0 THEN 100 ELSE l_orderkey % 8 END)").as("try_sub_ovf"),
+        expr("try_element_at(array(l_quantity, l_discount, l_tax, l_extendedprice), " +
+          "CAST(CASE WHEN l_orderkey % 971 = 0 THEN 9 ELSE 1 + l_orderkey % 4 END AS INT))").as("try_elem"))
         .orderBy("l_orderkey", "l_linenumber")
     }, Some("""
       SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         l_extendedprice / NULLIF(l_quantity - 25.0, 0) AS try_div,
-        CASE WHEN l_orderkey <= 1 THEN CAST(l_orderkey * 9223372036854775807 AS BIGINT) END AS try_mul_ovf,
-        CASE WHEN l_orderkey <= 1 THEN CAST(9223372036854775800 + l_orderkey * 4 AS BIGINT) END AS try_add_ovf,
-        TRY_CAST(CASE WHEN l_linenumber % 2 = 1 THEN l_returnflag
+        CASE WHEN l_orderkey % 997 <> 0 THEN CAST(9223372036854775807 AS BIGINT) END AS try_mul_ovf,
+        CASE WHEN l_orderkey % 991 <> 0 THEN CAST(9223372036854775800 + l_orderkey % 7 AS BIGINT) END AS try_add_ovf,
+        TRY_CAST(CASE WHEN l_orderkey % 977 = 0 THEN l_returnflag
                       ELSE CAST(l_orderkey AS VARCHAR) END AS INT) AS try_cast_mixed,
-        CASE WHEN l_orderkey = 0 THEN CAST(-9223372036854775808 AS BIGINT) END AS try_sub_ovf,
-        [l_quantity, l_discount][l_linenumber] AS try_elem
+        CASE WHEN l_orderkey % 983 <> 0 THEN CAST(-9223372036854775800 - l_orderkey % 8 AS BIGINT) END AS try_sub_ovf,
+        [l_quantity, l_discount, l_tax, l_extendedprice]
+          [CASE WHEN l_orderkey % 971 = 0 THEN 9 ELSE 1 + l_orderkey % 4 END] AS try_elem
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
   )
 }

@@ -191,7 +191,11 @@ object TextOps {
     * are integer comparisons — sums and cross-multiplied rationals,
     * no float thresholds — so oracle parity is exact at any scale.
     */
-  def gopherRules(documents: DataFrame): DataFrame = {
+  /** The gate as a reusable Column over a `text` attribute: NULL =
+    * keep, else the FIRST failing rule's name. [[Pipeline]] applies it
+    * inline so its composed plan gates in the same scan pass.
+    */
+  def gopherReason: org.apache.spark.sql.Column = {
     val ws = filter(split(trim(col("text")), " "), w => w =!= "")
     val n = size(ws).cast("bigint")
     val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
@@ -199,13 +203,18 @@ object TextOps {
     val alphaC = size(filter(ws, w => w.rlike("[a-z]"))).cast("bigint")
     val nonspace = length(regexp_replace(col("text"), " ", "")).cast("bigint")
     val sym = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("bigint")
-    val reason = when(!n.between(10L, 100000L), "word_count")
+    when(!n.between(10L, 100000L), "word_count")
       .when(sumLen < n * 3 || sumLen > n * 10, "mean_word_len")
       .when(stopC < 2, "stopwords")
       .when(alphaC * 5 < n * 4, "alpha_words")
       .when(sym * 10 > nonspace, "symbol_ratio")
+  }
+
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val ws = filter(split(trim(col("text")), " "), w => w =!= "")
+    val reason = gopherReason
     documents.select(
-      col("doc_id"), n.as("n_words"),
+      col("doc_id"), size(ws).cast("bigint").as("n_words"),
       reason.isNull.as("keep"), reason.as("reject_reason"))
       .orderBy("doc_id")
   }
