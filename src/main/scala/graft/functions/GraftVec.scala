@@ -135,4 +135,45 @@ object GraftVec {
     }
     ArrayData.toArrayData(keys)
   }
+
+  /** Product-quantization assignment: per subspace s of m, the argmin
+    * centroid over k codebook entries (L2, accumulated left-to-right
+    * in dimension order — the float chain the SQL oracle replays;
+    * ties keep the smallest centroid id via strict <) plus the total
+    * reconstruction error summed in subspace order. `cb` is the
+    * flattened j-major codebook (k rows × dim doubles). One primitive
+    * loop per row replaces an m×k lattice of slice/zip_with/aggregate
+    * higher-order expressions (interpreted lambdas, ~5× slower and
+    * allocation-heavy) — this is the 100 TB index-build inner loop.
+    * Returns [codes: array<long> (m), recon_err: double].
+    */
+  def pqAssign(emb: ArrayData, cb: Array[Double], m: Int, k: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = emb.numElements()
+    val sub = dim / m
+    val codes = new Array[Long](m)
+    var err = 0.0
+    var s = 0
+    while (s < m) {
+      var bestD = Double.PositiveInfinity
+      var bestJ = -1L
+      var j = 0
+      while (j < k) {
+        var dsum = 0.0
+        var t = 0
+        while (t < sub) {
+          val diff = emb.getFloat(s * sub + t).toDouble - cb(j * dim + s * sub + t)
+          dsum += diff * diff
+          t += 1
+        }
+        if (dsum < bestD) { bestD = dsum; bestJ = j.toLong }
+        j += 1
+      }
+      codes(s) = bestJ
+      err += bestD
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ArrayData.toArrayData(codes), err))
+  }
 }

@@ -126,6 +126,28 @@ case class LshBucketKeys(child: Expression, tables: Int, bits: Int) extends Unar
   override protected def withNewChildInternal(c: Expression): LshBucketKeys = copy(child = c)
 }
 
+/** PQ assignment over a float-vector column: argmin centroid per
+  * subspace + total reconstruction error, one primitive pass (see
+  * GraftVec.pqAssign). The codebook rides along as a referenced
+  * object so generated code calls the kernel with a plain double[].
+  */
+case class PqAssign(child: Expression, cb: Array[Double], m: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("recon_err", DoubleType,
+      nullable = false)))
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.GraftVec.pqAssign(v.asInstanceOf[ArrayData], cb, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.pqAssign($c, $cbRef, $m, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqAssign = copy(child = c)
+}
+
 /** First index where two long-array columns agree (-1 if none) — the
   * per-row dedup predicate of multi-table LSH candidate generation.
   */

@@ -67,4 +67,9 @@ package object functions {
 
   /** First index where two long-array columns agree (-1 if none). */
   def firstMatch(a: Column, b: Column): Column = col(expr.FirstMatch(ex(a), ex(b)))
+
+  /** PQ assignment of a float-vector column against a flattened
+    * j-major codebook: struct(codes array<long>, recon_err double). */
+  def pqAssign(c: Column, cb: Array[Double], m: Int, k: Int): Column =
+    col(expr.PqAssign(ex(c), cb, m, k))
 }
