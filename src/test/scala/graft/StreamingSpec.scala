@@ -170,6 +170,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming greedy packing: batch 2 continues the bin batch 1 left open") {
+    import spark.implicits._
+    import graft.streaming.{DocTok, PackStream}
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocTok](spark)
+    val packed = PackStream.pack(mem.toDS(), cap = 100L)
+    val q = packed.writeStream.format("memory").queryName("pack_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: shard 0 fills 30+50 = 80 of cap 100 (bin 0 stays open)
+      mem.addData(DocTok(1L, 0L, 30L), DocTok(2L, 0L, 50L), DocTok(3L, 1L, 95L))
+      q.processAllAvailable()
+      // batch 2: 15 doesn't fit bin 0's remaining 20? it does (80+15<=100);
+      // then 40 rolls to bin 1. Shard 1's 120-token doc owns bin 1 whole.
+      mem.addData(DocTok(4L, 0L, 15L), DocTok(5L, 0L, 40L), DocTok(6L, 1L, 120L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pack_out").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((0L, 0L)))
+    assert(got(2L) === ((0L, 30L)))
+    assert(got(4L) === ((0L, 80L)))  // state carried the open bin across batches
+    assert(got(5L) === ((1L, 0L)))   // 95 > remaining 5 -> rolled
+    assert(got(3L) === ((0L, 0L)))
+    assert(got(6L) === ((1L, 0L)))   // oversize doc owns its own bin
+    // parity: identical to the batch fold over the concatenated arrival order
+    val wantShard0 = Seq((1L, 30L), (2L, 50L), (4L, 15L), (5L, 40L))
+      .foldLeft((Seq.empty[(Long, (Long, Long))], 0L, 0L)) {
+        case ((acc, bin, fill), (id, n)) =>
+          val (b, f) = if (fill != 0L && fill + n > 100L) (bin + 1L, 0L) else (bin, fill)
+          (acc :+ (id -> ((b, f))), b, f + n)
+      }._1.toMap
+    assert(wantShard0.forall { case (id, bo) => got(id) == bo })
+  }
+
   test("streaming dedup (watermark-bounded state) matches batch distinct") {
     val streamed = Events.dedupStream(
       Events.readStream(spark, streamDir), Seq("user_id", "event_type"))
