@@ -41,6 +41,12 @@ object Scale {
     // cross-doc duplicated runs — worst-case pressure on the
     // positioned-hash + window stages
     time("substringDup")(graft.operators.Dedup.substringDupSpans(docs, 8, 16).count())
+    // end-to-end manifest (gate → dedup keep-set → pack): one scan +
+    // two shuffles, so docs/s here should track the corpus size — the
+    // replicas all collapse onto the base docs' normalized forms, so
+    // the dedup window stage sees maximal group sizes (worst case)
+    time("pipelineManifest")(graft.operators.Pipeline.trainingManifest(spark, work).count())
+    time("packGreedy")(graft.operators.Pack.packGreedy(spark, work).count())
 
     // ---- embedding near-dup probe: replicas perturbed in one
     // dimension are TRUE near-dups (pairwise cos ~0.99), the base

@@ -1323,6 +1323,29 @@ object Relational {
         CASE WHEN l_orderkey % 983 <> 0 THEN CAST(-9223372036854775800 - l_orderkey % 8 AS BIGINT) END AS try_sub_ovf,
         [l_quantity, l_discount, l_tax, l_extendedprice]
           [CASE WHEN l_orderkey % 971 = 0 THEN 9 ELSE 1 + l_orderkey % 4 END] AS try_elem
-      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- ordered string aggregation (listagg WITHIN GROUP, Spark 4)
+    //      cross-validated in the same row against the sorted-array
+    //      formulation (array_sort + array_join) — deterministic only
+    //      because of the WITHIN GROUP order, which the oracle's
+    //      string_agg(ORDER BY) mirrors ----
+    ("q66_listagg", (s: SparkSession, d: String) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations_arr"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name")
+    }, Some("""
+      SELECT r_name,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations_arr,
+        count(*) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
   )
 }
