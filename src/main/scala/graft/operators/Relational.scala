@@ -28,24 +28,38 @@ object Relational {
     sum(c.cast(DecimalType(18, scale))).cast("double")
   private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
 
-  /** `> ALL(S)` / `< ANY(S)` decorrelation over S = totalprice of the
-    * orders matching `subqPred`. The max-based rewrite alone returns
-    * NULL for an empty S where SQL says `> ALL(∅)` is TRUE and
-    * `< ANY(∅)` is FALSE — so the broadcast aggregate also carries the
-    * subquery row count and the comparisons switch on it. (o_totalprice
-    * is non-null, so count=0 is the only way p_max can be null; a
-    * nullable subquery column would additionally need the
-    * count-vs-count(col) three-valued cases.)
+  /** `> ALL(S)` / `< ANY(S)` decorrelation over S = `subqVal` of the
+    * orders matching `subqPred`, with FULL SQL three-valued semantics.
+    * The broadcast aggregate carries (max over non-null S, row count,
+    * non-null count); the comparison chain reproduces every 3VL case:
+    * empty S (`> ALL(∅)`=TRUE, `< ANY(∅)`=FALSE), NULL probe value
+    * (UNKNOWN against non-empty S), a definitive non-null witness
+    * (x ≤ max disproves ALL; x < max proves ANY), and otherwise
+    * UNKNOWN when S contains any NULL (the NULL could have been the
+    * refuting/satisfying value). An all-NULL S falls through the
+    * NULL-valued max comparison into the hasNulls → UNKNOWN arm.
+    * (AnyAllSpec exercises each case on synthetic nullable data.)
     */
-  def anyAllRewrite(orders: DataFrame, subqPred: Column): DataFrame = {
+  def anyAllRewrite(orders: DataFrame, subqPred: Column,
+      subqVal: Column = col("o_totalprice")): DataFrame = {
     val agg = orders.filter(subqPred)
-      .agg(max(col("o_totalprice")).as("p_max"), count(lit(1)).as("p_n"))
+      .agg(max(subqVal).as("p_max"), count(lit(1)).as("p_n"),
+        count(subqVal).as("p_nn"))
+    val x = col("o_totalprice")
+    val unknown = lit(null).cast("boolean")
+    val hasNulls = col("p_n") > col("p_nn")
     orders.crossJoin(broadcast(agg))
       .select(col("o_orderkey"),
         when(col("p_n") === 0, lit(true))
-          .otherwise(col("o_totalprice") > col("p_max")).as("gt_all_p"),
+          .when(x.isNull, unknown)
+          .when(x <= col("p_max"), lit(false))
+          .when(hasNulls, unknown)
+          .otherwise(lit(true)).as("gt_all_p"),
         when(col("p_n") === 0, lit(false))
-          .otherwise(col("o_totalprice") < col("p_max")).as("lt_any_p"))
+          .when(x.isNull, unknown)
+          .when(x < col("p_max"), lit(true))
+          .when(hasNulls, unknown)
+          .otherwise(lit(false)).as("lt_any_p"))
       .orderBy("o_orderkey")
   }
 

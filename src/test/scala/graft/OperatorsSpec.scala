@@ -97,6 +97,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(some.toSeq === Seq((1L, false, true), (2L, false, false), (3L, true, false)))
   }
 
+  test("anyAllRewrite: full 3VL with NULLs in the subquery and NULL probe values") {
+    import spark.implicits._
+    def tri(r: org.apache.spark.sql.Row, i: Int): Option[Boolean] =
+      if (r.isNullAt(i)) None else Some(r.getBoolean(i))
+    // S = {10, 20, NULL} (status P): a NULL in S makes every
+    // non-disproven ALL and non-proven ANY UNKNOWN
+    val withNull = Seq(
+      (1L, Some(10.0), "P"), (2L, Some(20.0), "P"), (3L, None: Option[Double], "P"),
+      (4L, Some(25.0), "O"), (5L, Some(15.0), "O"), (6L, None: Option[Double], "O"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+    val got = graft.operators.Relational
+      .anyAllRewrite(withNull, col("o_orderstatus") === "P")
+      .collect().map(r => r.getLong(0) -> ((tri(r, 1), tri(r, 2)))).toMap
+    assert(got(4L) === ((None, None)))              // 25 > all non-null, but NULL ∈ S
+    assert(got(5L) === ((Some(false), Some(true)))) // 15 ≤ 20 disproves ALL; 15 < 20 proves ANY
+    assert(got(6L) === ((None, None)))              // NULL probe vs non-empty S
+    assert(got(2L) === ((Some(false), None)))       // 20 ≤ 20; 20 < 20 false, NULL ∈ S
+    // S all-NULL: UNKNOWN for every non-null probe too
+    val allNull = Seq(
+      (1L, None: Option[Double], "P"), (2L, Some(5.0), "O"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+    val got2 = graft.operators.Relational
+      .anyAllRewrite(allNull, col("o_orderstatus") === "P")
+      .collect().map(r => r.getLong(0) -> ((tri(r, 1), tri(r, 2)))).toMap
+    assert(got2(2L) === ((None, None)))
+  }
+
   test("pqQuantize: codebook vectors code to themselves with zero error") {
     val out = graft.operators.Similarity
       .pqQuantize(graft.sources.Tables.embeddings(spark, GraftTestSession.sf), 8, 16)
