@@ -176,4 +176,38 @@ object GraftVec {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](ArrayData.toArrayData(codes), err))
   }
+
+  /** [[pqAssign]] over an array<double> column (residual vectors in
+    * IVF-PQ are centroid-subtracted doubles, not raw floats). Same
+    * in-order L2 chains and strict-< tie-break.
+    */
+  def pqAssignD(emb: ArrayData, cb: Array[Double], m: Int, k: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = emb.numElements()
+    val sub = dim / m
+    val codes = new Array[Long](m)
+    var err = 0.0
+    var s = 0
+    while (s < m) {
+      var bestD = Double.PositiveInfinity
+      var bestJ = -1L
+      var j = 0
+      while (j < k) {
+        var dsum = 0.0
+        var t = 0
+        while (t < sub) {
+          val diff = emb.getDouble(s * sub + t) - cb(j * dim + s * sub + t)
+          dsum += diff * diff
+          t += 1
+        }
+        if (dsum < bestD) { bestD = dsum; bestJ = j.toLong }
+        j += 1
+      }
+      codes(s) = bestJ
+      err += bestD
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ArrayData.toArrayData(codes), err))
+  }
 }

@@ -139,11 +139,18 @@ case class PqAssign(child: Expression, cb: Array[Double], m: Int, k: Int)
       nullable = false),
     org.apache.spark.sql.types.StructField("recon_err", DoubleType,
       nullable = false)))
+  // float input = raw embeddings; double input = residual vectors
+  private def isDouble: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def kernel: String = if (isDouble) "pqAssignD" else "pqAssign"
   override protected def nullSafeEval(v: Any): Any =
-    graft.functions.GraftVec.pqAssign(v.asInstanceOf[ArrayData], cb, m, k)
+    if (isDouble) graft.functions.GraftVec.pqAssignD(v.asInstanceOf[ArrayData], cb, m, k)
+    else graft.functions.GraftVec.pqAssign(v.asInstanceOf[ArrayData], cb, m, k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.pqAssign($c, $cbRef, $m, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.$kernel($c, $cbRef, $m, $k)")
   }
   override protected def withNewChildInternal(c: Expression): PqAssign = copy(child = c)
 }

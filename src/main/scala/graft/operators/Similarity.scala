@@ -290,6 +290,103 @@ object Similarity {
       .select(col("vec_id"), round(col("adc"), 6).as("adc_dist"))
   }
 
+  /** IVF-PQ (Jégou et al.): the billion-scale ANN layout composed
+    * end-to-end — coarse cells (s03's label quantizer, decimal-exact
+    * centroids), product quantization of the RESIDUAL vectors (vector
+    * minus its cell centroid), and per-cell asymmetric-distance search
+    * over only the probed cells.
+    *
+    * Driver-side work is index METADATA only (ncells×dim centroids,
+    * the k×dim residual codebook, the nprobe×m×k query LUTs — a few
+    * KB); every per-vector step is one zero-shuffle codegen scan:
+    * residual subtraction against a broadcast centroid map, PqAssign
+    * on the residual, m LUT lookups + m−1 adds, TakeOrdered top-k. At
+    * scale the codes are what's stored (m bytes/vector instead of
+    * 4·dim) and a search touches ~nprobe/ncells of them.
+    *
+    * Every float chain is in-order (centroid cosine, residual L2,
+    * LUT, ADC sum) so the DuckDB oracle replays the index build AND
+    * the search bit-exactly.
+    */
+  def ivfPqSearch(embeddings: DataFrame, queryId: Long, nprobe: Int,
+      topK: Int, m: Int = 8, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dim = PqDim
+    // --- index metadata (driver): per-cell decimal-exact centroids
+    val centRows = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+        count(lit(1))).as("c"))
+      .collect()
+    val cents: Map[Int, Array[Double]] = centRows.groupBy(_.getInt(0)).map {
+      case (l, rows) =>
+        val a = new Array[Double](dim)
+        rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+        l -> a
+    }
+    // --- query vector and probe order (cosine to centroids, in-order
+    //     sums; ties broken by cell id — mirrors s03's probe CTE)
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes: Seq[Int] = cents.toSeq.map { case (l, c) => (l, cos(c, q)) }
+      .sortBy { case (l, s) => (-s, l) }.take(nprobe).map(_._1)
+    // --- residual codebook: vectors 0..k-1, each minus ITS cell centroid
+    val cbRows = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    require(cbRows.length == k, s"residual codebook needs vec_ids 0..${k - 1}")
+    val rcb: Array[Double] = cbRows.sortBy(_._1).flatMap { case (_, l, e) =>
+      val c = cents(l); (0 until dim).map(t => e(t) - c(t))
+    }
+    // --- per-probed-cell LUTs: ||(q - cent_cell)_s - rcb_j,s||^2 in t order
+    val sub = dim / m
+    def lutFor(cell: Int): Array[Double] = {
+      val qc = cents(cell)
+      val qr = (0 until dim).map(t => q(t) - qc(t)).toArray
+      val a = new Array[Double](m * k)
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < k) {
+          var d = 0.0
+          var t = 0
+          while (t < sub) {
+            val diff = qr(s * sub + t) - rcb(j * dim + s * sub + t)
+            d += diff * diff
+            t += 1
+          }
+          a(s * k + j) = d
+          j += 1
+        }
+        s += 1
+      }
+      a
+    }
+    // --- in-plan search: one zero-shuffle scan of the probed cells
+    val centMap = map(probes.flatMap(l =>
+      Seq(lit(l), array(cents(l).map(lit(_)): _*))): _*)
+    val lutMap = map(probes.flatMap(l =>
+      Seq(lit(l), array(lutFor(l).map(lit(_)): _*))): _*)
+    val residual = transform(col("embedding"),
+      (x, i) => x.cast("double") - element_at(element_at(centMap, col("label")), i + 1))
+    val codes = graft.functions.pqAssign(residual, rcb, m, k).getField("codes")
+    val adc = (0 until m).map(s =>
+      element_at(element_at(lutMap, col("label")),
+        lit(s * k) + codes.getItem(s).cast("int") + 1))
+      .reduce(_ + _)
+    embeddings.filter(col("label").isin(probes: _*))
+      .select(col("vec_id"), col("label").cast("bigint").as("cell"), adc.as("adc"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("adc"), col("vec_id")).limit(topK)
+      .select(col("vec_id"), col("cell"), round(col("adc"), 6).as("adc_dist"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- KMeans-trained IVF: oracle checks the index recall contract ----
@@ -533,6 +630,49 @@ object Similarity {
               WHERE p.rn = 1 GROUP BY p.vec_id)
       SELECT vec_id, round(adc, 6) AS adc_dist
       FROM adc WHERE vec_id <> 0
-      ORDER BY adc, vec_id LIMIT 20"""))
+      ORDER BY adc, vec_id LIMIT 20""")),
+
+    // ---- IVF-PQ: coarse cells + residual PQ + per-cell ADC over the
+    //      probed cells only. The oracle replays the WHOLE index:
+    //      decimal-exact centroids, probe ranking, residual codebook,
+    //      per-vector residual codes, per-cell query LUTs, and the
+    //      subspace-order ADC sums ----
+    ("s09_ivfpq_search", (s: SparkSession, d: String) =>
+      ivfPqSearch(Tables.embeddings(s, d), 0L, 3, 10, 8, 16), Some("""
+      WITH ex AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+                    CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+      cent AS (SELECT label, pos,
+                 CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS c
+               FROM ex GROUP BY label, pos),
+      q AS (SELECT pos, v AS qd FROM ex WHERE vec_id = 0),
+      cd AS (SELECT label,
+               sum(c * qd) / (sqrt(sum(c * c)) * sqrt(sum(qd * qd))) AS cos_qc
+             FROM cent JOIN q USING (pos) GROUP BY label),
+      probes AS (SELECT label FROM cd ORDER BY cos_qc DESC, label LIMIT 3),
+      resid AS (SELECT e.vec_id, e.label, e.pos, e.v - c.c AS r
+                FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos),
+      rcb AS (SELECT vec_id AS j, pos, r AS cr FROM resid WHERE vec_id < 16),
+      cand AS (SELECT r.* FROM resid r JOIN probes USING (label)),
+      dists AS (SELECT ca.vec_id, ca.label, cb.j, (ca.pos - 1) // 8 AS s,
+                  list_sum(list((ca.r - cb.cr) * (ca.r - cb.cr) ORDER BY ca.pos)) AS dist
+                FROM cand ca JOIN rcb cb USING (pos)
+                GROUP BY ca.vec_id, ca.label, cb.j, (ca.pos - 1) // 8),
+      codes AS (SELECT vec_id, label, s, j FROM (
+                  SELECT vec_id, label, s, j,
+                    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+                  FROM dists) WHERE rn = 1),
+      qres AS (SELECT c.label, c.pos, q.qd - c.c AS qr
+               FROM cent c JOIN q USING (pos) JOIN probes p ON p.label = c.label),
+      lut AS (SELECT qr.label, cb.j, (qr.pos - 1) // 8 AS s,
+                list_sum(list((qr.qr - cb.cr) * (qr.qr - cb.cr) ORDER BY qr.pos)) AS dv
+              FROM qres qr JOIN rcb cb USING (pos)
+              GROUP BY qr.label, cb.j, (qr.pos - 1) // 8),
+      adc AS (SELECT c.vec_id, c.label, list_sum(list(l.dv ORDER BY c.s)) AS adc
+              FROM codes c JOIN lut l ON l.label = c.label AND l.s = c.s AND l.j = c.j
+              GROUP BY c.vec_id, c.label)
+      SELECT vec_id, CAST(label AS BIGINT) AS cell, round(adc, 6) AS adc_dist
+      FROM adc WHERE vec_id <> 0
+      ORDER BY adc, vec_id LIMIT 10"""))
   )
 }

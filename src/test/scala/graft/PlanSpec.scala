@@ -111,6 +111,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("s09: IVF-PQ search is one zero-shuffle scan + TakeOrdered") {
+    // the index metadata (centroids/codebook/LUTs) is driver-side; the
+    // per-vector search itself must be a single exchange-free scan of
+    // the probed cells
+    val plan = physicalPlan("s09_ivfpq_search")
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Exchange"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
+
   test("partitioning as a physical property: one exchange reused by sort and agg") {
     // reference README "Physical properties: Partitioning": an explicit
     // repartition(col) establishes hashpartitioning as a plan property;
