@@ -57,7 +57,8 @@ object Bench {
       "d11_subdoc_dedup", "d12_decontaminate", "d13_substring_dedup",
       "d15_normalized_dedup",
       "s01_similarity_topk", "s03_similarity_ivf", "s07_pq_quantize",
-      "s08_pq_search", "t01_langid", "t03_tokens",
+      "s08_pq_search", "s09_ivfpq_search", "p01_pipeline",
+      "t01_langid", "t03_tokens",
       "t04_fingerprint", "t05_repetition", "t09_bpe_tokens",
       "t10_gopher_rules", "t12_pack_chunks", "t13_pack_greedy",
       "m01_multimodal", "m03_image_stats", "m04_audio_stats",

@@ -141,4 +141,34 @@ class KernelPropertiesSpec extends AnyFunSuite {
         fmt.format(java.time.Instant.parse(s)))
     }
   }
+
+  test("pqAssign/pqAssignD match a naive argmin reference (ties to smallest j)") {
+    val ad = org.apache.spark.sql.catalyst.util.ArrayData
+    val (m, k, dim) = (4, 8, 16)
+    val sub = dim / m
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-64, 63).map(_ / 16.0))
+    val cbGen = Gen.listOfN(k * dim, Gen.chooseNum(-64, 63).map(_ / 16.0))
+    def naive(v: Array[Double], cb: Array[Double]): (Seq[Long], Double) = {
+      val per = (0 until m).map { s =>
+        (0 until k).map { j =>
+          val d = (0 until sub).map { t =>
+            val x = v(s * sub + t) - cb(j * dim + s * sub + t); x * x
+          }.sum
+          (d, j.toLong)
+        }.minBy(p => (p._1, p._2)) // smallest distance, then smallest j
+      }
+      (per.map(_._2), per.map(_._1).sum)
+    }
+    forAll2(vecGen, cbGen) { (vl, cbl) =>
+      val v = vl.toArray
+      val cb = cbl.toArray
+      val (wantCodes, wantErr) = naive(v, cb)
+      val gotD = GraftVec.pqAssignD(ad.toArrayData(v), cb, m, k)
+      assert(gotD.getArray(0).toLongArray().toSeq === wantCodes)
+      assert(math.abs(gotD.getDouble(1) - wantErr) < 1e-12)
+      val gotF = GraftVec.pqAssign(ad.toArrayData(v.map(_.toFloat)), cb, m, k)
+      // /16.0 grid values are float-exact, so the float path agrees too
+      assert(gotF.getArray(0).toLongArray().toSeq === wantCodes)
+    }
+  }
 }
