@@ -36,6 +36,11 @@ package object functions {
   def thetaSketch(c: Column): Column =
     col(expr.ThetaSketchAgg(ex(c)).toAggregateExpression())
 
+  /** Aggregate: Misra-Gries heavy-hitter candidate set (array of
+    * strings) over a string column, `cap` counters. */
+  def mgSketch(c: Column, cap: Int): Column =
+    col(expr.MisraGriesAgg(ex(c), cap).toAggregateExpression())
+
   /** Distinct-count estimate of a theta-sketch column. */
   def thetaEstimate(c: Column): Column = col(expr.ThetaEstimate(ex(c)))
 

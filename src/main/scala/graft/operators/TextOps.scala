@@ -557,7 +557,46 @@ object TextOps {
         round(CAST(sum(cf) AS DOUBLE) / count(*), 6) AS mean_word_freq,
         CAST(min(cf) AS BIGINT) AS rarest_word_freq
       FROM occ JOIN freq USING (w)
-      GROUP BY doc_id ORDER BY doc_id""")))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Misra-Gries heavy hitters (mergeable sketch #3 next to HLL
+    //      q38 / theta q62): bounded-memory frequent-token candidates.
+    //      The contract the oracle checks is the DETERMINISTIC part of
+    //      the sketch — every token with true count > N/(cap+1) MUST
+    //      be in the candidate set, under any partitioning/merge
+    //      order. The exact side (computed here only to judge the
+    //      sketch) replays in SQL; if the sketch ever dropped a true
+    //      heavy hitter, n_found < n_heavy would hash-mismatch ----
+    ("t15_heavy_hitters", (s: SparkSession, d: String) => {
+      val cap = 64
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val occ = docs.select(
+        explode(filter(split(trim(col("text")), " "), w => w =!= "")).as("w"))
+      val sk = occ.agg(graft.functions.mgSketch(col("w"), cap).as("cands"))
+      val tot = occ.agg(count(lit(1)).as("n"))
+      val counts = occ.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val flags = counts.crossJoin(broadcast(tot))
+        .filter(col("cnt") * (cap + 1) > col("n"))
+        .crossJoin(broadcast(sk))
+        .agg(count(lit(1)).as("n_heavy"),
+          coalesce(sum(array_contains(col("cands"), col("w")).cast("long")),
+            lit(0L)).as("n_found"))
+      flags.crossJoin(broadcast(tot))
+        .select(col("n").as("n_tokens"), col("n_heavy"), col("n_found"),
+          (col("n_heavy") === col("n_found")).as("all_ok"))
+        .orderBy("n_tokens").limit(1) // single row; explicit determinism
+    }, Some("""
+      WITH occ AS (
+        SELECT unnest(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS w
+        FROM documents),
+      tot AS (SELECT count(*) AS n FROM occ),
+      ex AS (SELECT w, count(*) AS cnt FROM occ GROUP BY w),
+      heavy AS (SELECT w FROM ex, tot WHERE cnt * 65 > n)
+      SELECT (SELECT n FROM tot) AS n_tokens,
+        (SELECT count(*) FROM heavy) AS n_heavy,
+        (SELECT count(*) FROM heavy) AS n_found,
+        true AS all_ok""")))
 
   /** DuckDB replay of the committed BPE merge table (see the t09
     * entry): marker-wrap every codepoint, fold one replace() per merge

@@ -1,4 +1,5 @@
 package graft
+// (MisraGries guarantee test added at the bottom of this spec)
 
 import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
@@ -74,5 +75,23 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getLong(0) === 0xe71fa2190541574bL)
     assert(r.getDouble(1) === 11.0)
+  }
+
+  test("mgSketch: retention guarantee holds under many partitions and skew") {
+    import spark.implicits._
+    val cap = 16
+    // 3 true heavy hitters drowned in a long tail: hh0 2000, hh1 1200,
+    // hh2 800 of N = 4000 + 6000 tail = 10000 → threshold N/17 ≈ 588.
+    // tail words each appear ~6 times (far below). 32 partitions force
+    // per-partition buffers + a deep merge tree.
+    val rows =
+      Seq.fill(2000)("hh0") ++ Seq.fill(1200)("hh1") ++ Seq.fill(800)("hh2") ++
+        (0 until 6000).map(i => s"tail${i % 1000}")
+    val df = rows.toDF("w").repartition(32)
+    val cands = df.agg(mgSketch(col("w"), cap)).collect()
+      .head.getSeq[String](0).toSet
+    assert(cands.size <= cap)
+    assert(Set("hh0", "hh1", "hh2").subsetOf(cands),
+      s"heavy hitters missing from $cands")
   }
 }
