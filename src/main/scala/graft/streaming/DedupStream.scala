@@ -16,10 +16,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * foreachBatch because the classify-then-append step is a batch
   * pipeline over each micro-batch (two actions: the classification
   * write and the store append) — not expressible as a single
-  * incremental operator. The parquet result sink is append-only; a
-  * micro-batch retried after a crash mid-append can re-emit rows, so
-  * at scale the result sink should be transactional or keyed by
-  * (micro_batch, doc_id) for idempotent upsert.
+  * incremental operator. The result sink is IDEMPOTENT under
+  * micro-batch retry: classifications land partitioned by
+  * micro_batch with dynamic partition overwrite, so a batch retried
+  * after a crash mid-write replaces exactly its own partition
+  * instead of appending duplicate rows. (The store append itself is
+  * not transactional — a crash between the result write and the
+  * append can re-append a batch's signatures; near-dup classification
+  * is idempotent under duplicate signatures, so this affects store
+  * size, not results.)
   */
 object DedupStream {
 
@@ -34,7 +39,10 @@ object DedupStream {
         val classified = graft.operators.Dedup
           .ingestBatch(batch.sparkSession, store, batch, jaccardMin)
         classified.withColumn("micro_batch", lit(batchId))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("micro_batch")
+          .parquet(outPath)
         ()
       }
       .option("checkpointLocation", checkpoint)

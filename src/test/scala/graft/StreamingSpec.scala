@@ -158,12 +158,20 @@ class StreamingSpec extends AnyFunSuite {
         addFile(src, "b2.parquet", Seq(20L -> tuneB))
         q.processAllAvailable()
       } finally q.stop()
+      // partitioned-by-micro_batch layout (retry-idempotent sink):
+      // the partition column reads back via cast, and each batch owns
+      // exactly one partition directory
       val got = spark.read.parquet(out)
+        .select(col("doc_id"), col("status"), col("match_id"),
+          col("micro_batch").cast("long"))
         .collect().map(r => r.getLong(0) ->
           ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
       assert(got(10L) === (("unique", -1L, 0L)))
       assert(got(11L) === (("near", 1L, 0L)))
       assert(got(20L) === (("near", 10L, 1L)))
+      val partDirs = new java.io.File(out).listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(partDirs.toSeq === Seq("micro_batch=0", "micro_batch=1"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS sigstream_bands")
       spark.sql("DROP TABLE IF EXISTS sigstream_shingles")
