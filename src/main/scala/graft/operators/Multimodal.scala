@@ -262,6 +262,24 @@ object Multimodal {
       .toDF("doc_id", "sample_rate", "n_samples", "sum_abs")
   }
 
+  /** Frame sampling over the decode stage — the video half of the
+    * multimodal pipeline plumbing: every `stride`-th frame of each
+    * video becomes a row (the shape a caption/embedding stage
+    * consumes). The frame COUNT comes through the codec seam (the
+    * declared video stub here; a real demuxer drops in via
+    * [[MediaCodec]]); the per-frame feature is the stub's
+    * deterministic arithmetic, replayed by the oracle. Explode of a
+    * bounded sequence — no shuffle before the output sort.
+    */
+  def frameSample(s: SparkSession, d: String, stride: Int = 4): DataFrame =
+    decoded(s, d).filter(col("media_type") === "video")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      .withColumn("brightness",
+        pmod(col("doc_id") * 31 + col("frame_idx") * 7, lit(256L)))
+      .orderBy("doc_id", "frame_idx")
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // image dims are decoded from real PNG bitstreams, audio format
     // from real RIFF/WAVE headers; the oracle replays the PngGen /
@@ -357,6 +375,18 @@ object Multimodal {
       SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
         CAST(n_samples AS BIGINT) AS n_samples,
         CAST(sum(abs(s)) AS BIGINT) AS sum_abs
-      FROM v GROUP BY doc_id, sr, n_samples ORDER BY doc_id"""))
+      FROM v GROUP BY doc_id, sr, n_samples ORDER BY doc_id""")),
+
+    // frame sampling over the decode stage: every 4th frame of each
+    // video as a row. n_frames rides the codec seam (video stub);
+    // the oracle replays the stub's frame count and per-frame feature
+    ("m05_frame_sample", (s: SparkSession, d: String) =>
+      frameSample(s, d, 4), Some("""
+      WITH v AS (SELECT doc_id, 1 + strlen(text) % 24 AS nf
+                 FROM documents WHERE doc_id % 3 = 2),
+      f AS (SELECT doc_id, unnest(range(0, nf, 4)) AS frame_idx FROM v)
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        (doc_id * 31 + frame_idx * 7) % 256 AS brightness
+      FROM f ORDER BY doc_id, frame_idx"""))
   )
 }
