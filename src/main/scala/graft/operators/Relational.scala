@@ -1339,6 +1339,33 @@ object Relational {
           [CASE WHEN l_orderkey % 971 = 0 THEN 9 ELSE 1 + l_orderkey % 4 END] AS try_elem
       FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
+    // ---- time-RANGE window frame: all events within the past hour
+    //      per user (value-bounded frame, not row-bounded — the frame
+    //      q30's ROWS variants can't express). The range rides the
+    //      µs-floored epoch long so both engines bound the frame on
+    //      identical integers (events.parquet is TIMESTAMP(NANOS);
+    //      DuckDB reads it µs-truncated — SURVEY §4) ----
+    ("q67_time_range_frame", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us")).rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("val_1h"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+      SELECT event_id, user_id,
+        count(*) OVER w AS n_1h,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS val_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")),
+
     // ---- ordered string aggregation (listagg WITHIN GROUP, Spark 4)
     //      cross-validated in the same row against the sorted-array
     //      formulation (array_sort + array_join) — deterministic only
