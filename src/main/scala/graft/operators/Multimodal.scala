@@ -262,6 +262,44 @@ object Multimodal {
       .toDF("doc_id", "sample_rate", "n_samples", "sum_abs")
   }
 
+  /** Image resize over the decode stage — the remaining multimodal
+    * verb (decode / feature-extract / frame-sample / RESIZE): real
+    * ImageIO decode, then an explicit nearest-neighbor 2× downsample
+    * (out(x,y) = in(2x,2y), dims ⌈w/2⌉×⌈h/2⌉ — a pixel loop rather
+    * than Graphics2D so the arithmetic is exact and the oracle can
+    * replay the generator's pixel formula at the even coordinates).
+    * Channel sums of the RESIZED raster prove the kernel sampled the
+    * decoded pixels it claims. Same zero-shuffle partition-local seam
+    * as [[imageStats]].
+    */
+  def imageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaFrames(s, d)
+      .filter(_.media_type == "image")
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          require(img != null, s"undecodable image payload for doc ${m.doc_id}")
+          val (w2, h2) = ((img.getWidth + 1) / 2, (img.getHeight + 1) / 2)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h2) {
+            var x = 0
+            while (x < w2) {
+              val v = img.getRGB(2 * x, 2 * y)
+              sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (m.doc_id, w2.toLong, h2.toLong, sr, sg, sb)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b")
+  }
+
   /** Frame sampling over the decode stage — the video half of the
     * multimodal pipeline plumbing: every `stride`-th frame of each
     * video becomes a row (the shape a caption/embedding stage
@@ -387,6 +425,29 @@ object Multimodal {
       f AS (SELECT doc_id, unnest(range(0, nf, 4)) AS frame_idx FROM v)
       SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         (doc_id * 31 + frame_idx * 7) % 256 AS brightness
-      FROM f ORDER BY doc_id, frame_idx"""))
+      FROM f ORDER BY doc_id, frame_idx""")),
+
+    // nearest-neighbor 2x downsample of the decoded raster: the
+    // oracle replays the generator's pixel formula at the EVEN
+    // (2x, 2y) coordinates only — a hash match proves the resize
+    // kernel sampled exactly those decoded pixels
+    ("m06_image_resize", (s: SparkSession, d: String) =>
+      imageResize(s, d).orderBy("doc_id"), Some("""
+      WITH img AS (
+        SELECT doc_id, 8 + doc_id % 57 AS w, 8 + (doc_id * 31) % 41 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      dims AS (SELECT doc_id, w, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM img),
+      px AS (SELECT doc_id, w2, h2,
+               unnest(generate_series(0, w2 * h2 - 1)) AS i
+             FROM dims),
+      ch AS (SELECT doc_id, w2, h2,
+               (((2 * (i % w2)) * 31 + (2 * (i // w2)) * 7
+                 + (doc_id % 251) * 13) & 16777215) AS v
+             FROM px)
+      SELECT doc_id, CAST(w2 AS BIGINT) AS out_w, CAST(h2 AS BIGINT) AS out_h,
+        CAST(sum((v >> 16) & 255) AS BIGINT) AS sum_r,
+        CAST(sum((v >> 8) & 255) AS BIGINT) AS sum_g,
+        CAST(sum(v & 255) AS BIGINT) AS sum_b
+      FROM ch GROUP BY doc_id, w2, h2 ORDER BY doc_id"""))
   )
 }
