@@ -231,6 +231,32 @@ object Similarity {
   private def pqFlat(cb: Map[Long, Array[Double]], k: Int): Array[Double] =
     (0 until k).flatMap(j => cb(j.toLong)).toArray
 
+  /** TRAINED codebook for the same assignment kernel: one MLlib KMeans
+    * per subspace over the sub-vectors (the production PQ training
+    * step; s07's first-k data-sampled codebook is the
+    * oracle-replayable stand-in). Seed and partitioning pinned like
+    * s04 so the fit is deterministic on a fixed corpus. Returns the
+    * flattened j-major (k × dim) layout [[graft.functions.pqAssign]]
+    * consumes — PqSeamSpec proves it drops in and strictly tightens
+    * reconstruction error vs the sampled codebook.
+    */
+  def pqKmeansCodebook(embeddings: DataFrame, m: Int = 8, k: Int = 16): Array[Double] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = PqDim / m
+    val base = embeddings.repartition(8, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+    val centers: Seq[Array[Array[Double]]] = (0 until m).map { s =>
+      val fv = base.select(array_to_vector(
+        slice(col("embedding").cast("array<double>"), s * sub + 1, sub)).as("fv"))
+      new KMeans().setK(k).setSeed(7L).setMaxIter(20)
+        .setFeaturesCol("fv").fit(fv)
+        .clusterCenters.map(_.toArray)
+    }
+    // assemble j-major full-dim rows from the per-subspace centers
+    (0 until k).flatMap(j => (0 until m).flatMap(s => centers(s)(j))).toArray
+  }
+
   /** PQ assignment struct(codes, recon_err) via the native codegen
     * kernel (GraftVec.pqAssign): one primitive loop per row. In-order
     * L2 summation in dimension order and strict-< argmin match the
@@ -250,6 +276,17 @@ object Similarity {
         round(col("pq").getField("recon_err"), 6).as("recon_err"))
       .orderBy("vec_id")
   }
+
+  /** Quantize against ANY flattened j-major codebook (e.g. the
+    * [[pqKmeansCodebook]] trained one) through the same kernel. */
+  def pqQuantizeWith(embeddings: DataFrame, cbFlat: Array[Double],
+      m: Int = 8, k: Int = 16): DataFrame =
+    embeddings.select(col("vec_id"),
+        graft.functions.pqAssign(col("embedding"), cbFlat, m, k).as("pq"))
+      .select(col("vec_id"),
+        array_join(col("pq").getField("codes"), ",").as("codes"),
+        round(col("pq").getField("recon_err"), 6).as("recon_err"))
+      .orderBy("vec_id")
 
   /** PQ asymmetric-distance search (ADC): score the FULL query vector
     * against the QUANTIZED corpus — per subspace, one lookup into the

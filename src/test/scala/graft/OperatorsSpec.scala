@@ -124,6 +124,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2(2L) === ((None, None)))
   }
 
+  test("PQ seam: MLlib-trained codebook drops into the kernel and tightens recon error") {
+    val emb = graft.sources.Tables.embeddings(spark, GraftTestSession.sf)
+    def avgErr(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recon_err"))).collect().head.getDouble(0)
+    val sampled = avgErr(graft.operators.Similarity.pqQuantize(emb, 8, 16))
+    val trained = avgErr(graft.operators.Similarity.pqQuantizeWith(
+      emb, graft.operators.Similarity.pqKmeansCodebook(emb, 8, 16), 8, 16))
+    // a trained codebook must beat 16 arbitrary data rows — clearly,
+    // not marginally (observed ~2x tighter)
+    assert(trained < sampled * 0.8, s"trained=$trained sampled=$sampled")
+  }
+
   test("pqQuantize: codebook vectors code to themselves with zero error") {
     val out = graft.operators.Similarity
       .pqQuantize(graft.sources.Tables.embeddings(spark, GraftTestSession.sf), 8, 16)
