@@ -61,6 +61,51 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** The FULL production chain, one plan: eval split → hard gate →
+    * normalized dedup → eval-set decontamination (d12) → source-mix
+    * rebalancing toward uniform (d14) → chunk packing. Stage count is
+    * what a real pretraining corpus run chains; every stage reuses the
+    * standalone operator's exact semantics so the oracle composes
+    * their CTEs. Extra shuffles vs [[trainingManifest]]: the
+    * decontamination semi-join (one shingle-hash exchange, cost ∝
+    * corpus — d12's budget) and the tiny per-source rate broadcast.
+    */
+  def trainingManifestFull(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+    // deterministic Knuth-hash eval split (d12's rule)
+    val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L), lit(1000003L))
+    val evalDocs = docs.filter(h % 50 === 0)
+    val train = docs.filter(h % 50 =!= 0)
+
+    val kept = train.filter(TextOps.gopherReason.isNull)
+    val uniq = kept
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(norm).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).drop("rk")
+
+    // d12: drop docs sharing >= 3 distinct 8-grams with the eval set
+    val clean = uniq.join(
+      Dedup.decontaminate(uniq, evalDocs, 8, 3)
+        .filter(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // d14: per-source keep rates toward uniform share, Knuth-hash applied
+    val per = clean.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val tot = per.agg(sum(col("n_total")).as("n"), count(lit(1)).as("k"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(1.0),
+          col("n").cast("double") / col("k") / col("n_total")).as("rate"))
+    val mixed = clean.join(broadcast(rates), "source")
+      .filter(h < floor(col("rate") * lit(1000003L)).cast("bigint"))
+
+    Pack.chunkAssign(Pack.tokenBase(mixed.select("doc_id", "text")))
+      .select("doc_id", "shard", "n_tokens", "start_bin", "bin_offset")
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // the oracle chains t10's gate CTEs, d15's normalization, and
     // t12's window arithmetic — the standalone oracles composed
@@ -91,6 +136,74 @@ object Pipeline {
       t AS (SELECT k.doc_id, CAST(k.doc_id % ${Pack.NShards} AS BIGINT) AS shard,
               CAST(len(regexp_split_to_array(trim(k.text), '\\s+')) AS BIGINT) AS n_tokens
             FROM kept k JOIN keepers USING (doc_id)),
+      c AS (SELECT doc_id, shard, n_tokens,
+              CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+            FROM t)
+      SELECT doc_id, shard, n_tokens,
+        start // ${Pack.Cap} AS start_bin,
+        start % ${Pack.Cap} AS bin_offset
+      FROM c ORDER BY doc_id""")),
+
+    // the full five-stage chain; oracle = p01's gate/dedup CTEs +
+    // d12's fnv shingle chain + d14's rate CTEs + t12's window pack
+    ("p02_pipeline_full", (s: SparkSession, d: String) =>
+      trainingManifestFull(s, d), Some(s"""
+      WITH hk AS (SELECT doc_id, (doc_id % 1000003) * 427799 % 1000003 AS hh
+                  FROM documents),
+      f AS (SELECT d.doc_id, d.text,
+              list_filter(string_split(trim(d.text), ' '), w -> w <> '') AS ws
+            FROM documents d JOIN hk USING (doc_id) WHERE hk.hh % 50 <> 0),
+      m AS (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n,
+              CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sumlen,
+              len(list_filter(ws, w -> w IN ('the','a','of','in','is'))) AS stopc,
+              len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alphac,
+              length(replace(text, ' ', '')) AS nonspace,
+              length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS sym
+            FROM f),
+      gate AS (SELECT doc_id FROM m
+               WHERE n BETWEEN 10 AND 100000
+                 AND sumlen >= n * 3 AND sumlen <= n * 10
+                 AND stopc >= 2 AND alphac * 5 >= n * 4
+                 AND sym * 10 <= nonspace),
+      kept AS (SELECT d.doc_id, d.text FROM documents d JOIN gate USING (doc_id)),
+      nrm AS (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                     ' +', ' ', 'g')) AS ntext
+              FROM kept),
+      uniq AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY ntext),
+      aw AS (SELECT doc_id,
+               list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+             FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(ws) >= 8
+                   THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                     || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+                   ELSE array_to_string(ws, ' ') END AS tg
+            FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+                  FROM aw WHERE len(ws) > 0)),
+      th AS (SELECT tg, ${OracleSql.fnvU64("tg")} AS h
+             FROM (SELECT DISTINCT tg FROM g)),
+      gh AS (SELECT DISTINCT doc_id, h FROM g JOIN th USING (tg)),
+      eh AS (SELECT DISTINCT gh.h FROM gh JOIN hk USING (doc_id) WHERE hk.hh % 50 = 0),
+      contam AS (SELECT gh.doc_id, count(*) AS n
+                 FROM gh JOIN uniq USING (doc_id) JOIN eh USING (h)
+                 GROUP BY gh.doc_id),
+      clean AS (SELECT u.doc_id FROM uniq u LEFT JOIN contam c USING (doc_id)
+                WHERE coalesce(c.n, 0) < 3),
+      src AS (SELECT d.doc_id, d.source FROM documents d JOIN clean USING (doc_id)),
+      per AS (SELECT source, count(*) AS n_total FROM src GROUP BY source),
+      tot AS (SELECT CAST(sum(n_total) AS BIGINT) AS n, count(*) AS k FROM per),
+      rates AS (SELECT source, least(1.0, CAST(n AS DOUBLE) / k / n_total) AS rate
+                FROM per, tot),
+      mixed AS (SELECT s.doc_id FROM src s JOIN rates r USING (source)
+                JOIN hk USING (doc_id)
+                WHERE hk.hh < floor(r.rate * 1000003)),
+      t AS (SELECT d.doc_id, CAST(d.doc_id % ${Pack.NShards} AS BIGINT) AS shard,
+              CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents d JOIN mixed USING (doc_id)),
       c AS (SELECT doc_id, shard, n_tokens,
               CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start

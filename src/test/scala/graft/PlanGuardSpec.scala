@@ -20,7 +20,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "t07_bm25", // broadcast 1-row corpus stats (n_docs, sum_dl)
     "t08_vocab", // broadcast 1-row token total
     "d14_mix_rebalance", // broadcast 1-row corpus total (n, k)
-    "t15_heavy_hitters") // broadcast 1-row token total + 1-row MG sketch
+    "t15_heavy_hitters", // broadcast 1-row token total + 1-row MG sketch
+    "p02_pipeline_full") // broadcast 1-row mix total (d14's rate stage)
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
