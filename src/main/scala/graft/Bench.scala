@@ -32,10 +32,17 @@ object Bench {
       }
     }
     val results = selected.map { case (name, fn) =>
-      // settle the heap between queries (untimed): per-query deltas
-      // otherwise carry GC interleave from the previous query — r4's
-      // driver run showed a 5x artifact on one query from this
+      // settle between queries (untimed): per-query deltas otherwise
+      // carry interleave from the PREVIOUS query — GC, AQE/broadcast
+      // cleanup, and the ContextCleaner's async unpersists after its
+      // noop write (r4 and r5 driver runs each carried one ~5x
+      // artifact on an unchanged query). clearCache drops anything
+      // cached, gc() enqueues the weak-ref cleanups, and the short
+      // sleep lets the cleaner thread drain them outside the timed
+      // window.
+      spark.catalog.clearCache()
       System.gc()
+      Thread.sleep(250)
       val t0 = System.nanoTime()
       try run(fn) catch {
         case e: Throwable =>

@@ -150,6 +150,10 @@ object GraftVec {
   def pqAssign(emb: ArrayData, cb: Array[Double], m: Int, k: Int):
       org.apache.spark.sql.catalyst.InternalRow = {
     val dim = emb.numElements()
+    // fail fast on layout mismatch — integer division would otherwise
+    // silently drop tail dimensions or read wrong codebook rows
+    require(dim % m == 0 && cb.length == k * dim,
+      s"pqAssign: dim=$dim not divisible by m=$m or codebook length ${cb.length} != k*dim=${k * dim}")
     val sub = dim / m
     val codes = new Array[Long](m)
     var err = 0.0
@@ -184,6 +188,8 @@ object GraftVec {
   def pqAssignD(emb: ArrayData, cb: Array[Double], m: Int, k: Int):
       org.apache.spark.sql.catalyst.InternalRow = {
     val dim = emb.numElements()
+    require(dim % m == 0 && cb.length == k * dim,
+      s"pqAssignD: dim=$dim not divisible by m=$m or codebook length ${cb.length} != k*dim=${k * dim}")
     val sub = dim / m
     val codes = new Array[Long](m)
     var err = 0.0

@@ -130,9 +130,17 @@ case class LshBucketKeys(child: Expression, tables: Int, bits: Int) extends Unar
   * subspace + total reconstruction error, one primitive pass (see
   * GraftVec.pqAssign). The codebook rides along as a referenced
   * object so generated code calls the kernel with a plain double[].
+  * The constructor takes an IndexedSeq (not Array) so the case-class
+  * equals/hashCode compare codebook CONTENTS — an Array field would
+  * compare by reference identity and defeat canonicalization /
+  * common-subexpression elimination across separately-built but
+  * identical codebooks.
   */
-case class PqAssign(child: Expression, cb: Array[Double], m: Int, k: Int)
+case class PqAssign(child: Expression, cb: IndexedSeq[Double], m: Int, k: Int)
     extends UnaryExpression {
+  require(cb.length % k == 0 && (cb.length / k) % m == 0,
+    s"codebook length ${cb.length} must be k=$k rows of a dim divisible by m=$m")
+  @transient private lazy val cbArr: Array[Double] = cb.toArray
   override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("codes",
       org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
@@ -146,10 +154,10 @@ case class PqAssign(child: Expression, cb: Array[Double], m: Int, k: Int)
   }
   private def kernel: String = if (isDouble) "pqAssignD" else "pqAssign"
   override protected def nullSafeEval(v: Any): Any =
-    if (isDouble) graft.functions.GraftVec.pqAssignD(v.asInstanceOf[ArrayData], cb, m, k)
-    else graft.functions.GraftVec.pqAssign(v.asInstanceOf[ArrayData], cb, m, k)
+    if (isDouble) graft.functions.GraftVec.pqAssignD(v.asInstanceOf[ArrayData], cbArr, m, k)
+    else graft.functions.GraftVec.pqAssign(v.asInstanceOf[ArrayData], cbArr, m, k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[]")
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.$kernel($c, $cbRef, $m, $k)")
   }
   override protected def withNewChildInternal(c: Expression): PqAssign = copy(child = c)

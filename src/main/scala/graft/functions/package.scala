@@ -76,5 +76,6 @@ package object functions {
   /** PQ assignment of a float-vector column against a flattened
     * j-major codebook: struct(codes array<long>, recon_err double). */
   def pqAssign(c: Column, cb: Array[Double], m: Int, k: Int): Column =
-    col(expr.PqAssign(ex(c), cb, m, k))
+    col(expr.PqAssign(ex(c),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cb), m, k))
 }

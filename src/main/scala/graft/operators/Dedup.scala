@@ -404,7 +404,15 @@ object Dedup {
         xxhash64(col("band"), col("bkey")).as("skey"))
     val cb = spark.table(s"${name}_bands")
       .select(col("doc_id").as("corpus_id"), col("skey"))
+    // corpus_id =!= batch_id: a retried micro-batch whose signatures
+    // were already appended (crash between result write and append)
+    // must not match ITSELF — without this, every doc of the retry
+    // self-matches at jaccard 1.0 and uniques get reclassified as
+    // near. With it, classification is idempotent under duplicate
+    // signatures and the replayed partition overwrite lands the same
+    // rows.
     val cands = bb.join(cb, "skey")
+      .filter(col("corpus_id") =!= col("batch_id"))
       .select(col("batch_id"), col("corpus_id")).distinct()
     val a = bd.select(col("doc_id").as("batch_id"), col("sh").as("sh_a"))
     val c = spark.table(s"${name}_shingles")

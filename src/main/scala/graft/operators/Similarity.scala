@@ -684,7 +684,9 @@ object Similarity {
                FROM ex GROUP BY label, pos),
       q AS (SELECT pos, v AS qd FROM ex WHERE vec_id = 0),
       cd AS (SELECT label,
-               sum(c * qd) / (sqrt(sum(c * c)) * sqrt(sum(qd * qd))) AS cos_qc
+               list_sum(list(c * qd ORDER BY pos)) /
+                 (sqrt(list_sum(list(c * c ORDER BY pos))) *
+                  sqrt(list_sum(list(qd * qd ORDER BY pos)))) AS cos_qc
              FROM cent JOIN q USING (pos) GROUP BY label),
       probes AS (SELECT label FROM cd ORDER BY cos_qc DESC, label LIMIT 3),
       resid AS (SELECT e.vec_id, e.label, e.pos, e.v - c.c AS r

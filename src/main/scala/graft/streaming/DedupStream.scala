@@ -22,9 +22,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * after a crash mid-write replaces exactly its own partition
   * instead of appending duplicate rows. (The store append itself is
   * not transactional — a crash between the result write and the
-  * append can re-append a batch's signatures; near-dup classification
-  * is idempotent under duplicate signatures, so this affects store
-  * size, not results.)
+  * append can re-append a batch's signatures. That is safe because
+  * classification excludes corpus rows with the batch doc's own id
+  * (Dedup.minhashPairsAgainstStore filters corpus_id =!= batch_id),
+  * so a replayed batch cannot self-match its already-appended
+  * signatures: duplicate signatures affect store size, not results.)
   */
 object DedupStream {
 

@@ -235,6 +235,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ingestBatch retry: replayed batch after store append does not self-match") {
+    // crash-retry shape: the batch's signatures already landed in the
+    // store (append succeeded, result write did not), then the whole
+    // micro-batch replays. The replay must classify identically —
+    // uniques stay unique instead of self-matching at jaccard 1.0.
+    val tuneA = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early mountain dusk settles"
+    try {
+      Dedup.writeSignatureStore(docs(1L -> base, 3L -> far), "sigretry", 4)
+      val batch = docs(10L -> tuneA, 11L -> near)
+      val first = Dedup.ingestBatch(spark, "sigretry", batch, 0.5)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(first(10L) === (("unique", -1L)))
+      // replay the same batch: doc 10's signatures are now IN the
+      // store; without the corpus_id =!= batch_id guard it would match
+      // itself and flip to ("near", 10)
+      val retry = Dedup.ingestBatch(spark, "sigretry", batch, 0.5)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(retry === first, s"retry must be idempotent: $retry vs $first")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sigretry_bands")
+      spark.sql("DROP TABLE IF EXISTS sigretry_shingles")
+    }
+  }
+
   test("signature store compaction: one sorted file per bucket, same answers") {
     import org.apache.spark.sql.functions.col
     val tuneA = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early mountain dusk settles"
