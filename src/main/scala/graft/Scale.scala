@@ -83,6 +83,38 @@ object Scale {
       f"planted near-dup pairs ${cliquePairs}%,d, found ${found}%,d " +
       f"(recall ${found.toDouble / cliquePairs}%.4f)")
 
+    // ---- stored-PQ probe: the ANN read path. Build the IVF-PQ index
+    // once (codes = m bytes/vector, partitioned by cell), then compare
+    // the codes-only stored search against the inline path that
+    // recomputes codes from raw embeddings — search cost must track
+    // CODE bytes, not embedding bytes (the 100 TB point of PQ).
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    val tIdx = System.nanoTime()
+    graft.operators.Similarity.writeIvfPqIndex(vecs, s"$work/ivfpq", 8, 16)
+    println(f"[scale] ivfpq index build ($nv vecs): ${(System.nanoTime() - tIdx) / 1e9}%.2f s (one-time)")
+    val q0 = vecs.filter(col("vec_id") === 0L).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    def timeV(name: String)(f: => Long): Double = {
+      val t = System.nanoTime(); val rows = f
+      val sec = (System.nanoTime() - t) / 1e9
+      println(f"[scale] $name%-18s $sec%8.2f s  ($rows rows)"); sec
+    }
+    val tStored = timeV("ivfpqStored")(graft.operators.Similarity
+      .ivfPqSearchStored(spark, s"$work/ivfpq", q0, 3, 10, 0L).count())
+    val tInline = timeV("ivfpqInline")(graft.operators.Similarity
+      .ivfPqSearch(vecs, 0L, 3, 10, 8, 16).count())
+    val codeBytes = dirBytes(s"$work/ivfpq/codes")
+    val embBytes = dirBytes(s"$work/embeddings.parquet")
+    println(f"[scale] pq: codes ${codeBytes}%,d B vs embeddings ${embBytes}%,d B " +
+      f"(${embBytes.toDouble / codeBytes}%.1fx smaller scan), " +
+      f"stored search ${tInline / tStored}%.1fx faster than inline recompute")
+
     // ---- incremental-dedup probe: per-increment cost must track the
     // BATCH size against a FIXED corpus (the signature store carries
     // all corpus-side work; only the batch shingles/signs/shuffles).

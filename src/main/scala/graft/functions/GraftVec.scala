@@ -181,6 +181,64 @@ object GraftVec {
       Array[Any](ArrayData.toArrayData(codes), err))
   }
 
+  /** Codes-only PQ assignment, packed as m BYTES — the stored-index
+    * layout (Jégou TPAMI'11): at 100 TB the search scan reads these m
+    * bytes per vector instead of 4·dim of raw floats. Same argmin
+    * chains and tie-break as [[pqAssign]]; requires k <= 256.
+    */
+  def pqCodesBytes(emb: ArrayData, cb: Array[Double], m: Int, k: Int,
+      asDouble: Boolean): Array[Byte] = {
+    val dim = emb.numElements()
+    require(k <= 256, s"byte-packed PQ codes need k<=256, got $k")
+    require(dim % m == 0 && cb.length == k * dim,
+      s"pqCodesBytes: dim=$dim not divisible by m=$m or codebook length ${cb.length} != k*dim=${k * dim}")
+    val sub = dim / m
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      var bestD = Double.PositiveInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < k) {
+        var dsum = 0.0
+        var t = 0
+        while (t < sub) {
+          val x = if (asDouble) emb.getDouble(s * sub + t) else emb.getFloat(s * sub + t).toDouble
+          val diff = x - cb(j * dim + s * sub + t)
+          dsum += diff * diff
+          t += 1
+        }
+        if (dsum < bestD) { bestD = dsum; bestJ = j }
+        j += 1
+      }
+      out(s) = bestJ.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance (ADC) lookup over STORED byte codes: slot
+    * selects which probed cell's m×k LUT applies (slot-major flat
+    * `luts`), then one table lookup per subspace summed in subspace
+    * order — the same left-to-right chain the inline search and the
+    * SQL oracle use. The per-row cost of the 100 TB search scan: m
+    * loads + m adds over m stored bytes.
+    */
+  def adcLookup(codes: Array[Byte], slot: Int, luts: Array[Double],
+      m: Int, k: Int): Double = {
+    require(codes.length == m, s"adcLookup: expected $m code bytes, got ${codes.length}")
+    require(slot >= 0 && (slot + 1) * m * k <= luts.length,
+      s"adcLookup: slot=$slot out of range for luts of ${luts.length}")
+    val base = slot * m * k
+    var s = 0
+    var sum = 0.0
+    while (s < m) {
+      sum += luts(base + s * k + (codes(s) & 0xff))
+      s += 1
+    }
+    sum
+  }
+
   /** [[pqAssign]] over an array<double> column (residual vectors in
     * IVF-PQ are centroid-subtracted doubles, not raw floats). Same
     * in-order L2 chains and strict-< tie-break.

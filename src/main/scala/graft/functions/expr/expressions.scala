@@ -163,6 +163,54 @@ case class PqAssign(child: Expression, cb: IndexedSeq[Double], m: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): PqAssign = copy(child = c)
 }
 
+/** Codes-only PQ assignment of a vector column to m BYTES (binary) —
+  * the stored-index write kernel. Same codebook-as-IndexedSeq
+  * contract as [[PqAssign]]; float input = raw embeddings, double
+  * input = residual vectors.
+  */
+case class PqCodes(child: Expression, cb: IndexedSeq[Double], m: Int, k: Int)
+    extends UnaryExpression {
+  require(k <= 256 && cb.length % k == 0 && (cb.length / k) % m == 0,
+    s"codebook length ${cb.length} must be k=$k (<=256) rows of a dim divisible by m=$m")
+  @transient private lazy val cbArr: Array[Double] = cb.toArray
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  private def isDouble: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.GraftVec.pqCodesBytes(v.asInstanceOf[ArrayData], cbArr, m, k, isDouble)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftVec.pqCodesBytes($c, $cbRef, $m, $k, $isDouble)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqCodes = copy(child = c)
+}
+
+/** ADC distance of stored byte codes against the slot-major flat LUT
+  * table (`slot` picks the probed cell's m×k block) — the search-scan
+  * kernel over the codes table: m loads + m adds per row, whole-stage
+  * codegen, the embedding column never read.
+  */
+case class AdcDist(left: Expression, right: Expression, luts: IndexedSeq[Double],
+    m: Int, k: Int) extends BinaryExpression {
+  require(luts.length % (m * k) == 0,
+    s"luts length ${luts.length} must be a multiple of m*k=${m * k}")
+  @transient private lazy val lutArr: Array[Double] = luts.toArray
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(codes: Any, slot: Any): Any =
+    graft.functions.GraftVec.adcLookup(codes.asInstanceOf[Array[Byte]],
+      slot.asInstanceOf[Int], lutArr, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("adcLuts", lutArr, "double[]")
+    defineCodeGen(ctx, ev,
+      (c, s) => s"graft.functions.GraftVec.adcLookup($c, $s, $lutRef, $m, $k)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDist =
+    copy(left = l, right = r)
+}
+
 /** First index where two long-array columns agree (-1 if none) — the
   * per-row dedup predicate of multi-table LSH candidate generation.
   */

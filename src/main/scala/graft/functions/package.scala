@@ -78,4 +78,16 @@ package object functions {
   def pqAssign(c: Column, cb: Array[Double], m: Int, k: Int): Column =
     col(expr.PqAssign(ex(c),
       scala.collection.immutable.ArraySeq.unsafeWrapArray(cb), m, k))
+
+  /** Codes-only PQ assignment to m bytes (binary) — the stored-index
+    * write kernel. */
+  def pqCodes(c: Column, cb: Array[Double], m: Int, k: Int): Column =
+    col(expr.PqCodes(ex(c),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cb), m, k))
+
+  /** ADC distance of stored byte codes; `slot` indexes the probed
+    * cell's m×k block in the flat LUT table. */
+  def adcDist(codes: Column, slot: Column, luts: Array[Double], m: Int, k: Int): Column =
+    col(expr.AdcDist(ex(codes), ex(slot.cast("int")),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(luts), m, k))
 }

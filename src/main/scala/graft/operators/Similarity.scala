@@ -288,34 +288,53 @@ object Similarity {
         round(col("pq").getField("recon_err"), 6).as("recon_err"))
       .orderBy("vec_id")
 
+  /** The query vector as a driver-side double array (one pushed-down
+    * point lookup — the query comes from outside the search scan). */
+  private def queryVec(embeddings: DataFrame, queryId: Long): Array[Double] =
+    embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+
+  /** In-order L2² LUT row block: lut[s*k+j] = ||q_s − cb_{j,s}||²,
+    * each accumulated left-to-right in dimension order — the float
+    * chain every search path and the SQL oracle share. `cbFlat` is
+    * j-major (k × dim). */
+  private def adcLutFlat(q: Array[Double], cbFlat: Array[Double],
+      m: Int, k: Int): Array[Double] = {
+    val dim = q.length
+    val sub = dim / m
+    val a = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < k) {
+        var d = 0.0
+        var t = 0
+        while (t < sub) {
+          val diff = q(s * sub + t) - cbFlat(j * dim + s * sub + t)
+          d += diff * diff
+          t += 1
+        }
+        a(s * k + j) = d
+        j += 1
+      }
+      s += 1
+    }
+    a
+  }
+
   /** PQ asymmetric-distance search (ADC): score the FULL query vector
     * against the QUANTIZED corpus — per subspace, one lookup into the
     * broadcast m×k table of ||q_s − c_{s,j}||² distances, summed in
-    * subspace order. This is the search half of s07's memory layout:
-    * at scale the scan reads m small codes per vector instead of
-    * 4·dim bytes, and the only per-row work is m table lookups + m−1
-    * adds. Zero shuffles; top-k via TakeOrdered. Driver-side work is
-    * the codebook + the m×k LUT.
+    * subspace order. This recomputes codes inline from the embedding
+    * column (self-contained; the parity baseline for the STORED path
+    * [[pqSearchStored]], which is what a 100 TB deployment scans).
     */
   def pqSearch(embeddings: DataFrame, queryId: Long, topK: Int,
       m: Int = 8, k: Int = 16): DataFrame = {
-    val sub = PqDim / m
     val cb = pqCodebook(embeddings, k)
-    val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    // LUT[s][j] = ||q_s - c_{s,j}||^2, summed in dimension order (the
-    // same left-to-right chain the oracle replays)
-    def lut(s: Int, j: Int): Double = {
-      var d = 0.0
-      var t = 0
-      while (t < sub) {
-        val diff = q(s * sub + t) - cb(j.toLong)(s * sub + t)
-        d += diff * diff
-        t += 1
-      }
-      d
-    }
-    def lutLit(s: Int) = array((0 until k).map(j => lit(lut(s, j))): _*)
+    val q = queryVec(embeddings, queryId)
+    val lutFlat = adcLutFlat(q, pqFlat(cb, k), m, k)
+    def lutLit(s: Int) = array((0 until k).map(j => lit(lutFlat(s * k + j))): _*)
     val codes = col("pq").getField("codes")
     val adc = (0 until m).map(s =>
       element_at(lutLit(s), codes.getItem(s).cast("int") + 1))
@@ -323,6 +342,50 @@ object Similarity {
     embeddings.select(col("vec_id"), pqStruct(cb, m, k).as("pq"))
       .select(col("vec_id"), adc.as("adc"))
       .filter(col("vec_id") =!= queryId)
+      .orderBy(col("adc"), col("vec_id")).limit(topK)
+      .select(col("vec_id"), round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /** Materialize the PQ index at `path`: the CODES table —
+    * (vec_id, codes binary(m)), m bytes per vector — plus the KB-sized
+    * codebook sidecar that makes the index self-contained on disk.
+    * This is the storage layout PQ exists for (Jégou TPAMI'11; cf. the
+    * reference's stored-index idea, physical/index_scan.rs): written
+    * once, then every search reads m bytes/vector instead of 4·dim.
+    * One codegen scan of the corpus, zero shuffles.
+    */
+  def writePqIndex(embeddings: DataFrame, path: String,
+      m: Int = 8, k: Int = 16): Unit = {
+    val spark = embeddings.sparkSession
+    val cbFlat = pqFlat(pqCodebook(embeddings, k), k)
+    embeddings.select(col("vec_id"),
+        graft.functions.pqCodes(col("embedding"), cbFlat, m, k).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    import spark.implicits._
+    cbFlat.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("pos", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_cb")
+    Seq((m, k, PqDim)).toDF("m", "k", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_conf")
+  }
+
+  /** Search a [[writePqIndex]] index WITHOUT touching the embedding
+    * table: load the KB-sized codebook sidecar (driver), build the m×k
+    * LUT for the query, then one codegen scan of the codes table — m
+    * byte loads + m adds per row, TakeOrdered top-k, zero shuffles.
+    * Bit-identical to [[pqSearch]] (same codes, same LUT chains, same
+    * summation order).
+    */
+  def pqSearchStored(spark: SparkSession, path: String, q: Array[Double],
+      topK: Int, excludeId: Long = -1L): DataFrame = {
+    val conf = spark.read.parquet(s"$path/meta_conf").head()
+    val (m, k) = (conf.getInt(0), conf.getInt(1))
+    val cbFlat = spark.read.parquet(s"$path/meta_cb").collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    val lutFlat = adcLutFlat(q, cbFlat, m, k)
+    spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"),
+        graft.functions.adcDist(col("codes"), lit(0), lutFlat, m, k).as("adc"))
       .orderBy(col("adc"), col("vec_id")).limit(topK)
       .select(col("vec_id"), round(col("adc"), 6).as("adc_dist"))
   }
@@ -345,71 +408,73 @@ object Similarity {
     * LUT, ADC sum) so the DuckDB oracle replays the index build AND
     * the search bit-exactly.
     */
-  def ivfPqSearch(embeddings: DataFrame, queryId: Long, nprobe: Int,
-      topK: Int, m: Int = 8, k: Int = 16): DataFrame = {
+  /** Per-cell decimal-exact mean centroids, as driver-side metadata
+    * (ncells × dim doubles — KBs). */
+  private def cellCentroids(embeddings: DataFrame): Map[Int, Array[Double]] = {
     import org.apache.spark.sql.types.DecimalType
     val dim = PqDim
-    // --- index metadata (driver): per-cell decimal-exact centroids
     val centRows = embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
         count(lit(1))).as("c"))
       .collect()
-    val cents: Map[Int, Array[Double]] = centRows.groupBy(_.getInt(0)).map {
-      case (l, rows) =>
-        val a = new Array[Double](dim)
-        rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
-        l -> a
+    centRows.groupBy(_.getInt(0)).map { case (l, rows) =>
+      val a = new Array[Double](dim)
+      rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+      l -> a
     }
-    // --- query vector and probe order (cosine to centroids, in-order
-    //     sums; ties broken by cell id — mirrors s03's probe CTE)
-    val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
-      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probes: Seq[Int] = cents.toSeq.map { case (l, c) => (l, cos(c, q)) }
-      .sortBy { case (l, s) => (-s, l) }.take(nprobe).map(_._1)
-    // --- residual codebook: vectors 0..k-1, each minus ITS cell centroid
+  }
+
+  /** Residual codebook (j-major flat k × dim): vectors 0..k-1, each
+    * minus ITS cell centroid. */
+  private def residualCodebookFlat(embeddings: DataFrame,
+      cents: Map[Int, Array[Double]], k: Int): Array[Double] = {
+    val dim = PqDim
     val cbRows = embeddings.filter(col("vec_id") < k)
       .select(col("vec_id"), col("label"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
     require(cbRows.length == k, s"residual codebook needs vec_ids 0..${k - 1}")
-    val rcb: Array[Double] = cbRows.sortBy(_._1).flatMap { case (_, l, e) =>
+    cbRows.sortBy(_._1).flatMap { case (_, l, e) =>
       val c = cents(l); (0 until dim).map(t => e(t) - c(t))
     }
-    // --- per-probed-cell LUTs: ||(q - cent_cell)_s - rcb_j,s||^2 in t order
-    val sub = dim / m
-    def lutFor(cell: Int): Array[Double] = {
-      val qc = cents(cell)
-      val qr = (0 until dim).map(t => q(t) - qc(t)).toArray
-      val a = new Array[Double](m * k)
-      var s = 0
-      while (s < m) {
-        var j = 0
-        while (j < k) {
-          var d = 0.0
-          var t = 0
-          while (t < sub) {
-            val diff = qr(s * sub + t) - rcb(j * dim + s * sub + t)
-            d += diff * diff
-            t += 1
-          }
-          a(s * k + j) = d
-          j += 1
-        }
-        s += 1
-      }
-      a
-    }
+  }
+
+  /** In-order cosine (dot/na/nb accumulated left-to-right) — the
+    * probe-ranking chain the oracle replays. */
+  private def cosArr(a: Array[Double], b: Array[Double]): Double = {
+    var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Probe order: centroid cosine desc, ties to the smaller cell id —
+    * mirrors s03's probe CTE. */
+  private def probeCells(cents: Map[Int, Array[Double]], q: Array[Double],
+      nprobe: Int): Seq[Int] =
+    cents.toSeq.map { case (l, c) => (l, cosArr(c, q)) }
+      .sortBy { case (l, s) => (-s, l) }.take(nprobe).map(_._1)
+
+  /** Per-probed-cell ADC LUT: ||(q − cent_cell)_s − rcb_{j,s}||² in
+    * dimension order ([[adcLutFlat]] of the query RESIDUAL). */
+  private def ivfLutFor(q: Array[Double], cents: Map[Int, Array[Double]],
+      rcb: Array[Double], cell: Int, m: Int, k: Int): Array[Double] = {
+    val qc = cents(cell)
+    adcLutFlat(Array.tabulate(q.length)(t => q(t) - qc(t)), rcb, m, k)
+  }
+
+  def ivfPqSearch(embeddings: DataFrame, queryId: Long, nprobe: Int,
+      topK: Int, m: Int = 8, k: Int = 16): DataFrame = {
+    // --- index metadata (driver): centroids, residual codebook, LUTs
+    val cents = cellCentroids(embeddings)
+    val q = queryVec(embeddings, queryId)
+    val probes = probeCells(cents, q, nprobe)
+    val rcb = residualCodebookFlat(embeddings, cents, k)
     // --- in-plan search: one zero-shuffle scan of the probed cells
     val centMap = map(probes.flatMap(l =>
       Seq(lit(l), array(cents(l).map(lit(_)): _*))): _*)
     val lutMap = map(probes.flatMap(l =>
-      Seq(lit(l), array(lutFor(l).map(lit(_)): _*))): _*)
+      Seq(lit(l), array(ivfLutFor(q, cents, rcb, l, m, k).map(lit(_)): _*))): _*)
     val residual = transform(col("embedding"),
       (x, i) => x.cast("double") - element_at(element_at(centMap, col("label")), i + 1))
     val codes = graft.functions.pqAssign(residual, rcb, m, k).getField("codes")
@@ -423,6 +488,90 @@ object Similarity {
       .orderBy(col("adc"), col("vec_id")).limit(topK)
       .select(col("vec_id"), col("cell"), round(col("adc"), 6).as("adc_dist"))
   }
+
+  /** Materialize the IVF-PQ index at `path` — the layout the search
+    * half of a 100 TB ANN deployment actually reads:
+    *
+    *   - `codes/`: (vec_id, codes binary(m)) PARTITIONED BY cell —
+    *     one directory per coarse cell, i.e. the inverted lists;
+    *     probing nprobe cells IS partition pruning, so a search
+    *     touches ~nprobe/ncells of m bytes/vector and never the
+    *     4·dim-byte embeddings.
+    *   - `meta_cent/`, `meta_rcb/`, `meta_conf/`: KB-sized sidecars
+    *     (per-cell centroids, residual codebook, shape) that make the
+    *     index self-contained — search needs the index path only.
+    *
+    * Build is one codegen scan of the corpus (residual subtraction
+    * against the broadcast centroid map, PqCodes kernel) plus the
+    * centroid aggregation; written once, amortized over every query.
+    */
+  def writeIvfPqIndex(embeddings: DataFrame, path: String,
+      m: Int = 8, k: Int = 16): Unit = {
+    val spark = embeddings.sparkSession
+    val dim = PqDim
+    val cents = cellCentroids(embeddings)
+    val rcb = residualCodebookFlat(embeddings, cents, k)
+    val centMap = map(cents.toSeq.sortBy(_._1).flatMap { case (l, c) =>
+      Seq(lit(l), array(c.map(lit(_)): _*)) }: _*)
+    val residual = transform(col("embedding"),
+      (x, i) => x.cast("double") - element_at(element_at(centMap, col("label")), i + 1))
+    embeddings.select(col("vec_id"), col("label").as("cell"),
+        graft.functions.pqCodes(residual, rcb, m, k).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    import spark.implicits._
+    cents.toSeq.flatMap { case (l, c) =>
+      c.zipWithIndex.map { case (v, p) => (l, p, v) } }
+      .toDF("cell", "pos", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_cent")
+    rcb.zipWithIndex.map { case (v, i) => (i / dim, i % dim, v) }.toSeq
+      .toDF("j", "pos", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_rcb")
+    Seq((m, k, dim)).toDF("m", "k", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_conf")
+  }
+
+  /** Search a [[writeIvfPqIndex]] index from its path alone — the
+    * embedding table is NEVER touched. Driver loads the KB sidecars,
+    * ranks cells by in-order centroid cosine, builds one m×k LUT per
+    * probed cell, and the scan reads ONLY the probed cells' partitions
+    * (partition pruning = inverted-list selection): per row, m byte
+    * loads + m adds in the AdcDist kernel, TakeOrdered top-k, zero
+    * shuffles. Bit-identical to [[ivfPqSearch]].
+    */
+  def ivfPqSearchStored(spark: SparkSession, path: String, q: Array[Double],
+      nprobe: Int, topK: Int, excludeId: Long = -1L): DataFrame = {
+    val conf = spark.read.parquet(s"$path/meta_conf").head()
+    val (m, k, dim) = (conf.getInt(0), conf.getInt(1), conf.getInt(2))
+    val cents: Map[Int, Array[Double]] =
+      spark.read.parquet(s"$path/meta_cent").collect()
+        .groupBy(_.getInt(0)).map { case (l, rows) =>
+          val a = new Array[Double](dim)
+          rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+          l -> a
+        }
+    val rcb: Array[Double] = {
+      val a = new Array[Double](k * dim)
+      spark.read.parquet(s"$path/meta_rcb").collect()
+        .foreach(r => a(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2))
+      a
+    }
+    val probes = probeCells(cents, q, nprobe)
+    val lutsFlat = probes.toArray.flatMap(l => ivfLutFor(q, cents, rcb, l, m, k))
+    val slotOf = map(probes.zipWithIndex.flatMap { case (l, s) =>
+      Seq(lit(l), lit(s)) }: _*)
+    spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= excludeId)
+      .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
+        graft.functions.adcDist(col("codes"),
+          element_at(slotOf, col("cell")), lutsFlat, m, k).as("adc"))
+      .orderBy(col("adc"), col("vec_id")).limit(topK)
+      .select(col("vec_id"), col("cell"), round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /** Per-dataset scratch root for the stored indexes the s08/s09
+    * entries build then search (build once → scan codes-only). */
+  private def idxPath(dir: String, name: String): String =
+    s"/tmp/graft_idx/${new java.io.File(dir).getName}_$name"
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -641,12 +790,18 @@ object Similarity {
         round(list_sum(list(dist ORDER BY s)), 6) AS recon_err
       FROM pick WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""")),
 
-    // ---- PQ asymmetric-distance search: full query vector vs the
-    //      quantized corpus via the m x k lookup table. Oracle replays
-    //      codes, the LUT's in-order float chains, and the final
-    //      subspace-order ADC sum ----
-    ("s08_pq_search", (s: SparkSession, d: String) =>
-      pqSearch(Tables.embeddings(s, d), 0L, 20, 8, 16), Some("""
+    // ---- PQ asymmetric-distance search over the STORED codes table:
+    //      the entry materializes the index (codes = m bytes/vector +
+    //      codebook sidecar), then the search scan reads codes ONLY —
+    //      never the embedding column (PqStoredSpec asserts the
+    //      ReadSchema). Oracle replays codes, the LUT's in-order float
+    //      chains, and the subspace-order ADC sum ----
+    ("s08_pq_search", (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val path = idxPath(d, "pq")
+      writePqIndex(e, path, 8, 16)
+      pqSearchStored(s, path, queryVec(e, 0L), 20, excludeId = 0L)
+    }, Some("""
       WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                     CAST(unnest(embedding) AS DOUBLE) AS v
                   FROM embeddings),
@@ -669,13 +824,20 @@ object Similarity {
       FROM adc WHERE vec_id <> 0
       ORDER BY adc, vec_id LIMIT 20""")),
 
-    // ---- IVF-PQ: coarse cells + residual PQ + per-cell ADC over the
-    //      probed cells only. The oracle replays the WHOLE index:
-    //      decimal-exact centroids, probe ranking, residual codebook,
-    //      per-vector residual codes, per-cell query LUTs, and the
-    //      subspace-order ADC sums ----
-    ("s09_ivfpq_search", (s: SparkSession, d: String) =>
-      ivfPqSearch(Tables.embeddings(s, d), 0L, 3, 10, 8, 16), Some("""
+    // ---- IVF-PQ over the STORED index: the entry materializes the
+    //      inverted-list layout (codes partitioned by cell + metadata
+    //      sidecars), then searches from the path alone — the probed
+    //      cells' partitions are the only files read, and the
+    //      embedding column is never touched. The oracle replays the
+    //      WHOLE index: decimal-exact centroids, probe ranking,
+    //      residual codebook, per-vector residual codes, per-cell
+    //      query LUTs, and the subspace-order ADC sums ----
+    ("s09_ivfpq_search", (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val path = idxPath(d, "ivfpq")
+      writeIvfPqIndex(e, path, 8, 16)
+      ivfPqSearchStored(s, path, queryVec(e, 0L), 3, 10, excludeId = 0L)
+    }, Some("""
       WITH ex AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
                     CAST(unnest(embedding) AS DOUBLE) AS v
                   FROM embeddings),

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** The stored-index contract for PQ search (the 100 TB scale shape):
+  * the search half must read the CODES table — m bytes per vector —
+  * and never the embedding column; IVF probing must land as partition
+  * pruning on the cell directories; and both stored paths must be
+  * bit-identical to their inline (recompute-from-embeddings)
+  * baselines.
+  */
+class PqStoredSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  private lazy val emb = Tables.embeddings(spark, GraftTestSession.sf)
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("pqSearchStored matches inline pqSearch bit-exactly") {
+    val path = tmp("pqidx")
+    Similarity.writePqIndex(emb, path, 8, 16)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val stored = Similarity.pqSearchStored(spark, path, q, 20, excludeId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity.pqSearch(emb, 0L, 20, 8, 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored === inline)
+  }
+
+  test("ivfPqSearchStored matches inline ivfPqSearch bit-exactly") {
+    val path = tmp("ivfpqidx")
+    Similarity.writeIvfPqIndex(emb, path, 8, 16)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val stored = Similarity.ivfPqSearchStored(spark, path, q, 3, 10, excludeId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline = Similarity.ivfPqSearch(emb, 0L, 3, 10, 8, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(stored === inline)
+  }
+
+  test("stored search scan reads codes only — never the embedding column") {
+    val path = tmp("ivfpqplan")
+    Similarity.writeIvfPqIndex(emb, path, 8, 16)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val df = Similarity.ivfPqSearchStored(spark, path, q, 3, 10, excludeId = 0L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the ONLY file scan is the codes table: m-byte codes + vec_id,
+    // no embedding anywhere in the read schema
+    assert(plan.contains("codes"), plan)
+    assert(!plan.contains("embedding"), s"search must not read embeddings:\n$plan")
+    // probing = partition pruning on the cell directories (the
+    // inverted lists): the scan carries a cell partition filter
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe set must prune partitions:\n$plan")
+    // and the only exchange is the driver-side TakeOrdered collect —
+    // a single zero-shuffle scan
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("stored IVF-PQ reads only the probed cells' files") {
+    val path = tmp("ivfpqprune")
+    Similarity.writeIvfPqIndex(emb, path, 8, 16)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val df = Similarity.ivfPqSearchStored(spark, path, q, 2, 10, excludeId = 0L)
+    df.collect()
+    // the partitions actually selected by the executed scan: with
+    // nprobe=2, exactly 2 cell directories survive pruning (inputFiles
+    // would NOT do here — it lists the relation unpruned)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in stored search plan"))
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 probed cells, scanned ${scan.selectedPartitions.partitionCount}")
+  }
+}
