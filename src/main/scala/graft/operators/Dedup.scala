@@ -247,6 +247,46 @@ object Dedup {
       .orderBy("doc_id", "start_word")
   }
 
+  /** Exact substring REMOVAL — the rewrite half of [[substringDupSpans]]
+    * (Lee et al. "Deduplicating Training Data": don't just FLAG the
+    * duplicated spans, emit the cleaned corpus). Every flagged span is
+    * cut from every document that carries it (the paper's ExactSubstr
+    * policy: all copies go; a keep-one policy is a doc_id predicate on
+    * the span table away), words outside spans are kept in order, and
+    * the output re-counts tokens so the pipeline can audit how much
+    * text the surgery cost.
+    *
+    * Scale shape: the span table is small (duplicated-run fraction of
+    * the corpus), so it aggregates per doc in a tiny shuffle and joins
+    * BACK to the corpus by doc_id — broadcast when it fits, AQE
+    * decides; the corpus rows themselves are rewritten in place by a
+    * per-row expression (word filter against the doc's own span list)
+    * and never shuffle. Docs without spans pass through verbatim.
+    */
+  def substringRemove(documents: DataFrame, k: Int = 8,
+      minWords: Int = 16): DataFrame = {
+    val spans = substringDupSpans(documents, k, minWords)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_word").as("s"),
+        (col("start_word") + col("n_words") - 1).as("e"))).as("spans"))
+    val ws = filter(split(trim(col("text")), " "), w => w =!= "")
+    val base = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), ws.as("ws"))
+      .join(spans, Seq("doc_id"), "left")
+    val pw = transform(col("ws"),
+      (w, i) => struct((i + 1).cast("bigint").as("p"), w.as("w")))
+    val filtered = filter(pw, x => !exists(col("spans"),
+      sp => x.getField("p").between(sp.getField("s"), sp.getField("e"))))
+    val kept = when(col("spans").isNull, col("ws"))
+      .otherwise(transform(filtered, x => x.getField("w")))
+    base.select(col("doc_id"),
+        size(col("ws")).cast("bigint").as("n_words"),
+        (size(col("ws")) - size(kept)).cast("bigint").as("n_removed"),
+        array_join(kept, " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-set near-duplicate detection: which docs of `batch` have a
     * near-dup (jaccard >= jaccardMin) in `corpus`. THE incremental
     * ingest shape: batch band keys join corpus band keys, so each
@@ -974,6 +1014,45 @@ object Dedup {
         CAST(count(*) + 7 AS BIGINT) AS n_words
       FROM runs GROUP BY doc_id, grp HAVING count(*) + 7 >= 16
       ORDER BY doc_id, start_word""")),
+
+    // ---- exact substring REMOVAL: the rewrite half of d13 — cut
+    //      every flagged span, re-emit the cleaned text, re-count
+    //      tokens. Oracle = DuckDB string surgery over the same span
+    //      CTE chain (positioned words NOT covered by any span,
+    //      string_agg back in position order) ----
+    ("d16_substring_removal", (s: SparkSession, d: String) =>
+      substringRemove(Tables.documents(s, d), 8, 16), Some(s"""
+      WITH w AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+                 FROM documents),
+      p AS (SELECT doc_id, i AS pos,
+              array_to_string(list_slice(ws, i, i + 7), ' ') AS tg
+            FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+                  FROM w WHERE len(ws) >= 8)),
+      th AS (SELECT tg, ${OracleSql.fnvU64("tg")} AS h
+             FROM (SELECT DISTINCT tg FROM p)),
+      ph AS (SELECT doc_id, pos, h FROM p JOIN th USING (tg)),
+      dup AS (SELECT h FROM ph GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+      m AS (SELECT doc_id, pos FROM ph JOIN dup USING (h)),
+      runs AS (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM m),
+      spans AS (SELECT doc_id, min(pos) AS s, min(pos) + count(*) + 6 AS e
+                FROM runs GROUP BY doc_id, grp HAVING count(*) + 7 >= 16),
+      wp AS (SELECT doc_id, i AS pos, ws[i] AS word
+             FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+                   FROM w WHERE len(ws) > 0)),
+      kept AS (SELECT wp.doc_id, wp.pos, wp.word FROM wp
+               WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                 WHERE sp.doc_id = wp.doc_id AND wp.pos BETWEEN sp.s AND sp.e)),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(word, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id)
+      SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+        CAST(len(w.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        coalesce(a.clean_text, '') AS clean_text
+      FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id
+      ORDER BY w.doc_id""")),
 
     // ---- normalization + exact dedup: lowercase, strip non-alnum,
     //      collapse whitespace, THEN hash-group — the standard first

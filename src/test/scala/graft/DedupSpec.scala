@@ -133,6 +133,22 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.toSeq === Seq((1L, 6L, 20L), (2L, 1L, 20L)))
   }
 
+  test("substringRemove: cuts flagged spans from every copy, keeps the rest in order") {
+    val shared20 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val out = Dedup.substringRemove(docs(
+      1L -> s"red orange yellow green blue $shared20 maroon navy olive coral amber",
+      2L -> s"$shared20 winter spring summer autumn solstice equinox harvest frost thaw bloom",
+      3L -> "nothing here repeats across documents at all in any eight word window today"), 8, 16)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // both copies of the 20-word span are cut; surrounding text survives
+    assert(out(1L) === ((30L, 20L, "red orange yellow green blue maroon navy olive coral amber")))
+    assert(out(2L) === ((30L, 20L,
+      "winter spring summer autumn solstice equinox harvest frost thaw bloom")))
+    // untouched doc passes through verbatim with 0 removed
+    assert(out(3L)._2 === 0L && out(3L)._3.startsWith("nothing here repeats"))
+  }
+
   test("decontaminate: counts shared 8-grams vs broadcast eval set") {
     val evalDoc = "the capital of france is paris and the capital of italy is rome always"
     val contaminated = s"intro words here $evalDoc trailing content words"
