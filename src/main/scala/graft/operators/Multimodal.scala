@@ -22,53 +22,42 @@ trait MediaCodec extends Serializable {
   def open(): MediaRow => DecodedRow
 }
 
-/** STUB codec for formats whose decode libraries are absent in this
-  * environment (audio/video): deterministic arithmetic on the payload.
-  */
-object StubCodec extends MediaCodec {
-  def open(): MediaRow => DecodedRow = { m =>
-    val n = m.payload.length.toLong
-    DecodedRow(m.doc_id, m.media_type,
-      width = 64L + n % 577L,
-      height = 64L + (n * 31L) % 331L,
-      n_frames = if (m.media_type == "video") 1L + n % 24L else 1L)
-  }
-}
-
-/** REAL image decode through the seam: `javax.imageio` is pure JDK, so
-  * image rows need no stub. Width/height come out of the actual PNG/
-  * JPEG bitstream (`ImageIO.read`), not payload arithmetic; audio and
-  * video rows (codecs genuinely absent here) fall back to [[StubCodec]].
-  * open() is the once-per-partition init point: disable ImageIO's
-  * temp-file cache (executors decode in memory, not on local disk).
+/** REAL image decode through the seam: `javax.imageio` is pure JDK.
+  * Width/height come out of the actual PNG/JPEG bitstream
+  * (`ImageIO.read`), not payload arithmetic. open() is the
+  * once-per-partition init point: disable ImageIO's temp-file cache
+  * (executors decode in memory, not on local disk).
   */
 object ImageIoCodec extends MediaCodec {
   def open(): MediaRow => DecodedRow = {
     javax.imageio.ImageIO.setUseCache(false)
-    val fallback = StubCodec.open()
-    m =>
-      if (m.media_type == "image") {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.payload))
-        require(img != null, s"undecodable image payload for doc ${m.doc_id}")
-        DecodedRow(m.doc_id, m.media_type,
-          img.getWidth.toLong, img.getHeight.toLong, 1L)
-      } else fallback(m)
+    m => {
+      require(m.media_type == "image", s"ImageIoCodec got ${m.media_type}")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      require(img != null, s"undecodable image payload for doc ${m.doc_id}")
+      DecodedRow(m.doc_id, m.media_type,
+        img.getWidth.toLong, img.getHeight.toLong, 1L)
+    }
   }
 }
 
-/** REAL audio decode through the same seam: `javax.sound.sampled` is
-  * pure JDK, so WAV/PCM rows need no stub either. The typed metadata
-  * mapping for audio is documented on [[DecodedRow]]'s generic fields:
-  * width = sample rate (Hz), height = channel count, n_frames = PCM
-  * frame count — all read out of the actual RIFF/WAVE header by
-  * `AudioSystem.getAudioInputStream`, not payload arithmetic. Video
-  * rows (codecs genuinely absent in the JDK) fall back to [[StubCodec]].
+/** The full pure-JDK codec behind the seam — every media type decodes
+  * from its REAL bitstream, no stub arm remains:
+  *   - image: `javax.imageio` (PNG/JPEG) — width/height from the
+  *     bitstream;
+  *   - audio: `javax.sound.sampled` — width = sample rate, height =
+  *     channel count, n_frames = PCM frame count, from the RIFF/WAVE
+  *     header;
+  *   - video: [[AviParse]] — width/height from the strf
+  *     BITMAPINFOHEADER, n_frames counted from the idx1 index and
+  *     cross-checked against the avih/strh headers of the actual
+  *     RIFF/AVI container (the JDK has no video COMPRESSOR, but DIB
+  *     frames are uncompressed — parsing the container IS the decode).
   */
 object JdkMediaCodec extends MediaCodec {
   def open(): MediaRow => DecodedRow = {
     val image = ImageIoCodec.open()
-    val fallback = StubCodec.open()
     m =>
       m.media_type match {
         case "image" => image(m)
@@ -80,7 +69,12 @@ object JdkMediaCodec extends MediaCodec {
             width = fmt.getSampleRate.toLong,
             height = fmt.getChannels.toLong,
             n_frames = ais.getFrameLength)
-        case _ => fallback(m)
+        case "video" =>
+          val v = AviParse.meta(m.payload)
+          DecodedRow(m.doc_id, m.media_type,
+            width = v.width.toLong, height = v.height.toLong,
+            n_frames = v.nFrames.toLong)
+        case other => sys.error(s"no codec for media_type=$other (doc ${m.doc_id})")
       }
   }
 }
@@ -148,15 +142,189 @@ object PngGen {
   }
 }
 
+/** Deterministic tiny AVIs — REAL RIFF/AVI container bytes with
+  * UNCOMPRESSED 24-bit DIB frames ('00db' chunks, biCompression=0,
+  * bottom-up rows padded to 4 bytes — the classic DIB quirks), a full
+  * hdrl header tree (avih + strl/strh/strf) and an idx1 frame index.
+  * The JDK ships no video compressor, but none is needed: DIB-in-AVI
+  * is a real, spec-complete video file (VfW's original format), and
+  * parsing the container + raster IS the decode — the same honesty
+  * bar as [[PngGen]]/[[WavGen]]. Dimensions, frame count, and every
+  * pixel derive from doc_id alone, so the SQL oracle knows the decode
+  * truth without itself parsing.
+  */
+object AviGen {
+  def dims(docId: Long): (Int, Int) =
+    (8 + ((docId * 13L) % 24L).toInt, 8 + ((docId * 7L) % 16L).toInt)
+  def frames(docId: Long): Int = 2 + (docId % 10L).toInt
+  /** RGB pixel of frame f at (x, y) — y = 0 is the TOP row (the
+    * writer stores rows bottom-up, as positive-biHeight DIBs do). */
+  def pixel(docId: Long, f: Int, x: Int, y: Int): Int =
+    (x * 31 + y * 7 + f * 11 + (docId % 251L).toInt * 13) & 0xffffff
+
+  def avi(docId: Long): Array[Byte] = {
+    val (w, h) = dims(docId)
+    val nf = frames(docId)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = { out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt) }
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def fcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val hdrlSize = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40)) // 'hdrl'+avih+strl
+    val moviSize = 4 + nf * (8 + frameBytes)
+    val idxSize = 16 * nf
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idxSize)
+    fcc("RIFF"); u32(riffSize); fcc("AVI ")
+    // --- hdrl: main header + one 'vids' stream (header + format)
+    fcc("LIST"); u32(hdrlSize); fcc("hdrl")
+    fcc("avih"); u32(56)
+    u32(100000L); u32(frameBytes.toLong * 10); u32(0); u32(0x10) // µs/frame, Bps, pad, AVIF_HASINDEX
+    u32(nf); u32(0); u32(1); u32(frameBytes.toLong + 8)          // totalFrames, initial, streams, bufSize
+    u32(w); u32(h); u32(0); u32(0); u32(0); u32(0)               // dims + reserved[4]
+    fcc("LIST"); u32(4 + (8 + 56) + (8 + 40)); fcc("strl") // 'strl' + strh + strf
+    fcc("strh"); u32(56)
+    fcc("vids"); fcc("DIB "); u32(0); u16(0); u16(0)             // type, handler, flags, prio, lang
+    u32(0); u32(1); u32(10); u32(0); u32(nf)                     // initial, scale, rate, start, LENGTH
+    u32(frameBytes.toLong); u32(0xffffffffL); u32(0)             // bufSize, quality, sampleSize
+    u16(0); u16(0); u16(w); u16(h)                               // rcFrame
+    fcc("strf"); u32(40)
+    u32(40); u32(w); u32(h); u16(1); u16(24)                     // biSize..biBitCount (h>0 = bottom-up)
+    u32(0); u32(frameBytes.toLong); u32(0); u32(0); u32(0); u32(0) // biCompression=0 (BI_RGB)..
+    // --- movi: nf uncompressed '00db' frames, rows bottom-up + padded
+    fcc("LIST"); u32(moviSize); fcc("movi")
+    var f = 0
+    while (f < nf) {
+      fcc("00db"); u32(frameBytes)
+      var r = 0
+      while (r < h) {
+        val y = h - 1 - r
+        var x = 0
+        while (x < w) {
+          val v = pixel(docId, f, x, y)
+          out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff) // B,G,R
+          x += 1
+        }
+        var pad = w * 3
+        while (pad < stride) { out.write(0); pad += 1 }
+        r += 1
+      }
+      f += 1
+    }
+    // --- idx1: one keyframe entry per chunk; offsets from the 'movi'
+    //     fourcc (first chunk id sits 4 bytes past it)
+    fcc("idx1"); u32(idxSize)
+    f = 0
+    while (f < nf) {
+      fcc("00db"); u32(0x10); u32(4L + f.toLong * (8 + frameBytes)); u32(frameBytes)
+      f += 1
+    }
+    out.toByteArray
+  }
+}
+
+/** RIFF/AVI container parse — the video "decode" kernel behind
+  * [[JdkMediaCodec]]: a real chunk walk (RIFF header, LIST hdrl →
+  * avih + strl/strh/strf, LIST movi, idx1), validated for the
+  * uncompressed-DIB layout, with per-frame raster access through the
+  * idx1 offsets (bottom-up rows, 4-byte padding skipped). Frame count
+  * is CROSS-CHECKED three ways — avih.dwTotalFrames, strh.dwLength,
+  * and the idx1 entry count — so a malformed container fails loudly
+  * instead of returning header fiction.
+  */
+object AviParse {
+  final case class AviMeta(width: Int, height: Int, nFrames: Int,
+      moviPos: Int, idxPos: Int)
+
+  private def str(p: Array[Byte], off: Int, n: Int): String =
+    new String(p, off, n, "US-ASCII")
+  private def u32(p: Array[Byte], off: Int): Long =
+    (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+      ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+  private def u16(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+
+  def meta(p: Array[Byte]): AviMeta = {
+    require(p.length >= 12 && str(p, 0, 4) == "RIFF" && str(p, 8, 4) == "AVI ",
+      "not a RIFF/AVI container")
+    val end = math.min(p.length.toLong, 8L + u32(p, 4)).toInt
+    var (w, h, avihFrames, strhFrames, idxFrames) = (-1, -1, -1L, -1L, -1L)
+    var (bitCount, compression) = (-1, -1L)
+    var (moviPos, idxPos) = (-1, -1)
+    def walkHdrl(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = str(p, pos, 4); val sz = u32(p, pos + 4).toInt
+        id match {
+          case "avih" =>
+            avihFrames = u32(p, pos + 8 + 16)
+            w = u32(p, pos + 8 + 32).toInt; h = u32(p, pos + 8 + 36).toInt
+          case "LIST" if str(p, pos + 8, 4) == "strl" =>
+            walkHdrl(pos + 12, pos + 8 + sz)
+          case "strh" =>
+            require(str(p, pos + 8, 4) == "vids", "first stream must be video")
+            strhFrames = u32(p, pos + 8 + 32)
+          case "strf" =>
+            bitCount = u16(p, pos + 8 + 14); compression = u32(p, pos + 8 + 16)
+          case _ => ()
+        }
+        pos += 8 + sz + (sz & 1) // RIFF chunks pad to even
+      }
+    }
+    var pos = 12
+    while (pos + 8 <= end) {
+      val id = str(p, pos, 4); val sz = u32(p, pos + 4).toInt
+      id match {
+        case "LIST" if str(p, pos + 8, 4) == "hdrl" => walkHdrl(pos + 12, pos + 8 + sz)
+        case "LIST" if str(p, pos + 8, 4) == "movi" => moviPos = pos + 8
+        case "idx1" => idxPos = pos + 8; idxFrames = sz / 16L
+        case _ => ()
+      }
+      pos += 8 + sz + (sz & 1)
+    }
+    require(w > 0 && h > 0 && moviPos > 0 && idxPos > 0, "missing hdrl/movi/idx1")
+    require(bitCount == 24 && compression == 0,
+      s"expected uncompressed 24-bit DIB frames, got bitCount=$bitCount compression=$compression")
+    require(avihFrames == strhFrames && strhFrames == idxFrames,
+      s"frame count mismatch: avih=$avihFrames strh=$strhFrames idx1=$idxFrames")
+    AviMeta(w, h, idxFrames.toInt, moviPos, idxPos)
+  }
+
+  /** Exact per-channel pixel sums of frame `f` — reads the '00db'
+    * chunk the idx1 entry points at, walking bottom-up padded rows. */
+  def frameChannelSums(p: Array[Byte], m: AviMeta, f: Int): (Long, Long, Long) = {
+    require(f >= 0 && f < m.nFrames, s"frame $f out of ${m.nFrames}")
+    val off = m.moviPos + u32(p, m.idxPos + 16 * f + 8).toInt
+    require(str(p, off, 4) == "00db", s"idx1 entry $f points at ${str(p, off, 4)}")
+    val stride = ((m.width * 3 + 3) / 4) * 4
+    require(u32(p, off + 4) == stride.toLong * m.height, s"frame $f size mismatch")
+    val base = off + 8
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var r = 0
+    while (r < m.height) {
+      var x = 0
+      val row = base + r * stride
+      while (x < m.width) {
+        sb += p(row + 3 * x) & 0xff
+        sg += p(row + 3 * x + 1) & 0xff
+        sr += p(row + 3 * x + 2) & 0xff
+        x += 1
+      }
+      r += 1
+    }
+    (sr, sg, sb)
+  }
+}
+
 /** Multimodal column pipeline: media as opaque binary columns with
   * typed metadata, decoded per-partition through a typed Dataset.
   *
   * Image rows carry REAL PNG bytes ([[PngGen]]) decoded by ImageIO;
-  * audio rows carry REAL WAV bytes ([[WavGen]]) decoded by
-  * javax.sound — both pure-JDK kernels behind [[JdkMediaCodec]].
-  * Only video rows keep the declared [[StubCodec]] (no video codec in
-  * the JDK). Everything else is
-  * the real 100 TB plumbing: binary column, case-class Encoders,
+  * audio rows REAL WAV bytes ([[WavGen]]) decoded by javax.sound;
+  * video rows REAL RIFF/AVI bytes ([[AviGen]]) parsed by [[AviParse]]
+  * — every media type reads its true bitstream, no stub arm. The rest
+  * is the real 100 TB plumbing: binary column, case-class Encoders,
   * mapPartitions batch iteration (one decoder init per partition, not
   * per row), zero shuffles end to end, and a columnar result that
   * downstream queries can aggregate.
@@ -165,24 +333,24 @@ object Multimodal {
   type QFn = (SparkSession, String) => DataFrame
 
   /** The ingest stand-in: one MediaRow per document — image rows get
-    * real PNG payloads, audio rows real WAV payloads, video rows the
-    * raw text bytes. A narrow typed map (media synthesis is per-row
-    * imperative work, same shape a real ingest's fetch/transcode
-    * stage has).
+    * real PNG payloads, audio rows real WAV payloads, video rows real
+    * RIFF/AVI payloads. A narrow typed map (media synthesis is
+    * per-row imperative work, same shape a real ingest's
+    * fetch/transcode stage has).
     */
   def mediaFrames(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d).select(
-      col("doc_id"), col("text"),
+      col("doc_id"),
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video").as("media_type"))
-      .as[(Long, String, String)]
-      .mapPartitions(_.map { case (id, text, mt) =>
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, mt) =>
         MediaRow(id, mt match {
           case "image" => PngGen.png(id)
           case "audio" => WavGen.wav(id)
-          case _       => text.getBytes("UTF-8")
+          case _       => AviGen.avi(id)
         }, mt)
       })
   }
@@ -303,26 +471,35 @@ object Multimodal {
   /** Frame sampling over the decode stage — the video half of the
     * multimodal pipeline plumbing: every `stride`-th frame of each
     * video becomes a row (the shape a caption/embedding stage
-    * consumes). The frame COUNT comes through the codec seam (the
-    * declared video stub here; a real demuxer drops in via
-    * [[MediaCodec]]); the per-frame feature is the stub's
-    * deterministic arithmetic, replayed by the oracle. Explode of a
-    * bounded sequence — no shuffle before the output sort.
+    * consumes). Frame count comes from the REAL idx1 index
+    * ([[AviParse.meta]]) and each sampled frame's feature is the
+    * exact per-channel pixel sum of ITS raster, read through the idx1
+    * offset out of the actual '00db' chunk — the oracle replays
+    * [[AviGen]]'s per-frame pixel formula, so a hash match proves the
+    * kernel demuxed and read the true frame bytes. Partition-local
+    * flatMap, zero shuffles before the output sort.
     */
-  def frameSample(s: SparkSession, d: String, stride: Int = 4): DataFrame =
-    decoded(s, d).filter(col("media_type") === "video")
-      .select(col("doc_id"),
-        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
-          .as("frame_idx"))
-      .withColumn("brightness",
-        pmod(col("doc_id") * 31 + col("frame_idx") * 7, lit(256L)))
+  def frameSample(s: SparkSession, d: String, stride: Int = 4): DataFrame = {
+    import s.implicits._
+    mediaFrames(s, d)
+      .filter(_.media_type == "video")
+      .mapPartitions(_.flatMap { m =>
+        val meta = AviParse.meta(m.payload)
+        (0 until meta.nFrames by stride).iterator.map { f =>
+          val (sr, sg, sb) = AviParse.frameChannelSums(m.payload, meta, f)
+          (m.doc_id, f.toLong, sr, sg, sb)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "sum_r", "sum_g", "sum_b")
       .orderBy("doc_id", "frame_idx")
+  }
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // image dims are decoded from real PNG bitstreams, audio format
-    // from real RIFF/WAVE headers; the oracle replays the PngGen /
-    // WavGen parameter formulas (video stays on the declared stub
-    // arithmetic over the payload = text bytes)
+    // from real RIFF/WAVE headers, video shape from real RIFF/AVI
+    // headers + idx1; the oracle replays the PngGen / WavGen / AviGen
+    // parameter formulas — a hash match proves every arm read its
+    // true bitstream
     ("m01_multimodal", (s: SparkSession, d: String) =>
       decoded(s, d).orderBy("doc_id"), Some("""
       SELECT doc_id,
@@ -330,13 +507,13 @@ object Multimodal {
              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
         CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 57
                   WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 1000
-                  ELSE 64 + strlen(text) % 577 END AS BIGINT) AS width,
+                  ELSE 8 + (doc_id * 13) % 24 END AS BIGINT) AS width,
         CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 31) % 41
                   WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
-                  ELSE 64 + (strlen(text) * 31) % 331 END AS BIGINT) AS height,
+                  ELSE 8 + (doc_id * 7) % 16 END AS BIGINT) AS height,
         CAST(CASE WHEN doc_id % 3 = 0 THEN 1
                   WHEN doc_id % 3 = 1 THEN 200 + doc_id % 300
-                  ELSE 1 + strlen(text) % 24 END AS BIGINT) AS n_frames
+                  ELSE 2 + doc_id % 10 END AS BIGINT) AS n_frames
       FROM documents ORDER BY doc_id""")),
 
     // downstream aggregation over the decoded stage (pipeline
@@ -355,13 +532,13 @@ object Multimodal {
                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
           CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 57
                WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 1000
-               ELSE 64 + strlen(text) % 577 END AS width,
+               ELSE 8 + (doc_id * 13) % 24 END AS width,
           CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 31) % 41
                WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
-               ELSE 64 + (strlen(text) * 31) % 331 END AS height,
+               ELSE 8 + (doc_id * 7) % 16 END AS height,
           CASE WHEN doc_id % 3 = 0 THEN 1
                WHEN doc_id % 3 = 1 THEN 200 + doc_id % 300
-               ELSE 1 + strlen(text) % 24 END AS n_frames
+               ELSE 2 + doc_id % 10 END AS n_frames
         FROM documents)
       SELECT media_type, count(*) AS n,
         CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,
@@ -415,17 +592,29 @@ object Multimodal {
         CAST(sum(abs(s)) AS BIGINT) AS sum_abs
       FROM v GROUP BY doc_id, sr, n_samples ORDER BY doc_id""")),
 
-    // frame sampling over the decode stage: every 4th frame of each
-    // video as a row. n_frames rides the codec seam (video stub);
-    // the oracle replays the stub's frame count and per-frame feature
+    // frame sampling over the REAL container: every 4th frame's exact
+    // per-channel pixel sums, read through the idx1 offsets out of
+    // the '00db' chunks. The oracle replays AviGen's frame-count and
+    // per-frame pixel formulas — a hash match proves the demuxer read
+    // the true frame rasters, the m03/m04 honesty bar for video
     ("m05_frame_sample", (s: SparkSession, d: String) =>
       frameSample(s, d, 4), Some("""
-      WITH v AS (SELECT doc_id, 1 + strlen(text) % 24 AS nf
+      WITH v AS (SELECT doc_id, 8 + (doc_id * 13) % 24 AS w,
+                   8 + (doc_id * 7) % 16 AS h, 2 + doc_id % 10 AS nf
                  FROM documents WHERE doc_id % 3 = 2),
-      f AS (SELECT doc_id, unnest(range(0, nf, 4)) AS frame_idx FROM v)
-      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        (doc_id * 31 + frame_idx * 7) % 256 AS brightness
-      FROM f ORDER BY doc_id, frame_idx""")),
+      f AS (SELECT doc_id, w, h, unnest(range(0, nf, 4)) AS fi FROM v),
+      px AS (SELECT doc_id, fi, w,
+               unnest(generate_series(0, w * h - 1)) AS i
+             FROM f),
+      ch AS (SELECT doc_id, fi,
+               (((i % w) * 31 + (i // w) * 7 + fi * 11
+                 + (doc_id % 251) * 13) & 16777215) AS v
+             FROM px)
+      SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        CAST(sum((v >> 16) & 255) AS BIGINT) AS sum_r,
+        CAST(sum((v >> 8) & 255) AS BIGINT) AS sum_g,
+        CAST(sum(v & 255) AS BIGINT) AS sum_b
+      FROM ch GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""")),
 
     // nearest-neighbor 2x downsample of the decoded raster: the
     // oracle replays the generator's pixel formula at the EVEN

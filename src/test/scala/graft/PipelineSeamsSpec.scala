@@ -101,11 +101,44 @@ class PipelineSeamsSpec extends AnyFunSuite {
       val (w, h) = PngGen.dims(id)
       assert(got.width === w.toLong && got.height === h.toLong && got.n_frames === 1L)
     }
-    // stub arithmetic must NOT predict the real dims (the decode is
-    // doing real work, not reproducing the old fake)
+    // payload arithmetic must NOT predict the real dims (the decode
+    // is doing real work, not length arithmetic on the bytes)
     val real = ImageIoCodec.open()(MediaRow(3L, PngGen.png(3L), "image"))
-    val fake = graft.operators.StubCodec.open()(MediaRow(3L, PngGen.png(3L), "image"))
-    assert((real.width != fake.width) || (real.height != fake.height))
+    val n = PngGen.png(3L).length.toLong
+    assert((real.width != 64L + n % 577L) || (real.height != 64L + (n * 31L) % 331L))
+  }
+
+  test("AviGen + AviParse: real RIFF/AVI container in, true header + frame rasters out") {
+    import graft.operators.{AviGen, AviParse}
+    val ids = Seq(2L, 5L, 8L, 1234565L)
+    ids.foreach { id =>
+      val bytes = AviGen.avi(id)
+      assert(new String(bytes.take(4), "US-ASCII") === "RIFF", s"not RIFF for id $id")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") === "AVI ", s"not AVI for id $id")
+      val m = AviParse.meta(bytes)
+      val (w, h) = AviGen.dims(id)
+      assert(m.width === w && m.height === h, s"dims, doc $id")
+      assert(m.nFrames === AviGen.frames(id), s"frame count, doc $id")
+      // round-trip every sampled frame's raster: parse-side channel
+      // sums equal the generator formula's (proves idx1 offsets, the
+      // bottom-up row order, and the 4-byte row padding are all read
+      // correctly out of the real chunk bytes)
+      (0 until m.nFrames).foreach { f =>
+        var (er, eg, eb) = (0L, 0L, 0L)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = AviGen.pixel(id, f, x, y)
+          er += (v >> 16) & 0xff; eg += (v >> 8) & 0xff; eb += v & 0xff
+        }
+        assert(AviParse.frameChannelSums(bytes, m, f) === ((er, eg, eb)),
+          s"frame $f raster, doc $id")
+      }
+    }
+    // corrupted container must fail loudly, not return header fiction:
+    // clobber avih.dwTotalFrames (byte 48) so the three frame counts
+    // (avih, strh, idx1) no longer agree
+    val bad = AviGen.avi(2L).clone()
+    bad(48) = (bad(48) ^ 0x7f).toByte
+    intercept[IllegalArgumentException](AviParse.meta(bad))
   }
 
   test("WavGen + JdkMediaCodec: real RIFF/WAVE bytes in, true header + sample data out") {
@@ -130,7 +163,7 @@ class PipelineSeamsSpec extends AnyFunSuite {
     assert(row.getLong(3) === want)
   }
 
-  test("m01 pipeline: image/audio rows decode through JDK codecs, video through the stub") {
+  test("m01 pipeline: image/audio/video rows all decode through real JDK parsers") {
     val out = Multimodal.decoded(spark, sf)
       .orderBy("doc_id").limit(9).collect()
     out.foreach { r =>
@@ -142,11 +175,13 @@ class PipelineSeamsSpec extends AnyFunSuite {
         case "audio" =>
           assert(w === graft.operators.WavGen.sampleRate(id).toLong &&
             h === graft.operators.WavGen.channels(id).toLong, s"doc $id")
-        case _ => assert(w >= 64L && h >= 64L, s"doc $id") // stub arithmetic domain
+        case _ =>
+          val (ew, eh) = graft.operators.AviGen.dims(id)
+          assert(w === ew.toLong && h === eh.toLong, s"doc $id")
+          assert(r.getLong(4) === graft.operators.AviGen.frames(id).toLong, s"doc $id")
       }
     }
-    assert(out.exists(_.getString(1) == "image"))
-    assert(out.exists(_.getString(1) == "audio"))
+    assert(Seq("image", "audio", "video").forall(t => out.exists(_.getString(1) == t)))
   }
 
   test("MediaCodec seam: injected codec replaces the stub decode") {
