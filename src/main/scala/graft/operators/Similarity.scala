@@ -568,6 +568,73 @@ object Similarity {
       .select(col("vec_id"), col("cell"), round(col("adc"), 6).as("adc_dist"))
   }
 
+  /** Exact L2² distance to a broadcast query vector, as the IN-ORDER
+    * (a−b)² chain (zip_with preserves element order, `aggregate`
+    * folds left) — the DuckDB oracle replays it bit-exactly with
+    * list_sum(list(... ORDER BY pos)). */
+  private def l2d2(q: Array[Double]): Column =
+    aggregate(
+      zip_with(col("embedding"), array(q.map(lit(_)): _*), (x, y) => {
+        val dd = x.cast("double") - y; dd * dd
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Exact L2² top-k vs the vector with `queryId` — the ground truth
+    * the PQ recall contract compares against. */
+  def l2TopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"), l2d2(queryVec(embeddings, queryId)).as("d2"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("d2"), col("vec_id")).limit(k)
+
+  /** Recall CONTRACT of the full IVFADC+R pipeline (Jégou TPAMI'11:
+    * probe → ADC shortlist over codes → exact re-rank of the
+    * shortlist), s05's pattern at the quantized layer. The gated
+    * metric is IN-CELL recall@topK — the re-ranked result vs the
+    * exact truth RESTRICTED to the probed cells — which isolates what
+    * PQ distortion + the shortlist cut actually cost; probe COVERAGE
+    * (fraction of the full truth inside probed cells) is reported
+    * un-gated, because on this corpus it is a data property, not an
+    * index property: the synthetic embeddings are near-isotropic, so
+    * ANY cell pruning caps full recall at ~the probed fraction
+    * (measured: label cells and trained KMeans cells both land at
+    * ~nprobe/ncells). Every chain on both sides is in-order, so the
+    * measured numbers are deterministic and the DuckDB oracle replays
+    * the whole pipeline. At scale the contract runs on a query
+    * sample, like s05.
+    */
+  def ivfPqRerankRecall(embeddings: DataFrame, queryId: Long, nprobe: Int,
+      shortlist: Int, topK: Int, gate: Double,
+      m: Int = 16, k: Int = 16): DataFrame = {
+    val cents = cellCentroids(embeddings)
+    val q = queryVec(embeddings, queryId)
+    val probes = probeCells(cents, q, nprobe)
+    val short = ivfPqSearch(embeddings, queryId, nprobe, shortlist, m, k)
+      .select("vec_id")
+    // exact distances once over the probed cells: cell-truth AND the
+    // re-rank read the same frame
+    val d2cell = embeddings.filter(col("label").isin(probes: _*))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), l2d2(q).as("d2"))
+    val truthCell = d2cell.orderBy(col("d2"), col("vec_id")).limit(topK)
+      .select("vec_id")
+    val reranked = d2cell.join(short, "vec_id")
+      .orderBy(col("d2"), col("vec_id")).limit(topK).select("vec_id")
+    val nFound = reranked.join(truthCell, Seq("vec_id"), "left_semi").count()
+    val coverage = l2TopK(embeddings, queryId, topK).select("vec_id")
+      .join(embeddings.filter(col("label").isin(probes: _*)).select("vec_id"),
+        Seq("vec_id"), "left_semi").count()
+    val recall = nFound.toDouble / topK
+    embeddings.sparkSession.range(1).select(
+      lit(nprobe).cast("bigint").as("nprobe"),
+      lit(shortlist).cast("bigint").as("n_short"),
+      lit(topK).cast("bigint").as("n_topk"),
+      lit(nFound).cast("bigint").as("n_found"),
+      round(lit(recall), 6).as("recall"),
+      lit(recall >= gate).as("recall_ok"),
+      round(lit(coverage.toDouble / topK), 6).as("probe_coverage"))
+  }
+
   /** Per-dataset scratch root for the stored indexes the s08/s09
     * entries build then search (build once → scan codes-only). */
   private def idxPath(dir: String, name: String): String =
