@@ -51,6 +51,25 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Stored-index builds timed SEPARATELY from the searches: the
+    // s08/s09 entries build their index ONCE (in the untimed warmup
+    // pass), so their timed numbers above are the codes-only search a
+    // deployment actually repeats; these two metrics time the one-time
+    // build+write so a build-path regression is visible without
+    // burying search latency inside it.
+    def timedBuild(f: => Unit): Double = {
+      spark.catalog.clearCache(); System.gc(); Thread.sleep(250)
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def emb = graft.sources.Tables.embeddings(spark, sfDir)
+    if (selected.contains("s08_pq_search"))
+      builds += "s08_build" -> timedBuild(graft.operators.Similarity.writePqIndex(
+        emb, java.nio.file.Files.createTempDirectory("bench_pq").toString, 8, 16))
+    if (selected.contains("s09_ivfpq_search"))
+      builds += "s09_build" -> timedBuild(graft.operators.Similarity.writeIvfPqIndex(
+        emb, java.nio.file.Files.createTempDirectory("bench_ivfpq").toString, 8, 16))
+    val timings = results ++ builds
     // keep the JSON line SHORT — the driver parses it from a 2000-char
     // tail of stdout; r1's full-precision 78-query map overflowed that
     // and the round's bench went unparsed. Per-query times are emitted
@@ -64,7 +83,8 @@ object Bench {
       "d11_subdoc_dedup", "d12_decontaminate", "d13_substring_dedup",
       "d15_normalized_dedup",
       "s01_similarity_topk", "s03_similarity_ivf", "s07_pq_quantize",
-      "s08_pq_search", "s09_ivfpq_search", "p01_pipeline",
+      "s08_pq_search", "s09_ivfpq_search", "s08_build", "s09_build",
+      "s10_ivfpq_recall", "p01_pipeline",
       "t01_langid", "t03_tokens",
       "t04_fingerprint", "t05_repetition", "t09_bpe_tokens",
       "t10_gopher_rules", "t12_pack_chunks", "t13_pack_greedy",
@@ -73,11 +93,11 @@ object Bench {
       "tk01_topk_per_key", "h01_hybrid_retrieval")
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (timings.nonEmpty) timings.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":${jsonMap(timings)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full)
-    val qs = jsonMap(results.filter { case (k, _) => headline.contains(k) })
+    val qs = jsonMap(timings.filter { case (k, _) => headline.contains(k) })
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

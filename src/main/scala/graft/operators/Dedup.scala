@@ -414,6 +414,16 @@ object Dedup {
     * against them, and return the classification. The classification
     * is localCheckpoint-ed (batch-sized) before the append so the
     * append job does not read the very tables it writes.
+    *
+    * STORE CONTRACT — doc_id is a corpus-global IDENTIFIER: one id
+    * names one immutable document. Classification excludes
+    * corpus_id == batch_id matches (that is what makes a replayed
+    * batch idempotent), so re-ingesting CHANGED content under an
+    * existing id is an update the store does not model — the self-id
+    * match is suppressed and the doc classifies as unique. Assign a
+    * fresh doc_id per content version (content-hash ids satisfy this
+    * for free). The append below also skips ids already present, so a
+    * crash-replay cannot accumulate duplicate signature rows either.
     */
   def ingestBatch(spark: SparkSession, name: String, batch: DataFrame,
       jaccardMin: Double): DataFrame = {
@@ -427,7 +437,13 @@ object Dedup {
       .localCheckpoint(true)
     val uniques = batch.join(
       classified.filter(col("status") === "unique").select("doc_id"), "doc_id")
-    appendToSignatureStore(uniques, name)
+    // append-side dedup: a retried batch whose append landed before
+    // the crash must not land its signatures twice — anti-join against
+    // the store's own ids (bucketed by doc_id: zero store-side
+    // exchange, only the batch-sized left side shuffles)
+    val fresh = uniques.join(
+      spark.table(s"${name}_shingles").select("doc_id"), Seq("doc_id"), "left_anti")
+    appendToSignatureStore(fresh, name)
     classified
   }
 
