@@ -115,6 +115,19 @@ object Scale {
       f"(${embBytes.toDouble / codeBytes}%.1fx smaller scan), " +
       f"stored search ${tInline / tStored}%.1fx faster than inline recompute")
 
+    // ---- index append probe: ANN maintenance must cost ∝ BATCH, not
+    // index — appendToIvfPqIndex never reads the stored codes, it
+    // assigns against the KB sidecars and lands one file per touched
+    // cell. Appending the 1x base corpus into the Nx index should run
+    // at ~build-time/N.
+    val appBatch = emb.select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    timeV("ivfpqAppend")({
+      graft.operators.Similarity.appendToIvfPqIndex(appBatch, s"$work/ivfpq"); n0
+    })
+    timeV("ivfpqCompact")({
+      graft.operators.Similarity.compactIvfPqIndex(spark, s"$work/ivfpq"); nv
+    })
+
     // ---- incremental-dedup probe: per-increment cost must track the
     // BATCH size against a FIXED corpus (the signature store carries
     // all corpus-side work; only the batch shingles/signs/shuffles).

@@ -544,11 +544,12 @@ object Similarity {
     * loads + m adds in the AdcDist kernel, TakeOrdered top-k, zero
     * shuffles. Bit-identical to [[ivfPqSearch]].
     */
-  def ivfPqSearchStored(spark: SparkSession, path: String, q: Array[Double],
-      nprobe: Int, topK: Int, excludeId: Long = -1L): DataFrame = {
+  /** The KB-sized sidecars of a [[writeIvfPqIndex]] index:
+    * (m, k, dim, per-cell centroids, flat residual codebook). */
+  private def readIvfSidecars(spark: SparkSession, path: String)
+      : (Int, Int, Int, Map[Int, Array[Double]], Array[Double]) = {
     val conf = spark.read.parquet(s"$path/meta_conf").head()
     val (m, k, dim) = (conf.getInt(0), conf.getInt(1), conf.getInt(2))
-    require(q.length == dim, s"query dim ${q.length} != index dim $dim at $path")
     val cents: Map[Int, Array[Double]] =
       spark.read.parquet(s"$path/meta_cent").collect()
         .groupBy(_.getInt(0)).map { case (l, rows) =>
@@ -562,6 +563,13 @@ object Similarity {
         .foreach(r => a(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2))
       a
     }
+    (m, k, dim, cents, rcb)
+  }
+
+  def ivfPqSearchStored(spark: SparkSession, path: String, q: Array[Double],
+      nprobe: Int, topK: Int, excludeId: Long = -1L): DataFrame = {
+    val (m, k, dim, cents, rcb) = readIvfSidecars(spark, path)
+    require(q.length == dim, s"query dim ${q.length} != index dim $dim at $path")
     val probes = probeCells(cents, q, nprobe)
     val lutsFlat = probes.toArray.flatMap(l => ivfLutFor(q, cents, rcb, l, m, k))
     val slotOf = map(probes.zipWithIndex.flatMap { case (l, s) =>
@@ -578,6 +586,80 @@ object Similarity {
         graft.functions.adcDist(col("codes"), slot, lutsFlat, m, k).as("adc"))
       .orderBy(col("adc"), col("vec_id")).limit(topK)
       .select(col("vec_id"), col("cell"), round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /** APPEND vectors to a [[writeIvfPqIndex]] index in place — the
+    * maintenance half a continuously-ingesting deployment needs (the
+    * signature store's append/compact loop, at the ANN layer).
+    *
+    * Assignment: nearest STORED centroid (max in-order cosine, ties to
+    * the smaller cell — the probe-ranking rule), not any label column:
+    * the stored sidecars ARE the quantizer, and an appended vector has
+    * no say in the cell geometry. Residuals are coded against the
+    * assigned cell's centroid with the stored residual codebook —
+    * centroids and codebook are NOT retrained (the standard IVF append
+    * contract; re-train + full rebuild is the rebalance operation, not
+    * the append). The write lands one more parquet file per TOUCHED
+    * cell directory — an inverted-list append; searches started before
+    * see the old lists, after see old+new. Cost ∝ batch: one scan of
+    * the new vectors (the per-cell ranking is an interpreted HOF fold,
+    * fine at batch sizes; promote to a kernel if appends reach table
+    * scale) + one partitioned write. The store side is never read.
+    * Compact with [[compactIvfPqIndex]] when cadence leaves many small
+    * files per cell.
+    */
+  def appendToIvfPqIndex(newVectors: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val spark = newVectors.sparkSession
+    val (m, k, dim, cents, rcb) = readIvfSidecars(spark, path)
+    val cellSeq = cents.toSeq.sortBy(_._1)
+    // rank cells by cos(v, c) = dot/(|v||c|): |v| is row-constant, so
+    // dot/|c| ranks identically; dot is the in-order left fold the
+    // probe chain uses. Ties to the smaller cell via max(score, -cell).
+    val scored = array(cellSeq.map { case (l, c) =>
+      val dot = aggregate(
+        zip_with(col("embedding"), array(c.map(lit(_)): _*),
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      struct((dot / lit(math.sqrt(c.map(x => x * x).sum))).as("s"),
+        lit(-l).as("nl"))
+    }: _*)
+    val centMap = map(cellSeq.flatMap { case (l, c) =>
+      Seq(lit(l), array(c.map(lit(_)): _*)) }: _*)
+    val residual = transform(col("embedding"),
+      (x, i) => x.cast("double") - element_at(element_at(centMap, col("cell")), i + 1))
+    newVectors
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell", (lit(0) - array_max(scored).getField("nl")).cast("int"))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.pqCodes(residual, rcb, m, k).as("codes"))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Compact an IVF-PQ index's inverted lists: every append lands one
+    * more file per touched cell directory, and many small files cost
+    * open/footer overhead per search. Rewriting `codes/` with each
+    * cell hashed to ONE task restores exactly one file per cell
+    * directory (dynamic partitioning writes one file per (task, cell),
+    * and repartition-by-cell puts each cell wholly in one task — no
+    * task↔name alignment needed here, unlike the bucketed signature
+    * store). One maintenance shuffle of codes (m bytes/vector — the
+    * cheap table), sidecars untouched, searches partition-prune
+    * exactly as before. The directory swap is not transactional:
+    * schedule in the ingest quiet window (same caveat as
+    * compactSignatureStore).
+    */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val ncells = codes.select("cell").distinct().count().toInt
+    codes.repartition(ncells, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes_compact")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/codes")
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes_compact"), dst),
+      s"compact swap failed at $path/codes")
   }
 
   /** Exact L2² distance to a broadcast query vector, as the IN-ORDER

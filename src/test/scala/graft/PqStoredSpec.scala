@@ -67,6 +67,62 @@ class PqStoredSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("IVF-PQ append: assigned to nearest stored centroid, found codes-only") {
+    val path = tmp("ivfpqappend")
+    Similarity.writeIvfPqIndex(emb, path, 8, 16)
+    // append a vector that IS cell 0's stored centroid: nearest-cell
+    // assignment must put it in cell 0 with a ~zero residual, and a
+    // search with that centroid as the query must rank it FIRST — its
+    // ADC is the per-subspace LUT minimum sum, the smallest achievable
+    // in its cell
+    val cent = spark.read.parquet(s"$path/meta_cent")
+      .filter(col("cell") === 0).orderBy("pos").collect().map(_.getDouble(2))
+    import spark.implicits._
+    val newVec = Seq((90000L, cent.map(_.toFloat).toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    Similarity.appendToIvfPqIndex(newVec, path)
+    val df = Similarity.ivfPqSearchStored(spark, path, cent, 3, 10)
+    val rows = df.collect()
+    assert(rows.head.getLong(0) === 90000L, rows.mkString(", "))
+    assert(rows.head.getLong(1) === 0L, "centroid vector must land in its own cell")
+    // the append must not have broken the scale shape: still a
+    // codes-only, partition-pruned, zero-shuffle scan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("embedding"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // and the appended file landed as one MORE file in the cell-0
+    // inverted list, not a rewrite
+    val cell0 = new java.io.File(s"$path/codes/cell=0")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(cell0 >= 2, s"expected appended file in cell=0, saw $cell0")
+  }
+
+  test("IVF-PQ compact: one file per cell directory, identical results") {
+    val path = tmp("ivfpqcompact")
+    Similarity.writeIvfPqIndex(emb, path, 8, 16)
+    val batch = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfPqIndex(batch, path)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    def search() = Similarity.ivfPqSearchStored(spark, path, q, 3, 20, excludeId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = search()
+    // the appended copy of vec 0 rides the same embedding — the search
+    // must surface it from the appended files
+    assert(before.exists(_._1 == 90000L), before.mkString(", "))
+    Similarity.compactIvfPqIndex(spark, path)
+    assert(search() === before)
+    val cellDirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { dir =>
+      val n = dir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"${dir.getName}: $n files after compact")
+    }
+  }
+
   test("stored IVF-PQ reads only the probed cells' files") {
     val path = tmp("ivfpqprune")
     Similarity.writeIvfPqIndex(emb, path, 8, 16)
