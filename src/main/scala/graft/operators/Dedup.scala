@@ -479,6 +479,160 @@ object Dedup {
       .filter(col("jaccard") >= jaccardMin)
   }
 
+  // -------------------------------------------------------------------
+  // Incremental cluster labels: connected-component ids maintained
+  // batch-by-batch ALONGSIDE the signature store, so near-dup cluster
+  // resolution (d07) never needs a full corpus rerun. Layout mirrors
+  // the store's append/compact economics:
+  //
+  //   `${name}_labels` — (doc_id, root) appended per batch, the root
+  //     resolved AT APPEND TIME; bucketed by doc_id.
+  //   `${name}_remap`  — (old_root, new_root), broadcast-sized: the
+  //     lazy half of a union-find. When a batch doc bridges two
+  //     existing clusters nobody rewrites the big labels table — the
+  //     losing root gets a remap row. Kept transitively RESOLVED
+  //     (every new_root is a current root): each batch rewrites this
+  //     KB-sized table, never the labels.
+  //
+  // Current assignment = labels LEFT JOIN broadcast(remap): zero
+  // shuffle on the labels side. Invariants: roots only merge downward
+  // (to the smaller id); remap keys are dead roots, remap values are
+  // live roots, so the key sets of old and new remap rows can never
+  // collide and one hop always fully resolves.
+  // -------------------------------------------------------------------
+
+  private def emptyRemap(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("old_root", "new_root")
+  }
+
+  /** Bucket count of an existing bucketed table, from the catalog. */
+  private def bucketsOf(spark: SparkSession, table: String): Int = {
+    val rows = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+    rows.find(_.getString(0) == "Num Buckets").map(_.getString(1).trim.toInt)
+      .getOrElse(sys.error(s"$table is not a bucketed table"))
+  }
+
+  /** Initialize the label store for a corpus: one d07 connected-
+    * components run over the corpus' own near-dup pairs (the LAST full
+    * run ever needed — ingestBatchLabeled maintains labels from here
+    * on), singletons labeled by their own id, empty remap. Pair with
+    * [[writeSignatureStore]] on the same corpus.
+    */
+  def writeLabelStore(corpus: DataFrame, name: String, jaccardMin: Double,
+      buckets: Int = 8): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val spark = corpus.sparkSession
+    val cc = connectedComponents(
+      minhashPairs(corpus, jaccardMin).select(col("id_a"), col("id_b")))
+    val labels = corpus.select(col("doc_id"))
+      .join(cc, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("root"))
+    graft.sources.Sinks.writeBucketed(labels, s"${name}_labels", buckets, "doc_id")
+    emptyRemap(spark).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_remap")
+  }
+
+  /** Current (doc_id, root) assignment: the labels table resolved one
+    * hop through the broadcast remap — the labels side never shuffles.
+    */
+  def clusterLabels(spark: SparkSession, name: String): DataFrame = {
+    val remap = spark.table(s"${name}_remap")
+    spark.table(s"${name}_labels")
+      .join(broadcast(remap), col("root") === col("old_root"), "left")
+      .select(col("doc_id"), coalesce(col("new_root"), col("root")).as("root"))
+  }
+
+  /** [[ingestBatch]] + incremental cluster-label maintenance: classify
+    * the batch against the signature store, attach each near-dup to
+    * the SMALLEST matched cluster root, and when one batch doc matches
+    * docs of several clusters, merge those clusters — by remap rows
+    * only, never by rewriting labels. Merge closure (doc X bridges
+    * {5,7}, doc Y bridges {3,5} → 7 must reach 3) runs d07's
+    * pointer-halving over the batch-sized merge graph. Returns
+    * (doc_id, status, match_id, cluster_id); appends the batch's
+    * labels and unique signatures, rewrites the KB remap. Cost ∝
+    * batch, replay-idempotent like ingestBatch (self-matches excluded,
+    * appends anti-joined, merge edges vanish on replay because the
+    * merge already happened). Intra-batch near-dups classify
+    * independently (same contract as ingestBatch: the store, not the
+    * batch, is the dedup frame of reference).
+    */
+  def ingestBatchLabeled(spark: SparkSession, name: String, batch: DataFrame,
+      jaccardMin: Double): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val pairs = minhashPairsAgainstStore(spark, name, batch, jaccardMin)
+    val lab = clusterLabels(spark, name)
+    val matched = pairs
+      .join(lab, pairs("corpus_id") === lab("doc_id"))
+      .select(col("batch_id"), col("corpus_id"), col("root"))
+      .localCheckpoint(true)
+    val attach = matched.groupBy(col("batch_id"))
+      .agg(min(col("root")).as("aroot"), min(col("corpus_id")).as("match_id"))
+      .localCheckpoint(true)
+    // one batch doc matching clusters r1 < r2 merges r2 into r1
+    val mergeEdges = matched.join(attach, "batch_id")
+      .filter(col("root") =!= col("aroot"))
+      .select(col("aroot").as("id_a"), col("root").as("id_b")).distinct()
+    val remapNew = broadcast((
+      if (mergeEdges.isEmpty) emptyRemap(spark)
+      else connectedComponents(mergeEdges)
+        .filter(col("id") =!= col("lab"))
+        .select(col("id").as("old_root"), col("lab").as("new_root"))
+      ).localCheckpoint(true))
+    // old remap rows re-resolve through the new merges (their values
+    // may have just died); new rows join them
+    val remapAll = spark.table(s"${name}_remap")
+      .join(remapNew.select(col("old_root").as("o2"), col("new_root").as("n2")),
+        col("new_root") === col("o2"), "left")
+      .select(col("old_root"), coalesce(col("n2"), col("new_root")).as("new_root"))
+      .unionAll(remapNew)
+      .localCheckpoint(true)
+    val labeled = batch.select(col("doc_id"))
+      .join(attach, col("doc_id") === col("batch_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, "near").otherwise("unique").as("status"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("aroot"), col("doc_id")).as("root0"))
+      .join(remapNew, col("root0") === col("old_root"), "left")
+      .select(col("doc_id"), col("status"), col("match_id"),
+        coalesce(col("new_root"), col("root0")).as("cluster_id"))
+      .localCheckpoint(true)
+    // store maintenance, all replay-safe: unique signatures (next
+    // batch dedups against them), batch labels, re-resolved remap
+    val uniques = batch.join(
+      labeled.filter(col("status") === "unique").select("doc_id"), "doc_id")
+    appendToSignatureStore(uniques.join(
+      spark.table(s"${name}_shingles").select("doc_id"), Seq("doc_id"), "left_anti"),
+      name)
+    val freshLabels = labeled
+      .select(col("doc_id"), col("cluster_id").as("root"))
+      .join(spark.table(s"${name}_labels").select("doc_id"), Seq("doc_id"), "left_anti")
+    freshLabels.write.mode(SaveMode.Append)
+      .bucketBy(bucketsOf(spark, s"${name}_labels"), "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${name}_labels")
+    remapAll.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_remap")
+    labeled
+  }
+
+  /** Fold the remap into the labels table (bucketed rewrite, same
+    * task-alignment trick as compactSignatureStore) and empty it —
+    * run on a maintenance cadence to keep the broadcast tiny and the
+    * label reads one-hop. */
+  def compactLabelStore(spark: SparkSession, name: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val buckets = bucketsOf(spark, s"${name}_labels")
+    graft.sources.Sinks.writeBucketed(
+      clusterLabels(spark, name)
+        .repartition(buckets, pmod(hash(col("doc_id")), lit(buckets))),
+      s"${name}_labels_compact", buckets, "doc_id")
+    spark.sql(s"DROP TABLE ${name}_labels")
+    spark.sql(s"ALTER TABLE ${name}_labels_compact RENAME TO ${name}_labels")
+    emptyRemap(spark).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_remap")
+  }
+
   /** SimHash near-duplicate pairs over (doc_id, text): Manku-style
     * (WWW'07) blocking — split the 64-bit signature into 8 chunks of
     * 8 bits and key each doc on all C(8,2)=28 ORDERED CHUNK PAIRS

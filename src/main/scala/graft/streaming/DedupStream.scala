@@ -49,4 +49,30 @@ object DedupStream {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** [[start]] + live cluster labels: each micro-batch classifies
+    * against the signature store AND maintains the incremental
+    * connected-component label store
+    * ([[graft.operators.Dedup.ingestBatchLabeled]]), so every emitted
+    * row carries the doc's CURRENT cluster_id — a batch-2 near-dup of
+    * a batch-1 unique joins that doc's cluster with no d07 rerun.
+    * Same idempotent dynamic-partition result sink; the label append
+    * and remap rewrite are replay-safe the same way the signature
+    * append is (anti-joined ids, merges vanish on replay).
+    */
+  def startLabeled(store: String, docStream: DataFrame, jaccardMin: Double,
+      outPath: String, checkpoint: String): StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val labeled = graft.operators.Dedup
+          .ingestBatchLabeled(batch.sparkSession, store, batch, jaccardMin)
+        labeled.withColumn("micro_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("micro_batch")
+          .parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -275,6 +275,57 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("label store: attach joins existing cluster; a bridging doc merges clusters via remap only") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    try {
+      // corpus docs 1 and 2 near-dup each other but carry SPLIT label
+      // roots (1 and 2) — the state two separate pre-label batches
+      // leave behind. A batch doc matching BOTH must merge cluster 2
+      // into cluster 1 with a remap row, never a labels rewrite.
+      Dedup.writeSignatureStore(docs(1L -> base, 2L -> near), "lbl", 4)
+      graft.sources.Sinks.writeBucketed(
+        Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "root"), "lbl_labels", 4, "doc_id")
+      Seq.empty[(Long, Long)].toDF("old_root", "new_root")
+        .write.format("parquet").saveAsTable("lbl_remap")
+      val labelFilesBefore = spark.table("lbl_labels").inputFiles.toSet
+
+      val out = Dedup.ingestBatchLabeled(spark, "lbl", docs(10L -> base), 0.5)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(out(10L) === (("near", 1L, 1L)))
+      // doc 2's cluster merged into 1 — visible through the resolved
+      // view, carried by exactly one remap row, labels files untouched
+      val lab = Dedup.clusterLabels(spark, "lbl")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lab === Map(1L -> 1L, 2L -> 1L, 10L -> 1L))
+      val remap = spark.table("lbl_remap")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(remap === Set((2L, 1L)))
+      assert(labelFilesBefore.subsetOf(spark.table("lbl_labels").inputFiles.toSet),
+        "merge must not rewrite existing label files")
+
+      // replay the same batch: same classification, no label-row dups,
+      // no new merges (the merge already happened)
+      val replay = Dedup.ingestBatchLabeled(spark, "lbl", docs(10L -> base), 0.5)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(replay === out)
+      assert(spark.table("lbl_labels").count() === 3)
+      assert(spark.table("lbl_remap").count() === 1)
+
+      // compaction folds the remap into the labels and empties it
+      Dedup.compactLabelStore(spark, "lbl")
+      val lab2 = Dedup.clusterLabels(spark, "lbl")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lab2 === lab)
+      assert(spark.table("lbl_remap").count() === 0)
+    } finally {
+      Seq("lbl_bands", "lbl_shingles", "lbl_labels", "lbl_remap")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("signature store compaction: one sorted file per bucket, same answers") {
     import org.apache.spark.sql.functions.col
     val tuneA = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early mountain dusk settles"

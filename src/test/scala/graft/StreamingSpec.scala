@@ -178,6 +178,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming labeled dedup: a batch-2 doc joins the cluster a batch-1 doc founded") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills near the old stone bridge"
+    val tuneA = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early mountain dusk settles"
+    val tuneB = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early winter dusk settles"
+
+    def addFile(src: java.nio.file.Path, name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-lstream-stage")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    graft.operators.Dedup.writeSignatureStore(corpus, "lblstream", 4)
+    graft.operators.Dedup.writeLabelStore(corpus, "lblstream", 0.5, 4)
+    try {
+      val src = Files.createTempDirectory("graft-lstream-src")
+      val out = Files.createTempDirectory("graft-lstream-out").toString
+      val ckpt = Files.createTempDirectory("graft-lstream-ckpt").toString
+      // micro-batch 1: doc 10 is unique — it FOUNDS cluster 10
+      addFile(src, "b1.parquet", Seq(10L -> tuneA))
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(src.toString)
+      val q = graft.streaming.DedupStream.startLabeled("lblstream", stream, 0.5, out, ckpt)
+      try {
+        q.processAllAvailable()
+        // micro-batch 2: doc 20 near-dups batch 1's doc 10 and must
+        // emerge carrying doc 10's cluster id — live labels, no d07
+        addFile(src, "b2.parquet", Seq(20L -> tuneB))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(out)
+        .select(col("doc_id"), col("status"), col("match_id"), col("cluster_id"),
+          col("micro_batch").cast("long"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got(10L) === (("unique", -1L, 10L, 0L)))
+      assert(got(20L) === (("near", 10L, 10L, 1L)))
+      // the label store agrees with the emitted rows
+      val lab = graft.operators.Dedup.clusterLabels(spark, "lblstream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lab === Map(1L -> 1L, 10L -> 10L, 20L -> 10L))
+    } finally {
+      Seq("lblstream_bands", "lblstream_shingles", "lblstream_labels", "lblstream_remap")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming greedy packing: batch 2 continues the bin batch 1 left open") {
     import spark.implicits._
     import graft.streaming.{DocTok, PackStream}
