@@ -34,6 +34,31 @@ class PipelineComposeSpec extends AnyFunSuite {
     }
   }
 
+  test("p02 five-stage pipeline: one AQE plan, bounded exchange budget") {
+    val df = Pipeline.trainingManifestFull(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // ONE Catalyst plan end-to-end — no stage materializes an
+    // intermediate (the five-stages-one-plan claim, evidenced)
+    assert(plan.linesIterator.next().contains("AdaptiveSparkPlan"), plan)
+    // exchange budget: the normalize-window partials (the dedup form
+    // is recomputed per consuming branch), the per-source count agg,
+    // decontamination's shingle stages, and the shard packing window —
+    // a future stage that sneaks in an extra corpus shuffle breaks
+    // this loudly. (At sf0.01 the count is 7; AQE may elide the
+    // decontamination join entirely via empty-relation propagation
+    // when nothing is contaminated.)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(hashEx <= 7, s"hash-exchange budget exceeded: $hashEx\n$plan")
+    assert(rangeEx === 1, s"expected exactly the final ORDER BY exchange\n$plan")
+    // small sides must stay broadcast — the corpus is never shuffled
+    // against the rate table or the keep-sets
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("p01 dedup stage: no two manifest docs share a normalized form") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val ids = Pipeline.trainingManifest(spark, sf)
