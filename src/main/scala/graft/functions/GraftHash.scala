@@ -274,4 +274,47 @@ object GraftHash {
     b(18) = ('0' + ss % 10).toByte
     UTF8String.fromBytes(b)
   }
+
+  /** Cut word-index spans [starts(i), ends(i)] (1-based inclusive,
+    * sorted, disjoint — d13's maximal-run shape) out of `text` in ONE
+    * byte pass: walk space-separated words with a single advancing
+    * span cursor — O(words + spans) — keeping out-of-span words joined
+    * by single spaces and counting total/removed words. Replaces a
+    * words×spans lattice of interpreted transform/filter/exists
+    * lambdas (the d16 rewrite inner loop; same HOF→kernel upgrade as
+    * pqAssign). Word model matches filter(split(trim(text), " "),
+    * nonempty): runs of 0x20 delimit words, other whitespace is word
+    * content. Returns [clean_text: string, n_words: long,
+    * n_removed: long].
+    */
+  def spanCut(text: UTF8String, starts: ArrayData, ends: ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val len = text.numBytes()
+    val m = starts.numElements()
+    val out = new java.io.ByteArrayOutputStream(len)
+    var i = 0
+    var nWords = 0L
+    var nRemoved = 0L
+    var si = 0
+    var first = true
+    while (i < len) {
+      while (i < len && text.getByte(i) == ' ') i += 1
+      if (i < len) {
+        val w0 = i
+        while (i < len && text.getByte(i) != ' ') i += 1
+        nWords += 1
+        while (si < m && ends.getLong(si) < nWords) si += 1
+        if (si < m && starts.getLong(si) <= nWords) {
+          nRemoved += 1
+        } else {
+          if (!first) out.write(' ')
+          var j = w0
+          while (j < i) { out.write(text.getByte(j)); j += 1 }
+          first = false
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromBytes(out.toByteArray), nWords, nRemoved))
+  }
 }

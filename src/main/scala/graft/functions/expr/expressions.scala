@@ -1,6 +1,6 @@
 package graft.functions.expr
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
@@ -222,6 +222,26 @@ case class FirstMatch(left: Expression, right: Expression) extends BinaryExpress
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftVec.firstMatch($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstMatch =
     copy(left = l, right = r)
+}
+
+/** d16's span surgery as one codegen byte pass: cut sorted disjoint
+  * word-index spans out of a text column — see GraftHash.spanCut.
+  * struct(clean_text, n_words, n_removed) out.
+  */
+case class SpanCut(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("clean_text",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_words", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_removed", LongType, nullable = false)))
+  override protected def nullSafeEval(t: Any, s: Any, e: Any): Any =
+    graft.functions.GraftHash.spanCut(t.asInstanceOf[UTF8String],
+      s.asInstanceOf[ArrayData], e.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s, e) => s"graft.functions.GraftHash.spanCut($t, $s, $e)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SpanCut = copy(first = f, second = s, third = t)
 }
 
 case class VectorCosine(left: Expression, right: Expression) extends BinaryExpression {

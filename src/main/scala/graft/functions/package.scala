@@ -73,6 +73,12 @@ package object functions {
   /** First index where two long-array columns agree (-1 if none). */
   def firstMatch(a: Column, b: Column): Column = col(expr.FirstMatch(ex(a), ex(b)))
 
+  /** One-pass word-span surgery on a text column (d16):
+    * struct(clean_text, n_words, n_removed). `starts`/`ends` are
+    * sorted disjoint 1-based word-index bounds. */
+  def spanCut(text: Column, starts: Column, ends: Column): Column =
+    col(expr.SpanCut(ex(text), ex(starts), ex(ends)))
+
   /** PQ assignment of a float-vector column against a flattened
     * j-major codebook: struct(codes array<long>, recon_err double). */
   def pqAssign(c: Column, cb: Array[Double], m: Int, k: Int): Column =

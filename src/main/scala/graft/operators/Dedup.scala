@@ -259,31 +259,33 @@ object Dedup {
     * Scale shape: the span table is small (duplicated-run fraction of
     * the corpus), so it aggregates per doc in a tiny shuffle and joins
     * BACK to the corpus by doc_id — broadcast when it fits, AQE
-    * decides; the corpus rows themselves are rewritten in place by a
-    * per-row expression (word filter against the doc's own span list)
-    * and never shuffle. Docs without spans pass through verbatim.
+    * decides; the corpus rows themselves are rewritten in place by the
+    * SpanCut codegen kernel — one byte pass per doc with an advancing
+    * span cursor, O(words + spans) — and never shuffle. (A first cut
+    * evaluated a words×spans transform/filter/exists lattice in
+    * interpreted lambdas; same HOF→kernel upgrade as pqAssign.) Docs
+    * without spans pass through verbatim. Spans are disjoint maximal
+    * runs, so independently sorting starts and ends keeps the pairs
+    * aligned.
     */
   def substringRemove(documents: DataFrame, k: Int = 8,
       minWords: Int = 16): DataFrame = {
     val spans = substringDupSpans(documents, k, minWords)
       .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("start_word").as("s"),
-        (col("start_word") + col("n_words") - 1).as("e"))).as("spans"))
-    val ws = filter(split(trim(col("text")), " "), w => w =!= "")
-    val base = documents
+      .agg(sort_array(collect_list(col("start_word"))).as("starts"),
+        sort_array(collect_list(col("start_word") + col("n_words") - 1)).as("ends"))
+    val none = array().cast("array<bigint>")
+    val cut = graft.functions.spanCut(col("text"),
+      coalesce(col("starts"), none), coalesce(col("ends"), none))
+    documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("text"))
       .join(spans, Seq("doc_id"), "left")
-    val pw = transform(col("ws"),
-      (w, i) => struct((i + 1).cast("bigint").as("p"), w.as("w")))
-    val filtered = filter(pw, x => !exists(col("spans"),
-      sp => x.getField("p").between(sp.getField("s"), sp.getField("e"))))
-    val kept = when(col("spans").isNull, col("ws"))
-      .otherwise(transform(filtered, x => x.getField("w")))
-    base.select(col("doc_id"),
-        size(col("ws")).cast("bigint").as("n_words"),
-        (size(col("ws")) - size(kept)).cast("bigint").as("n_removed"),
-        array_join(kept, " ").as("clean_text"))
+      .select(col("doc_id"), cut.as("c"))
+      .select(col("doc_id"),
+        col("c").getField("n_words").as("n_words"),
+        col("c").getField("n_removed").as("n_removed"),
+        col("c").getField("clean_text").as("clean_text"))
       .orderBy("doc_id")
   }
 
