@@ -730,6 +730,97 @@ object Dedup {
     labels
   }
 
+  /** Domain-weighted sampling to a token budget — the mixture step of
+    * a training-data pipeline ("sample source s at weight w until the
+    * run hits its token target"). Semantics: per source, walk docs in
+    * deterministic hash order (d06's overflow-safe mod-p hash, doc_id
+    * tiebreak) and keep every doc whose RUNNING token count fits the
+    * source's budget; budgets split `budgetNum/budgetDen` of the
+    * corpus' total tokens across sources ∝ weight, all in integer
+    * arithmetic so the oracle replays bit-exactly.
+    *
+    * SCALE SHAPE: the textbook version is one window cum-sum
+    * partitioned by source — but a 100 TB corpus has FEW sources, so
+    * that window serializes each source through one task. Instead,
+    * two phases: (A) aggregate a (source, h-range-bucket) token
+    * histogram — tiny (sources × [[MixtureBuckets]] rows), collected
+    * to the driver like ANN sidecar metadata — and prefix-scan it to
+    * find each source's boundary bucket + entry offset; (B) one
+    * window partitioned by (source, bucket) — parallelism = sources ×
+    * buckets, each task a ~1/buckets slice — computes the global
+    * running count as bucket offset + in-bucket cum-sum. Selection is
+    * provably the window-cum-sum rule (DedupSpec cross-checks the
+    * naive single-window version); cost is one scan + one small agg +
+    * one bucket-parallel window, no per-source serial stage.
+    */
+  val MixtureBuckets = 128
+  private val MixtureHashP = 1000003L
+  private def mixtureBase(documents: DataFrame): DataFrame = {
+    val tok = size(split(trim(col("text")), " ")).cast("long")
+    val h = pmod(pmod(col("doc_id"), lit(MixtureHashP)) * lit(427799L), lit(MixtureHashP))
+    // deterministic per-source weight 1..4 derived from the source id
+    // (stand-in for a user-supplied mixture table, which would arrive
+    // as exactly this (source, w) shape)
+    val w = pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"), lit(4L)) + lit(1L)
+    documents.select(col("doc_id"), col("source"), tok.as("tok"), h.as("h"), w.as("w"),
+      (col("h") / lit(MixtureHashP / MixtureBuckets + 1L)).cast("int").as("b"))
+  }
+
+  def mixtureSample(documents: DataFrame,
+      budgetNum: Long = 1L, budgetDen: Long = 4L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val base = mixtureBase(documents)
+    // ---- phase A: KB-sized histogram → driver prefix scan
+    val hist = base.groupBy(col("source"), col("b"))
+      .agg(sum(col("tok")).as("btok"), max(col("w")).as("w"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val totalTok = hist.map(_._3).sum
+    val wSum = hist.groupBy(_._1).map { case (_, rs) => rs.head._4 }.sum
+    val cutoffs: Seq[(String, Int, Long, Long)] = // (source, bucket, offset, budget)
+      hist.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+        val budget = rs.head._4 * totalTok * budgetNum / (budgetDen * wSum)
+        var off = 0L
+        rs.sortBy(_._2).iterator.takeWhile(_ => off <= budget).map { case (_, b, btok, _) =>
+          val row = (src, b, off, budget); off += btok; row
+        }.toSeq
+        // buckets past the first one whose entry offset exceeds the
+        // budget can't contribute (cum > budget for every row) — drop
+      }
+    // ---- phase B: bucket-parallel window, offset joined in (KB table)
+    val offs = broadcast(cutoffs.toDF("source", "b", "off", "budget"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("b")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.join(offs, Seq("source", "b"))
+      .withColumn("cum", sum(col("tok")).over(win) + col("off"))
+      .filter(col("cum") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("tok").as("n_tokens"),
+        col("cum").as("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Textbook single-window version of [[mixtureSample]] — the spec's
+    * cross-check that the two-phase plan selects the same rows. */
+  def mixtureSampleNaive(documents: DataFrame,
+      budgetNum: Long = 1L, budgetDen: Long = 4L): DataFrame = {
+    val base = mixtureBase(documents)
+    val tot = base.agg(sum(col("tok")).as("tok_total"))
+    val ws = base.select(col("source"), col("w")).distinct()
+      .agg(sum(col("w")).as("w_total"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.crossJoin(broadcast(tot)).crossJoin(broadcast(ws))
+      .withColumn("cum", sum(col("tok")).over(win))
+      // integer division (Spark `/` on longs is double division)
+      .filter(col("cum") <=
+        expr(s"w * tok_total * $budgetNum div ($budgetDen * w_total)"))
+      .select(col("doc_id"), col("source"), col("tok").as("n_tokens"),
+        col("cum").as("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- exact dedup: hash groupBy on content ----
@@ -1291,6 +1382,32 @@ object Dedup {
       SELECT source, CAST(n_total AS BIGINT) AS n_total,
         round(rate, 6) AS rate,
         CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled
-      FROM rates LEFT JOIN samp USING (source) ORDER BY source"""))
+      FROM rates LEFT JOIN samp USING (source) ORDER BY source""")),
+
+    // ---- token-budget mixture sampling (d14 balances DOC counts;
+    //      this allocates a TOKEN budget across sources ∝ weight —
+    //      the knob an actual training-mix spec turns). Oracle is the
+    //      textbook per-source window cum-sum; the Spark side is the
+    //      two-phase histogram plan (see mixtureSample) whose
+    //      selection rule is provably identical — a hash match here
+    //      certifies the scale-shaped plan, and DedupSpec additionally
+    //      cross-checks it against mixtureSampleNaive ----
+    ("d17_mixture_sample", (s: SparkSession, d: String) =>
+      mixtureSample(Tables.documents(s, d)), Some("""
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok,
+                   (doc_id % 1000003) * 427799 % 1000003 AS h,
+                   CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS w
+                 FROM documents),
+      tot AS (SELECT CAST(sum(tok) AS BIGINT) AS tok_total FROM t),
+      wsum AS (SELECT CAST(sum(w) AS BIGINT) AS w_total
+               FROM (SELECT DISTINCT source, w FROM t)),
+      c AS (SELECT t.*, CAST(sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM t)
+      SELECT doc_id, source, tok AS n_tokens, cum AS cum_tokens
+      FROM c, tot, wsum
+      WHERE cum <= w * tok_total // (4 * w_total)
+      ORDER BY doc_id"""))
   )
 }

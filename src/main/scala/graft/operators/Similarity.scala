@@ -760,6 +760,52 @@ object Similarity {
     path
   }
 
+  /** Matryoshka coarse-to-fine retrieval: shortlist by PREFIX-dim
+    * cosine (a scan that reads/multiplies only `dPrefix` of `dim`
+    * floats per row — with a prefix-truncated stored column this is a
+    * dim/dPrefix I/O cut, the matryoshka deployment shape), then
+    * exact full-dim re-rank of the shortlist. Both stages are
+    * broadcast-query TakeOrdered scans: zero shuffles, shortlist
+    * rows carry the full vector so the re-rank re-reads nothing.
+    */
+  def matryoshkaTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      dPrefix: Int, shortlistN: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    embeddings.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("qe"),
+        round(vectorCosine(slice(col("embedding"), 1, dPrefix),
+          slice(col("qe"), 1, dPrefix)), 6).as("cos_pre"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(desc("cos_pre"), col("vec_id")).limit(shortlistN)
+      .select(col("vec_id"),
+        round(vectorCosine(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(desc("cos"), col("vec_id")).limit(k)
+  }
+
+  /** Quality CONTRACT for the matryoshka pipeline (s05/s10's pattern):
+    * recall@k of the prefix-shortlist + re-rank result vs the full-dim
+    * brute truth. On this gate corpus the embeddings are synthetic and
+    * near-isotropic — the prefix carries only dPrefix/dim of the
+    * energy, the hardest case for prefix retrieval (trained matryoshka
+    * embeddings FRONT-LOAD energy precisely so this recall rises) — so
+    * the gate bound is 0.5 at dPrefix=16/64, shortlist=5×k (measured:
+    * 0.70, deterministic). At scale the contract runs on a query
+    * sample, like s05.
+    */
+  def matryoshkaRecall(embeddings: DataFrame, queryId: Long, k: Int,
+      dPrefix: Int, shortlistN: Int, minRecall: Double): DataFrame = {
+    val full = cosineTopK(embeddings, queryId, k).select(col("vec_id"))
+    val mat = matryoshkaTopK(embeddings, queryId, k, dPrefix, shortlistN)
+      .select(col("vec_id"))
+    val nHit = full.join(mat, Seq("vec_id"), "left_semi").count()
+    val recall = nHit.toDouble / k
+    embeddings.sparkSession.range(1).select(
+      lit(dPrefix.toLong).as("d_prefix"), lit(shortlistN.toLong).as("n_shortlist"),
+      lit(k.toLong).as("n_topk"), lit(nHit).as("n_hit"),
+      round(lit(recall), 6).as("recall"), lit(recall >= minRecall).as("recall_ok"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- KMeans-trained IVF: oracle checks the index recall contract ----
@@ -1129,6 +1175,45 @@ object Similarity {
         round(CAST(n_found AS DOUBLE) / 10, 6) AS recall,
         (CAST(n_found AS DOUBLE) / 10) >= 0.9 AS recall_ok,
         round(CAST(n_cov AS DOUBLE) / 10, 6) AS probe_coverage
-      FROM m, cov"""))
+      FROM m, cov""")),
+
+    // ---- matryoshka prefix-retrieval contract: shortlist by
+    //      16-of-64-dim cosine (the cheap scan), exact full-dim
+    //      re-rank, gate recall@20 vs brute truth >= 0.5 (measured
+    //      0.70 on the near-isotropic gate corpus — the floor case;
+    //      see matryoshkaRecall's doc). Oracle replays both stages +
+    //      the truth with the same round-6 tiebreak chain ----
+    ("s11_matryoshka_recall", (s: SparkSession, d: String) =>
+      matryoshkaRecall(Tables.embeddings(s, d), 0L, 20, 16, 100, 0.5), Some("""
+      WITH qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      prez AS (SELECT vec_id, unnest(list_slice(embedding, 1, 16)) AS a,
+                 unnest(list_slice(qe, 1, 16)) AS b
+               FROM embeddings, qe),
+      pres AS (SELECT vec_id,
+                 sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+                 sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+                 sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+               FROM prez GROUP BY vec_id),
+      short AS (SELECT vec_id FROM pres WHERE vec_id <> 0
+                ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
+                LIMIT 100),
+      z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b
+            FROM embeddings, qe),
+      sums AS (SELECT vec_id,
+                 sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+                 sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+                 sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+               FROM z GROUP BY vec_id),
+      fullc AS (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS c
+                FROM sums WHERE vec_id <> 0),
+      rer AS (SELECT f.vec_id FROM fullc f JOIN short USING (vec_id)
+              ORDER BY c DESC, vec_id LIMIT 20),
+      brute AS (SELECT vec_id FROM fullc ORDER BY c DESC, vec_id LIMIT 20),
+      m AS (SELECT count(*) AS n_hit FROM rer JOIN brute USING (vec_id))
+      SELECT CAST(16 AS BIGINT) AS d_prefix, CAST(100 AS BIGINT) AS n_shortlist,
+        CAST(20 AS BIGINT) AS n_topk, CAST(n_hit AS BIGINT) AS n_hit,
+        round(CAST(n_hit AS DOUBLE) / 20, 6) AS recall,
+        (CAST(n_hit AS DOUBLE) / 20) >= 0.5 AS recall_ok
+      FROM m"""))
   )
 }

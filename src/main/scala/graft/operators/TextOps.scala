@@ -219,6 +219,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window chunking with overlap (RAG / context-window prep):
+    * fixed `chunk`-word windows every `stride` words, so consecutive
+    * chunks share `chunk - stride` boundary words. One generator over
+    * codegen'd sequence/slice/array_join — rows widen by
+    * ~n_words/stride but stay (doc_id, chunk) shaped, zero shuffles:
+    * at 100 TB this pipelines into the scan like every other t-op.
+    * chunk_id restarts per doc, so (doc_id, chunk_id) is the stable
+    * chunk key downstream ops join on.
+    */
+  def chunkOverlap(documents: DataFrame,
+      chunk: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunk >= stride,
+      s"need 0 < stride <= chunk (got chunk=$chunk stride=$stride)")
+    documents
+      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(0), greatest(size(col("ws")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        array_join(slice(col("ws"), col("start") + 1, lit(chunk)), " ").as("chunk_text"),
+        least(size(col("ws")) - col("start"), lit(chunk)).cast("bigint").as("n_chunk_words"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- language ID: per-language marker-word counts, argmax ----
@@ -596,7 +619,29 @@ object TextOps {
       SELECT (SELECT n FROM tot) AS n_tokens,
         (SELECT count(*) FROM heavy) AS n_heavy,
         (SELECT count(*) FROM heavy) AS n_found,
-        true AS all_ok""")))
+        true AS all_ok""")),
+
+    // ---- sliding-window chunking with overlap (RAG / context-window
+    //      prep): fixed 32-word chunks every 24 words (8-word overlap
+    //      carries boundary context between neighbors). One generator
+    //      over codegen'd sequence/slice/array_join — rows widen by
+    //      ~n_words/stride but stay (doc_id, chunk) shaped, zero
+    //      shuffles before the output sort; at 100 TB this pipelines
+    //      into the scan like every other t-op. chunk_id restarts per
+    //      doc, so (doc_id, chunk_id) is the stable chunk key
+    //      downstream ops join on ----
+    ("t16_chunk_overlap", (s: SparkSession, d: String) =>
+      chunkOverlap(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism))
+        .orderBy("doc_id", "chunk_id"), Some("""
+      WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      st AS (SELECT doc_id, ws,
+               unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) AS st
+             FROM w)
+      SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        array_to_string(list_slice(ws, st + 1, st + 32), ' ') AS chunk_text,
+        CAST(least(len(ws) - st, 32) AS BIGINT) AS n_chunk_words
+      FROM st ORDER BY doc_id, chunk_id""")))
 
   /** DuckDB replay of the committed BPE merge table (see the t09
     * entry): marker-wrap every codepoint, fold one replace() per merge

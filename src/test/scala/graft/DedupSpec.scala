@@ -397,4 +397,27 @@ class DedupSpec extends AnyFunSuite {
       sc.setCheckpointDir(null) // restore the localCheckpoint default for other specs
     }
   }
+
+  test("d17 mixture: two-phase histogram plan selects exactly the naive window's rows") {
+    val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
+    val fast = Dedup.mixtureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val naive = Dedup.mixtureSampleNaive(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fast === naive, "two-phase selection diverged from the window cum-sum rule")
+    assert(fast.nonEmpty)
+    // budget bound: per-source selected tokens never exceed the
+    // source's integer-arithmetic budget share
+    val perSrc = fast.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val base = docs.selectExpr("source",
+      "size(split(trim(text), ' ')) AS tok",
+      "CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS w")
+    val t = base.selectExpr("sum(tok)").head().getLong(0)
+    val ws = base.select("source", "w").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wTot = ws.values.sum
+    perSrc.foreach { case (src, tokSum) =>
+      assert(tokSum <= ws(src) * t / (4 * wTot), s"$src exceeded its budget")
+    }
+  }
 }

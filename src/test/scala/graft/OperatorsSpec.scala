@@ -179,4 +179,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scores.forall(_ > 0))
     assert(scores.sameElements(scores.sortBy(-(_: Double))))
   }
+
+  test("t16 chunking: stride overlap, full coverage, exact reassembly") {
+    import spark.implicits._
+    // 80 words → starts 0,24,48,72: three full 32-word chunks + an
+    // 8-word tail; consecutive chunks overlap by exactly 32-24=8 words
+    val words = (0 until 80).map(i => s"w$i")
+    val one = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val chunks = graft.operators.TextOps.chunkOverlap(one)
+      .select(col("chunk_id"), col("chunk_text"))
+      .orderBy("chunk_id").collect()
+    assert(chunks.length === 4)
+    val texts = chunks.map(_.getString(1))
+    assert(texts(0).split(" ").length === 32)
+    assert(texts(3).split(" ").length === 8) // tail chunk
+    // overlap: last 8 words of chunk i == first 8 words of chunk i+1
+    for (i <- 0 until 3)
+      assert(texts(i).split(" ").takeRight(8).sameElements(
+        texts(i + 1).split(" ").take(8)))
+    // coverage: union of de-overlapped chunks reassembles the doc
+    val reassembled = texts.head.split(" ") ++
+      texts.tail.flatMap(_.split(" ").drop(8))
+    assert(reassembled.sameElements(words))
+  }
+
+  test("s11 matryoshka: shortlist containment and exact-rerank agreement") {
+    val emb = graft.sources.Tables.embeddings(spark, GraftTestSession.sf)
+    val mat = graft.operators.Similarity.matryoshkaTopK(emb, 0L, 10, 16, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = graft.operators.Similarity.cosineTopK(emb, 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // re-ranked scores are EXACT full-dim cosines: any id in both
+    // results must carry the identical score
+    mat.keySet.intersect(full.keySet).foreach { id =>
+      assert(mat(id) === full(id), s"vec $id rerank score differs")
+    }
+    // the contract row gates recall and must agree with the overlap
+    val row = graft.operators.Similarity
+      .matryoshkaRecall(emb, 0L, 10, 16, 50, 0.0).head()
+    assert(row.getLong(3) === mat.keySet.intersect(full.keySet).size.toLong)
+  }
 }
