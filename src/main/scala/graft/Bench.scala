@@ -81,11 +81,11 @@ object Bench {
       "q27_arith", "q47_recursive_cte", "d01_dedup_exact", "d02_dedup_minhash",
       "d03_dedup_simhash", "d04_ngram_jaccard", "d05_dedup_embedding",
       "d11_subdoc_dedup", "d12_decontaminate", "d13_substring_dedup",
-      "d15_normalized_dedup",
+      "d15_normalized_dedup", "d16_substring_removal", "d17_mixture_sample",
       "s01_similarity_topk", "s03_similarity_ivf", "s07_pq_quantize",
       "s08_pq_search", "s09_ivfpq_search", "s08_build", "s09_build",
-      "s10_ivfpq_recall", "p01_pipeline",
-      "t01_langid", "t03_tokens",
+      "s10_ivfpq_recall", "s11_matryoshka_recall", "p01_pipeline",
+      "t01_langid", "t03_tokens", "t16_chunk_overlap",
       "t04_fingerprint", "t05_repetition", "t09_bpe_tokens",
       "t10_gopher_rules", "t12_pack_chunks", "t13_pack_greedy",
       "m01_multimodal", "m03_image_stats", "m04_audio_stats",

@@ -354,8 +354,26 @@ object Similarity {
     * once, then every search reads m bytes/vector instead of 4·dim.
     * One codegen scan of the corpus, zero shuffles.
     */
+  /** Sidecar memoization: an index's KB metadata (codebooks,
+    * centroids, shape) is immutable once written — append/compact
+    * touch only the codes — so a deployment holds it in memory and a
+    * search pays ZERO driver-side reads. Keyed by index path;
+    * invalidated by the write* builders (the only operations that
+    * replace sidecars). */
+  private val pqSidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, Array[Double])]()
+  private def readPqSidecars(spark: SparkSession, path: String)
+      : (Int, Int, Int, Array[Double]) =
+    pqSidecarCache.computeIfAbsent(path, _ => {
+      val conf = spark.read.parquet(s"$path/meta_conf").head()
+      val cbFlat = spark.read.parquet(s"$path/meta_cb").collect()
+        .sortBy(_.getInt(0)).map(_.getDouble(1))
+      (conf.getInt(0), conf.getInt(1), conf.getInt(2), cbFlat)
+    })
+
   def writePqIndex(embeddings: DataFrame, path: String,
       m: Int = 8, k: Int = 16): Unit = {
+    pqSidecarCache.remove(path)
     val spark = embeddings.sparkSession
     val cbFlat = pqFlat(pqCodebook(embeddings, k), k)
     embeddings.select(col("vec_id"),
@@ -380,12 +398,9 @@ object Similarity {
     */
   def pqSearchStored(spark: SparkSession, path: String, q: Array[Double],
       topK: Int, excludeId: Long = -1L): DataFrame = {
-    val conf = spark.read.parquet(s"$path/meta_conf").head()
-    val (m, k) = (conf.getInt(0), conf.getInt(1))
-    require(q.length == conf.getInt(2),
-      s"query dim ${q.length} != index dim ${conf.getInt(2)} at $path")
-    val cbFlat = spark.read.parquet(s"$path/meta_cb").collect()
-      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    val (m, k, dim, cbFlat) = readPqSidecars(spark, path)
+    require(q.length == dim,
+      s"query dim ${q.length} != index dim $dim at $path")
     val lutFlat = adcLutFlat(q, cbFlat, m, k)
     spark.read.parquet(s"$path/codes")
       .filter(col("vec_id") =!= excludeId)
@@ -513,6 +528,7 @@ object Similarity {
     */
   def writeIvfPqIndex(embeddings: DataFrame, path: String,
       m: Int = 8, k: Int = 16): Unit = {
+    ivfSidecarCache.remove(path)
     val spark = embeddings.sparkSession
     val cents = cellCentroids(embeddings)
     val dim = cents.head._2.length
@@ -546,25 +562,29 @@ object Similarity {
     */
   /** The KB-sized sidecars of a [[writeIvfPqIndex]] index:
     * (m, k, dim, per-cell centroids, flat residual codebook). */
+  /** IVF sidecars memoized per path, like [[readPqSidecars]]. */
+  private val ivfSidecarCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Int, Int, Map[Int, Array[Double]], Array[Double])]()
   private def readIvfSidecars(spark: SparkSession, path: String)
-      : (Int, Int, Int, Map[Int, Array[Double]], Array[Double]) = {
-    val conf = spark.read.parquet(s"$path/meta_conf").head()
-    val (m, k, dim) = (conf.getInt(0), conf.getInt(1), conf.getInt(2))
-    val cents: Map[Int, Array[Double]] =
-      spark.read.parquet(s"$path/meta_cent").collect()
-        .groupBy(_.getInt(0)).map { case (l, rows) =>
-          val a = new Array[Double](dim)
-          rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
-          l -> a
-        }
-    val rcb: Array[Double] = {
-      val a = new Array[Double](k * dim)
-      spark.read.parquet(s"$path/meta_rcb").collect()
-        .foreach(r => a(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2))
-      a
-    }
-    (m, k, dim, cents, rcb)
-  }
+      : (Int, Int, Int, Map[Int, Array[Double]], Array[Double]) =
+    ivfSidecarCache.computeIfAbsent(path, _ => {
+      val conf = spark.read.parquet(s"$path/meta_conf").head()
+      val (m, k, dim) = (conf.getInt(0), conf.getInt(1), conf.getInt(2))
+      val cents: Map[Int, Array[Double]] =
+        spark.read.parquet(s"$path/meta_cent").collect()
+          .groupBy(_.getInt(0)).map { case (l, rows) =>
+            val a = new Array[Double](dim)
+            rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+            l -> a
+          }
+      val rcb: Array[Double] = {
+        val a = new Array[Double](k * dim)
+        spark.read.parquet(s"$path/meta_rcb").collect()
+          .foreach(r => a(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2))
+        a
+      }
+      (m, k, dim, cents, rcb)
+    })
 
   def ivfPqSearchStored(spark: SparkSession, path: String, q: Array[Double],
       nprobe: Int, topK: Int, excludeId: Long = -1L): DataFrame = {
@@ -608,10 +628,11 @@ object Similarity {
     * Compact with [[compactIvfPqIndex]] when cadence leaves many small
     * files per cell.
     */
-  def appendToIvfPqIndex(newVectors: DataFrame, path: String): Unit = {
-    import org.apache.spark.sql.SaveMode
-    val spark = newVectors.sparkSession
-    val (m, k, dim, cents, rcb) = readIvfSidecars(spark, path)
+  /** Assign `newVectors` to the stored quantizer: nearest sidecar
+    * centroid + residual codes — the shared map stage of both append
+    * paths. One codegen scan, no shuffle. */
+  private def assignToStoredCells(newVectors: DataFrame, path: String): DataFrame = {
+    val (m, k, _, cents, rcb) = readIvfSidecars(newVectors.sparkSession, path)
     val cellSeq = cents.toSeq.sortBy(_._1)
     // rank cells by cos(v, c) = dot/(|v||c|): |v| is row-constant, so
     // dot/|c| ranks identically; dot is the in-order left fold the
@@ -633,7 +654,55 @@ object Similarity {
       .withColumn("cell", (lit(0) - array_max(scored).getField("nl")).cast("int"))
       .select(col("vec_id"), col("cell"),
         graft.functions.pqCodes(residual, rcb, m, k).as("codes"))
+  }
+
+  def appendToIvfPqIndex(newVectors: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    assignToStoredCells(newVectors, path)
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** [[appendToIvfPqIndex]] made IDEMPOTENT under micro-batch replay —
+    * the streaming-ingest contract ([[graft.streaming.IndexStream]]):
+    * a plain append retried after a crash would double the batch's
+    * code rows and a search would return duplicate vec_ids. Commit
+    * protocol: (1) stage the batch's codes at a per-batch staging dir
+    * (mode=overwrite, so a retry rewrites the identical staging), one
+    * file per touched cell (repartition by cell before the
+    * partitioned write — equal cells colocate, so dynamic
+    * partitioning emits exactly one file per cell directory); (2)
+    * rename each staged file to the DETERMINISTIC name
+    * `codes/cell=X/batch-<id>.parquet` (replacing any prior attempt's
+    * file); (3) drop staging. Every step converges under replay from
+    * any crash point, so at-least-once foreachBatch delivery yields
+    * exactly-once index contents. Cost is still ∝ batch: one assign
+    * scan + one small shuffle (batch-sized) + ncells-touched renames.
+    */
+  def appendToIvfPqIndexIdempotent(newVectors: DataFrame, path: String,
+      batchId: Long): Unit = {
+    val spark = newVectors.sparkSession
+    val staging = s"$path/codes_staging/batch=$batchId"
+    val assigned = assignToStoredCells(newVectors, path)
+    val ncells = readIvfSidecars(spark, path)._4.size
+    assigned.repartition(ncells, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    fs.listStatus(stagingPath).filter(_.getPath.getName.startsWith("cell="))
+      .foreach { cellDir =>
+        val parts = fs.listStatus(cellDir.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"staging ${cellDir.getPath} has ${parts.length} files (want 1)")
+        val target = new org.apache.hadoop.fs.Path(
+          s"$path/codes/${cellDir.getPath.getName}/batch-$batchId.parquet")
+        fs.mkdirs(target.getParent)
+        if (fs.exists(target)) fs.delete(target, false)
+        require(fs.rename(parts.head.getPath, target),
+          s"commit rename failed for $target")
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes_staging"), true)
   }
 
   /** Compact an IVF-PQ index's inverted lists: every append lands one

@@ -275,4 +275,56 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "event_type").distinct().count()
     assert(got === want)
   }
+
+  test("streaming ANN ingest: batch-2 vector searchable codes-only; batch replay doesn't double") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val path = Files.createTempDirectory("graft-ivfpq-stream").toString
+    Similarity.writeIvfPqIndex(emb, path, 8, 16)
+    val baseCodes = spark.read.parquet(s"$path/codes").count()
+    val cent = spark.read.parquet(s"$path/meta_cent")
+      .filter(col("cell") === 0).orderBy("pos").collect().map(_.getDouble(2))
+
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, Seq[Float])]): Unit = {
+      val stage = Files.createTempDirectory("graft-istream-stage")
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+
+    val src = Files.createTempDirectory("graft-istream-src")
+    val ckpt = Files.createTempDirectory("graft-istream-ckpt").toString
+    val b1Vec = emb.filter(col("vec_id") === 5L).select(col("embedding"))
+      .head().getSeq[Float](0).toSeq
+    addFile(src, "b1.parquet", Seq(91000L -> b1Vec))
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(src.toString)
+    val q = graft.streaming.IndexStream.start(path, stream, ckpt)
+    try {
+      q.processAllAvailable()
+      // micro-batch 2: the cell-0 centroid itself — must be found
+      // FIRST by a centroid-query search as soon as the batch lands
+      addFile(src, "b2.parquet", Seq(92000L -> cent.map(_.toFloat).toSeq))
+      q.processAllAvailable()
+    } finally q.stop()
+    val df = Similarity.ivfPqSearchStored(spark, path, cent, 3, 10)
+    val rows = df.collect()
+    assert(rows.head.getLong(0) === 92000L, rows.mkString(", "))
+    // the streamed appends kept the scale shape: codes-only scan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("embedding"), plan)
+    assert(spark.read.parquet(s"$path/codes").count() === baseCodes + 2)
+    // at-least-once replay: re-commit batch 0 with identical rows —
+    // the deterministic rename commit must converge, not append
+    Similarity.appendToIvfPqIndexIdempotent(
+      Seq(91000L -> b1Vec).toDF("vec_id", "embedding"), path, 0L)
+    assert(spark.read.parquet(s"$path/codes").count() === baseCodes + 2)
+    assert(Similarity.ivfPqSearchStored(spark, path, cent, 3, 10)
+      .collect().head.getLong(0) === 92000L)
+  }
 }
