@@ -800,6 +800,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonical-document selection — the KEEP decision after near-dup
+    * clustering: every doc resolves to a cluster (connected components
+    * over the near-dup pair graph; docs with no near-dup are their own
+    * singleton cluster) and each cluster elects ONE canonical survivor
+    * by (quality desc, doc_id) — here quality = n_chars, the
+    * longest-copy rule web-scale curation defaults to. Cost at scale:
+    * the pair graph + CC are d05/d07's budgets; election is ONE
+    * partial-aggregable groupBy — max(struct(n_chars, −doc_id))
+    * combines map-side, so no per-cluster window and no second
+    * shuffle. Singletons never even enter the CC join (left join on
+    * the label frame, coalesce to self).
+    */
+  def canonicalPerCluster(embeddings: DataFrame, documents: DataFrame,
+      cosMin: Double): DataFrame = {
+    val edges = Similarity.nearDupPairs(embeddings, cosMin)
+      .select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(edges)
+    documents.select(col("doc_id"), col("n_chars"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster"),
+        col("n_chars"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster"), col("csize"),
+        (-col("best.nid")).as("canonical_id"),
+        col("best.n_chars").as("canonical_chars"))
+      .orderBy("cluster")
+  }
+
   /** Textbook single-window version of [[mixtureSample]] — the spec's
     * cross-check that the two-phase plan selects the same rows. */
   def mixtureSampleNaive(documents: DataFrame,
@@ -1408,6 +1438,47 @@ object Dedup {
       SELECT doc_id, source, tok AS n_tokens, cum AS cum_tokens
       FROM c, tot, wsum
       WHERE cum <= w * tok_total // (4 * w_total)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- canonical selection: the KEEP decision after clustering —
+    //      d05's near-dup graph → d07's components → one
+    //      partial-aggregable election per cluster (longest copy,
+    //      doc_id tiebreak); singleton docs are their own cluster.
+    //      Oracle replays the full chain: exact pair truth, recursive
+    //      reachability, then a window election ----
+    ("d18_canonical_dedup", (s: SparkSession, d: String) =>
+      canonicalPerCluster(Tables.embeddings(s, d), Tables.documents(s, d), 0.35),
+      Some("""
+      WITH RECURSIVE p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      sums AS (
+        SELECT id_a, id_b,
+          sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+          sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+          sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        FROM p GROUP BY id_a, id_b),
+      edges AS (
+        SELECT id_a, id_b FROM sums
+        WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.35),
+      sym AS (SELECT id_a AS x, id_b AS y FROM edges
+              UNION ALL SELECT id_b, id_a FROM edges),
+      reach(id, r) AS (
+        SELECT x, x FROM (SELECT DISTINCT x FROM sym)
+        UNION
+        SELECT reach.id, s.y FROM reach JOIN sym s ON s.x = reach.r),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      mem AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+                d.n_chars
+              FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      r AS (SELECT cluster, doc_id, n_chars,
+              row_number() OVER (PARTITION BY cluster
+                ORDER BY n_chars DESC, doc_id) AS rn,
+              count(*) OVER (PARTITION BY cluster) AS csize
+            FROM mem)
+      SELECT cluster, CAST(csize AS BIGINT) AS csize, doc_id AS canonical_id,
+        n_chars AS canonical_chars
+      FROM r WHERE rn = 1 ORDER BY cluster"""))
   )
 }

@@ -1387,6 +1387,40 @@ object Relational {
         string_agg(n_name, ',' ORDER BY n_name) AS nations_arr,
         count(*) AS n
       FROM nation JOIN region ON n_regionkey = r_regionkey
-      GROUP BY r_name ORDER BY r_name"""))
+      GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- approximate-quantile CONTRACT (mergeable sketch #4 next to
+    //      HLL/theta/Misra-Gries): percentile_approx runs on GK
+    //      summaries — partial per partition, merged — whose VALUES
+    //      are merge-order-dependent, so like t15 the gate checks the
+    //      deterministic guarantee, not the estimate: the exact rank
+    //      of each returned quantile must sit within ±n/accuracy (+1
+    //      boundary slack) of the target rank, under ANY partitioning.
+    //      q53 holds the exact-percentile surface; this is the sketch
+    //      a 100 TB profile actually computes (one pass, KB state) ----
+    ("q68_quantile_sketch", (s: SparkSession, d: String) => {
+      val acc = 1000
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("v"))
+      val n = li.count()
+      val qv = li.agg(percentile_approx(col("v"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(acc)).as("qv"))
+        .head().getSeq[Double](0)
+      val ranks = li.agg(
+        sum(when(col("v") <= qv(0), 1L).otherwise(0L)).as("r25"),
+        sum(when(col("v") <= qv(1), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("v") <= qv(2), 1L).otherwise(0L)).as("r75")).head()
+      val tol = n / acc + 1
+      def ok(rank: Long, p: Double) = math.abs(rank - p * n) <= tol
+      s.range(1).select(lit(n).as("n"), lit(acc.toLong).as("accuracy"),
+        lit(tol).as("rank_tol"),
+        lit(ok(ranks.getLong(0), 0.25)).as("ok_p25"),
+        lit(ok(ranks.getLong(1), 0.50)).as("ok_p50"),
+        lit(ok(ranks.getLong(2), 0.75)).as("ok_p75"))
+    }, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(1000 AS BIGINT) AS accuracy,
+        CAST(count(*) // 1000 + 1 AS BIGINT) AS rank_tol,
+        true AS ok_p25, true AS ok_p50, true AS ok_p75
+      FROM lineitem"""))
   )
 }

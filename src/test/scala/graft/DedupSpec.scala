@@ -398,6 +398,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d18 canonical: longest copy survives per cluster, singletons self-canonical") {
+    import spark.implicits._
+    // vecs 1 and 2 identical (cos 1.0 → same cluster), vec 3 far away
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val d = Seq((1L, 10L), (2L, 99L), (3L, 7L)).toDF("doc_id", "n_chars")
+    val got = Dedup.canonicalPerCluster(e, d, 0.9).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cluster 1 = {1,2}: doc 2 is longer → canonical; 3 is a singleton
+    assert(got(1L) === ((2L, 2L, 99L)))
+    assert(got(3L) === ((1L, 3L, 7L)))
+    assert(got.size === 2)
+  }
+
   test("d17 mixture: two-phase histogram plan selects exactly the naive window's rows") {
     val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
     val fast = Dedup.mixtureSample(docs).collect()
