@@ -171,6 +171,27 @@ object Scale {
       val stored = spark.table("scale_sig_shingles").count()
       println(f"[scale] ingest round $r batch=$bsz%-6d $sec%8.2f s  ($byStatus; store=$stored docs)")
     }
+
+    // ---- r7 pipeline-op probes on the replicated corpus ----
+    // chunking is a pure scan op: docs/s should track corpus size
+    time("chunkOverlap")(graft.operators.TextOps.chunkOverlap(docs).count())
+    // mixture sampling: the two-phase histogram plan vs the textbook
+    // per-source window — same selected rows (spec-asserted), but the
+    // naive plan funnels each source through ONE task; with sources
+    // (20) < cores (32) the serial window is the bottleneck the
+    // two-phase shape removes, and the gap widens with corpus/core
+    // count at fixed source count
+    val srcDocs = docs.withColumn("source",
+      concat(lit("src"), pmod(col("doc_id"), lit(20))))
+    val fastSec = timeV("mixtureTwoPhase")(
+      graft.operators.Dedup.mixtureSample(srcDocs).count())
+    val naiveSec = timeV("mixtureNaive")(
+      graft.operators.Dedup.mixtureSampleNaive(srcDocs).count())
+    println(f"[scale] mixture: two-phase ${naiveSec / fastSec}%.2fx vs naive " +
+      "(same rows; the two-phase win is PLAN SHAPE — naive serializes " +
+      "each source through one window task, two-phase spreads it over " +
+      "sources x 128 buckets — so the gap grows with corpus/cores at " +
+      "fixed source count)")
     spark.stop()
   }
 }
