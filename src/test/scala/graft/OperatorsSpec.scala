@@ -24,6 +24,24 @@ class OperatorsSpec extends AnyFunSuite {
       "p7" -> null)) // key 2 has no right rows
   }
 
+  test("asofJoinNear: tolerance nulls stale matches; forward picks first at-or-after") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b")).toDF("k", "t", "lv")
+    val right = Seq((1L, 90L, "r90"), (1L, 205L, "r205")).toDF("k", "t", "rv")
+    val back = AsOf.asofJoinNear(left, right, "k", "t", "t", Seq("rv"),
+        toleranceNs = 15L)
+      .select("lv", "rv").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back === Map(
+      "a" -> "r90", // gap 10 within tolerance 15
+      "b" -> null)) // latest-at-or-before is r90, 110 stale -> nulled
+    val fwd = AsOf.asofJoinNear(left, right, "k", "t", "t", Seq("rv"),
+        toleranceNs = 10L, forward = true)
+      .select("lv", "rv").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fwd === Map(
+      "a" -> null, // first-at-or-after is r205, gap 105 > 10
+      "b" -> "r205")) // gap 5 within tolerance
+  }
+
   test("saltedJoin equals plain equi-join") {
     import spark.implicits._
     // skewed fact: one hot key
