@@ -66,7 +66,75 @@ object Sessionize {
       SELECT user_id, count(*) AS n_events,
         CAST(max(tns) - min(tns) AS BIGINT) AS dur_ns
       FROM sess GROUP BY user_id, session_id
-      ORDER BY user_id, n_events, dur_ns"""))
+      ORDER BY user_id, n_events, dur_ns""")),
+
+    // ---- ORDERED funnel over ss01's sessions: view → click →
+    //      purchase, each stage's first hit AT-OR-AFTER the previous
+    //      stage's (a click before any view doesn't advance the
+    //      funnel). Two exchanges total: the (user) sessionization
+    //      shuffle, then ONE (user, session) exchange that the three
+    //      stage windows AND the per-session rollup all reuse —
+    //      Catalyst plans the same partitioning once. The funnel
+    //      metric every event pipeline reports; integer-ns arithmetic
+    //      for oracle parity ----
+    ("ss03_funnel", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns"),
+          lag(col("ts_ns"), 1).over(w).as("prev_ns"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns"),
+          when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs, 1L)
+            .otherwise(0L).as("is_new"))
+        .select(col("user_id"), col("event_type"), col("ts_ns"),
+          sum(col("is_new")).over(wRun).as("session_id"))
+      val ws = Window.partitionBy(col("user_id"), col("session_id"))
+      val staged = sess
+        .withColumn("tv", min(when(col("event_type") === "view", col("ts_ns"))).over(ws))
+        .withColumn("tc", min(when(col("event_type") === "click" &&
+          col("ts_ns") >= col("tv"), col("ts_ns"))).over(ws))
+        .withColumn("tp", min(when(col("event_type") === "purchase" &&
+          col("ts_ns") >= col("tc"), col("ts_ns"))).over(ws))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"), max(col("tp")).as("tp"))
+      staged.agg(
+        count(lit(1)).as("n_sessions"),
+        count(col("tv")).as("n_view"),
+        count(col("tc")).as("n_view_click"),
+        count(col("tp")).as("n_full_funnel"))
+        .select(col("n_sessions"), col("n_view"), col("n_view_click"),
+          col("n_full_funnel"),
+          round(col("n_view").cast("double") / col("n_sessions"), 6).as("r_view"),
+          round(col("n_view_click").cast("double") / col("n_sessions"), 6).as("r_click"),
+          round(col("n_full_funnel").cast("double") / col("n_sessions"), 6).as("r_purchase"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events),
+      l AS (SELECT user_id, event_id, event_type, tns,
+              lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS p
+            FROM e),
+      f AS (SELECT user_id, event_id, event_type, tns,
+              CASE WHEN p IS NULL OR tns - p > 1800000000000 THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sess AS (SELECT user_id, event_type, tns,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM f),
+      a AS (SELECT user_id, session_id,
+              min(CASE WHEN event_type = 'view' THEN tns END) AS tv
+            FROM sess GROUP BY 1, 2),
+      b AS (SELECT s.user_id, s.session_id, a.tv,
+              min(CASE WHEN s.event_type = 'click' AND s.tns >= a.tv THEN s.tns END) AS tc
+            FROM sess s JOIN a USING (user_id, session_id) GROUP BY 1, 2, 3),
+      c AS (SELECT s.user_id, s.session_id, b.tv, b.tc,
+              min(CASE WHEN s.event_type = 'purchase' AND s.tns >= b.tc THEN s.tns END) AS tp
+            FROM sess s JOIN b USING (user_id, session_id) GROUP BY 1, 2, 3, 4)
+      SELECT count(*) AS n_sessions,
+        count(tv) AS n_view, count(tc) AS n_view_click, count(tp) AS n_full_funnel,
+        round(CAST(count(tv) AS DOUBLE) / count(*), 6) AS r_view,
+        round(CAST(count(tc) AS DOUBLE) / count(*), 6) AS r_click,
+        round(CAST(count(tp) AS DOUBLE) / count(*), 6) AS r_purchase
+      FROM c"""))
   )
 
   private lazy val ss01OracleSql = Some("""
