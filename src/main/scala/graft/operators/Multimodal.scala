@@ -315,6 +315,36 @@ object AviParse {
     }
     (sr, sg, sb)
   }
+
+  /** Per-channel sum of absolute differences between frames `f1` and
+    * `f2` — both rasters walked in lockstep through their idx1
+    * offsets (same stride/padding rules as [[frameChannelSums]]); the
+    * frame-delta signal scene-cut detection thresholds on. */
+  def frameSad(p: Array[Byte], m: AviMeta, f1: Int, f2: Int): (Long, Long, Long) = {
+    require(f1 >= 0 && f1 < m.nFrames && f2 >= 0 && f2 < m.nFrames,
+      s"frames $f1,$f2 out of ${m.nFrames}")
+    def frameBase(f: Int): Int = {
+      val off = m.moviPos + u32(p, m.idxPos + 16 * f + 8).toInt
+      require(str(p, off, 4) == "00db", s"idx1 entry $f points at ${str(p, off, 4)}")
+      off + 8
+    }
+    val (b1, b2) = (frameBase(f1), frameBase(f2))
+    val stride = ((m.width * 3 + 3) / 4) * 4
+    var (dr, dg, db) = (0L, 0L, 0L)
+    var r = 0
+    while (r < m.height) {
+      var x = 0
+      val (r1, r2) = (b1 + r * stride, b2 + r * stride)
+      while (x < m.width) {
+        db += math.abs((p(r1 + 3 * x) & 0xff) - (p(r2 + 3 * x) & 0xff))
+        dg += math.abs((p(r1 + 3 * x + 1) & 0xff) - (p(r2 + 3 * x + 1) & 0xff))
+        dr += math.abs((p(r1 + 3 * x + 2) & 0xff) - (p(r2 + 3 * x + 2) & 0xff))
+        x += 1
+      }
+      r += 1
+    }
+    (dr, dg, db)
+  }
 }
 
 /** Multimodal column pipeline: media as opaque binary columns with
@@ -494,6 +524,31 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Frame-delta profile per video: channel SADs between consecutive
+    * frames — the scene-cut / keyframe-selection signal of a vision
+    * data pipeline. `is_cut` thresholds the total SAD at
+    * `cutThresholdPerPx` per pixel (mean abs delta across the three
+    * channels). Same partition-local decode seam as [[frameSample]]:
+    * per-row cost is two raster walks per pair, zero shuffles.
+    */
+  def sceneDeltas(s: SparkSession, d: String,
+      cutThresholdPerPx: Int = 96): DataFrame = {
+    import s.implicits._
+    mediaFrames(s, d)
+      .filter(_.media_type == "video")
+      .mapPartitions(_.flatMap { m =>
+        val meta = AviParse.meta(m.payload)
+        val px = meta.width.toLong * meta.height
+        (1 until meta.nFrames).iterator.map { f =>
+          val (dr, dg, db) = AviParse.frameSad(m.payload, meta, f - 1, f)
+          (m.doc_id, f.toLong, dr, dg, db,
+            dr + dg + db > cutThresholdPerPx.toLong * px)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "sad_r", "sad_g", "sad_b", "is_cut")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // image dims are decoded from real PNG bitstreams, audio format
     // from real RIFF/WAVE headers, video shape from real RIFF/AVI
@@ -597,6 +652,38 @@ object Multimodal {
     // the '00db' chunks. The oracle replays AviGen's frame-count and
     // per-frame pixel formulas — a hash match proves the demuxer read
     // the true frame rasters, the m03/m04 honesty bar for video
+    // frame-delta / scene-cut profile: channel SADs between every
+    // consecutive decoded frame pair. The oracle replays the
+    // generator's pixel formula at fi AND fi−1 — a hash match proves
+    // the kernel read BOTH true rasters in lockstep. is_cut is
+    // all-false here by construction (synthetic video varies
+    // smoothly, mean per-pixel delta ~21 « the 96/px threshold) —
+    // the data property, not a stub; PipelineSeamsSpec exercises the
+    // delta ordering on real decoded bytes
+    ("m07_scene_deltas", (s: SparkSession, d: String) =>
+      sceneDeltas(s, d), Some("""
+      WITH v AS (SELECT doc_id, 8 + (doc_id * 13) % 24 AS w,
+                   8 + (doc_id * 7) % 16 AS h, 2 + doc_id % 10 AS nf
+                 FROM documents WHERE doc_id % 3 = 2),
+      f AS (SELECT doc_id, w, h, unnest(generate_series(1, nf - 1)) AS fi FROM v),
+      px AS (SELECT doc_id, fi, w, h,
+               unnest(generate_series(0, w * h - 1)) AS i
+             FROM f),
+      ch AS (SELECT doc_id, fi, w, h,
+               (((i % w) * 31 + (i // w) * 7 + fi * 11
+                 + (doc_id % 251) * 13) & 16777215) AS v1,
+               (((i % w) * 31 + (i // w) * 7 + (fi - 1) * 11
+                 + (doc_id % 251) * 13) & 16777215) AS v0
+             FROM px)
+      SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        CAST(sum(abs(((v1 >> 16) & 255) - ((v0 >> 16) & 255))) AS BIGINT) AS sad_r,
+        CAST(sum(abs(((v1 >> 8) & 255) - ((v0 >> 8) & 255))) AS BIGINT) AS sad_g,
+        CAST(sum(abs((v1 & 255) - (v0 & 255))) AS BIGINT) AS sad_b,
+        sum(abs(((v1 >> 16) & 255) - ((v0 >> 16) & 255))
+          + abs(((v1 >> 8) & 255) - ((v0 >> 8) & 255))
+          + abs((v1 & 255) - (v0 & 255))) > 96 * w * h AS is_cut
+      FROM ch GROUP BY doc_id, fi, w, h ORDER BY doc_id, frame_idx""")),
+
     ("m05_frame_sample", (s: SparkSession, d: String) =>
       frameSample(s, d, 4), Some("""
       WITH v AS (SELECT doc_id, 8 + (doc_id * 13) % 24 AS w,

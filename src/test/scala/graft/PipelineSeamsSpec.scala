@@ -141,6 +141,35 @@ class PipelineSeamsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AviParse.meta(bad))
   }
 
+  test("AviParse.frameSad: lockstep raster diff equals the formula; grows with frame distance") {
+    import graft.operators.{AviGen, AviParse}
+    val id = 8L // 2 + 8 % 10 = 10 frames
+    val bytes = AviGen.avi(id)
+    val m = AviParse.meta(bytes)
+    assert(m.nFrames >= 3)
+    val (w, h) = AviGen.dims(id)
+    def expected(f1: Int, f2: Int): (Long, Long, Long) = {
+      var (dr, dg, db) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (a, b) = (AviGen.pixel(id, f1, x, y), AviGen.pixel(id, f2, x, y))
+        dr += math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff))
+        dg += math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff))
+        db += math.abs((a & 0xff) - (b & 0xff))
+      }
+      (dr, dg, db)
+    }
+    assert(AviParse.frameSad(bytes, m, 0, 1) === expected(0, 1))
+    assert(AviParse.frameSad(bytes, m, 0, m.nFrames - 1) ===
+      expected(0, m.nFrames - 1))
+    // the scene-delta signal: a distant frame pair differs more than
+    // an adjacent one (the generator varies smoothly in frame index)
+    def tot(t: (Long, Long, Long)) = t._1 + t._2 + t._3
+    assert(tot(AviParse.frameSad(bytes, m, 0, m.nFrames - 1)) >
+      tot(AviParse.frameSad(bytes, m, 0, 1)))
+    // self-SAD is exactly zero — the two walks read identical chunks
+    assert(AviParse.frameSad(bytes, m, 1, 1) === ((0L, 0L, 0L)))
+  }
+
   test("WavGen + JdkMediaCodec: real RIFF/WAVE bytes in, true header + sample data out") {
     import graft.operators.{JdkMediaCodec, WavGen}
     val ids = Seq(1L, 4L, 7L, 1234567L)
