@@ -211,6 +211,83 @@ object Pipeline {
       SELECT doc_id, shard, n_tokens,
         start // ${Pack.Cap} AS start_bin,
         start % ${Pack.Cap} AS bin_offset
-      FROM c ORDER BY doc_id"""))
+      FROM c ORDER BY doc_id""")),
+
+    // ---- RETRIEVAL pipeline: t16's chunker feeding t07's BM25, one
+    //      Catalyst plan — the RAG ingest+query shape (chunk the
+    //      corpus, score chunks against a query, return top chunks).
+    //      Chunk key packs into uid (d11's convention) so the whole
+    //      BM25 chain runs per-chunk unchanged; the query is doc 0's
+    //      distinct words, its own chunks excluded from ranking.
+    //      Shuffle budget = t07's on the chunk corpus (tokenize once,
+    //      broadcast query-term semi-join BEFORE any shuffle, KB
+    //      stats broadcasts); the chunker itself adds zero shuffles.
+    //      Oracle chains t16's CTE into t07's chain verbatim ----
+    ("p03_retrieval_pipeline", (s: SparkSession, d: String) => {
+      val chunks = TextOps.chunkOverlap(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+        .select((col("doc_id") * 1048576 + col("chunk_id")).as("uid"),
+          col("chunk_text"))
+      val words = chunks.select(col("uid"),
+        explode(split(col("chunk_text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val dl = words.groupBy(col("uid")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_chunks"), sum(col("dl")).as("sum_dl"))
+      val qterms = Tables.documents(s, d).filter(col("doc_id") === 0)
+        .select(explode(split(trim(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+      val tf = words.join(broadcast(qterms), "w")
+        .groupBy(col("uid"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val avgdl = col("sum_dl").cast("double") / col("n_chunks")
+      val idf = round(log(lit(1.0) +
+        ((col("n_chunks") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))), 6)
+      val tfFac = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+      tf.join(broadcast(dfreq), "w").join(dl, "uid").crossJoin(broadcast(stats))
+        .select(col("uid"), round(idf * tfFac, 10).cast("decimal(28,10)").as("ts"))
+        .groupBy(col("uid")).agg(sum(col("ts")).as("sdec"))
+        .filter(col("uid") >= 1048576) // exclude doc 0's own chunks
+        .select(expr("uid div 1048576").as("doc_id"),
+          pmod(col("uid"), lit(1048576L)).as("chunk_id"),
+          round(col("sdec").cast("double"), 6).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"), col("chunk_id")).limit(20)
+    }, Some("""
+      WITH w0 AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      st AS (SELECT doc_id, ws,
+               unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) AS st
+             FROM w0),
+      chunks AS (SELECT doc_id * 1048576 + st // 24 AS uid,
+                   array_to_string(list_slice(ws, st + 1, st + 32), ' ') AS chunk_text
+                 FROM st),
+      words AS (SELECT uid, w FROM (
+                  SELECT uid, unnest(string_split(chunk_text, ' ')) AS w FROM chunks)
+                WHERE w <> ''),
+      dl AS (SELECT uid, count(*) AS dl FROM words GROUP BY uid),
+      stats AS (SELECT count(*) AS n_chunks, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      q AS (SELECT DISTINCT w FROM (
+              SELECT unnest(string_split(trim(text), ' ')) AS w
+              FROM documents WHERE doc_id = 0) WHERE w <> ''),
+      tf AS (SELECT uid, w, count(*) AS tf
+             FROM words JOIN q USING (w) GROUP BY uid, w),
+      dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      term AS (
+        SELECT t.uid,
+          CAST(round(
+            round(ln(1.0 + (CAST(s.n_chunks - f.df AS DOUBLE) + 0.5) /
+                           (CAST(f.df AS DOUBLE) + 0.5)), 6) *
+            ((CAST(t.tf AS DOUBLE) * 2.2) /
+             (CAST(t.tf AS DOUBLE) +
+              1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) /
+                     (CAST(s.sum_dl AS DOUBLE) / s.n_chunks)))),
+            10) AS DECIMAL(28,10)) AS ts
+        FROM tf t JOIN dfreq f USING (w) JOIN dl d ON d.uid = t.uid, stats s)
+      SELECT CAST(uid // 1048576 AS BIGINT) AS doc_id,
+        CAST(uid % 1048576 AS BIGINT) AS chunk_id,
+        round(CAST(sum(ts) AS DOUBLE), 6) AS bm25
+      FROM term WHERE uid // 1048576 <> 0
+      GROUP BY uid ORDER BY bm25 DESC, doc_id, chunk_id LIMIT 20"""))
   )
 }

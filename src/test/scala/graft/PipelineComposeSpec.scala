@@ -76,4 +76,27 @@ class PipelineComposeSpec extends AnyFunSuite {
       .groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
     assert(ids === lowestPerForm)
   }
+
+  test("p03 retrieval: ranked chunks exist, exclude the query doc, and share query terms") {
+    val fn = Pipeline.entries.find(_._1 == "p03_retrieval_pipeline").get._2
+    val df = fn(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the query doc's own chunks never rank
+    assert(rows.forall(_.getLong(0) != 0L))
+    // scores are descending with the declared tiebreak
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    // retrieval sanity: the top-ranked chunk shares >= 1 term with
+    // the query (doc 0's words) — resolved against the real chunker
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val qWords = docs.filter(col("doc_id") === 0).select("text")
+      .head().getString(0).trim.split(" ").filter(_.nonEmpty).toSet
+    val top = rows.head
+    val chunkText = TextOps.chunkOverlap(docs)
+      .filter(col("doc_id") === top.getLong(0) &&
+        col("chunk_id") === top.getLong(1))
+      .select("chunk_text").head().getString(0)
+    assert(chunkText.split(" ").exists(qWords.contains))
+  }
 }
