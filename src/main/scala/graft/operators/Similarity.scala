@@ -103,10 +103,23 @@ object Similarity {
     * s04's recall gate). Brute truth is gate-corpus-sized by design;
     * at scale the contract runs on a sample.
     */
+  /** `samplePct`: the exact-truth side runs on a deterministic
+    * hash-sample of the vectors (d06's mod-p hash — replayable in the
+    * oracle). The LSH candidate side stays FULL-corpus: recall is
+    * estimated over sampled truth pairs, which is exactly how the
+    * contract runs at 100 TB (all-pairs truth is quadratic; the
+    * candidate structure being measured is unchanged). 100 = no
+    * sampling. */
   def lshRecall(embeddings: DataFrame, cosMin: Double,
-      tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      tables: Int = LshTables, bits: Int = LshBits,
+      samplePct: Int = 100): DataFrame = {
+    val sampled =
+      if (samplePct >= 100) embeddings
+      else embeddings.filter(
+        pmod(pmod(col("vec_id"), lit(1000003L)) * lit(427799L), lit(1000003L))
+          % 100 < samplePct)
+    val a = sampled.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = sampled.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .filter(round(vectorCosine(col("ea"), col("eb")), 6) >= cosMin)
       .select(col("id_a"), col("id_b"))
@@ -999,16 +1012,23 @@ object Similarity {
     //      brute-force truth at cos>=0.3. The oracle recomputes BOTH
     //      sides in SQL (LSH keys + exhaustive pairs), so the measured
     //      recall itself is held to bit-exact parity ----
+    // recall contract with the SAMPLED truth the 100 TB deployment
+    // actually runs: exact all-pairs truth over a deterministic 50%
+    // hash-sample (quadratic cost /4), candidates over the FULL
+    // corpus — the measured structure is unchanged, the estimate is
+    // over sampled truth pairs. Oracle applies the identical sample
     ("s05_lsh_recall", (s: SparkSession, d: String) =>
-      lshRecall(Tables.embeddings(s, d), 0.3), Some(s"""
+      lshRecall(Tables.embeddings(s, d), 0.3, samplePct = 50), Some(s"""
       WITH ${OracleSql.lshKeysCtes(LshTables, LshBits)},
       cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM lshkeys a JOIN lshkeys b
           ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+      samp AS (SELECT vec_id, embedding FROM embeddings
+               WHERE (vec_id % 1000003) * 427799 % 1000003 % 100 < 50),
       tz AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                unnest(a.embedding) AS x, unnest(b.embedding) AS y
-             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+             FROM samp a JOIN samp b ON a.vec_id < b.vec_id),
       ts AS (SELECT id_a, id_b,
                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
                sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
