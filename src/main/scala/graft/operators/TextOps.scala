@@ -527,8 +527,12 @@ object TextOps {
     //      cross-multiplied rationals, no float thresholds) so parity
     //      with the oracle is exact at any scale. Pure codegen column
     //      map — zero shuffles, pipelines into the scan ----
+    // single-file input: repartition so the CPU-bound rule maps
+    // spread across cores (p01/p02 fuse gopherRules into their own
+    // already-partitioned scans, so the spread lives at entry level)
     ("t10_gopher_rules", (s: SparkSession, d: String) =>
-      gopherRules(Tables.documents(s, d)), Some("""
+      gopherRules(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)), Some("""
       WITH f AS (SELECT doc_id, text,
                    list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
                  FROM documents),
