@@ -21,7 +21,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "t08_vocab", // broadcast 1-row token total
     "d14_mix_rebalance", // broadcast 1-row corpus total (n, k)
     "t15_heavy_hitters", // broadcast 1-row token total + 1-row MG sketch
-    "p02_pipeline_full") // broadcast 1-row mix total (d14's rate stage)
+    "p02_pipeline_full", // broadcast 1-row mix total (d14's rate stage)
+    "p03_retrieval_pipeline") // broadcast 1-row chunk-corpus stats (t07's shape)
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
