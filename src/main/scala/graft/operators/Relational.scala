@@ -604,6 +604,32 @@ object Relational {
              ws AS (PARTITION BY o_custkey ORDER BY o_orderstatus)
       ORDER BY o_custkey, o_orderkey""")),
 
+    // ---- distribution windows: percent_rank / cume_dist / nth_value
+    //      (closing the window-function matrix next to q18/q19/q35/
+    //      q30/q67). percent_rank and cume_dist are exact rationals of
+    //      rank arithmetic — computed AS integer ratios rounded at 6dp
+    //      so both engines agree bit-for-bit; nth_value over the full
+    //      frame is order-deterministic via the unique o_orderkey ----
+    ("q69_window_dist", (s: SparkSession, d: String) => {
+      val wKey = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val wFull = wKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(wKey), 6).as("pct_rank"),
+        round(cume_dist().over(wKey), 6).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        round(percent_rank() OVER wk, 6) AS pct_rank,
+        round(cume_dist() OVER wk, 6) AS cume,
+        nth_value(o_orderkey, 2) OVER wf AS second_key
+      FROM orders
+      WINDOW wk AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""")),
+
     // ---- equi-join with range predicate ----
     ("q36_range_pred_join", (s: SparkSession, d: String) => {
       Tables.lineitem(s, d)

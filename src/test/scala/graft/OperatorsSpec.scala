@@ -221,6 +221,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reassembled.sameElements(words))
   }
 
+  test("t16 chunking: randomized corpus matches a driver-side reference chunker") {
+    import spark.implicits._
+    // deterministic pseudo-random texts: varied word counts (0..~90),
+    // occasional empty/multi-space content via the word generator
+    def word(seed: Long, j: Int): String = {
+      val h = (seed * 31 + j) * 2654435761L % 1000003
+      if (h % 17 == 0) "" else s"w${h % 97}"
+    }
+    val docs = (0L until 200L).map { id =>
+      val n = ((id * 13) % 91).toInt
+      (id, (0 until n).map(word(id, _)).mkString(" "))
+    }
+    val got = graft.operators.TextOps.chunkOverlap(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    // reference: same trim/single-space-split semantics as the op
+    val want = docs.flatMap { case (id, text) =>
+      val ws = text.trim.split(" ", -1)
+      val starts = 0 to math.max(ws.length - 1, 0) by 24
+      starts.zipWithIndex.map { case (st, ci) =>
+        val chunk = ws.slice(st, st + 32)
+        (id, ci.toLong) -> ((chunk.mkString(" "),
+          math.min(ws.length - st, 32).toLong))
+      }
+    }.toMap
+    assert(got === want)
+  }
+
   test("s11 matryoshka: shortlist containment and exact-rerank agreement") {
     val emb = graft.sources.Tables.embeddings(spark, GraftTestSession.sf)
     val mat = graft.operators.Similarity.matryoshkaTopK(emb, 0L, 10, 16, 50)
