@@ -89,8 +89,11 @@ object Bench {
       "t04_fingerprint", "t05_repetition", "t09_bpe_tokens",
       "t10_gopher_rules", "t12_pack_chunks", "t13_pack_greedy",
       "m01_multimodal", "m03_image_stats", "m04_audio_stats",
-      "ss01_sessionize", "ao01_asof_join", "rj01_point_interval",
-      "tk01_topk_per_key", "h01_hybrid_retrieval")
+      "m07_scene_deltas", "ss01_sessionize", "ss03_funnel",
+      "ao01_asof_join", "ao02_asof_tolerance", "ao03_asof_forward",
+      "rj01_point_interval", "tk01_topk_per_key", "h01_hybrid_retrieval",
+      "d18_canonical_dedup", "q68_quantile_sketch", "q69_window_dist",
+      "p03_retrieval_pipeline")
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
