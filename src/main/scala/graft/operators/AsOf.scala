@@ -84,15 +84,23 @@ object AsOf {
       else Seq(col("_t").asc, col("_side").asc)
     val w = Window.partitionBy(col(on)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = ("_rt" +: rightVals).foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    val within = col("_rt").isNotNull &&
-      abs(col("_t") - col("_rt")) <= toleranceNs
+    // carry ONE struct(_rt, vals*) per right row, not each column
+    // independently: a null in one value column must not let that
+    // column keep an OLDER row's value while _rt advances — the
+    // tolerance gate would then validate a stale value against the
+    // matched time. The when(_side=0, …) makes left rows null for the
+    // carry (the struct itself is never null on right rows, even with
+    // null members), so last(ignoreNulls) always lands a whole row.
+    val carried = l.unionByName(r)
+      .withColumn("_carry", last(
+        when(col("_side") === 0, struct(col("_rt") +: rightVals.map(col): _*)),
+        ignoreNulls = true).over(w))
+    val within = col("_carry").isNotNull &&
+      abs(col("_t") - col("_carry")("_rt")) <= toleranceNs
     val gated = rightVals.foldLeft(carried) { (df, c) =>
-      df.withColumn(c, when(within, col(c)))
+      df.withColumn(c, when(within, col("_carry")(c)))
     }
-    gated.filter(col("_side") === 1).drop("_t", "_side", "_rt")
+    gated.filter(col("_side") === 1).drop("_t", "_side", "_rt", "_carry")
   }
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(

@@ -694,13 +694,20 @@ object Similarity {
   def appendToIvfPqIndexIdempotent(newVectors: DataFrame, path: String,
       batchId: Long): Unit = {
     val spark = newVectors.sparkSession
+    // resolve the filesystem OF `path` (not the default FS): on a
+    // deployment where the index lives on s3a/hdfs while defaultFS
+    // differs, FileSystem.get would rename/delete on the wrong FS.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a batch already folded into compacted part files must NOT
+    // re-land on checkpoint replay (its batch-<id>.parquet name is
+    // gone, so the rename-overwrite convergence no longer covers it)
+    if (compactedBatchIds(fs, path).contains(batchId)) return
     val staging = s"$path/codes_staging/batch=$batchId"
     val assigned = assignToStoredCells(newVectors, path)
     val ncells = readIvfSidecars(spark, path)._4.size
     assigned.repartition(ncells, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     fs.listStatus(stagingPath).filter(_.getPath.getName.startsWith("cell="))
       .foreach { cellDir =>
@@ -732,16 +739,57 @@ object Similarity {
     * compactSignatureStore).
     */
   def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Record every batch id whose file is being folded away BEFORE the
+    // rewrite: compaction erases per-batch file identity, so a
+    // checkpoint replay of one of these batches after compaction would
+    // re-append rows the compacted part files already contain. The
+    // idempotent append consults this KB sidecar and skips such ids.
+    val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val batchIds = fs.listStatus(codesDir)
+      .filter(_.getPath.getName.startsWith("cell="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .map(_.getPath.getName)
+      .collect { case BatchFileName(id) => id.toLong }
+      .toSet ++ compactedBatchIds(fs, path)
     val codes = spark.read.parquet(s"$path/codes")
     val ncells = codes.select("cell").distinct().count().toInt
     codes.repartition(ncells, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes_compact")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    writeCompactedBatchIds(fs, path, batchIds)
     val dst = new org.apache.hadoop.fs.Path(s"$path/codes")
     fs.delete(dst, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes_compact"), dst),
       s"compact swap failed at $path/codes")
+  }
+
+  private val BatchFileName = """batch-(\d+)\.parquet""".r
+
+  /** Batch ids whose rows live in compacted part files (KB sidecar,
+    * one id per line). Written atomically (tmp + rename) so a reader
+    * never sees a partial list. */
+  private def compactedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/compacted_batches.txt")
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  private def writeCompactedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, ids: Set[Long]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/compacted_batches.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/compacted_batches.txt")
+    val out = fs.create(tmp, true)
+    try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"compacted-batches sidecar swap failed at $path")
   }
 
   /** Exact L2² distance to a broadcast query vector, as the IN-ORDER
@@ -838,7 +886,13 @@ object Similarity {
     * as its own metric). */
   private val builtIdx = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def buildOnce(path: String)(build: => Unit): String = {
-    if (builtIdx.add(path)) build
+    // mark built only once the build COMPLETES: if the write throws
+    // (disk full mid-write), the path must stay unmarked so a later
+    // execution retries instead of scanning a partial index forever.
+    if (builtIdx.add(path)) {
+      try build
+      catch { case e: Throwable => builtIdx.remove(path); throw e }
+    }
     path
   }
 
