@@ -18,6 +18,78 @@ object Sessionize {
 
   private val GapNs = 30L * 60 * 1000 * 1000 * 1000 // 30 min in ns
 
+  /** Gap-sessionized events with an ordinal per-user session id —
+    * the shared front half of ss01/ss03/ss04. One (user) shuffle.
+    * Expects `tsCol` as integer ns (µs-floored upstream for oracle
+    * parity). */
+  def sessionized(events: DataFrame, gapNs: Long = GapNs,
+      userCol: String = "user_id", tsCol: String = "ts_ns",
+      idCol: String = "event_id", keepCols: Seq[String] = Seq("event_type"))
+      : DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(Seq(col(userCol), col(idCol), col(tsCol)) ++ keepCols.map(col)
+        :+ lag(col(tsCol), 1).over(w).as("_prev"): _*)
+      .select(Seq(col(userCol), col(tsCol)) ++ keepCols.map(col)
+        :+ when(col("_prev").isNull || col(tsCol) - col("_prev") > gapNs, 1L)
+          .otherwise(0L).as("_new"): _*)
+      .select(Seq(col(userCol), col(tsCol)) ++ keepCols.map(col)
+        :+ sum(col("_new")).over(wRun).as("session_id"): _*)
+  }
+
+  /** Per-session stage times of an ORDERED funnel over an ARBITRARY
+    * stage list: stage i's first hit AT-OR-AFTER stage i−1's (an
+    * out-of-order hit doesn't advance the funnel). Returns one row
+    * per (user, session) with a `t_<stage>` ns column per stage
+    * (null = session never reached it).
+    *
+    * Scale: the conditional-min chain is built by FOLD — stage i's
+    * window min reads stage i−1's, and all N windows share ONE
+    * (user, session) partitioning, so Catalyst plans a single
+    * exchange for the whole chain regardless of N (plus the (user)
+    * sessionize shuffle): two exchanges total, same as the 3-stage
+    * ss03 special case this generalizes.
+    */
+  def funnelStageTimes(events: DataFrame, stages: Seq[String],
+      gapNs: Long = GapNs, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts_ns",
+      idCol: String = "event_id"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, s"duplicate funnel stage in $stages")
+    val sess = sessionized(events, gapNs, userCol, tsCol, idCol, Seq(typeCol))
+    val ws = Window.partitionBy(col(userCol), col("session_id"))
+    val staged = stages.zipWithIndex.foldLeft(sess) { case (df, (st, i)) =>
+      val inOrder = if (i == 0) lit(true)
+        else col(tsCol) >= col(s"t_${stages(i - 1)}")
+      df.withColumn(s"t_$st",
+        min(when(col(typeCol) === st && inOrder, col(tsCol))).over(ws))
+    }
+    val tCols = stages.map(st => s"t_$st")
+    staged.groupBy(col(userCol), col("session_id"))
+      .agg(max(col(tCols.head)).as(tCols.head),
+        tCols.tail.map(c => max(col(c)).as(c)): _*)
+  }
+
+  /** Funnel ROLLUP over [[funnelStageTimes]]: session count, per-stage
+    * reach counts `n_<stage>` and conversion ratios `r_<stage>`
+    * (reach / total sessions). The operator shape every event
+    * pipeline's funnel report calls with its own stage list. */
+  def funnel(events: DataFrame, stages: Seq[String],
+      gapNs: Long = GapNs, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts_ns",
+      idCol: String = "event_id"): DataFrame = {
+    val times = funnelStageTimes(events, stages, gapNs, userCol, typeCol,
+      tsCol, idCol)
+    val aggs = count(lit(1)).as("n_sessions") +:
+      stages.map(st => count(col(s"t_$st")).as(s"n_$st"))
+    val counted = times.agg(aggs.head, aggs.tail: _*)
+    stages.foldLeft(counted) { (df, st) =>
+      df.withColumn(s"r_$st",
+        round(col(s"n_$st").cast("double") / col("n_sessions"), 6))
+    }
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     ("ss01_sessionize", (s: SparkSession, d: String) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
