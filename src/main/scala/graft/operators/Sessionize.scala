@@ -31,7 +31,9 @@ object Sessionize {
     events
       .select(Seq(col(userCol), col(idCol), col(tsCol)) ++ keepCols.map(col)
         :+ lag(col(tsCol), 1).over(w).as("_prev"): _*)
-      .select(Seq(col(userCol), col(tsCol)) ++ keepCols.map(col)
+      // idCol must survive this projection: wRun orders by (tsCol, idCol)
+      // and resolves against THIS select's output
+      .select(Seq(col(userCol), col(idCol), col(tsCol)) ++ keepCols.map(col)
         :+ when(col("_prev").isNull || col(tsCol) - col("_prev") > gapNs, 1L)
           .otherwise(0L).as("_new"): _*)
       .select(Seq(col(userCol), col(tsCol)) ++ keepCols.map(col)
@@ -45,11 +47,11 @@ object Sessionize {
     * (null = session never reached it).
     *
     * Scale: the conditional-min chain is built by FOLD — stage i's
-    * window min reads stage i−1's, and all N windows share ONE
-    * (user, session) partitioning, so Catalyst plans a single
-    * exchange for the whole chain regardless of N (plus the (user)
-    * sessionize shuffle): two exchanges total, same as the 3-stage
-    * ss03 special case this generalizes.
+    * window min reads stage i−1's, and hashpartitioning(user) from
+    * the sessionize shuffle already satisfies every stage window's
+    * (user, session) clustering, so the whole chain is ONE exchange
+    * total regardless of N — each window adds only a partition-local
+    * sort (plan-pinned in SessionizeSpec + PLANS.md ss04).
     */
   def funnelStageTimes(events: DataFrame, stages: Seq[String],
       gapNs: Long = GapNs, userCol: String = "user_id",
@@ -90,21 +92,15 @@ object Sessionize {
     }
   }
 
+  /** events with ts_ns µs-floored: DuckDB reads parquet NANOS as µs
+    * timestamps, so all gap/duration arithmetic must happen at µs
+    * resolution for oracle parity. */
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     ("ss01_sessionize", (s: SparkSession, d: String) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        // µs-floored ns: DuckDB reads parquet NANOS as µs timestamps,
-        // so durations must be computed at µs resolution for parity
-        .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
-        .select(col("user_id"), col("event_id"), col("ts_ns"),
-          lag(col("ts_ns"), 1).over(w).as("prev_ns"))
-        .select(col("user_id"), col("event_id"), col("ts_ns"),
-          when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs, 1L)
-            .otherwise(0L).as("is_new"))
-        .select(col("user_id"), col("ts_ns"),
-          sum(col("is_new")).over(wRun).as("session_id"))
+      sessionized(eventsUs(s, d), keepCols = Seq.empty)
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           (max(col("ts_ns")) - min(col("ts_ns"))).as("dur_ns"))
@@ -143,43 +139,19 @@ object Sessionize {
     // ---- ORDERED funnel over ss01's sessions: view → click →
     //      purchase, each stage's first hit AT-OR-AFTER the previous
     //      stage's (a click before any view doesn't advance the
-    //      funnel). Two exchanges total: the (user) sessionization
-    //      shuffle, then ONE (user, session) exchange that the three
-    //      stage windows AND the per-session rollup all reuse —
-    //      Catalyst plans the same partitioning once. The funnel
-    //      metric every event pipeline reports; integer-ns arithmetic
-    //      for oracle parity ----
+    //      funnel). ONE data exchange total: the (user) sessionization
+    //      shuffle satisfies the (user, session) clustering all three
+    //      stage windows AND the per-session rollup require. The
+    //      funnel metric every event pipeline reports; integer-ns
+    //      arithmetic for oracle parity ----
     ("ss03_funnel", (s: SparkSession, d: String) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sess = Tables.events(s, d)
-        .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
-        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns"),
-          lag(col("ts_ns"), 1).over(w).as("prev_ns"))
-        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns"),
-          when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs, 1L)
-            .otherwise(0L).as("is_new"))
-        .select(col("user_id"), col("event_type"), col("ts_ns"),
-          sum(col("is_new")).over(wRun).as("session_id"))
-      val ws = Window.partitionBy(col("user_id"), col("session_id"))
-      val staged = sess
-        .withColumn("tv", min(when(col("event_type") === "view", col("ts_ns"))).over(ws))
-        .withColumn("tc", min(when(col("event_type") === "click" &&
-          col("ts_ns") >= col("tv"), col("ts_ns"))).over(ws))
-        .withColumn("tp", min(when(col("event_type") === "purchase" &&
-          col("ts_ns") >= col("tc"), col("ts_ns"))).over(ws))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"), max(col("tp")).as("tp"))
-      staged.agg(
-        count(lit(1)).as("n_sessions"),
-        count(col("tv")).as("n_view"),
-        count(col("tc")).as("n_view_click"),
-        count(col("tp")).as("n_full_funnel"))
-        .select(col("n_sessions"), col("n_view"), col("n_view_click"),
-          col("n_full_funnel"),
-          round(col("n_view").cast("double") / col("n_sessions"), 6).as("r_view"),
-          round(col("n_view_click").cast("double") / col("n_sessions"), 6).as("r_click"),
-          round(col("n_full_funnel").cast("double") / col("n_sessions"), 6).as("r_purchase"))
+      // the 3-stage special case of funnel(); renamed to the original
+      // ss03 report columns
+      funnel(eventsUs(s, d), Seq("view", "click", "purchase"))
+        .select(col("n_sessions"), col("n_view"),
+          col("n_click").as("n_view_click"),
+          col("n_purchase").as("n_full_funnel"),
+          col("r_view"), col("r_click"), col("r_purchase"))
     }, Some("""
       WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events),
       l AS (SELECT user_id, event_id, event_type, tns,
@@ -206,7 +178,48 @@ object Sessionize {
         round(CAST(count(tv) AS DOUBLE) / count(*), 6) AS r_view,
         round(CAST(count(tc) AS DOUBLE) / count(*), 6) AS r_click,
         round(CAST(count(tp) AS DOUBLE) / count(*), 6) AS r_purchase
-      FROM c"""))
+      FROM c""")),
+
+    // ---- funnel() over an ARBITRARY 4-stage list (signup → view →
+    //      click → purchase), the generalized form of ss03 every event
+    //      pipeline calls with its own stage list. Same one-exchange
+    //      shape regardless of N: the (user) sessionize shuffle is the
+    //      only data exchange; all N stage windows and the rollup ride
+    //      it with partition-local sorts ----
+    ("ss04_funnel_stages", (s: SparkSession, d: String) => {
+      funnel(eventsUs(s, d), Seq("signup", "view", "click", "purchase"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events),
+      l AS (SELECT user_id, event_id, event_type, tns,
+              lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS p
+            FROM e),
+      f AS (SELECT user_id, event_id, event_type, tns,
+              CASE WHEN p IS NULL OR tns - p > 1800000000000 THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sess AS (SELECT user_id, event_type, tns,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM f),
+      a AS (SELECT user_id, session_id,
+              min(CASE WHEN event_type = 'signup' THEN tns END) AS t1
+            FROM sess GROUP BY 1, 2),
+      b AS (SELECT s.user_id, s.session_id, a.t1,
+              min(CASE WHEN s.event_type = 'view' AND s.tns >= a.t1 THEN s.tns END) AS t2
+            FROM sess s JOIN a USING (user_id, session_id) GROUP BY 1, 2, 3),
+      c AS (SELECT s.user_id, s.session_id, b.t1, b.t2,
+              min(CASE WHEN s.event_type = 'click' AND s.tns >= b.t2 THEN s.tns END) AS t3
+            FROM sess s JOIN b USING (user_id, session_id) GROUP BY 1, 2, 3, 4),
+      d4 AS (SELECT s.user_id, s.session_id, c.t1, c.t2, c.t3,
+              min(CASE WHEN s.event_type = 'purchase' AND s.tns >= c.t3 THEN s.tns END) AS t4
+            FROM sess s JOIN c USING (user_id, session_id) GROUP BY 1, 2, 3, 4, 5)
+      SELECT count(*) AS n_sessions,
+        count(t1) AS n_signup, count(t2) AS n_view,
+        count(t3) AS n_click, count(t4) AS n_purchase,
+        round(CAST(count(t1) AS DOUBLE) / count(*), 6) AS r_signup,
+        round(CAST(count(t2) AS DOUBLE) / count(*), 6) AS r_view,
+        round(CAST(count(t3) AS DOUBLE) / count(*), 6) AS r_click,
+        round(CAST(count(t4) AS DOUBLE) / count(*), 6) AS r_purchase
+      FROM d4"""))
   )
 
   private lazy val ss01OracleSql = Some("""

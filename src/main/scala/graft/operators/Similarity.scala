@@ -767,14 +767,23 @@ object Similarity {
   private val BatchFileName = """batch-(\d+)\.parquet""".r
 
   /** Batch ids whose rows live in compacted part files (KB sidecar,
-    * one id per line). Written atomically (tmp + rename) so a reader
-    * never sees a partial list. */
+    * one id per line). Written atomically (tmp + overwriting rename —
+    * never delete-then-rename, which would lose the sidecar and
+    * re-enable replay duplication if the process died between the
+    * two). A complete .tmp is authoritative when the .txt is missing:
+    * the only way to observe that state is a crash after the full tmp
+    * write but before the swap. */
   private def compactedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Set[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/compacted_batches.txt")
-    if (!fs.exists(p)) Set.empty
-    else {
-      val in = fs.open(p)
+    val readable =
+      if (fs.exists(p)) Some(p)
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/compacted_batches.tmp")
+        if (fs.exists(tmp)) Some(tmp) else None
+      }
+    readable.fold(Set.empty[Long]) { f =>
+      val in = fs.open(f)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).map(_.toLong).toSet
       finally in.close()
@@ -788,8 +797,9 @@ object Similarity {
     val out = fs.create(tmp, true)
     try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"compacted-batches sidecar swap failed at $path")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
+      fs.getConf)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Exact L2² distance to a broadcast query vector, as the IN-ORDER

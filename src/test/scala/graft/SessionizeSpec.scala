@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sessionize
+
+/** The generalized funnel operator: materialization (the round-8
+  * UNRESOLVED_COLUMN regression), ordered-stage semantics on a
+  * hand-built corpus, and the two-exchange plan shape that must hold
+  * for ANY number of stages.
+  */
+class SessionizeSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  private val sf = GraftTestSession.sf
+
+  private def tinyEvents = {
+    import spark.implicits._
+    // (user_id, event_id, ts_ns, event_type) — gapNs=100 in the tests
+    Seq(
+      // u1: click BEFORE the first view must not advance the funnel
+      (1L, 1L, 5L, "click"), (1L, 2L, 10L, "view"),
+      (1L, 3L, 20L, "click"), (1L, 4L, 30L, "purchase"),
+      // u2: click with no view at all -> reaches nothing
+      (2L, 5L, 10L, "click"),
+      // u3: purchase BEFORE the click -> funnel stops at click
+      (3L, 6L, 10L, "view"), (3L, 7L, 15L, "purchase"), (3L, 8L, 20L, "click"),
+      // u4: gap > 100 splits two sessions; second has only a view
+      (4L, 9L, 0L, "view"), (4L, 10L, 50L, "click"), (4L, 11L, 200L, "view")
+    ).toDF("user_id", "event_id", "ts_ns", "event_type")
+  }
+
+  test("sessionized() materializes and keeps the pass-through columns") {
+    // round-8 regression: the running-sum window orders by event_id,
+    // which a projection dropped -> AnalysisException on ANY call
+    val out = Sessionize.sessionized(tinyEvents, gapNs = 100L)
+    assert(out.columns.toSeq ===
+      Seq("user_id", "ts_ns", "event_type", "session_id"))
+    assert(out.count() === 11L)
+    val u4 = out.filter(col("user_id") === 4L)
+      .select("ts_ns", "session_id").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toMap
+    assert(u4 === Map(0L -> 1L, 50L -> 1L, 200L -> 2L))
+  }
+
+  test("funnelStageTimes: out-of-order hits do not advance the funnel") {
+    val t = Sessionize.funnelStageTimes(
+      tinyEvents, Seq("view", "click", "purchase"), gapNs = 100L)
+    val rows = t.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        (0 to 2).map(i => Option(r.get(i + 2)).map(_.asInstanceOf[Long])))
+    }.toSet
+    assert(rows === Set(
+      (1L, 1L, Seq(Some(10L), Some(20L), Some(30L))), // click@5 skipped
+      (2L, 1L, Seq(None, None, None)),
+      (3L, 1L, Seq(Some(10L), Some(20L), None)),      // purchase@15 < click
+      (4L, 1L, Seq(Some(0L), Some(50L), None)),
+      (4L, 2L, Seq(Some(200L), None, None))))
+  }
+
+  test("funnel() rollup counts and ratios") {
+    val r = Sessionize.funnel(
+      tinyEvents, Seq("view", "click", "purchase"), gapNs = 100L)
+      .collect().head
+    assert(r.getAs[Long]("n_sessions") === 5L)
+    assert(r.getAs[Long]("n_view") === 4L)
+    assert(r.getAs[Long]("n_click") === 3L)
+    assert(r.getAs[Long]("n_purchase") === 1L)
+    assert(r.getAs[Double]("r_view") === 0.8)
+    assert(r.getAs[Double]("r_click") === 0.6)
+    assert(r.getAs[Double]("r_purchase") === 0.2)
+  }
+
+  test("funnelStageTimes plans ONE exchange regardless of stage count") {
+    // hashpartitioning(user) satisfies the (user, session) clustering
+    // every stage window and the rollup require, so the sessionize
+    // shuffle is the ONLY exchange — stage windows add partition-local
+    // sorts, never a reshuffle, for any N
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
+    for (n <- Seq(2, 4)) {
+      val stages = Seq("signup", "view", "click", "purchase").take(n)
+      val df = Sessionize.funnelStageTimes(ev, stages)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges === 1, s"$n stages -> $exchanges exchanges:\n$plan")
+    }
+  }
+
+  test("d18 election: partial-agg groupBy, no per-cluster window") {
+    // verdict r7 ask: pin that the canonical election is map-side
+    // combinable — a Window over cluster would serialize each cluster
+    val df = SparkEntry.queries("d18_canonical_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val election = plan.split("jaccardhashes").head // above the LSH stage
+    assert(election.contains("partial_max"), plan.take(3000))
+    assert(!election.contains("Window"),
+      "election must not use a per-cluster window:\n" + election.take(3000))
+  }
+
+  test("ss04 entry: 4-stage funnel is materializable and monotone") {
+    val r = SparkEntry.queries("ss04_funnel_stages")(spark, sf).collect().head
+    val ns = Seq("n_signup", "n_view", "n_click", "n_purchase")
+      .map(r.getAs[Long])
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"funnel reach must be non-increasing: $ns")
+    assert(r.getAs[Long]("n_sessions") > 0L)
+  }
+}
