@@ -242,6 +242,70 @@ object TextOps {
         least(size(col("ws")) - col("start"), lit(chunk)).cast("bigint").as("n_chunk_words"))
   }
 
+  /** TOKEN-budget chunking — t16's chunker composed with t09's real
+    * BPE tokenizer: split each doc into runs of whole words whose
+    * BPE-token total fits `maxTokens`, consecutive chunks sharing at
+    * most `overlapTokens` tokens of trailing context. The budget a
+    * RAG / context-prep pipeline actually has is tokens of the
+    * consumer model, not words.
+    *
+    * Semantics (deterministic, oracle-replayable): greedy maximal —
+    * a chunk starting at word b ends at the LARGEST e with
+    * tokens(b..e) <= maxTokens (a single word over budget forms its
+    * own oversize chunk, the standard escape so progress is
+    * guaranteed); the next chunk starts at the SMALLEST b' > b with
+    * tokens(b'..e) <= overlapTokens (back up at most the overlap
+    * budget from the break).
+    *
+    * Scale: one mapPartitions pass — the tokenizer loads once per
+    * partition, per-word token costs are memoized (Zipf), the greedy
+    * fold is O(words) per doc, and docs chunk independently so the
+    * stage pipelines into the scan with ZERO shuffles at any corpus
+    * size (same budget as t16; only the budget arithmetic changed
+    * from word-count to token-count).
+    */
+  def chunkByTokens(documents: DataFrame, maxTokens: Int,
+      overlapTokens: Int, tok: Tokenizer = Bpe.Tok): DataFrame = {
+    require(maxTokens > 0 && overlapTokens >= 0 && overlapTokens < maxTokens,
+      s"need 0 <= overlapTokens < maxTokens (got max=$maxTokens overlap=$overlapTokens)")
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val count = tok.open() // merges load + word memo, once per partition
+        it.flatMap { case (id, text) =>
+          val ws = text.split(" ").filter(_.nonEmpty)
+          val n = ws.length
+          if (n == 0) Iterator.empty
+          else {
+            // S(i) = tokens of words [0, i): tokens(b..e) = S(e+1) - S(b)
+            val s = new Array[Long](n + 1)
+            var i = 0
+            while (i < n) { s(i + 1) = s(i) + count(ws(i)); i += 1 }
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, String, Long, Long)]
+            var b = 0; var chunkId = 0L; var done = false
+            while (!done) {
+              var e = b
+              while (e + 1 < n && s(e + 2) - s(b) <= maxTokens) e += 1
+              if (s(b + 1) - s(b) > maxTokens) e = b // oversize single word
+              out += ((id, chunkId, (b + 1).toLong,
+                ws.slice(b, e + 1).mkString(" "),
+                (e - b + 1).toLong, s(e + 1) - s(b)))
+              if (e == n - 1) done = true
+              else {
+                var b2 = e + 1
+                while (b2 - 1 > b && s(e + 1) - s(b2 - 1) <= overlapTokens) b2 -= 1
+                b = b2; chunkId += 1
+              }
+            }
+            out.iterator
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_id", "start_word", "chunk_text",
+        "n_chunk_words", "n_chunk_tokens")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- language ID: per-language marker-word counts, argmax ----
@@ -645,7 +709,18 @@ object TextOps {
       SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
         array_to_string(list_slice(ws, st + 1, st + 32), ' ') AS chunk_text,
         CAST(least(len(ws) - st, 32) AS BIGINT) AS n_chunk_words
-      FROM st ORDER BY doc_id, chunk_id""")))
+      FROM st ORDER BY doc_id, chunk_id""")),
+
+    // ---- TOKEN-budget chunking: t16's chunker × t09's BPE tokenizer.
+    //      Chunks hold whole words whose BPE-token total fits the
+    //      64-token budget with <=16 tokens of trailing overlap — the
+    //      budget the consumer model actually has. One mapPartitions
+    //      pass, zero shuffles; greedy-maximal fold replayed by the
+    //      oracle as a recursive CTE over per-doc token prefix sums ----
+    ("t17_chunk_tokens", (s: SparkSession, d: String) =>
+      chunkByTokens(Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism), 64, 16)
+        .orderBy("doc_id", "chunk_id"), Some(chunkTokensOracleSql(64, 16))))
 
   /** DuckDB replay of the committed BPE merge table (see the t09
     * entry): marker-wrap every codepoint, fold one replace() per merge
@@ -653,18 +728,65 @@ object TextOps {
     * from the same resource the JVM tokenizer loads, so the two sides
     * cannot drift.
     */
-  private def bpeOracleSql: String = {
+  /** DuckDB expression counting BPE tokens of the word held in `v` —
+    * marker-wrap every codepoint, fold one replace() per merge in
+    * rank order, count tokens as split-parts minus one. Generated
+    * from the same resource the JVM tokenizer loads, so the two
+    * sides cannot drift. */
+  private def bpeTokenCountExpr(v: String): String = {
     def sym(x: String) = s"chr(31)||'${x.replace("'", "''")}'||chr(30)"
     val marked =
-      "array_to_string(list_transform(regexp_split_to_array(w,''), c -> chr(31)||c||chr(30)), '')"
+      s"array_to_string(list_transform(regexp_split_to_array($v,''), c -> chr(31)||c||chr(30)), '')"
     val chain = Bpe.loadMerges().foldLeft(marked) { case (acc, (a, b)) =>
       s"replace($acc, ${sym(a)}||${sym(b)}, ${sym(a + b)})"
     }
-    s"""
+    s"(len(string_split($chain, chr(30))) - 1)"
+  }
+
+  private def bpeOracleSql: String = s"""
       SELECT doc_id,
         CAST(coalesce(list_sum(list_transform(
           list_filter(string_split(text, ' '), w -> w <> ''),
-          w -> len(string_split($chain, chr(30))) - 1)), 0) AS BIGINT) AS bpe_tokens
+          w -> ${bpeTokenCountExpr("w")})), 0) AS BIGINT) AS bpe_tokens
       FROM documents ORDER BY doc_id"""
+
+  /** t17's oracle: per-word BPE costs (same generated merge chain as
+    * t09), window cumsum → per-doc prefix-sum list, then the greedy
+    * chunk fold replayed as a recursive CTE — E(b) (the maximal chunk
+    * end) via a monotone prefix count over the sums, the next start
+    * via the minimal suffix within the overlap budget. */
+  private def chunkTokensOracleSql(maxT: Int, ovl: Int): String = {
+    // E(b) = b - 1 + max(1, #{e in [b,n] : S[e+1] - S[b] <= maxT})
+    val eExpr = s"b - 1 + greatest(1, len(list_filter(" +
+      s"list_slice(s, b + 1, n + 1), x -> x - s[b] <= $maxT)))"
+    s"""
+      WITH RECURSIVE
+      w0 AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+             FROM documents),
+      wp AS (SELECT doc_id, unnest(ws) AS w,
+               unnest(generate_series(1, len(ws))) AS ord
+             FROM w0 WHERE len(ws) > 0),
+      cost AS (SELECT doc_id, ord,
+                 CAST(${bpeTokenCountExpr("w")} AS BIGINT) AS c FROM wp),
+      pre AS (SELECT doc_id, ord,
+                sum(c) OVER (PARTITION BY doc_id ORDER BY ord) AS sv FROM cost),
+      sl AS (SELECT doc_id, list_prepend(CAST(0 AS BIGINT), list(sv ORDER BY ord)) AS s,
+               count(*) AS n
+             FROM pre GROUP BY doc_id),
+      base AS (SELECT w0.doc_id, w0.ws, sl.s, sl.n FROM w0 JOIN sl USING (doc_id)),
+      r AS (
+        SELECT doc_id, ws, s, n, 0 AS chunk_id, CAST(1 AS BIGINT) AS b FROM base
+        UNION ALL
+        SELECT doc_id, ws, s, n, chunk_id + 1,
+          e + 2 - len(list_filter(list_slice(s, b + 1, e + 1), x -> s[e + 1] - x <= $ovl))
+        FROM (SELECT *, $eExpr AS e FROM r)
+        WHERE e < n)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        CAST(b AS BIGINT) AS start_word,
+        array_to_string(list_slice(ws, b, e), ' ') AS chunk_text,
+        CAST(e - b + 1 AS BIGINT) AS n_chunk_words,
+        CAST(s[e + 1] - s[b] AS BIGINT) AS n_chunk_tokens
+      FROM (SELECT *, $eExpr AS e FROM r)
+      ORDER BY doc_id, chunk_id"""
   }
 }

@@ -87,6 +87,44 @@ class PipelineSeamsSpec extends AnyFunSuite {
     assert(count("the  merchant") === byHand.toLong)
   }
 
+  test("chunkByTokens: budget, greedy maximality, minimal overlap, coverage") {
+    val maxT = 64; val ovl = 16
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(60)
+    val chunks = TextOps.chunkByTokens(docs, maxT, ovl)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val merges = TextOps.Bpe.loadMerges()
+    def cost(w: String) = TextOps.Bpe.encodeTokens(w, merges).length.toLong
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (docId, cs) =>
+      val ws = texts(docId).split(" ").filter(_.nonEmpty)
+      val costs = ws.map(cost)
+      cs.zipWithIndex.foreach { case ((_, _, start, text, nw, nt), i) =>
+        val b = start.toInt - 1; val e = b + nw.toInt - 1
+        // the chunk really is those words, with the claimed token total
+        assert(text === ws.slice(b, e + 1).mkString(" "))
+        assert(nt === costs.slice(b, e + 1).sum)
+        // budget holds unless a single word overflows it
+        assert(nt <= maxT || nw === 1L, s"doc $docId chunk $i: $nt tokens in $nw words")
+        if (i < cs.length - 1) {
+          // greedy maximality: one more word would blow the budget
+          assert(nt + costs(e + 1) > maxT, s"doc $docId chunk $i not maximal")
+          val b2 = cs(i + 1)._3.toInt - 1
+          // next start inside (b, e+1], overlap within budget, minimal
+          assert(b2 > b && b2 <= e + 1)
+          assert(costs.slice(b2, e + 1).sum <= ovl)
+          if (b2 - 1 > b)
+            assert(costs.slice(b2 - 1, e + 1).sum > ovl,
+              s"doc $docId chunk ${i + 1} start not minimal")
+        } else assert(e === ws.length - 1, s"doc $docId: last chunk must end the doc")
+      }
+      assert(cs.head._3 === 1L)
+    }
+  }
+
   test("ImageIoCodec: real PNG bytes in, true bitstream dimensions out") {
     import graft.operators.{ImageIoCodec, PngGen}
     // PngGen emits genuine PNGs (magic bytes), and the codec's dims
