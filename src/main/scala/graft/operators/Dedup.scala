@@ -343,6 +343,41 @@ object Dedup {
     graft.sources.Sinks.writeBucketed(cd, s"${name}_shingles", buckets, "doc_id")
   }
 
+  /** RETIRE documents from a signature store (takedown / TTL / GDPR):
+    * append their ids to the KB tombstone table. Deletion is LAZY —
+    * the same economics as the label store's remap: no store rewrite
+    * here, every read anti-joins the broadcast tombstone set (zero
+    * store-side exchange added), and [[compactSignatureStore]] drops
+    * the rows physically at the next maintenance pass. The tombstone
+    * table is retained after compaction as a SUPPRESSION LIST: a
+    * retired id stays dead — crash-replayed batches cannot re-append
+    * its signatures and it never classifies as a match again (ids are
+    * immutable per the store contract, so suppression-by-id is safe).
+    * Labels retire with the same tombstones ([[clusterLabels]] filters
+    * them; [[compactLabelStore]] drops them physically).
+    */
+  def deleteFromSignatureStore(spark: SparkSession, name: String,
+      ids: DataFrame): Unit = {
+    import org.apache.spark.sql.SaveMode
+    ids.select(col("doc_id").cast("bigint")).coalesce(1)
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${name}_tombstones")
+  }
+
+  /** The store's tombstoned ids, if any deletion has ever happened. */
+  private def tombstoneIds(spark: SparkSession, name: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(s"${name}_tombstones"))
+      Some(spark.table(s"${name}_tombstones")) else None
+
+  /** `df` minus tombstoned docs — a broadcast anti-join on the KB
+    * tombstone set, or `df` unchanged when nothing was ever deleted
+    * (no plan change for stores that never delete). */
+  private def dropTombstoned(spark: SparkSession, name: String,
+      df: DataFrame, idCol: String): DataFrame =
+    tombstoneIds(spark, name).fold(df) { t =>
+      df.join(broadcast(t.select(col("doc_id").as(idCol))), Seq(idCol), "left_anti")
+    }
+
   /** APPEND a batch's bands+shingles to an existing signature store —
     * the store-maintenance half of the production loop (classify →
     * append uniques → next batch sees them), with no overwrite and no
@@ -401,8 +436,12 @@ object Dedup {
         // on Spark 4: same-bucket keys split across tasks, re-mixing
         // files.) One maintenance shuffle of the store, the price of
         // the rewrite.
+        // tombstoned docs drop out PHYSICALLY here (reads have been
+        // filtering them since the delete; this reclaims the bytes).
+        // The tombstone table itself survives as a suppression list —
+        // a retired id must stay dead under crash-replayed appends.
         graft.sources.Sinks.writeBucketed(
-          spark.table(table)
+          dropTombstoned(spark, name, spark.table(table), "doc_id")
             .repartition(buckets, pmod(hash(col(key)), lit(buckets))),
           s"${table}_compact", buckets, key)
         spark.sql(s"DROP TABLE $table")
@@ -442,9 +481,12 @@ object Dedup {
     // append-side dedup: a retried batch whose append landed before
     // the crash must not land its signatures twice — anti-join against
     // the store's own ids (bucketed by doc_id: zero store-side
-    // exchange, only the batch-sized left side shuffles)
-    val fresh = uniques.join(
-      spark.table(s"${name}_shingles").select("doc_id"), Seq("doc_id"), "left_anti")
+    // exchange, only the batch-sized left side shuffles). Tombstoned
+    // ids are suppressed too: a retired doc must not resurrect via a
+    // crash-replayed batch after compaction dropped its rows.
+    val fresh = dropTombstoned(spark, name, uniques.join(
+      spark.table(s"${name}_shingles").select("doc_id"), Seq("doc_id"), "left_anti"),
+      "doc_id")
     appendToSignatureStore(fresh, name)
     classified
   }
@@ -460,7 +502,7 @@ object Dedup {
     val bb = minhashBands(bd)
       .select(col("doc_id").as("batch_id"),
         xxhash64(col("band"), col("bkey")).as("skey"))
-    val cb = spark.table(s"${name}_bands")
+    val cb = dropTombstoned(spark, name, spark.table(s"${name}_bands"), "doc_id")
       .select(col("doc_id").as("corpus_id"), col("skey"))
     // corpus_id =!= batch_id: a retried micro-batch whose signatures
     // were already appended (crash between result write and append)
@@ -473,7 +515,7 @@ object Dedup {
       .filter(col("corpus_id") =!= col("batch_id"))
       .select(col("batch_id"), col("corpus_id")).distinct()
     val a = bd.select(col("doc_id").as("batch_id"), col("sh").as("sh_a"))
-    val c = spark.table(s"${name}_shingles")
+    val c = dropTombstoned(spark, name, spark.table(s"${name}_shingles"), "doc_id")
       .select(col("doc_id").as("corpus_id"), col("sh").as("sh_b"))
     cands.join(a, "batch_id").join(c, "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
@@ -540,7 +582,7 @@ object Dedup {
     */
   def clusterLabels(spark: SparkSession, name: String): DataFrame = {
     val remap = spark.table(s"${name}_remap")
-    spark.table(s"${name}_labels")
+    dropTombstoned(spark, name, spark.table(s"${name}_labels"), "doc_id")
       .join(broadcast(remap), col("root") === col("old_root"), "left")
       .select(col("doc_id"), coalesce(col("new_root"), col("root")).as("root"))
   }
@@ -604,12 +646,13 @@ object Dedup {
     // batch dedups against them), batch labels, re-resolved remap
     val uniques = batch.join(
       labeled.filter(col("status") === "unique").select("doc_id"), "doc_id")
-    appendToSignatureStore(uniques.join(
+    appendToSignatureStore(dropTombstoned(spark, name, uniques.join(
       spark.table(s"${name}_shingles").select("doc_id"), Seq("doc_id"), "left_anti"),
-      name)
-    val freshLabels = labeled
+      "doc_id"), name)
+    val freshLabels = dropTombstoned(spark, name, labeled
       .select(col("doc_id"), col("cluster_id").as("root"))
-      .join(spark.table(s"${name}_labels").select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(spark.table(s"${name}_labels").select("doc_id"), Seq("doc_id"), "left_anti"),
+      "doc_id")
     freshLabels.write.mode(SaveMode.Append)
       .bucketBy(bucketsOf(spark, s"${name}_labels"), "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${name}_labels")

@@ -415,12 +415,40 @@ object Similarity {
     require(q.length == dim,
       s"query dim ${q.length} != index dim $dim at $path")
     val lutFlat = adcLutFlat(q, cbFlat, m, k)
-    spark.read.parquet(s"$path/codes")
+    dropTombstonedVecs(spark, path, spark.read.parquet(s"$path/codes"))
       .filter(col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         graft.functions.adcDist(col("codes"), lit(0), lutFlat, m, k).as("adc"))
       .orderBy(col("adc"), col("vec_id")).limit(topK)
       .select(col("vec_id"), round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /** RETIRE vectors from a stored PQ / IVF-PQ index (takedown / TTL):
+    * append their ids to the KB tombstone sidecar at
+    * `$path/tombstones`. Lazy, mirroring the signature store's
+    * pattern: searches anti-join the broadcast tombstone set (a
+    * zero-shuffle broadcast filter — the codes-only scan shape is
+    * unchanged), [[compactIvfPqIndex]] drops the code rows physically,
+    * and the sidecar survives compaction as a suppression list so a
+    * crash-replayed append batch containing a retired vector stays
+    * masked at read time.
+    */
+  def deleteFromIvfPqIndex(vecIds: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    vecIds.select(col("vec_id").cast("bigint")).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+  }
+
+  /** `codes` minus tombstoned vectors — broadcast anti-join against
+    * the sidecar, or unchanged when no delete ever happened (stores
+    * that never delete keep their join-free plan). */
+  private def dropTombstonedVecs(spark: SparkSession, path: String,
+      codes: DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) codes
+    else codes.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+      Seq("vec_id"), "left_anti")
   }
 
   /** IVF-PQ (Jégou et al.): the billion-scale ANN layout composed
@@ -613,7 +641,7 @@ object Similarity {
     val slot = coalesce(element_at(slotOf, col("cell")),
       raise_error(concat(lit("ivfPqSearchStored: cell outside probe map: "),
         col("cell").cast("string"))))
-    spark.read.parquet(s"$path/codes")
+    dropTombstonedVecs(spark, path, spark.read.parquet(s"$path/codes"))
       .filter(col("cell").isin(probes: _*) && col("vec_id") =!= excludeId)
       .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
         graft.functions.adcDist(col("codes"), slot, lutsFlat, m, k).as("adc"))
@@ -753,7 +781,11 @@ object Similarity {
       .map(_.getPath.getName)
       .collect { case BatchFileName(id) => id.toLong }
       .toSet ++ compactedBatchIds(fs, path)
-    val codes = spark.read.parquet(s"$path/codes")
+    // tombstoned vectors drop out physically here (searches have been
+    // filtering them since the delete); the sidecar survives as a
+    // suppression list against crash-replayed appends
+    val codes = dropTombstonedVecs(spark, path,
+      spark.read.parquet(s"$path/codes"))
     val ncells = codes.select("cell").distinct().count().toInt
     codes.repartition(ncells, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes_compact")

@@ -275,6 +275,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("signature store delete: retired doc stops matching, compaction drops rows, id stays dead") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    try {
+      Dedup.writeSignatureStore(docs(1L -> base, 3L -> far), "sigdel", 4)
+      Dedup.writeLabelStore(docs(1L -> base, 3L -> far), "sigdel", 0.5, 4)
+      def classify() = Dedup.minhashPairsAgainstStore(
+        spark, "sigdel", docs(2L -> near), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(classify() === Set((2L, 1L)))
+      assert(Dedup.clusterLabels(spark, "sigdel")
+        .filter(col("doc_id") === 1L).count() === 1)
+      Dedup.deleteFromSignatureStore(spark, "sigdel", Seq(1L).toDF("doc_id"))
+      // lazy delete: reads filter immediately, rows still on disk
+      assert(classify() === Set.empty, "tombstoned doc must stop matching")
+      assert(Dedup.clusterLabels(spark, "sigdel")
+        .filter(col("doc_id") === 1L).count() === 0)
+      assert(spark.table("sigdel_shingles").filter(col("doc_id") === 1L).count() === 1)
+      // compaction reclaims the bytes; answers unchanged
+      Dedup.compactSignatureStore(spark, "sigdel")
+      Dedup.compactLabelStore(spark, "sigdel")
+      Seq("sigdel_shingles", "sigdel_bands", "sigdel_labels").foreach { t =>
+        assert(spark.table(t).filter(col("doc_id") === 1L).count() === 0,
+          s"$t must drop tombstoned rows at compaction")
+      }
+      assert(classify() === Set.empty)
+      // the id stays dead: a crash-replayed batch carrying doc 1 can
+      // not resurrect its signatures through the ingest append
+      Dedup.ingestBatch(spark, "sigdel", docs(1L -> base), 0.5)
+      assert(spark.table("sigdel_shingles").filter(col("doc_id") === 1L).count() === 0)
+    } finally {
+      Seq("bands", "shingles", "labels", "remap", "tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS sigdel_$t"))
+    }
+  }
+
   test("label store: attach joins existing cluster; a bridging doc merges clusters via remap only") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -123,6 +123,47 @@ class PqStoredSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ delete: tombstoned vector stops ranking, compact drops its codes, stays dead") {
+    val path = tmp("ivfpqdelete")
+    Similarity.writeIvfPqIndex(emb, path, 8, 16)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    def search() = Similarity.ivfPqSearchStored(spark, path, q, 3, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = search()
+    assert(before.exists(_._1 == 0L), "query vector should rank in its own search")
+    import spark.implicits._
+    Similarity.deleteFromIvfPqIndex(Seq(0L).toDF("vec_id"), path)
+    val after = search()
+    assert(!after.exists(_._1 == 0L), "tombstoned vector must stop ranking")
+    // the rest of the ranking is untouched — before minus the deleted
+    // vector is a prefix of after
+    assert(after.take(before.size - 1) === before.filterNot(_._1 == 0L))
+    // compact reclaims the bytes; the search answer is unchanged
+    Similarity.compactIvfPqIndex(spark, path)
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") === 0L).count() === 0,
+      "compaction must drop tombstoned code rows")
+    assert(search() === after)
+    // the tombstone filter must not break the scale shape: still
+    // codes-only and shuffle-free (the anti-join is a broadcast)
+    val df = Similarity.ivfPqSearchStored(spark, path, q, 3, 20)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("embedding"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin LeftAnti".take(17)), plan)
+    // flat PQ path honors the same sidecar
+    val flat = tmp("pqdelete")
+    Similarity.writePqIndex(emb, flat, 8, 16)
+    assert(Similarity.pqSearchStored(spark, flat, q, 5)
+      .collect().exists(_.getLong(0) == 0L))
+    Similarity.deleteFromIvfPqIndex(Seq(0L).toDF("vec_id"), flat)
+    assert(!Similarity.pqSearchStored(spark, flat, q, 5)
+      .collect().exists(_.getLong(0) == 0L))
+  }
+
   test("stored IVF-PQ reads only the probed cells' files") {
     val path = tmp("ivfpqprune")
     Similarity.writeIvfPqIndex(emb, path, 8, 16)
