@@ -98,6 +98,61 @@ object Similarity {
       .orderBy(desc("cos"), col("vec_id")).limit(k)
   }
 
+  /** BATCH exact top-k — [[cosineTopK]] generalized from one
+    * hardcoded query to a query DATAFRAME, the serving shape at
+    * scale: ONE corpus scan answers every query. The query table
+    * broadcasts (a query batch is KB–MB); the corpus side never
+    * shuffles — the broadcast join expands each corpus row across the
+    * queries, and per-query top-k runs on the bounded-heap TopKPerKey
+    * operator, so the only exchange is k×queries rows (never the
+    * expanded candidate stream). No per-query job loop anywhere.
+    */
+  def cosineTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("qe"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"),
+        round(vectorCosine(col("embedding"), col("qe")), 6).as("cos"))
+    TopK.topKPerKey(scored, Seq("query_id"), "cos", "vec_id", k)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
+
+  /** BATCH stored-PQ search — [[pqSearchStored]] over a query batch:
+    * the per-query ADC LUTs concatenate into ONE flat literal and the
+    * existing AdcDist slot argument selects the segment, so a single
+    * codes-only scan (still m bytes/vector, tombstone-filtered,
+    * never the embeddings) serves every query: each code row fans out
+    * across the query list via one generator, and per-query top-k
+    * runs on the bounded-heap TopKPerKey operator. Queries collect to
+    * the DRIVER like every other index-metadata path (Q×m×k doubles
+    * — KB for serving-sized batches; shard the query table over
+    * multiple calls beyond that).
+    */
+  def pqSearchStoredBatch(spark: SparkSession, path: String,
+      queries: DataFrame, topK: Int, excludeSelf: Boolean = false): DataFrame = {
+    val (m, k, dim, cbFlat) = readPqSidecars(spark, path)
+    val qs = queries.select(col("query_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    require(qs.nonEmpty, "empty query batch")
+    qs.foreach { case (id, q) => require(q.length == dim,
+      s"query $id dim ${q.length} != index dim $dim at $path") }
+    val lutsFlat = qs.flatMap { case (_, q) => adcLutFlat(q, cbFlat, m, k) }
+    val qids = array(qs.map(q => lit(q._1)): _*)
+    val scored = dropTombstonedVecs(spark, path,
+      spark.read.parquet(s"$path/codes"))
+      .select(col("vec_id"), col("codes"),
+        posexplode(qids).as(Seq("slot", "query_id")))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.adcDist(col("codes"), col("slot"), lutsFlat, m, k).as("adc"))
+      .withColumn("neg_adc", lit(0.0) - col("adc"))
+    TopK.topKPerKey(scored, Seq("query_id"), "neg_adc", "vec_id", topK)
+      .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc_dist"))
+  }
+
   /** Measured recall of the banded-LSH candidate stage vs the
     * brute-force truth at `cosMin` — the index CONTRACT (pattern:
     * s04's recall gate). Brute truth is gate-corpus-sized by design;
@@ -1399,6 +1454,79 @@ object Similarity {
         CAST(20 AS BIGINT) AS n_topk, CAST(n_hit AS BIGINT) AS n_hit,
         round(CAST(n_hit AS DOUBLE) / 20, 6) AS recall,
         (CAST(n_hit AS DOUBLE) / 20) >= 0.5 AS recall_ok
-      FROM m"""))
+      FROM m""")),
+
+    // ---- BATCH exact search: 8 queries answered by ONE corpus scan —
+    //      broadcast query table, per-query top-5 via the bounded-heap
+    //      TopKPerKey operator (the only exchange is k×queries rows).
+    //      The serving shape: no per-query job loop ----
+    ("s12_batch_search", (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      cosineTopKBatch(e, qs, 5, excludeSelf = true)
+        .orderBy(col("query_id"), desc("cos"), col("vec_id"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 8),
+      z AS (SELECT q.query_id, e.vec_id,
+              unnest(e.embedding) AS a, unnest(q.qe) AS b
+            FROM embeddings e, q),
+      sums AS (SELECT query_id, vec_id,
+                 sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+                 sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+                 sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+               FROM z GROUP BY query_id, vec_id),
+      scored AS (SELECT query_id, vec_id,
+                   round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+                 FROM sums WHERE vec_id <> query_id)
+      SELECT query_id, vec_id, cos FROM (
+        SELECT query_id, vec_id, cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, vec_id) AS rn
+        FROM scored) t
+      WHERE rn <= 5
+      ORDER BY query_id, cos DESC, vec_id""")),
+
+    // ---- BATCH stored-PQ search: 4 queries' ADC LUTs concatenated
+    //      into one flat literal, the AdcDist slot picking the
+    //      segment — one codes-only scan (never the embeddings)
+    //      serves the whole batch, per-query top-10 via TopKPerKey.
+    //      The oracle replays codebook, per-query LUTs, and the
+    //      subspace-order ADC sums for every (query, vector) pair ----
+    ("s13_batch_pq_search", (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val path = buildOnce(idxPath(d, "pq")) { writePqIndex(e, idxPath(d, "pq"), 8, 16) }
+      val qs = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      pqSearchStoredBatch(s, path, qs, 10, excludeSelf = true)
+        .orderBy(col("query_id"), col("adc_dist"), col("vec_id"))
+    }, Some("""
+      WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                    CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+      cent AS (SELECT vec_id AS j, pos, v AS c FROM ex WHERE vec_id < 16),
+      d AS (SELECT e.vec_id, c.j, (e.pos - 1) // 8 AS s,
+              list_sum(list((e.v - c.c) * (e.v - c.c) ORDER BY e.pos)) AS dist
+            FROM ex e JOIN cent c USING (pos)
+            GROUP BY e.vec_id, c.j, (e.pos - 1) // 8),
+      pick AS (SELECT vec_id, s, j, dist,
+                 row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+               FROM d),
+      lut AS (SELECT q.vec_id AS query_id, c.j, (c.pos - 1) // 8 AS s,
+                list_sum(list((q.v - c.c) * (q.v - c.c) ORDER BY c.pos)) AS ld
+              FROM cent c JOIN ex q ON q.pos = c.pos AND q.vec_id < 4
+              GROUP BY q.vec_id, c.j, (c.pos - 1) // 8),
+      adc AS (SELECT l.query_id, p.vec_id,
+                list_sum(list(l.ld ORDER BY p.s)) AS adc
+              FROM pick p JOIN lut l ON l.s = p.s AND l.j = p.j
+              WHERE p.rn = 1 GROUP BY l.query_id, p.vec_id)
+      SELECT query_id, vec_id, adc_dist FROM (
+        SELECT query_id, vec_id, round(adc, 6) AS adc_dist,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc, vec_id) AS rn2
+        FROM adc WHERE vec_id <> query_id) t
+      WHERE rn2 <= 10
+      ORDER BY query_id, adc_dist, vec_id"""))
   )
 }

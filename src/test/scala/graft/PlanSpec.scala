@@ -111,6 +111,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("s12: batch search is ONE corpus scan + broadcast queries + k-bounded heap exchange") {
+    val df = SparkEntry.queries("s12_batch_search")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // one scan of the embeddings serves all 8 queries (no per-query
+    // job loop): the query table broadcasts, TopKPerKey bounds the
+    // only data exchange at k×queries rows
+    assert("FileScan parquet".r.findAllIn(plan).size === 2, plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("TopKPerKey"), plan.take(3000))
+  }
+
+  test("s13: batch PQ search is one codes-only scan serving every query") {
+    val df = SparkEntry.queries("s13_batch_pq_search")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the fan-out over queries is a generator on the codes scan — no
+    // join at all, no embedding column, one k-bounded exchange
+    assert("FileScan parquet".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!plan.contains("embedding"), plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(3000))
+    assert(plan.contains("TopKPerKey"), plan.take(3000))
+  }
+
   test("s09: IVF-PQ search is one zero-shuffle scan + TakeOrdered") {
     // the index metadata (centroids/codebook/LUTs) is driver-side; the
     // per-vector search itself must be a single exchange-free scan of
