@@ -798,22 +798,46 @@ object Dedup {
     */
   val MixtureBuckets = 128
   private val MixtureHashP = 1000003L
-  private def mixtureBase(documents: DataFrame): DataFrame = {
+
+  /** The mixture API's weight input: one (source, w) row per source,
+    * integer weights (integer budget math is what makes the
+    * selection oracle-replayable bit-exactly). The d17 entry derives
+    * a synthetic table from the source names so its DuckDB oracle can
+    * replay it; a real pipeline passes its own curated table here. */
+  def mixtureWeightsFromNames(documents: DataFrame): DataFrame =
+    documents.select(col("source")).distinct()
+      .select(col("source"),
+        (pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"),
+          lit(4L)) + lit(1L)).as("w"))
+
+  private def mixtureBase(documents: DataFrame, weights: DataFrame): DataFrame = {
     val tok = size(split(trim(col("text")), " ")).cast("long")
     val h = pmod(pmod(col("doc_id"), lit(MixtureHashP)) * lit(427799L), lit(MixtureHashP))
-    // deterministic per-source weight 1..4 derived from the source id
-    // (stand-in for a user-supplied mixture table, which would arrive
-    // as exactly this (source, w) shape)
-    val w = pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"), lit(4L)) + lit(1L)
-    documents.select(col("doc_id"), col("source"), tok.as("tok"), h.as("h"), w.as("w"),
+    // per-source weight from the user's (source, w) table — sources
+    // are few, so the join broadcasts; a doc with no weight row is
+    // excluded from the mixture (inner join), the natural "not in the
+    // recipe" semantics
+    documents.select(col("doc_id"), col("source"), tok.as("tok"), h.as("h"),
       (col("h") / lit(MixtureHashP / MixtureBuckets + 1L)).cast("int").as("b"))
+      .join(broadcast(weights.select(col("source"), col("w").cast("long").as("w"))),
+        "source")
   }
 
+  def mixtureSample(documents: DataFrame, weights: DataFrame,
+      budgetNum: Long, budgetDen: Long): DataFrame =
+    mixtureSampleImpl(documents, weights, budgetNum, budgetDen)
+
+  /** Name-derived-weights convenience (the d17 entry's shape). */
   def mixtureSample(documents: DataFrame,
-      budgetNum: Long = 1L, budgetDen: Long = 4L): DataFrame = {
+      budgetNum: Long = 1L, budgetDen: Long = 4L): DataFrame =
+    mixtureSampleImpl(documents, mixtureWeightsFromNames(documents),
+      budgetNum, budgetDen)
+
+  private def mixtureSampleImpl(documents: DataFrame, weights: DataFrame,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val base = mixtureBase(documents)
+    val base = mixtureBase(documents, weights)
     // ---- phase A: KB-sized histogram → driver prefix scan
     val hist = base.groupBy(col("source"), col("b"))
       .agg(sum(col("tok")).as("btok"), max(col("w")).as("w"))
@@ -876,8 +900,13 @@ object Dedup {
   /** Textbook single-window version of [[mixtureSample]] — the spec's
     * cross-check that the two-phase plan selects the same rows. */
   def mixtureSampleNaive(documents: DataFrame,
-      budgetNum: Long = 1L, budgetDen: Long = 4L): DataFrame = {
-    val base = mixtureBase(documents)
+      budgetNum: Long = 1L, budgetDen: Long = 4L): DataFrame =
+    mixtureSampleNaive(documents, mixtureWeightsFromNames(documents),
+      budgetNum, budgetDen)
+
+  def mixtureSampleNaive(documents: DataFrame, weights: DataFrame,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    val base = mixtureBase(documents, weights)
     val tot = base.agg(sum(col("tok")).as("tok_total"))
     val ws = base.select(col("source"), col("w")).distinct()
       .agg(sum(col("w")).as("w_total"))

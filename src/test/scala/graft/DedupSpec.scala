@@ -472,4 +472,29 @@ class DedupSpec extends AnyFunSuite {
       assert(tokSum <= ws(src) * t / (4 * wTot), s"$src exceeded its budget")
     }
   }
+
+  test("d17 mixture: user-supplied skewed weights table drives the split") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
+    val srcs = docs.select("source").distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(srcs.length >= 2, s"need 2+ sources, got ${srcs.toSeq}")
+    // heavily skewed user recipe: first source dominates 10:1, any
+    // further sources excluded entirely (no weight row = not in mix)
+    val weights = Seq(srcs(0) -> 10L, srcs(1) -> 1L).toDF("source", "w")
+    val fast = Dedup.mixtureSample(docs, weights, 1L, 4L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val naive = Dedup.mixtureSampleNaive(docs, weights, 1L, 4L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fast === naive, "two-phase selection diverged under user weights")
+    val bySrc = fast.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySrc.keySet.subsetOf(Set(srcs(0), srcs(1))),
+      s"weightless sources must not appear: ${bySrc.keySet}")
+    // budget shares follow the user's 10:1 recipe over the corpus total
+    val t = docs.selectExpr("sum(size(split(trim(text), ' ')))").head().getLong(0)
+    assert(bySrc(srcs(0)) <= 10L * t / (4L * 11L))
+    assert(bySrc(srcs(1)) <= t / (4L * 11L))
+    // the dominant source actually uses its larger share
+    assert(bySrc(srcs(0)) > bySrc(srcs(1)))
+  }
 }
