@@ -449,6 +449,38 @@ object Dedup {
       }
   }
 
+  /** Compaction CADENCE policy: compact the signature store only when
+    * some table's files-per-bucket exceed `maxFilesPerBucket` (every
+    * append lands one more file per bucket, so this is the append
+    * count since the last compact). Returns whether it compacted —
+    * the streaming loops call this per micro-batch and the threshold
+    * turns "compact periodically" into a self-triggering invariant:
+    * bounded read amplification with compaction cost amortized over
+    * exactly the appends that caused it.
+    */
+  def maybeCompactSignatureStore(spark: SparkSession, name: String,
+      maxFilesPerBucket: Int): Boolean = {
+    require(maxFilesPerBucket >= 1, s"need maxFilesPerBucket >= 1, got $maxFilesPerBucket")
+    val buckets = bucketsOf(spark, s"${name}_bands")
+    val worst = Seq(s"${name}_bands", s"${name}_shingles")
+      .map(t => tableFileCount(spark, t)).max
+    if (worst > buckets.toLong * maxFilesPerBucket) {
+      compactSignatureStore(spark, name); true
+    } else false
+  }
+
+  /** Data-file count under a catalog table's location (each bucketed
+    * append adds one file per bucket, so count/buckets is the append
+    * depth). A KB-sized listing — never reads the files. */
+  private def tableFileCount(spark: SparkSession, table: String): Long = {
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1))
+      .getOrElse(sys.error(s"no location for $table"))
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")).toLong
+  }
+
   /** One production ingest step: classify `batch` against the store
     * (near-dup at `jaccardMin` → the smallest matching corpus id),
     * append the UNIQUE docs' signatures so the next batch dedups

@@ -821,6 +821,29 @@ object Similarity {
     * schedule in the ingest quiet window (same caveat as
     * compactSignatureStore).
     */
+  /** Compaction CADENCE policy for the index: compact only when some
+    * inverted list (cell directory) exceeds `maxFilesPerCell` files —
+    * each append touches a cell with one more file, so the threshold
+    * bounds per-search file-open amplification while amortizing the
+    * compaction shuffle over the appends that caused it. Returns
+    * whether it compacted; [[graft.streaming.IndexStream]] calls this
+    * per micro-batch when given a threshold.
+    */
+  def maybeCompactIvfPqIndex(spark: SparkSession, path: String,
+      maxFilesPerCell: Int): Boolean = {
+    require(maxFilesPerCell >= 1, s"need maxFilesPerCell >= 1, got $maxFilesPerCell")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+      .filter(_.getPath.getName.startsWith("cell="))
+    val worst =
+      if (cells.isEmpty) 0
+      else cells.map(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet"))).max
+    if (worst > maxFilesPerCell) { compactIvfPqIndex(spark, path); true }
+    else false
+  }
+
   def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -35,7 +35,8 @@ object DedupStream {
     * a micro_batch column; progress checkpoints at `checkpoint`.
     */
   def start(store: String, docStream: DataFrame, jaccardMin: Double,
-      outPath: String, checkpoint: String): StreamingQuery =
+      outPath: String, checkpoint: String,
+      maxFilesPerBucket: Option[Int] = None): StreamingQuery =
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val classified = graft.operators.Dedup
@@ -45,6 +46,12 @@ object DedupStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("micro_batch")
           .parquet(outPath)
+        // compaction cadence: self-triggering, in the single writer's
+        // between-batch quiet window (the directory swap races nothing)
+        maxFilesPerBucket.foreach { n =>
+          graft.operators.Dedup
+            .maybeCompactSignatureStore(batch.sparkSession, store, n)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -23,13 +23,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object IndexStream {
 
   /** Start ingest into the [[graft.operators.Similarity.writeIvfPqIndex]]
-    * index at `indexPath`; progress checkpoints at `checkpoint`. */
+    * index at `indexPath`; progress checkpoints at `checkpoint`.
+    * `maxFilesPerCell`: compaction cadence — after each batch commit,
+    * compact the inverted lists iff some cell directory exceeds this
+    * many files ([[graft.operators.Similarity.maybeCompactIvfPqIndex]]).
+    * Runs in the between-batch quiet window of the single writer, so
+    * the non-transactional directory swap races nothing. */
   def start(indexPath: String, vecStream: DataFrame,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, maxFilesPerCell: Option[Int] = None): StreamingQuery =
     vecStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Similarity
           .appendToIvfPqIndexIdempotent(batch, indexPath, batchId)
+        maxFilesPerCell.foreach { n =>
+          graft.operators.Similarity
+            .maybeCompactIvfPqIndex(batch.sparkSession, indexPath, n)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -311,6 +311,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("signature store compaction cadence: threshold-triggered, answers unchanged") {
+    import org.apache.spark.sql.functions._
+    val tuneA = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early mountain dusk settles"
+    val tuneB = "crimson dawn breaks over silver rivers while fishermen cast their woven nets into deep cold waters beneath the sleeping cliffs"
+    try {
+      Dedup.writeSignatureStore(docs(1L -> base, 3L -> far), "sigcad", 4)
+      def nFiles(t: String): Long = {
+        val loc = spark.sql(s"DESCRIBE TABLE EXTENDED sigcad_$t").collect()
+          .find(_.getString(0) == "Location").get.getString(1)
+        new java.io.File(new java.net.URI(loc)).listFiles()
+          .count(_.getName.endsWith(".parquet")).toLong
+      }
+      Dedup.ingestBatch(spark, "sigcad", docs(10L -> tuneA), 0.5)
+      Dedup.ingestBatch(spark, "sigcad", docs(11L -> tuneB), 0.5)
+      assert(nFiles("bands") > 4, "appends must have added files")
+      def classify() = Dedup.minhashPairsAgainstStore(
+        spark, "sigcad", docs(20L -> near), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = classify()
+      assert(before === Set((20L, 1L)))
+      // over threshold → compacts; a second call finds nothing to do
+      assert(Dedup.maybeCompactSignatureStore(spark, "sigcad", 1) === true)
+      assert(nFiles("bands") <= 4 && nFiles("shingles") <= 4,
+        "compaction must collapse to <= one file per bucket")
+      assert(Dedup.maybeCompactSignatureStore(spark, "sigcad", 1) === false)
+      assert(classify() === before)
+    } finally {
+      Seq("bands", "shingles").foreach(t => spark.sql(s"DROP TABLE IF EXISTS sigcad_$t"))
+    }
+  }
+
   test("label store: attach joins existing cluster; a bridging doc merges clusters via remap only") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

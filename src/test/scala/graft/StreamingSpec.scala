@@ -327,4 +327,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(Similarity.ivfPqSearchStored(spark, path, cent, 3, 10)
       .collect().head.getLong(0) === 92000L)
   }
+
+  test("streaming ANN compaction cadence: threshold triggers exactly one compaction") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val path = Files.createTempDirectory("graft-ivfpq-cadence").toString
+    Similarity.writeIvfPqIndex(emb, path, 8, 16)
+    val cent = spark.read.parquet(s"$path/meta_cent")
+      .filter(col("cell") === 0).orderBy("pos").collect().map(_.getDouble(2))
+    def cellFiles(): Map[String, Int] =
+      new java.io.File(s"$path/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, Seq[Float])]): Unit = {
+      val stage = Files.createTempDirectory("graft-cad-stage")
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-cad-src")
+    val ckpt = Files.createTempDirectory("graft-cad-ckpt").toString
+    // every batch lands in cell 0 (all rows are its centroid), so the
+    // cell-0 list grows one file per batch: 1 (base) → 2 → 3 (trips
+    // the >2 threshold) — compaction must fire ONCE, at batch 1
+    addFile(src, "b1.parquet", Seq(93001L -> cent.map(_.toFloat).toSeq))
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(src.toString)
+    val q = graft.streaming.IndexStream.start(path, stream, ckpt,
+      maxFilesPerCell = Some(2))
+    try {
+      q.processAllAvailable()
+      assert(cellFiles()("cell=0") === 2, "below threshold: no compaction yet")
+      addFile(src, "b2.parquet", Seq(93002L -> cent.map(_.toFloat).toSeq))
+      q.processAllAvailable() // 3 files > 2 → compact, back to 1 per cell
+      assert(cellFiles().values.max === 1, s"compaction must collapse files: ${cellFiles()}")
+      addFile(src, "b3.parquet", Seq(93003L -> cent.map(_.toFloat).toSeq))
+      q.processAllAvailable() // 2 files <= 2 → no second compaction
+      assert(cellFiles()("cell=0") === 2, s"no second compaction expected: ${cellFiles()}")
+    } finally q.stop()
+    // exactly one compaction: the replay guard recorded batches 0+1
+    // (folded into the rewrite) and NOT batch 2 (landed after)
+    val folded = scala.io.Source.fromFile(s"$path/compacted_batches.txt")
+      .getLines().filter(_.nonEmpty).map(_.toLong).toSet
+    assert(folded === Set(0L, 1L), s"compacted batch ids: $folded")
+    // results: all three streamed centroid copies rank at the top of a
+    // centroid-query search, through append → compact → append
+    val top = Similarity.ivfPqSearchStored(spark, path, cent, 3, 10)
+      .collect().map(_.getLong(0)).take(3).toSet
+    assert(top === Set(93001L, 93002L, 93003L), s"got $top")
+  }
 }
