@@ -848,10 +848,15 @@ object Dedup {
     // per-source weight from the user's (source, w) table — sources
     // are few, so the join broadcasts; a doc with no weight row is
     // excluded from the mixture (inner join), the natural "not in the
-    // recipe" semantics
+    // recipe" semantics. The recipe is keyed by source: a malformed
+    // table with duplicate rows for one source would fan every doc of
+    // that source out N× (corrupting histogram token sums AND both
+    // mixture variants identically, so the cross-check would not catch
+    // it) — collapse to max(w) per source so the join is provably 1:1.
     documents.select(col("doc_id"), col("source"), tok.as("tok"), h.as("h"),
       (col("h") / lit(MixtureHashP / MixtureBuckets + 1L)).cast("int").as("b"))
-      .join(broadcast(weights.select(col("source"), col("w").cast("long").as("w"))),
+      .join(broadcast(weights.select(col("source"), col("w").cast("long").as("w"))
+        .groupBy(col("source")).agg(max(col("w")).as("w"))),
         "source")
   }
 

@@ -704,6 +704,70 @@ object Similarity {
       .select(col("vec_id"), col("cell"), round(col("adc"), 6).as("adc_dist"))
   }
 
+  /** BATCH IVF-PQ stored search — [[ivfPqSearchStored]] over a query
+    * DATAFRAME: s09's partition pruning composed with s13's
+    * slot-indexed LUT trick, closing the set-at-a-time serving shape
+    * for the layout that actually ships at billion scale.
+    *
+    *   - per-query probe lists come from the memoized centroid
+    *     sidecar (driver metadata, KB);
+    *   - the scan's partition filter is the UNION of every query's
+    *     probed cells — partition pruning still bounds IO at
+    *     |∪probes| / ncells of the codes, and stays codes-only
+    *     (m bytes/vector, tombstone-filtered, never the embeddings);
+    *   - the per-(query, probed-cell) ADC LUTs concatenate into ONE
+    *     flat literal; a cell → [(slot, query_id)] map literal fans
+    *     each code row out across exactly the queries that probe ITS
+    *     cell (a generator — never the whole batch, never an NL
+    *     join), and the existing AdcDist slot argument selects the
+    *     LUT segment;
+    *   - per-query top-k runs on the bounded-heap TopKPerKey
+    *     operator, so the only exchange is k×queries rows.
+    *
+    * Driver state is Q × nprobe × m × k doubles — KB at serving
+    * batch sizes; shard the query table over multiple calls beyond
+    * that (same contract as [[pqSearchStoredBatch]]).
+    */
+  def ivfPqSearchStoredBatch(spark: SparkSession, path: String,
+      queries: DataFrame, nprobe: Int, topK: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val (m, k, dim, cents, rcb) = readIvfSidecars(spark, path)
+    val qs = queries.select(col("query_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    require(qs.nonEmpty, "empty query batch")
+    qs.foreach { case (id, q) => require(q.length == dim,
+      s"query $id dim ${q.length} != index dim $dim at $path") }
+    // slot layout: queries in id order, each query's probes in probe
+    // order — lutsFlat(slot*m*k ..) is the LUT the slot column selects
+    val slotted = qs.flatMap { case (qid, q) =>
+      probeCells(cents, q, nprobe).map(cell =>
+        (qid, cell, ivfLutFor(q, cents, rcb, cell, m, k)))
+    }.zipWithIndex
+    val lutsFlat = slotted.flatMap(_._1._3)
+    // the isin filter below is DERIVED from this map's keys, so a scan
+    // row always finds its entry list (no silent explode-to-nothing)
+    val cellEntries = slotted.groupBy(_._1._2)
+    val probedCells = cellEntries.keys.toSeq.sorted
+    val entryMap = map(probedCells.flatMap { cell =>
+      Seq(lit(cell), array(cellEntries(cell).map { case ((qid, _, _), slot) =>
+        struct(lit(slot).as("slot"), lit(qid).as("query_id")) }: _*))
+    }: _*)
+    val scored = dropTombstonedVecs(spark, path,
+      spark.read.parquet(s"$path/codes"))
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id"), col("cell").cast("bigint").as("cell"), col("codes"),
+        explode(element_at(entryMap, col("cell").cast("int"))).as("e"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("e.query_id") else lit(true))
+      .select(col("e.query_id").as("query_id"), col("vec_id"), col("cell"),
+        graft.functions.adcDist(col("codes"), col("e.slot"), lutsFlat, m, k).as("adc"))
+      .withColumn("neg_adc", lit(0.0) - col("adc"))
+    TopK.topKPerKey(scored, Seq("query_id"), "neg_adc", "vec_id", topK)
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(col("adc"), 6).as("adc_dist"))
+  }
+
   /** APPEND vectors to a [[writeIvfPqIndex]] index in place — the
     * maintenance half a continuously-ingesting deployment needs (the
     * signature store's append/compact loop, at the ANN layer).
@@ -865,8 +929,18 @@ object Similarity {
     val codes = dropTombstonedVecs(spark, path,
       spark.read.parquet(s"$path/codes"))
     val ncells = codes.select("cell").distinct().count().toInt
-    codes.repartition(ncells, col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes_compact")
+    if (ncells == 0)
+      // fully-tombstoned index: repartition(0, …) would throw (killing
+      // e.g. a streaming maybeCompact caller) and a 0-row partitionBy
+      // write leaves a schema-less dir. Compact to one explicit empty
+      // schema-bearing part file with `cell` as a data column — reads
+      // still resolve the schema, filters/pruning trivially match
+      // nothing.
+      codes.limit(0).repartition(1)
+        .write.mode("overwrite").parquet(s"$path/codes_compact")
+    else
+      codes.repartition(ncells, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes_compact")
     writeCompactedBatchIds(fs, path, batchIds)
     val dst = new org.apache.hadoop.fs.Path(s"$path/codes")
     fs.delete(dst, true)
@@ -877,35 +951,50 @@ object Similarity {
   private val BatchFileName = """batch-(\d+)\.parquet""".r
 
   /** Batch ids whose rows live in compacted part files (KB sidecar,
-    * one id per line). Written atomically (tmp + overwriting rename —
-    * never delete-then-rename, which would lose the sidecar and
-    * re-enable replay duplication if the process died between the
-    * two). A complete .tmp is authoritative when the .txt is missing:
-    * the only way to observe that state is a crash after the full tmp
-    * write but before the swap. */
+    * one id per line, closed by an `end:<count>` terminator). Written
+    * atomically (tmp + overwriting rename — never delete-then-rename,
+    * which would lose the sidecar and re-enable replay duplication if
+    * the process died between the two). A .tmp is authoritative when
+    * the .txt is missing ONLY if it is self-validating: the terminator
+    * line must be present and match the id count, which a crash
+    * mid-tmp-write (possible before the FIRST compaction ever produces
+    * a .txt) cannot fake — a truncated trailing id would otherwise
+    * parse as a valid-but-wrong batch id and silently suppress a
+    * legitimate checkpoint replay (row loss). An invalid tmp is
+    * ignored: the worst case is a re-compaction, never a lost batch. */
   private def compactedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Set[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/compacted_batches.txt")
-    val readable =
-      if (fs.exists(p)) Some(p)
-      else {
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/compacted_batches.tmp")
-        if (fs.exists(tmp)) Some(tmp) else None
-      }
-    readable.fold(Set.empty[Long]) { f =>
+    def parse(f: org.apache.hadoop.fs.Path,
+        requireTerminator: Boolean): Option[Set[Long]] = {
       val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map(_.toLong).toSet
-      finally in.close()
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toVector
+        finally in.close()
+      val (idLines, term) = lines.span(!_.startsWith("end:"))
+      val ids = idLines.flatMap(l => scala.util.Try(l.toLong).toOption)
+      val valid = ids.size == idLines.size &&
+        (!requireTerminator || term.headOption.contains(s"end:${idLines.size}"))
+      if (valid) Some(ids.toSet) else None
     }
+    val p = new org.apache.hadoop.fs.Path(s"$path/compacted_batches.txt")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/compacted_batches.tmp")
+    // a corrupt renamed .txt is external damage — fail loud (treating it
+    // as empty would silently re-enable replay duplication)
+    if (fs.exists(p)) parse(p, requireTerminator = false)
+      .getOrElse(sys.error(s"corrupt compacted-batches sidecar at $p"))
+    else if (fs.exists(tmp)) parse(tmp, requireTerminator = true).getOrElse(Set.empty)
+    else Set.empty
   }
 
   private def writeCompactedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
       path: String, ids: Set[Long]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$path/compacted_batches.tmp")
     val dst = new org.apache.hadoop.fs.Path(s"$path/compacted_batches.txt")
+    val body = (ids.toSeq.sorted.map(_.toString) :+ s"end:${ids.size}")
+      .mkString("\n")
     val out = fs.create(tmp, true)
-    try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
       fs.getConf)
@@ -1550,6 +1639,71 @@ object Similarity {
                              ORDER BY adc, vec_id) AS rn2
         FROM adc WHERE vec_id <> query_id) t
       WHERE rn2 <= 10
+      ORDER BY query_id, adc_dist, vec_id""")),
+
+    // ---- BATCH IVF-PQ stored search: 3 queries, nprobe=2 each —
+    //      per-query probe lists from the centroid sidecar, ONE
+    //      codes-only scan partition-pruned to the UNION of probed
+    //      cells, per-(query,cell) LUT segments selected by slot via
+    //      a cell→(slot,query) generator fan-out, per-query top-5 on
+    //      TopKPerKey. The oracle replays the whole index AND the
+    //      per-query probe selection + ADC chains bit-exactly ----
+    ("s14_batch_ivfpq_search", (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val path = buildOnce(idxPath(d, "ivfpq")) { writeIvfPqIndex(e, idxPath(d, "ivfpq"), 8, 16) }
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      ivfPqSearchStoredBatch(s, path, qs, 2, 5, excludeSelf = true)
+        .orderBy(col("query_id"), col("adc_dist"), col("vec_id"))
+    }, Some("""
+      WITH ex AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+                    CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+      cent AS (SELECT label, pos,
+                 CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS c
+               FROM ex GROUP BY label, pos),
+      q AS (SELECT vec_id AS query_id, pos, v AS qd FROM ex WHERE vec_id < 3),
+      cd AS (SELECT query_id, label,
+               list_sum(list(c * qd ORDER BY pos)) /
+                 (sqrt(list_sum(list(c * c ORDER BY pos))) *
+                  sqrt(list_sum(list(qd * qd ORDER BY pos)))) AS cos_qc
+             FROM cent JOIN q USING (pos) GROUP BY query_id, label),
+      probes AS (SELECT query_id, label FROM (
+                   SELECT query_id, label,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_qc DESC, label) AS rn
+                   FROM cd) WHERE rn <= 2),
+      resid AS (SELECT e.vec_id, e.label, e.pos, e.v - c.c AS r
+                FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos),
+      rcb AS (SELECT vec_id AS j, pos, r AS cr FROM resid WHERE vec_id < 16),
+      pcells AS (SELECT DISTINCT label FROM probes),
+      cand AS (SELECT r.* FROM resid r JOIN pcells USING (label)),
+      dists AS (SELECT ca.vec_id, ca.label, cb.j, (ca.pos - 1) // 8 AS s,
+                  list_sum(list((ca.r - cb.cr) * (ca.r - cb.cr) ORDER BY ca.pos)) AS dist
+                FROM cand ca JOIN rcb cb USING (pos)
+                GROUP BY ca.vec_id, ca.label, cb.j, (ca.pos - 1) // 8),
+      codes AS (SELECT vec_id, label, s, j FROM (
+                  SELECT vec_id, label, s, j,
+                    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+                  FROM dists) WHERE rn = 1),
+      qres AS (SELECT p.query_id, c.label, c.pos, q.qd - c.c AS qr
+               FROM probes p JOIN cent c ON c.label = p.label
+               JOIN q ON q.query_id = p.query_id AND q.pos = c.pos),
+      lut AS (SELECT qr.query_id, qr.label, cb.j, (qr.pos - 1) // 8 AS s,
+                list_sum(list((qr.qr - cb.cr) * (qr.qr - cb.cr) ORDER BY qr.pos)) AS dv
+              FROM qres qr JOIN rcb cb USING (pos)
+              GROUP BY qr.query_id, qr.label, cb.j, (qr.pos - 1) // 8),
+      adc AS (SELECT l.query_id, c.vec_id, c.label,
+                list_sum(list(l.dv ORDER BY c.s)) AS adc
+              FROM codes c JOIN lut l ON l.label = c.label AND l.s = c.s AND l.j = c.j
+              GROUP BY l.query_id, c.vec_id, c.label)
+      SELECT query_id, vec_id, cell, adc_dist FROM (
+        SELECT query_id, vec_id, CAST(label AS BIGINT) AS cell,
+          round(adc, 6) AS adc_dist,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc, vec_id) AS rn
+        FROM adc WHERE vec_id <> query_id) t
+      WHERE rn <= 5
       ORDER BY query_id, adc_dist, vec_id"""))
   )
 }

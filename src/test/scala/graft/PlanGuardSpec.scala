@@ -29,12 +29,20 @@ class PlanGuardSpec extends AnyFunSuite {
     * all-pairs by definition (gate-corpus-sized; sampled at scale). */
   private val intendedAllPairs = Set("s05_lsh_recall")
 
+  /** Batch-serving queries that broadcast the QUERY TABLE (Q rows, a
+    * serving batch bounded by contract — see Similarity.cosineTopKBatch)
+    * against the full corpus: the BroadcastNestedLoopJoin fan-out IS the
+    * design (one corpus scan serves all Q queries; the exchange after it
+    * is bounded at k×Q by TopKPerKey). Not an accidental product. */
+  private val broadcastQueryBatch = Set("s12_batch_search")
+
   test("no query plans an unintended cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct") && !intendedAllPairs(name)
       val nlJoin = plan.contains("BroadcastNestedLoopJoin") &&
-        !broadcastSingleton(name) && !intendedAllPairs(name)
+        !broadcastSingleton(name) && !intendedAllPairs(name) &&
+        !broadcastQueryBatch(name)
       if (cartesian || nlJoin) Some(name) else None
     }
     assert(offenders.isEmpty, s"unintended product joins in: $offenders")

@@ -137,6 +137,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), plan.take(3000))
   }
 
+  test("s14: batch IVF-PQ search is one partition-pruned codes scan serving every query") {
+    val df = SparkEntry.queries("s14_batch_ivfpq_search")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // s09's pruning composed with s13's generator fan-out: one
+    // codes-only FileScan (pruned to the union of probe lists), no
+    // join, one k-bounded TopKPerKey exchange
+    assert("FileScan parquet".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!plan.contains("embedding"), plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(3000))
+    assert(plan.contains("TopKPerKey"), plan.take(3000))
+    assert(plan.contains("PartitionFilters"), plan.take(3000))
+  }
+
   test("s09: IVF-PQ search is one zero-shuffle scan + TakeOrdered") {
     // the index metadata (centroids/codebook/LUTs) is driver-side; the
     // per-vector search itself must be a single exchange-free scan of

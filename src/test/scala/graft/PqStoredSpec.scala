@@ -164,6 +164,63 @@ class PqStoredSpec extends AnyFunSuite {
       .collect().exists(_.getLong(0) == 0L))
   }
 
+  test("batch IVF-PQ search: per-query parity, codes-only scan pruned to the union of probe lists") {
+    val path = tmp("ivfpqbatch")
+    Similarity.writeIvfPqIndex(emb, path, 8, 16)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val df = Similarity.ivfPqSearchStoredBatch(spark, path, qs, 2, 5)
+    val rows = df.collect()
+    // per-query answers are bit-identical to the single-query stored
+    // path (same probe lists, same LUT chains, same top-k)
+    val queryVecs = (0L until 3L).map { qid =>
+      qid -> emb.filter(col("vec_id") === qid).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+    queryVecs.foreach { case (qid, q) =>
+      val single = Similarity.ivfPqSearchStored(spark, path, q, 2, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._3, x._1)).toSeq
+      val batch = rows.filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._3, x._1)).toSeq
+      assert(batch === single, s"query $qid diverged from single-query search")
+    }
+    // the ONE scan reads exactly the UNION of the three probe lists —
+    // pruning still holds set-at-a-time (a huge topK surfaces every
+    // vector of every probed cell, so its cells ARE the probe union)
+    val probedUnion = queryVecs.flatMap { case (_, q) =>
+      Similarity.ivfPqSearchStored(spark, path, q, 2, 1000000)
+        .collect().map(_.getLong(1))
+    }.toSet
+    // the exchange makes this plan adaptive — unwrap AQE/stage nodes
+    // to reach the actual FileSourceScanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no file scan in batch stored search plan"))
+    assert(scan.selectedPartitions.partitionCount === probedUnion.size,
+      s"expected ${probedUnion.size} probed cells, scanned ${scan.selectedPartitions.partitionCount}")
+    // scale shape: one codes-only FileScan, generator fan-out (no
+    // join), the only exchange is TopKPerKey's k×queries-bounded one
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!plan.contains("embedding"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(3000))
+    assert(plan.contains("TopKPerKey"), plan.take(3000))
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe union must prune partitions:\n${plan.take(3000)}")
+  }
+
   test("stored IVF-PQ reads only the probed cells' files") {
     val path = tmp("ivfpqprune")
     Similarity.writeIvfPqIndex(emb, path, 8, 16)
