@@ -106,6 +106,63 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** BATCH retrieval — p03's chunk→BM25 chain over a query TABLE of
+    * (query_id, term) rows: ONE chunk-corpus pass serves the whole
+    * query set. The per-(chunk, term) BM25 partial score is
+    * query-INDEPENDENT (tf, df, dl and the corpus stats mention no
+    * query), so it is computed once; queries enter only at the end —
+    * a broadcast join fans each scored (chunk, term) row across
+    * exactly the queries containing that term, one
+    * groupBy(query_id, chunk) sums the partials (decimal-exact, so
+    * order-free), and per-query top-k runs on the bounded-heap
+    * TopKPerKey operator. Adding a query costs broadcast rows and
+    * fan-out of the rows that survive the term prune — never another
+    * corpus scan, never a per-query job loop. The distinct term set
+    * of ALL queries drives the same broadcast semi-join prune t07
+    * uses, so corpus work stays ∝ matched terms.
+    */
+  def retrievalTopKBatch(documents: DataFrame, queries: DataFrame, k: Int,
+      excludeSelfDoc: Boolean = false): DataFrame = {
+    val chunks = TextOps.chunkOverlap(documents)
+      .select((col("doc_id") * 1048576 + col("chunk_id")).as("uid"),
+        col("chunk_text"))
+    val words = chunks.select(col("uid"),
+      explode(split(col("chunk_text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val dl = words.groupBy(col("uid")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_chunks"), sum(col("dl")).as("sum_dl"))
+    val q = queries.select(col("query_id").cast("long").as("query_id"),
+      col("term").as("w"))
+    val terms = q.select(col("w")).distinct()
+    val tf = words.join(broadcast(terms), "w")
+      .groupBy(col("uid"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_chunks")
+    val idf = round(log(lit(1.0) +
+      ((col("n_chunks") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))), 6)
+    val tfFac = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    val partials = tf.join(broadcast(dfreq), "w").join(dl, "uid")
+      .crossJoin(broadcast(stats))
+      .select(col("uid"), col("w"),
+        round(idf * tfFac, 10).cast("decimal(28,10)").as("ts"))
+    val scored = partials.join(broadcast(q), "w")
+      .groupBy(col("query_id"), col("uid")).agg(sum(col("ts")).as("sdec"))
+      .filter(if (excludeSelfDoc) expr("uid div 1048576") =!= col("query_id")
+        else lit(true))
+      // rank on the double cast of the exact decimal sum (both engines
+      // round-half-even the same decimal to the same double); round-6
+      // only for display
+      .withColumn("score", col("sdec").cast("double"))
+    TopK.topKPerKey(scored, Seq("query_id"), "score", "uid", k)
+      .select(col("query_id"),
+        expr("uid div 1048576").as("doc_id"),
+        pmod(col("uid"), lit(1048576L)).as("chunk_id"),
+        round(col("score"), 6).as("bm25"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // the oracle chains t10's gate CTEs, d15's normalization, and
     // t12's window arithmetic — the standalone oracles composed
@@ -288,6 +345,65 @@ object Pipeline {
         CAST(uid % 1048576 AS BIGINT) AS chunk_id,
         round(CAST(sum(ts) AS DOUBLE), 6) AS bm25
       FROM term WHERE uid // 1048576 <> 0
-      GROUP BY uid ORDER BY bm25 DESC, doc_id, chunk_id LIMIT 20"""))
+      GROUP BY uid ORDER BY bm25 DESC, doc_id, chunk_id LIMIT 20""")),
+
+    // ---- BATCH retrieval: 4 queries (docs 0–3's distinct words as
+    //      (query_id, term) rows) served by ONE chunk-corpus pass —
+    //      per-(chunk,term) BM25 partials computed once, queries
+    //      fanned in by a broadcast join at the end, per-query top-10
+    //      on TopKPerKey. Oracle = p03's CTE chain with a query
+    //      dimension and a per-query window ----
+    ("p04_batch_retrieval", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val queries = Tables.documents(s, d).filter(col("doc_id") < 4)
+        .select(col("doc_id").as("query_id"),
+          explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "").distinct()
+      retrievalTopKBatch(docs, queries, 10, excludeSelfDoc = true)
+        .orderBy(col("query_id"), desc("bm25"), col("doc_id"), col("chunk_id"))
+    }, Some("""
+      WITH w0 AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      st AS (SELECT doc_id, ws,
+               unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) AS st
+             FROM w0),
+      chunks AS (SELECT doc_id * 1048576 + st // 24 AS uid,
+                   array_to_string(list_slice(ws, st + 1, st + 32), ' ') AS chunk_text
+                 FROM st),
+      words AS (SELECT uid, w FROM (
+                  SELECT uid, unnest(string_split(chunk_text, ' ')) AS w FROM chunks)
+                WHERE w <> ''),
+      dl AS (SELECT uid, count(*) AS dl FROM words GROUP BY uid),
+      stats AS (SELECT count(*) AS n_chunks, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      q AS (SELECT DISTINCT doc_id AS query_id, w FROM (
+              SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+              FROM documents WHERE doc_id < 4) WHERE w <> ''),
+      terms AS (SELECT DISTINCT w FROM q),
+      tf AS (SELECT uid, w, count(*) AS tf
+             FROM words JOIN terms USING (w) GROUP BY uid, w),
+      dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      term AS (
+        SELECT t.uid, t.w,
+          CAST(round(
+            round(ln(1.0 + (CAST(s.n_chunks - f.df AS DOUBLE) + 0.5) /
+                           (CAST(f.df AS DOUBLE) + 0.5)), 6) *
+            ((CAST(t.tf AS DOUBLE) * 2.2) /
+             (CAST(t.tf AS DOUBLE) +
+              1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) /
+                     (CAST(s.sum_dl AS DOUBLE) / s.n_chunks)))),
+            10) AS DECIMAL(28,10)) AS ts
+        FROM tf t JOIN dfreq f USING (w) JOIN dl d ON d.uid = t.uid, stats s),
+      sc AS (SELECT q.query_id, term.uid, sum(ts) AS sdec
+             FROM term JOIN q USING (w) GROUP BY q.query_id, term.uid)
+      SELECT query_id, doc_id, chunk_id, bm25 FROM (
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+          CAST(uid // 1048576 AS BIGINT) AS doc_id,
+          CAST(uid % 1048576 AS BIGINT) AS chunk_id,
+          round(CAST(sdec AS DOUBLE), 6) AS bm25,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY CAST(sdec AS DOUBLE) DESC, uid) AS rn
+        FROM sc WHERE uid // 1048576 <> query_id) t
+      WHERE rn <= 10
+      ORDER BY query_id, bm25 DESC, doc_id, chunk_id"""))
   )
 }

@@ -152,6 +152,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"), plan.take(3000))
   }
 
+  test("p04: batch retrieval is query-count-invariant — no per-query corpus scans") {
+    val df3 = SparkEntry.queries("p03_retrieval_pipeline")(spark, sf)
+    df3.collect()
+    val df4 = SparkEntry.queries("p04_batch_retrieval")(spark, sf)
+    df4.collect()
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    def nScans(p: String) = "FileScan parquet".r.findAllIn(p).size
+    val (p3, p4) = (plan(df3), plan(df4))
+    // 4 queries vs p03's 1: the chunk-corpus side must not re-scan per
+    // query — the only scan p04 may add over p03 is the query table's
+    // own second use (terms prune + per-query fan read the same
+    // pushdown-pruned doc_id<4 slice twice)
+    assert(nScans(p4) <= nScans(p3) + 1,
+      s"p04 scans ${nScans(p4)} vs p03 ${nScans(p3)} — corpus work must not scale with queries")
+    // per-query top-k is the bounded-heap operator, not a window sort
+    assert(p4.contains("TopKPerKey"), p4.take(3000))
+  }
+
   test("s09: IVF-PQ search is one zero-shuffle scan + TakeOrdered") {
     // the index metadata (centroids/codebook/LUTs) is driver-side; the
     // per-vector search itself must be a single exchange-free scan of
