@@ -39,7 +39,11 @@ object Plans {
       "d17_mixture_sample" -> "token-budget mixture: tiny histogram agg (phase A, driver KB) then ONE bucket-parallel window — Exchange hashes (source, b), never source alone, so no per-source serial stage",
       "s11_matryoshka_recall" -> "matryoshka contract: prefix-cosine shortlist + full-dim re-rank, both broadcast-query TakeOrdered scans — the gate row itself is driver arithmetic",
       "ss04_funnel_stages" -> "N-stage funnel: ONE data exchange — hashpartitioning(user) from the sessionize shuffle satisfies every stage window's (user, session) clustering AND the rollup; stage windows add only partition-local sorts, so the shape is N-invariant",
-      "d18_canonical_dedup" -> "canonical election: d05 LSH pairs + d07 CC, then ONE partial-aggregable groupBy(cluster) — max(struct) combines map-side, no per-cluster window, no second shuffle after the label join")
+      "d18_canonical_dedup" -> "canonical election: d05 LSH pairs + d07 CC, then ONE partial-aggregable groupBy(cluster) — max(struct) combines map-side, no per-cluster window, no second shuffle after the label join",
+      "s12_batch_search" -> "BATCH exact search: TWO scans total (one corpus pass + the broadcast Q-row query table), CosSim kernel per (vec, query), TopKPerKey bounds the only exchange at k x Q rows — no per-query job loop",
+      "s13_batch_pq_search" -> "BATCH stored-PQ search: exactly ONE FileScan (codes-only, no embedding column), concatenated slot-indexed LUTs broadcast as a literal, generator fan-out to (query, vec) pairs, TopKPerKey per query",
+      "s14_batch_ivfpq_search" -> "BATCH IVF-PQ stored search: ONE codes-only FileScan partition-pruned to the UNION of per-query probe lists (PartitionFilters on cell), per-(query,cell) LUT segments selected by slot, TopKPerKey per query",
+      "p04_batch_retrieval" -> "BATCH retrieval: one chunk-corpus pass, query-independent per-(chunk,term) BM25 partials, broadcast (query,term) fan-in join, decimal-exact sum, TopKPerKey per query — queries never trigger another corpus scan")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +
