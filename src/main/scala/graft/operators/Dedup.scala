@@ -346,8 +346,9 @@ object Dedup {
   /** RETIRE documents from a signature store (takedown / TTL / GDPR):
     * append their ids to the KB tombstone table. Deletion is LAZY —
     * the same economics as the label store's remap: no store rewrite
-    * here, every read anti-joins the broadcast tombstone set (zero
-    * store-side exchange added), and [[compactSignatureStore]] drops
+    * here, every read anti-joins the tombstone set (broadcast — zero
+    * store-side exchange — up to the [[tombstoneBroadcastMax]] byte
+    * ceiling, shuffle-hash beyond it), and [[compactSignatureStore]] drops
     * the rows physically at the next maintenance pass. The tombstone
     * table is retained after compaction as a SUPPRESSION LIST: a
     * retired id stays dead — crash-replayed batches cannot re-append
@@ -369,13 +370,37 @@ object Dedup {
     if (spark.catalog.tableExists(s"${name}_tombstones"))
       Some(spark.table(s"${name}_tombstones")) else None
 
+  /** TOMBSTONE BROADCAST CEILING — the size contract of lazy deletion.
+    * A tombstone set up to this many bytes (sidecar parquet size, a
+    * pure filesystem listing — no job) ships as a broadcast anti-join:
+    * zero added exchange, the claim the store docs make. BEYOND the
+    * ceiling (a whole-source takedown — think one crawl domain
+    * retired — can produce tombstone sets far past any broadcast
+    * threshold) reads fall back to a SHUFFLE-HASH anti-join: the
+    * tombstone side builds the hash table, the store side streams, at
+    * the cost of one exchange of each — correctness never depends on
+    * the set fitting in driver/executor memory. Reclaim the read-side
+    * cost by compacting (rows drop physically; the sidecar survives as
+    * a suppression list, so a store that retired a large fraction of
+    * itself pays the shuffle until its ids age out of the contract).
+    * Tunable per session via `graft.tombstone.broadcastMaxBytes`
+    * (specs set 0 to force the fallback path). */
+  private[operators] def tombstoneBroadcastMax(spark: SparkSession): Long =
+    spark.conf.getOption("graft.tombstone.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(8L << 20)
+
   /** `df` minus tombstoned docs — a broadcast anti-join on the KB
-    * tombstone set, or `df` unchanged when nothing was ever deleted
-    * (no plan change for stores that never delete). */
+    * tombstone set when it is under [[tombstoneBroadcastMax]], a
+    * shuffle-hash anti-join beyond it, or `df` unchanged when nothing
+    * was ever deleted (no plan change for stores that never delete). */
   private def dropTombstoned(spark: SparkSession, name: String,
       df: DataFrame, idCol: String): DataFrame =
     tombstoneIds(spark, name).fold(df) { t =>
-      df.join(broadcast(t.select(col("doc_id").as(idCol))), Seq(idCol), "left_anti")
+      val tt = t.select(col("doc_id").as(idCol))
+      val bytes = tableDataFiles(spark, s"${name}_tombstones").map(_.getLen).sum
+      if (bytes <= tombstoneBroadcastMax(spark))
+        df.join(broadcast(tt), Seq(idCol), "left_anti")
+      else df.join(tt.hint("shuffle_hash"), Seq(idCol), "left_anti")
     }
 
   /** APPEND a batch's bands+shingles to an existing signature store —
@@ -469,17 +494,23 @@ object Dedup {
     } else false
   }
 
-  /** Data-file count under a catalog table's location (each bucketed
-    * append adds one file per bucket, so count/buckets is the append
-    * depth). A KB-sized listing — never reads the files. */
-  private def tableFileCount(spark: SparkSession, table: String): Long = {
+  /** Data-file statuses under a catalog table's location. A KB-sized
+    * listing — never reads the files. */
+  private def tableDataFiles(spark: SparkSession,
+      table: String): Array[org.apache.hadoop.fs.FileStatus] = {
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
       .find(_.getString(0) == "Location").map(_.getString(1))
       .getOrElse(sys.error(s"no location for $table"))
     val p = new org.apache.hadoop.fs.Path(loc)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")).toLong
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Data-file count under a catalog table's location (each bucketed
+    * append adds one file per bucket, so count/buckets is the append
+    * depth). */
+  private def tableFileCount(spark: SparkSession, table: String): Long =
+    tableDataFiles(spark, table).length.toLong
 
   /** One production ingest step: classify `batch` against the store
     * (near-dup at `jaccardMin` → the smallest matching corpus id),

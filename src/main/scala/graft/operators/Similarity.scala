@@ -481,9 +481,10 @@ object Similarity {
   /** RETIRE vectors from a stored PQ / IVF-PQ index (takedown / TTL):
     * append their ids to the KB tombstone sidecar at
     * `$path/tombstones`. Lazy, mirroring the signature store's
-    * pattern: searches anti-join the broadcast tombstone set (a
-    * zero-shuffle broadcast filter — the codes-only scan shape is
-    * unchanged), [[compactIvfPqIndex]] drops the code rows physically,
+    * pattern: searches anti-join the tombstone set (a zero-shuffle
+    * broadcast filter up to the [[Dedup.tombstoneBroadcastMax]] byte
+    * ceiling, a shuffle-hash anti-join beyond it — the codes-only scan
+    * shape is unchanged), [[compactIvfPqIndex]] drops the code rows physically,
     * and the sidecar survives compaction as a suppression list so a
     * crash-replayed append batch containing a retired vector stays
     * masked at read time.
@@ -495,15 +496,29 @@ object Similarity {
   }
 
   /** `codes` minus tombstoned vectors — broadcast anti-join against
-    * the sidecar, or unchanged when no delete ever happened (stores
-    * that never delete keep their join-free plan). */
+    * the sidecar when it is under the [[Dedup.tombstoneBroadcastMax]]
+    * byte ceiling, a shuffle-hash anti-join beyond it (a whole-index
+    * takedown can outgrow any broadcast threshold; the codes-only
+    * partition-pruned scan shape is unchanged either way, the fallback
+    * just adds one exchange of each side), or unchanged when no delete
+    * ever happened (stores that never delete keep their join-free
+    * plan). Eagerly [[compactIvfPqIndex]] after a mass delete to drop
+    * the rows physically — the sidecar survives as a suppression list,
+    * so the fallback's shuffle persists until the retired ids age out
+    * of the replay contract. */
   private def dropTombstonedVecs(spark: SparkSession, path: String,
       codes: DataFrame): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) codes
-    else codes.join(broadcast(spark.read.parquet(s"$path/tombstones")),
-      Seq("vec_id"), "left_anti")
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) codes
+    else {
+      val t = spark.read.parquet(s"$path/tombstones")
+      val bytes = fs.listStatus(tp)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      if (bytes <= Dedup.tombstoneBroadcastMax(spark))
+        codes.join(broadcast(t), Seq("vec_id"), "left_anti")
+      else codes.join(t.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+    }
   }
 
   /** IVF-PQ (Jégou et al.): the billion-scale ANN layout composed

@@ -311,6 +311,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("signature store delete past the broadcast ceiling: shuffle anti-join fallback, answers unchanged") {
+    // a whole-source takedown can outgrow any broadcast threshold —
+    // force the graft.tombstone.broadcastMaxBytes ceiling to 0 so the
+    // KB test sidecar takes the at-scale path, and assert the fallback
+    // plan (shuffle-hash anti-join) returns the broadcast plan's rows
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    try {
+      Dedup.writeSignatureStore(docs(1L -> base, 3L -> far), "sigceil", 4)
+      Dedup.deleteFromSignatureStore(spark, "sigceil", Seq(3L).toDF("doc_id"))
+      def classify() = Dedup.minhashPairsAgainstStore(
+        spark, "sigceil", docs(2L -> near, 4L -> far), 0.5)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaBroadcast = pairs(classify())
+      assert(viaBroadcast === Set((2L, 1L)),
+        "retired doc 3 must not match; live doc 1 must")
+      spark.conf.set("graft.tombstone.broadcastMaxBytes", "0")
+      try {
+        val df = classify()
+        assert(pairs(df) === viaBroadcast, "fallback path must not change answers")
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(plan.contains("ShuffledHashJoin"),
+          s"expected the shuffle-hash anti-join fallback in:\n$plan")
+      } finally spark.conf.unset("graft.tombstone.broadcastMaxBytes")
+    } finally {
+      Seq("bands", "shingles", "tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS sigceil_$t"))
+    }
+  }
+
   test("signature store compaction cadence: threshold-triggered, answers unchanged") {
     import org.apache.spark.sql.functions._
     val tuneA = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early mountain dusk settles"

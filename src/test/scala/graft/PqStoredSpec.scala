@@ -164,6 +164,33 @@ class PqStoredSpec extends AnyFunSuite {
       .collect().exists(_.getLong(0) == 0L))
   }
 
+  test("IVF-PQ delete past the broadcast ceiling: shuffle-hash fallback, codes-only, answers unchanged") {
+    val path = tmp("ivfpqdelceil")
+    Similarity.writeIvfPqIndex(emb, path, 8, 16)
+    val q = emb.filter(col("vec_id") === 1L).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    import spark.implicits._
+    Similarity.deleteFromIvfPqIndex(Seq(0L).toDF("vec_id"), path)
+    def search() = Similarity.ivfPqSearchStored(spark, path, q, 3, 20)
+    val viaBroadcast = search().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(!viaBroadcast.exists(_._1 == 0L))
+    // force the at-scale path: a mass takedown's tombstone set is past
+    // any broadcast threshold — the read must fall back to a
+    // shuffle-hash anti-join with answers and scan shape unchanged
+    spark.conf.set("graft.tombstone.broadcastMaxBytes", "0")
+    try {
+      val df = search()
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq === viaBroadcast, "fallback path must not change answers")
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("ShuffledHashJoin"),
+        s"expected the shuffle-hash anti-join fallback in:\n$plan")
+      assert(!plan.contains("embedding"), s"scan must stay codes-only:\n$plan")
+    } finally spark.conf.unset("graft.tombstone.broadcastMaxBytes")
+  }
+
   test("batch IVF-PQ search: per-query parity, codes-only scan pruned to the union of probe lists") {
     val path = tmp("ivfpqbatch")
     Similarity.writeIvfPqIndex(emb, path, 8, 16)
