@@ -181,6 +181,70 @@ object TextOps {
         .toDF("doc_id", "n_tokens")
     }
 
+  /** Injection seam for a real embedding model — the third leg of the
+    * per-partition inference-seam pattern, after [[Tokenizer]] and
+    * [[graft.operators.MediaCodec]]: `open()` runs ONCE PER PARTITION
+    * on the executor — load weights / an inference session there and
+    * return the per-doc encoder. Must be Serializable (ships in the
+    * task closure).
+    */
+  trait Embedder extends Serializable {
+    def dim: Int
+    def open(): String => Array[Float]
+  }
+
+  /** Deterministic reference kernel behind the seam: hashed
+    * bag-of-words projection (feature hashing, Weinberger et al.
+    * ICML'09). Each word FNV-1a-64 hashes to a dimension (unsigned
+    * h mod dim) and a sign (the next bit up: unsigned h div dim, mod
+    * 2), the signed counts L2-normalize, the doubles narrow to float.
+    * Every step is integer or one correctly-rounded IEEE op, so the
+    * DuckDB oracle replays the whole kernel bit-exactly through
+    * [[OracleSql.fnvU64]] — the same contract-oracle pattern
+    * JdkMediaCodec uses for decode. */
+  final case class HashedBowEmbedder(dim: Int = 64) extends Embedder {
+    def open(): String => Array[Float] = { text =>
+      val acc = new Array[Long](dim)
+      text.trim.split(" ").foreach { w =>
+        if (w.nonEmpty) {
+          val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var h = -3750763034362895579L // FNV-1a 64 offset basis (unsigned 14695981039346656037)
+          var i = 0
+          while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 1099511628211L; i += 1 }
+          val idx = java.lang.Long.remainderUnsigned(h, dim.toLong).toInt
+          acc(idx) +=
+            (if ((java.lang.Long.divideUnsigned(h, dim.toLong) & 1L) == 0L) 1L else -1L)
+        }
+      }
+      var ss = 0L
+      var j = 0
+      while (j < dim) { ss += acc(j) * acc(j); j += 1 }
+      val norm = math.sqrt(ss.toDouble)
+      val out = new Array[Float](dim)
+      if (norm > 0) { j = 0; while (j < dim) { out(j) = (acc(j) / norm).toFloat; j += 1 } }
+      out
+    }
+  }
+
+  /** (doc_id, embedding float[dim]) through the [[Embedder]] seam —
+    * one mapPartitions pass, `open()` once per partition, zero
+    * shuffles. The output schema matches the embeddings table
+    * (vec_id-renamable), so the whole ANN stack — s06 int8, s07 PQ,
+    * the stored indexes, d05 near-dup — consumes it directly: text →
+    * embed → quantize → index → search is one graft-native chain
+    * (PipelineSeamsSpec chains it into pqQuantize and cosineTopK).
+    */
+  def embedDocuments(docs: DataFrame,
+      emb: Embedder = HashedBowEmbedder()): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val encode = emb.open() // weights load, once per partition
+        it.map { case (id, text) => (id, encode(text)) }
+      }
+      .toDF("doc_id", "embedding")
+  }
+
   /** count of words of `ws` that fall in `set` (codegen higher-order fn). */
   private def nIn(ws: Column, set: Seq[String]): Column =
     size(filter(ws, w => w.isin(set: _*)))
@@ -720,7 +784,48 @@ object TextOps {
     ("t17_chunk_tokens", (s: SparkSession, d: String) =>
       chunkByTokens(Tables.documents(s, d).select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism), 64, 16)
-        .orderBy("doc_id", "chunk_id"), Some(chunkTokensOracleSql(64, 16))))
+        .orderBy("doc_id", "chunk_id"), Some(chunkTokensOracleSql(64, 16))),
+
+    // ---- EMBEDDER seam: text → embedding through the per-partition
+    //      open() inference seam (the reference HashedBowEmbedder
+    //      kernel — signed FNV-hashed word counts, L2-normalized,
+    //      narrowed to float). The entry explodes the vectors to
+    //      (doc_id, pos, val) rows; the oracle replays the kernel via
+    //      fnvU64 — hash → dim/sign → counts → sqrt-norm → FLOAT cast,
+    //      every step integer or one IEEE op on both engines ----
+    ("e01_embed_text", (s: SparkSession, d: String) =>
+      embedDocuments(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          round(col("v").cast("double"), 6).as("val"))
+        .orderBy("doc_id", "pos"), Some(embedOracleSql(64))))
+
+  /** e01's oracle: the HashedBowEmbedder kernel as SQL — per-word
+    * FNV-1a-64 (OracleSql.fnvU64, bit-exact vs the JVM fold on the
+    * ASCII gate corpus), unsigned mod/div for dimension and sign,
+    * BIGINT count accumulation, integer sum-of-squares under the
+    * sqrt, and the same DOUBLE→FLOAT narrowing the seam performs. */
+  private def embedOracleSql(dim: Int): String = s"""
+      WITH wr AS (SELECT doc_id,
+             unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS w
+           FROM documents),
+      hh AS (SELECT doc_id, ${OracleSql.fnvU64("w")} AS h FROM wr),
+      cc AS (SELECT doc_id, CAST(h % $dim AS INT) AS i,
+               CASE WHEN (h // $dim) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             FROM hh),
+      acc AS (SELECT doc_id, i, CAST(sum(sgn) AS BIGINT) AS v
+              FROM cc GROUP BY doc_id, i),
+      grid AS (SELECT d.doc_id, r.range AS i
+               FROM (SELECT DISTINCT doc_id FROM documents) d, range($dim) r),
+      fullv AS (SELECT g.doc_id, g.i, coalesce(a.v, 0) AS v
+                FROM grid g LEFT JOIN acc a ON a.doc_id = g.doc_id AND a.i = g.i),
+      nrm AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS n
+              FROM fullv GROUP BY doc_id)
+      SELECT f.doc_id, CAST(f.i AS INT) AS pos,
+        round(CAST(CAST(CASE WHEN n.n = 0 THEN 0 ELSE f.v / n.n END AS FLOAT) AS DOUBLE), 6) AS val
+      FROM fullv f JOIN nrm n USING (doc_id)
+      ORDER BY f.doc_id, pos"""
 
   /** DuckDB replay of the committed BPE merge table (see the t09
     * entry): marker-wrap every codepoint, fold one replace() per merge

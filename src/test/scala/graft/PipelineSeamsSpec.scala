@@ -33,6 +33,51 @@ class PipelineSeamsSpec extends AnyFunSuite {
     assert(opens.value === 4L, s"expected one open() per partition, got ${opens.value}")
   }
 
+  test("Embedder seam: one open per partition, unit-norm vectors, deterministic kernel") {
+    val opens = spark.sparkContext.longAccumulator("emb_opens")
+    val counted = new TextOps.Embedder {
+      val dim = 64
+      def open(): String => Array[Float] = {
+        opens.add(1L) // stands in for loading model weights
+        TextOps.HashedBowEmbedder(dim).open()
+      }
+    }
+    val docs = graft.sources.Tables.documents(spark, sf).repartition(4)
+    val emb = TextOps.embedDocuments(docs, counted)
+    assert(emb.columns.toSeq === Seq("doc_id", "embedding"))
+    val rows = emb.collect()
+    assert(rows.length === docs.count())
+    assert(opens.value === 4L, s"expected one open() per partition, got ${opens.value}")
+    // non-empty docs embed to unit L2 norm (the kernel normalizes)
+    val norms = rows.map(_.getSeq[Float](1))
+      .filter(_.exists(_ != 0f))
+      .map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+    assert(norms.nonEmpty && norms.forall(n => math.abs(n - 1.0) < 1e-4))
+    // deterministic: a second pass produces identical floats
+    val again = TextOps.embedDocuments(docs, counted).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) === r.getSeq[Float](1)))
+  }
+
+  test("Embedder seam: output chains into the ANN stack (s07 pqQuantize, s01 cosineTopK)") {
+    import graft.operators.Similarity
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val emb = TextOps.embedDocuments(docs)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val n = emb.count()
+    // s07's quantizer consumes the seam's output directly: one code
+    // row per vector, reconstruction error finite
+    val pq = Similarity.pqQuantize(emb, 8, 16).collect()
+    assert(pq.length === n)
+    assert(pq.forall(r => r.getDouble(2) >= 0.0))
+    // s01's exact search over the seam's vectors: a doc's own text is
+    // its nearest neighbor's query — top-k is sane and self-excluded
+    val top = Similarity.cosineTopK(emb, 0L, 5).collect()
+    assert(top.length === 5 && top.forall(_.getLong(0) != 0L))
+    assert(top.map(_.getDouble(1)).toSeq === top.map(_.getDouble(1)).toSeq.sorted.reverse)
+  }
+
   test("Tokenizer seam: default regex tokenizer plans as a codegen column (no lambda)") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val plan = TextOps.tokenCounts(docs).queryExecution.optimizedPlan.toString
