@@ -136,6 +136,33 @@ object GraftVec {
     ArrayData.toArrayData(keys)
   }
 
+  /** y = M·x for a row-major d×d matrix — the OPQ rotation apply
+    * (one codegen pass per row; at 100 TB rotation is a d² multiply
+    * fused into the index-build scan, never a shuffle). Float or
+    * double input (`isDouble`), double output so the residual-path PQ
+    * kernels chain directly. Row-major accumulation left-to-right in
+    * dimension order (deterministic).
+    */
+  def matVec(v: ArrayData, mat: Array[Double], d: Int, isDouble: Boolean): ArrayData = {
+    val x = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      x(j) = if (isDouble) v.getDouble(j) else v.getFloat(j).toDouble
+      j += 1
+    }
+    val out = new Array[Double](d)
+    var r = 0
+    while (r < d) {
+      val off = r * d
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += mat(off + i) * x(i); i += 1 }
+      out(r) = s
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Product-quantization assignment: per subspace s of m, the argmin
     * centroid over k codebook entries (L2, accumulated left-to-right
     * in dimension order — the float chain the SQL oracle replays;

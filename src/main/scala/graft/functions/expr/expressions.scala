@@ -163,6 +163,32 @@ case class PqAssign(child: Expression, cb: IndexedSeq[Double], m: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): PqAssign = copy(child = c)
 }
 
+/** y = R·x against a row-major d×d matrix rider (the OPQ rotation
+  * apply): one codegen kernel call per row, double output so the
+  * PqAssign/PqCodes residual (double-input) kernels chain directly.
+  * Matrix as IndexedSeq for content-equality — same canonicalization
+  * rationale as [[PqAssign]]'s codebook.
+  */
+case class MatVec(child: Expression, mat: IndexedSeq[Double], d: Int)
+    extends UnaryExpression {
+  require(mat.length == d * d, s"matrix length ${mat.length} != $d x $d")
+  @transient private lazy val matArr: Array[Double] = mat.toArray
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  private def isDouble: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.GraftVec.matVec(v.asInstanceOf[ArrayData], matArr, d, isDouble)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("opqRotation", matArr, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftVec.matVec($c, $mRef, $d, $isDouble)")
+  }
+  override protected def withNewChildInternal(c: Expression): MatVec = copy(child = c)
+}
+
 /** Codes-only PQ assignment of a vector column to m BYTES (binary) —
   * the stored-index write kernel. Same codebook-as-IndexedSeq
   * contract as [[PqAssign]]; float input = raw embeddings, double

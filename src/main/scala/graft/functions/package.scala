@@ -96,4 +96,9 @@ package object functions {
   def adcDist(codes: Column, slot: Column, luts: Array[Double], m: Int, k: Int): Column =
     col(expr.AdcDist(ex(codes), ex(slot.cast("int")),
       scala.collection.immutable.ArraySeq.unsafeWrapArray(luts), m, k))
+
+  /** y = M·x against a row-major d×d matrix (OPQ rotation apply). */
+  def matVec(c: Column, mat: Array[Double], d: Int): Column =
+    col(expr.MatVec(ex(c),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(mat), d))
 }

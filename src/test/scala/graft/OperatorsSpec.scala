@@ -154,6 +154,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(trained < sampled * 0.8, s"trained=$trained sampled=$sampled")
   }
 
+  test("OPQ rotation: strictly tighter recon error on a correlated corpus, orthonormal R, sidecar round-trip") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    // correlated ANISOTROPIC corpus — the real-embedding shape the
+    // near-isotropic gate corpus can't exhibit: rank-3 signal along
+    // non-axis-aligned directions + small noise, so unrotated PQ
+    // wastes every subspace's centroids on cross-subspace correlation
+    val rnd = new scala.util.Random(7)
+    val d = 64
+    val dirs = Array.fill(3)(Array.fill(d)(rnd.nextGaussian()))
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val emb = (0 until 512).map { id =>
+      val c = Array(3.0, 2.0, 1.5).map(_ * rnd.nextGaussian())
+      (id.toLong, Array.tabulate(d)(j =>
+        (c(0) * dirs(0)(j) + c(1) * dirs(1)(j) + c(2) * dirs(2)(j) +
+          0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    def avgErr(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recon_err"))).collect().head.getDouble(0)
+    val unrot = avgErr(S.pqQuantizeWith(emb, S.pqKmeansCodebook(emb, 8, 16), 8, 16))
+    val r = S.opqParametricRotation(emb, 8, sampleN = 512)
+    // R must be orthonormal (distances preserved → search semantics
+    // unchanged; only the quantization grid moves)
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(x => r(i * d + x) * r(j * d + x)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"R not orthonormal at ($i,$j): $dot")
+    }
+    val rotDf = S.rotateEmbeddings(emb, r)
+    val rot = avgErr(S.pqQuantizeWith(rotDf, S.pqKmeansCodebook(rotDf, 8, 16), 8, 16))
+    info(f"recon err: unrotated $unrot%.4f -> rotated $rot%.4f (${rot / unrot}%.2fx)")
+    // strictly below, and clearly so — the rotation must buy real
+    // grid quality on anisotropic data, not a rounding artifact
+    assert(rot < unrot * 0.9, s"rotated=$rot unrotated=$unrot")
+    // KB sidecar round-trips exactly
+    val tmp = java.nio.file.Files.createTempDirectory("graft-opq").toString
+    S.writeOpqSidecar(spark, tmp, r)
+    assert(S.readOpqSidecar(spark, tmp).toSeq === r.toSeq)
+  }
+
   test("pqQuantize: codebook vectors code to themselves with zero error") {
     val out = graft.operators.Similarity
       .pqQuantize(graft.sources.Tables.embeddings(spark, GraftTestSession.sf), 8, 16)
