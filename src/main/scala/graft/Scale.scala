@@ -192,6 +192,44 @@ object Scale {
       "each source through one window task, two-phase spreads it over " +
       "sources x 128 buckets — so the gap grows with corpus/cores at " +
       "fixed source count)")
+
+    // ---- hot-user skew probe (ss01–ss04): the sessionize family
+    // hashes on user_id, and window partitions are NOT splittable by
+    // AQE skew handling — one pathological user (a bot) serializes
+    // exactly one task. Same event volume twice: BALANCED spreads the
+    // replicas over distinct users; SKEWED pins every replica event on
+    // ONE bot user. The gap between the two runs IS the straggler
+    // bound: one task sorting+scanning the bot's rows while 31 cores
+    // idle — at 100 TB the mitigation is dropping known bots upstream
+    // or pre-splitting the bot's stream (e.g. by day) at the cost of
+    // sessions that cross the split boundary.
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        ((col("ts_ns") / 1000L).cast("bigint") * 1000L).as("ts_ns"))
+    val evReps = 10
+    def evReplicas(user: Int => org.apache.spark.sql.Column) =
+      (0 until evReps).map { i =>
+        ev.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+          user(i).as("user_id"), col("event_type"),
+          (col("ts_ns") + lit(i.toLong)).as("ts_ns"))
+      }.reduce(_ unionAll _)
+    val nE = ev.count()
+    val balanced = evReplicas(i => col("user_id") * evReps + i)
+    val skewed = ev.unionAll(
+      evReplicas(_ => lit(-1L)).filter(col("event_id") >= 100000000L))
+    val nB = balanced.count(); val nS = skewed.count()
+    def timeS(name: String, df: org.apache.spark.sql.DataFrame): Double = {
+      val t = System.nanoTime()
+      val n = graft.operators.Sessionize.sessionized(df).count()
+      val sec = (System.nanoTime() - t) / 1e9
+      println(f"[scale] $name%-18s $sec%8.2f s  ($n session rows)")
+      sec
+    }
+    val tBal = timeS(s"sessionize-bal", balanced)
+    val tSkew = timeS(s"sessionize-hot", skewed)
+    println(f"[scale] hot-user skew: $nS%,d events with one ${nS - nE}%,d-event bot " +
+      f"vs $nB%,d balanced — ${tSkew / tBal}%.2fx straggler " +
+      "(bound = the bot's rows through one sort task; windows don't AQE-split)")
     spark.stop()
   }
 }
