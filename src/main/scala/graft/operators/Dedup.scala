@@ -991,6 +991,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication that bounds the quadratic similarity pass by
+    * CLUSTERING — assign every embedding to one of `ncells` k-means
+    * cells and compare pairs only WITHIN a cell, dropping every
+    * vector whose cosine to a smaller-id cell-mate reaches `tau`.
+    * Cross-cell misses are the method's documented trade (the paper
+    * runs 50k clusters over LAION and accepts them); within a cell
+    * the drop rule here is deterministic — keep-lowest-id — instead
+    * of the paper's random representative, so the result is
+    * replayable on any engine. Complements d05/d07/d18 (which find
+    * ALL near-dup pairs via multi-table LSH + connected components):
+    * SemDeDup is the cheaper curation pass used when a fixed
+    * similarity budget matters more than pair completeness.
+    *
+    * Scale: assignment is a zero-shuffle codegen map
+    * ([[graft.functions.pqAssign]] with m=1 — the IVF coarse
+    * quantizer) against broadcast ncells x dim centroid literals
+    * (driver-side KB, same footprint as s04's coarse quantizer); the
+    * only data exchanges are the cell-key hash shuffle for the
+    * self-join and the vec_id-key join marking drops. The per-cell
+    * candidate pass is (n/ncells)^2 — ncells grows with the corpus so
+    * cells stay ~10^3-10^4 docs at 100 TB. Centroids are the first
+    * `ncells` data vectors (deterministic sampled init, the s07
+    * pqCodebook pattern — s04's trained MLlib KMeans fit drops into
+    * the same assignment kernel unchanged, at the cost of the oracle).
+    */
+  def semDedup(embeddings: DataFrame, ncells: Int = 16, tau: Double = 0.3): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < ncells)
+      .select(col("vec_id"), col("embedding")).collect() // ncells x dim — KB
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    require(cents.size == ncells, s"centroid init needs vec_ids 0..${ncells - 1}")
+    val flat = (0 until ncells).flatMap(j => cents(j.toLong)).toArray
+    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+      graft.functions.pqAssign(col("embedding"), flat, 1, ncells)
+        .getField("codes").getItem(0).cast("int").as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(graft.functions.vectorCosine(col("ea"), col("eb")), 6) >= tau)
+      .groupBy(col("id_b").as("vec_id")).agg(lit(true).as("is_dup"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("dropped"))
+      .orderBy("vec_id")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- exact dedup: hash groupBy on content ----
@@ -1619,6 +1667,42 @@ object Dedup {
             FROM mem)
       SELECT cluster, CAST(csize AS BIGINT) AS csize, doc_id AS canonical_id,
         n_chars AS canonical_chars
-      FROM r WHERE rn = 1 ORDER BY cluster"""))
+      FROM r WHERE rn = 1 ORDER BY cluster""")),
+
+    // ---- SemDeDup: cluster-bounded semantic dedup (Abbas et al.
+    //      2023). The oracle replays the whole chain — the m=1
+    //      pqAssign coarse quantizer (argmin in-order L2^2 over the
+    //      first-16 centroid vectors, ties to the smallest cell id)
+    //      and the within-cell cosine drop rule — so a hash match
+    //      proves cell assignment AND the keep set are bit-identical ----
+    ("d19_semantic_dedup", (s: SparkSession, d: String) =>
+      semDedup(Tables.embeddings(s, d), 16, 0.3), Some("""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+                     FROM embeddings WHERE vec_id < 16),
+      za AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.ce) AS b
+             FROM embeddings e, cents c),
+      d2 AS (SELECT vec_id, cid,
+               sum((CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))) AS d
+             FROM za GROUP BY 1, 2),
+      asg AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM d2) WHERE rn = 1),
+      pr AS (SELECT x.vec_id AS ia, y.vec_id AS ib
+             FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+      z2 AS (SELECT pr.ia, pr.ib, unnest(ea.embedding) AS a, unnest(eb.embedding) AS b
+             FROM pr JOIN embeddings ea ON ea.vec_id = pr.ia
+                     JOIN embeddings eb ON eb.vec_id = pr.ib),
+      sums AS (SELECT ia, ib,
+                 sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+                 sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+                 sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+               FROM z2 GROUP BY 1, 2),
+      dup AS (SELECT DISTINCT ib FROM sums
+              WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.3)
+      SELECT a.vec_id, CAST(a.cid AS INT) AS cell,
+        (dup.ib IS NOT NULL) AS dropped
+      FROM asg a LEFT JOIN dup ON dup.ib = a.vec_id
+      ORDER BY a.vec_id"""))
   )
 }

@@ -1895,6 +1895,77 @@ object Similarity {
                              ORDER BY adc, vec_id) AS rn
         FROM adc WHERE vec_id <> query_id) t
       WHERE rn <= 5
-      ORDER BY query_id, adc_dist, vec_id"""))
+      ORDER BY query_id, adc_dist, vec_id""")),
+
+    // ---- BATCH hybrid retrieval: h01's fused 0.5*cosine +
+    //      0.5*trigram-jaccard score served for a whole query table
+    //      in the s12 batch shape — ONE corpus pass (shingles and
+    //      embeddings joined on id), the 4-row query table broadcast,
+    //      per-query top-10 on the bounded-heap TopKPerKey operator
+    //      so the only exchange is k x queries rows. The oracle
+    //      replays both score legs per (query, doc) and the per-query
+    //      window ----
+    ("h02_batch_hybrid", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), graft.functions.shingleHashes(col("text"), 3).as("sh"))
+      val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val both = docs.join(embs, col("doc_id") === col("vec_id"))
+      val q = both.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("query_id"),
+          col("sh").as("qsh"), col("embedding").as("qe"))
+      val scored = both.crossJoin(broadcast(q))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          round(lit(0.5) * round(vectorCosine(col("embedding"), col("qe")), 6) +
+            lit(0.5) * graft.functions.jaccardHashes(col("sh"), col("qsh")), 6)
+            .as("score"))
+      TopK.topKPerKey(scored, Seq("query_id"), "score", "doc_id", 10)
+        .select(col("query_id"), col("doc_id"), col("score"))
+        .orderBy(col("query_id"), desc("score"), col("doc_id"))
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+                 FROM documents),
+      tri0 AS (SELECT doc_id, ws,
+                 unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM w WHERE len(ws) > 0),
+      tri AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tg
+              FROM tri0),
+      q AS (SELECT doc_id AS query_id, tg FROM tri WHERE doc_id < 4),
+      inter AS (SELECT q.query_id, t.doc_id, count(*) AS ni
+                FROM tri t JOIN q USING (tg) GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+      qn AS (SELECT query_id, count(*) AS nq FROM q GROUP BY 1),
+      jac AS (SELECT qn.query_id, s.doc_id,
+                CAST(coalesce(i.ni, 0) AS DOUBLE) /
+                  (s.n + qn.nq - coalesce(i.ni, 0)) AS jaccard
+              FROM sizes s CROSS JOIN qn
+              LEFT JOIN inter i
+                ON i.doc_id = s.doc_id AND i.query_id = qn.query_id),
+      qe AS (SELECT vec_id AS query_id, embedding AS qemb
+             FROM embeddings WHERE vec_id < 4),
+      z AS (SELECT qe.query_id, e.vec_id,
+              unnest(e.embedding) AS a, unnest(qe.qemb) AS b
+            FROM embeddings e, qe),
+      sums AS (SELECT query_id, vec_id,
+                 sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+                 sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+                 sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+               FROM z GROUP BY query_id, vec_id),
+      cos AS (SELECT query_id, vec_id,
+                round(dot / (sqrt(na) * sqrt(nb)), 6) AS c FROM sums),
+      sc AS (SELECT j.query_id, j.doc_id,
+               round(0.5 * c + 0.5 * jaccard, 6) AS score
+             FROM jac j JOIN cos ON cos.query_id = j.query_id
+                                AND cos.vec_id = j.doc_id
+             WHERE j.doc_id <> j.query_id)
+      SELECT query_id, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) AS rn
+        FROM sc) t
+      WHERE rn <= 10
+      ORDER BY query_id, score DESC, doc_id"""))
   )
 }
