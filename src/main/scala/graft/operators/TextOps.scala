@@ -799,7 +799,26 @@ object TextOps {
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("doc_id"), col("pos").cast("int").as("pos"),
           round(col("v").cast("double"), 6).as("val"))
-        .orderBy("doc_id", "pos"), Some(embedOracleSql(64))))
+        .orderBy("doc_id", "pos"), Some(embedOracleSql(64))),
+
+    // ---- END-TO-END text → embed → search: the e01 embedder output
+    //      fed straight into the s12 batch exact-search shape, making
+    //      retrieval-over-raw-text one graft-native chain with no
+    //      pre-computed embeddings table. Zero-norm vectors are
+    //      filtered on both sides (cosine undefined). The oracle
+    //      replays the FULL chain — fnvU64 word hashing, signed
+    //      counts, L2 norm, FLOAT narrowing, then in-order cosine and
+    //      the per-query window ----
+    ("e02_embed_search", (s: SparkSession, d: String) => {
+      val emb = embedDocuments(Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism))
+        .filter(graft.functions.vectorNorm(col("embedding")) > 0)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val qs = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.cosineTopKBatch(emb, qs, 10, excludeSelf = true)
+        .orderBy(col("query_id"), desc("cos"), col("vec_id"))
+    }, Some(embedSearchOracleSql(64, 2, 10))))
 
   /** e01's oracle: the HashedBowEmbedder kernel as SQL — per-word
     * FNV-1a-64 (OracleSql.fnvU64, bit-exact vs the JVM fold on the
@@ -826,6 +845,48 @@ object TextOps {
         round(CAST(CAST(CASE WHEN n.n = 0 THEN 0 ELSE f.v / n.n END AS FLOAT) AS DOUBLE), 6) AS val
       FROM fullv f JOIN nrm n USING (doc_id)
       ORDER BY f.doc_id, pos"""
+
+  /** e02's oracle: the e01 embedding chain (same CTEs) continued into
+    * the s12 batch-search shape — FLOAT vectors per doc, queries =
+    * docs 0..nq-1, in-order double cosine (list_sum ORDER BY i, the
+    * s13 pattern matching the kernel's index-order accumulation),
+    * per-query top-k window. */
+  private def embedSearchOracleSql(dim: Int, nq: Int, topK: Int): String = s"""
+      WITH wr AS (SELECT doc_id,
+             unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS w
+           FROM documents),
+      hh AS (SELECT doc_id, ${OracleSql.fnvU64("w")} AS h FROM wr),
+      cc AS (SELECT doc_id, CAST(h % $dim AS INT) AS i,
+               CASE WHEN (h // $dim) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             FROM hh),
+      acc AS (SELECT doc_id, i, CAST(sum(sgn) AS BIGINT) AS v
+              FROM cc GROUP BY doc_id, i),
+      grid AS (SELECT d.doc_id, r.range AS i
+               FROM (SELECT DISTINCT doc_id FROM documents) d, range($dim) r),
+      fullv AS (SELECT g.doc_id, g.i, coalesce(a.v, 0) AS v
+                FROM grid g LEFT JOIN acc a ON a.doc_id = g.doc_id AND a.i = g.i),
+      nrm AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS n
+              FROM fullv GROUP BY doc_id),
+      femb AS (SELECT f.doc_id, f.i, CAST(f.v / n.n AS FLOAT) AS fv
+               FROM fullv f JOIN nrm n USING (doc_id) WHERE n.n > 0),
+      q AS (SELECT doc_id AS query_id, i, fv AS qv FROM femb WHERE doc_id < $nq),
+      z AS (SELECT q.query_id, e.doc_id AS vec_id, e.i, e.fv AS a, q.qv AS b
+            FROM femb e JOIN q USING (i)),
+      sums AS (SELECT query_id, vec_id,
+                 list_sum(list(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) ORDER BY i)) AS dot,
+                 list_sum(list(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) ORDER BY i)) AS na,
+                 list_sum(list(CAST(b AS DOUBLE) * CAST(b AS DOUBLE) ORDER BY i)) AS nb
+               FROM z WHERE vec_id <> query_id
+               GROUP BY query_id, vec_id)
+      SELECT query_id, vec_id, cos FROM (
+        SELECT query_id, vec_id,
+          round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                      vec_id) AS rn
+        FROM sums) t
+      WHERE rn <= $topK
+      ORDER BY query_id, cos DESC, vec_id"""
 
   /** DuckDB replay of the committed BPE merge table (see the t09
     * entry): marker-wrap every codepoint, fold one replace() per merge

@@ -37,7 +37,8 @@ class PlanGuardSpec extends AnyFunSuite {
     * design (one corpus scan serves all Q queries; the exchange after it
     * is bounded at k×Q by TopKPerKey). Not an accidental product. */
   private val broadcastQueryBatch = Set("s12_batch_search",
-    "h02_batch_hybrid") // h01's fused score in the s12 serving shape
+    "h02_batch_hybrid", // h01's fused score in the s12 serving shape
+    "e02_embed_search") // e01 embedder output into the s12 shape
 
   test("no query plans an unintended cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
