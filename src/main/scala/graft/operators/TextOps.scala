@@ -245,6 +245,34 @@ object TextOps {
       .toDF("doc_id", "embedding")
   }
 
+  /** Deterministic linear-classifier head for [[qualityScore]] — a
+    * fixed golden-ratio hash ramp of exact dyadic rationals
+    * (k/1024 - 1/2), so the dot product below is bit-exact on any
+    * IEEE engine. A trained fastText/logistic head drops into the
+    * same literal slot. */
+  def classifierWeights(dim: Int): Array[Double] =
+    Array.tabulate(dim)(i => ((i * 2654435761L) % 1024).toDouble / 1024.0 - 0.5)
+
+  /** fastText-style quality-classifier stage (CCNet / DCLM curation):
+    * score = sigmoid(w . v) over the [[Embedder]] output, keep =
+    * non-negative logit. The dot is a codegen higher-order fold
+    * (zip_with + aggregate) in index order — zero shuffles, one
+    * column map over the embedded corpus; the weight vector is a
+    * broadcast literal (dim doubles). With [[classifierWeights]]'s
+    * dyadic weights the logit is BIT-exact cross-engine (float
+    * embedding values x exact weights, in-order double sums), so the
+    * keep decision replays exactly; only the sigmoid's exp rounds.
+    */
+  def qualityScore(embedded: DataFrame, w: Array[Double]): DataFrame = {
+    val wcol = array(w.map(lit): _*)
+    val dot = aggregate(
+      zip_with(col("embedding"), wcol, (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    embedded.select(col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-dot)), 6).as("score"),
+      (dot >= 0).as("keep"))
+  }
+
   /** count of words of `ws` that fall in `set` (codegen higher-order fn). */
   private def nIn(ws: Column, set: Seq[String]): Column =
     size(filter(ws, w => w.isin(set: _*)))
@@ -818,7 +846,17 @@ object TextOps {
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.cosineTopKBatch(emb, qs, 10, excludeSelf = true)
         .orderBy(col("query_id"), desc("cos"), col("vec_id"))
-    }, Some(embedSearchOracleSql(64, 2, 10))))
+    }, Some(embedSearchOracleSql(64, 2, 10))),
+
+    // ---- fastText-style quality classifier (CCNet / DCLM): sigmoid
+    //      linear head over the e01 embedding, keep = logit >= 0.
+    //      The oracle replays embedding, dyadic weight ramp, in-order
+    //      dot (bit-exact) and the sigmoid ----
+    ("t18_quality_classifier", (s: SparkSession, d: String) =>
+      qualityScore(embedDocuments(Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)),
+          classifierWeights(64))
+        .orderBy("doc_id"), Some(classifierOracleSql(64))))
 
   /** e01's oracle: the HashedBowEmbedder kernel as SQL — per-word
     * FNV-1a-64 (OracleSql.fnvU64, bit-exact vs the JVM fold on the
@@ -887,6 +925,39 @@ object TextOps {
         FROM sums) t
       WHERE rn <= $topK
       ORDER BY query_id, cos DESC, vec_id"""
+
+  /** t18's oracle: e01 embedding chain → dyadic weight ramp
+    * ((i*2654435761) % 1024 / 1024 - 0.5) → in-order dot → sigmoid.
+    * Zero-norm docs keep their all-zero vector (dot 0, score 0.5,
+    * keep true) exactly as the Spark side computes. */
+  private def classifierOracleSql(dim: Int): String = s"""
+      WITH wr AS (SELECT doc_id,
+             unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS w
+           FROM documents),
+      hh AS (SELECT doc_id, ${OracleSql.fnvU64("w")} AS h FROM wr),
+      cc AS (SELECT doc_id, CAST(h % $dim AS INT) AS i,
+               CASE WHEN (h // $dim) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             FROM hh),
+      acc AS (SELECT doc_id, i, CAST(sum(sgn) AS BIGINT) AS v
+              FROM cc GROUP BY doc_id, i),
+      grid AS (SELECT d.doc_id, r.range AS i
+               FROM (SELECT DISTINCT doc_id FROM documents) d, range($dim) r),
+      fullv AS (SELECT g.doc_id, g.i, coalesce(a.v, 0) AS v
+                FROM grid g LEFT JOIN acc a ON a.doc_id = g.doc_id AND a.i = g.i),
+      nrm AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS n
+              FROM fullv GROUP BY doc_id),
+      femb AS (SELECT f.doc_id, f.i,
+                 CAST(CASE WHEN n.n = 0 THEN 0 ELSE f.v / n.n END AS FLOAT) AS fv
+               FROM fullv f JOIN nrm n USING (doc_id)),
+      wt AS (SELECT range AS i,
+               CAST((range * 2654435761) % 1024 AS DOUBLE) / 1024.0 - 0.5 AS w
+             FROM range($dim)),
+      dots AS (SELECT doc_id,
+                 list_sum(list(CAST(fv AS DOUBLE) * w ORDER BY i)) AS dot
+               FROM femb JOIN wt USING (i) GROUP BY doc_id)
+      SELECT doc_id, round(1.0 / (1.0 + exp(-dot)), 6) AS score,
+        dot >= 0 AS keep
+      FROM dots ORDER BY doc_id"""
 
   /** DuckDB replay of the committed BPE merge table (see the t09
     * entry): marker-wrap every codepoint, fold one replace() per merge
