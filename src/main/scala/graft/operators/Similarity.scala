@@ -1342,6 +1342,33 @@ object Similarity {
       round(lit(recall), 6).as("recall"), lit(recall >= minRecall).as("recall_ok"))
   }
 
+  /** BATCH matryoshka search — [[matryoshkaTopK]]'s prefix-shortlist
+    * + full-dim re-rank for a query TABLE in the s12 serving shape:
+    * one corpus scan computes every query's dPrefix-dim cosine, the
+    * bounded-heap TopKPerKey keeps shortlistN per query (full vectors
+    * ride the heap rows so the re-rank needs NO second corpus scan or
+    * join — payload is shortlistN x Q x dim floats, KB at serving
+    * batch sizes), and a second TopKPerKey re-ranks by full-dim
+    * cosine. Exchanges: k x Q and shortlistN x Q rows only.
+    */
+  def matryoshkaTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int,
+      dPrefix: Int, shortlistN: Int): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("qe"),
+      slice(col("embedding"), 1, dPrefix).as("qp"))
+    val pre = embeddings
+      .select(col("vec_id"), col("embedding"),
+        slice(col("embedding"), 1, dPrefix).as("pe"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qe"),
+        round(vectorCosine(col("pe"), col("qp")), 6).as("pcos"))
+    val short = TopK.topKPerKey(pre, Seq("query_id"), "pcos", "vec_id", shortlistN)
+      .select(col("query_id"), col("vec_id"),
+        round(vectorCosine(col("embedding"), col("qe")), 6).as("cos"))
+    TopK.topKPerKey(short, Seq("query_id"), "cos", "vec_id", k)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- KMeans-trained IVF: oracle checks the index recall contract ----
@@ -1966,6 +1993,55 @@ object Similarity {
                              ORDER BY score DESC, doc_id) AS rn
         FROM sc) t
       WHERE rn <= 10
-      ORDER BY query_id, score DESC, doc_id"""))
+      ORDER BY query_id, score DESC, doc_id""")),
+
+    // ---- BATCH matryoshka search: 4 queries' 16-dim prefix
+    //      shortlists (top-100) re-ranked by full-dim cosine to
+    //      top-10, all from ONE corpus scan. The oracle replays both
+    //      stages per query — prefix cosine window, shortlist
+    //      semi-join, full-cosine window ----
+    ("s15_batch_matryoshka", (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      matryoshkaTopKBatch(e, qs, 10, 16, 100)
+        .orderBy(col("query_id"), desc("cos"), col("vec_id"))
+    }, Some("""
+      WITH qe AS (SELECT vec_id AS query_id, embedding AS qe
+                  FROM embeddings WHERE vec_id < 4),
+      prez AS (SELECT q.query_id, e.vec_id,
+                 unnest(list_slice(e.embedding, 1, 16)) AS a,
+                 unnest(list_slice(q.qe, 1, 16)) AS b
+               FROM embeddings e, qe q),
+      pres AS (SELECT query_id, vec_id,
+                 sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+                 sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+                 sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+               FROM prez GROUP BY query_id, vec_id),
+      short AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC,
+                               vec_id) AS rn
+                  FROM pres WHERE vec_id <> query_id) t
+                WHERE rn <= 100),
+      z AS (SELECT q.query_id, e.vec_id,
+              unnest(e.embedding) AS a, unnest(q.qe) AS b
+            FROM embeddings e, qe q),
+      sums AS (SELECT query_id, vec_id,
+                 sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+                 sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+                 sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+               FROM z GROUP BY query_id, vec_id),
+      fullc AS (SELECT s.query_id, s.vec_id,
+                  round(dot / (sqrt(na) * sqrt(nb)), 6) AS c
+                FROM sums s JOIN short USING (query_id, vec_id))
+      SELECT query_id, vec_id, cos FROM (
+        SELECT query_id, vec_id, c AS cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY c DESC, vec_id) AS rn
+        FROM fullc) t
+      WHERE rn <= 10
+      ORDER BY query_id, cos DESC, vec_id"""))
   )
 }
