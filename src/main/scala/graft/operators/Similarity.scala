@@ -2042,6 +2042,80 @@ object Similarity {
                              ORDER BY c DESC, vec_id) AS rn
         FROM fullc) t
       WHERE rn <= 10
-      ORDER BY query_id, cos DESC, vec_id"""))
+      ORDER BY query_id, cos DESC, vec_id""")),
+
+    // ---- RETRIEVE → RERANK: trigram-jaccard shortlist (top-20 per
+    //      query, one corpus pass, s12 shape) re-scored by the
+    //      cross-encoder Reranker seam (word-set-overlap F1 reference
+    //      kernel) to top-5. The expensive pairwise stage never sees
+    //      the corpus — only shortlistN x Q rows. Oracle replays the
+    //      shortlist windows, the distinct-word intersection, and the
+    //      single-division F1 ----
+    ("r01_rerank", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"),
+          graft.functions.shingleHashes(col("text"), 3).as("sh"))
+      val q = docs.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"),
+          col("sh").as("qsh"))
+      val scored = docs.crossJoin(broadcast(q))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("qtext"), col("doc_id"),
+          col("text").as("dtext"),
+          graft.functions.jaccardHashes(col("sh"), col("qsh")).as("jac"))
+      val shortlist = TopK.topKPerKey(scored, Seq("query_id"), "jac", "doc_id", 20)
+      val rer = TextOps.rerankBatch(shortlist)
+        .select(col("query_id"), col("doc_id"), round(col("rerank"), 6).as("f1"))
+      TopK.topKPerKey(rer, Seq("query_id"), "f1", "doc_id", 5)
+        .select(col("query_id"), col("doc_id"), col("f1"))
+        .orderBy(col("query_id"), desc("f1"), col("doc_id"))
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+                 FROM documents),
+      tri0 AS (SELECT doc_id, ws,
+                 unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM w WHERE len(ws) > 0),
+      tri AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tg
+              FROM tri0),
+      q AS (SELECT doc_id AS query_id, tg FROM tri WHERE doc_id < 4),
+      inter AS (SELECT q.query_id, t.doc_id, count(*) AS ni
+                FROM tri t JOIN q USING (tg) GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+      qn AS (SELECT query_id, count(*) AS nq FROM q GROUP BY 1),
+      jac AS (SELECT qn.query_id, s.doc_id,
+                CAST(coalesce(i.ni, 0) AS DOUBLE) /
+                  (s.n + qn.nq - coalesce(i.ni, 0)) AS jc
+              FROM sizes s CROSS JOIN qn
+              LEFT JOIN inter i
+                ON i.doc_id = s.doc_id AND i.query_id = qn.query_id
+              WHERE s.doc_id <> qn.query_id),
+      short AS (SELECT query_id, doc_id FROM (
+                  SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY jc DESC, doc_id) AS rn
+                  FROM jac) t WHERE rn <= 20),
+      dw AS (SELECT DISTINCT doc_id, unnest(ws) AS wd FROM w),
+      nd AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1),
+      qw AS (SELECT doc_id AS query_id, wd FROM dw WHERE doc_id < 4),
+      nq2 AS (SELECT query_id, count(*) AS n FROM qw GROUP BY 1),
+      ovl AS (SELECT s.query_id, s.doc_id, count(*) AS ni
+              FROM short s JOIN dw dd ON dd.doc_id = s.doc_id
+                   JOIN qw q2 ON q2.query_id = s.query_id AND q2.wd = dd.wd
+              GROUP BY 1, 2),
+      f1t AS (SELECT s.query_id, s.doc_id,
+                round(CAST(2 * coalesce(o.ni, 0) AS DOUBLE) /
+                      (nd.n + nq2.n), 6) AS f1
+              FROM short s JOIN nd ON nd.doc_id = s.doc_id
+                   JOIN nq2 ON nq2.query_id = s.query_id
+                   LEFT JOIN ovl o
+                     ON o.query_id = s.query_id AND o.doc_id = s.doc_id)
+      SELECT query_id, doc_id, f1 FROM (
+        SELECT query_id, doc_id, f1,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY f1 DESC, doc_id) AS rn
+        FROM f1t) t WHERE rn <= 5
+      ORDER BY query_id, f1 DESC, doc_id"""))
   )
 }

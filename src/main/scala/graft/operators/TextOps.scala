@@ -226,6 +226,48 @@ object TextOps {
     }
   }
 
+  /** Injection seam for a cross-encoder reranker — the FOURTH leg of
+    * the per-partition inference-seam pattern ([[Tokenizer]],
+    * [[graft.operators.MediaCodec]], [[Embedder]]): `open()` runs
+    * once per partition on the executor (load the cross-encoder
+    * there) and returns the pairwise (query_text, doc_text) => score
+    * function applied to each shortlist row. */
+  trait Reranker extends Serializable {
+    def open(): (String, String) => Double
+  }
+
+  /** Deterministic reference kernel behind the seam: word-set-overlap
+    * F1 = 2|q∩d| / (|d|+|q|) over DISTINCT whitespace words — one
+    * exact integer ratio and one IEEE division, so the DuckDB oracle
+    * replays it bit-exactly (the JdkMediaCodec / HashedBowEmbedder
+    * contract-oracle pattern). */
+  case object WordF1Reranker extends Reranker {
+    def open(): (String, String) => Double = { (q, d) =>
+      val qs = q.trim.split(" ").iterator.filter(_.nonEmpty).toSet
+      val ds = d.trim.split(" ").iterator.filter(_.nonEmpty).toSet
+      val ni = qs.count(ds)
+      if (ni == 0) 0.0 else 2.0 * ni / (ds.size + qs.size)
+    }
+  }
+
+  /** (query_id, doc_id, rerank) through the [[Reranker]] seam — one
+    * mapPartitions pass over a (query_id, qtext, doc_id, dtext)
+    * shortlist, `open()` once per partition, zero shuffles. The
+    * shortlist is already bounded (shortlistN x Q rows from a
+    * TopKPerKey stage), which is what makes a per-pair cross-encoder
+    * affordable at scale — it never sees the corpus. */
+  def rerankBatch(shortlist: DataFrame, rr: Reranker = WordF1Reranker): DataFrame = {
+    import shortlist.sparkSession.implicits._
+    shortlist.select(col("query_id").cast("long"), col("qtext"),
+        col("doc_id").cast("long"), col("dtext"))
+      .as[(Long, String, Long, String)]
+      .mapPartitions { it =>
+        val score = rr.open() // cross-encoder load, once per partition
+        it.map { case (qid, qt, did, dt) => (qid, did, score(qt, dt)) }
+      }
+      .toDF("query_id", "doc_id", "rerank")
+  }
+
   /** (doc_id, embedding float[dim]) through the [[Embedder]] seam —
     * one mapPartitions pass, `open()` once per partition, zero
     * shuffles. The output schema matches the embeddings table

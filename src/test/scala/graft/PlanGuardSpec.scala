@@ -39,7 +39,8 @@ class PlanGuardSpec extends AnyFunSuite {
   private val broadcastQueryBatch = Set("s12_batch_search",
     "h02_batch_hybrid", // h01's fused score in the s12 serving shape
     "e02_embed_search", // e01 embedder output into the s12 shape
-    "s15_batch_matryoshka") // prefix shortlist + re-rank, s12 shape
+    "s15_batch_matryoshka", // prefix shortlist + re-rank, s12 shape
+    "r01_rerank") // jaccard shortlist stage rides the same fan-out
 
   test("no query plans an unintended cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
