@@ -306,4 +306,67 @@ class OperatorsSpec extends AnyFunSuite {
       .matryoshkaRecall(emb, 0L, 10, 16, 50, 0.0).head()
     assert(row.getLong(3) === mat.keySet.intersect(full.keySet).size.toLong)
   }
+
+  test("d19 semDedup: nearest-centroid assignment and drop rule match brute force") {
+    val emb = graft.sources.Tables.embeddings(spark, GraftTestSession.sf)
+    val got = graft.operators.Dedup.semDedup(emb, 16, 0.3).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cents = (0 until 16).map(i => vecs(i.toLong))
+    def l2(v: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cellOf = vecs.map { case (id, v) =>
+      id -> (0 until 16).minBy(j => l2(v, cents(j))) // minBy ties → first = smallest j
+    }
+    got.foreach { case (id, (c, _)) =>
+      assert(c === cellOf(id), s"vec $id assigned to wrong cell")
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val droppedRef = ids.filter { j =>
+      ids.exists(i => i < j && cellOf(i) == cellOf(j) && cos(vecs(i), vecs(j)) >= 0.3)
+    }.toSet
+    assert(droppedRef.nonEmpty, "gate corpus should drop at least one semantic dup")
+    assert(got.filter(_._2._2).keySet === droppedRef)
+  }
+
+  test("t18 qualityScore: sigmoid of the index-order dot, keep = logit sign") {
+    val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
+    val emb = graft.operators.TextOps.embedDocuments(docs)
+    val w = graft.operators.TextOps.classifierWeights(64)
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val got = graft.operators.TextOps.qualityScore(emb, w).collect()
+    assert(got.length === vecs.size)
+    got.foreach { r =>
+      val v = vecs(r.getLong(0))
+      var dot = 0.0
+      v.indices.foreach(i => dot += v(i) * w(i)) // same fold order as the plan
+      assert(r.getBoolean(2) === (dot >= 0))
+      assert(math.abs(r.getDouble(1) - 1.0 / (1.0 + math.exp(-dot))) < 1e-6)
+    }
+    // the head separates: both classes present on the gate corpus
+    assert(got.exists(_.getBoolean(2)) && got.exists(!_.getBoolean(2)))
+  }
+
+  test("s15 batch matryoshka agrees with the single-query path per query") {
+    val emb = graft.sources.Tables.embeddings(spark, GraftTestSession.sf)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = graft.operators.Similarity.matryoshkaTopKBatch(emb, qs, 10, 16, 50)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getLong(1), r.getDouble(2))).toSet }
+    (0L until 3L).foreach { q =>
+      val single = graft.operators.Similarity.matryoshkaTopK(emb, q, 10, 16, 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(q) === single, s"query $q batch/single divergence")
+    }
+  }
 }

@@ -78,6 +78,32 @@ class PipelineSeamsSpec extends AnyFunSuite {
     assert(top.map(_.getDouble(1)).toSeq === top.map(_.getDouble(1)).toSeq.sorted.reverse)
   }
 
+  test("Reranker seam: one open per partition, injected scorer replaces the F1 kernel") {
+    val opens = spark.sparkContext.longAccumulator("rr_opens")
+    val constRr = new TextOps.Reranker {
+      def open(): (String, String) => Double = {
+        opens.add(1L) // stands in for loading the cross-encoder
+        (_, _) => 0.25
+      }
+    }
+    import spark.implicits._
+    val shortlist = Seq(
+      (0L, "a b c", 1L, "a b d"), (0L, "a b c", 2L, "x y"),
+      (1L, "p q", 3L, "p q"), (1L, "p q", 4L, ""))
+      .toDF("query_id", "qtext", "doc_id", "dtext").repartition(3)
+    // injected scorer wins, one open per partition
+    val flat = TextOps.rerankBatch(shortlist, constRr).collect()
+    assert(flat.length === 4 && flat.forall(_.getDouble(2) === 0.25))
+    assert(opens.value === 3L, s"expected one open() per partition, got ${opens.value}")
+    // reference kernel: F1 = 2|q∩d| / (|d|+|q|) over distinct words
+    val f1 = TextOps.rerankBatch(shortlist).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(f1((0L, 1L)) === 2.0 * 2 / (3 + 3)) // {a,b} of {a,b,c}/{a,b,d}
+    assert(f1((0L, 2L)) === 0.0)
+    assert(f1((1L, 3L)) === 1.0) // identical sets
+    assert(f1((1L, 4L)) === 0.0) // empty doc side
+  }
+
   test("Tokenizer seam: default regex tokenizer plans as a codegen column (no lambda)") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val plan = TextOps.tokenCounts(docs).queryExecution.optimizedPlan.toString
