@@ -43,7 +43,11 @@ object Plans {
       "s12_batch_search" -> "BATCH exact search: TWO scans total (one corpus pass + the broadcast Q-row query table), CosSim kernel per (vec, query), TopKPerKey bounds the only exchange at k x Q rows — no per-query job loop",
       "s13_batch_pq_search" -> "BATCH stored-PQ search: exactly ONE FileScan (codes-only, no embedding column), concatenated slot-indexed LUTs broadcast as a literal, generator fan-out to (query, vec) pairs, TopKPerKey per query",
       "s14_batch_ivfpq_search" -> "BATCH IVF-PQ stored search: ONE codes-only FileScan partition-pruned to the UNION of per-query probe lists (PartitionFilters on cell), per-(query,cell) LUT segments selected by slot, TopKPerKey per query",
-      "p04_batch_retrieval" -> "BATCH retrieval: one chunk-corpus pass, query-independent per-(chunk,term) BM25 partials, broadcast (query,term) fan-in join, decimal-exact sum, TopKPerKey per query — queries never trigger another corpus scan")
+      "p04_batch_retrieval" -> "BATCH retrieval: one chunk-corpus pass, query-independent per-(chunk,term) BM25 partials, broadcast (query,term) fan-in join, decimal-exact sum, TopKPerKey per query — queries never trigger another corpus scan",
+      "d19_semantic_dedup" -> "SemDeDup: zero-shuffle PqAssign cell map (centroids are codegen literals in the scan projection — no centroid join anywhere); the within-cell pair join is an equi-join ON CELL (AQE broadcasts the gate-corpus side here; at scale it is one cell-key exchange), so the quadratic stage never leaves its cell; drop set aggregates on id_b and broadcasts back",
+      "s15_batch_matryoshka" -> "BATCH matryoshka: one corpus scan, prefix-cosine per (vec, query), TopKPerKey shortlist CARRIES the full vectors so the re-rank stage is heap-local — no second scan, no vec_id join between stages",
+      "r01_rerank" -> "retrieve->rerank: jaccard shortlist bounds the exchange at shortlistN x Q rows, the MapPartitions cross-encoder stage sits strictly AFTER TopKPerKey — the pairwise scorer never sees the corpus",
+      "t18_quality_classifier" -> "quality classifier: embed (MapPartitions seam) -> zip_with/aggregate dot -> sigmoid, all in one stage, zero exchanges before the output sort")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +
