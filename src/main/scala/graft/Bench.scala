@@ -93,7 +93,9 @@ object Bench {
       "ao01_asof_join", "ao02_asof_tolerance", "ao03_asof_forward",
       "rj01_point_interval", "tk01_topk_per_key", "h01_hybrid_retrieval",
       "d18_canonical_dedup", "q68_quantile_sketch", "q69_window_dist",
-      "p03_retrieval_pipeline")
+      "p03_retrieval_pipeline", "d19_semantic_dedup", "h02_batch_hybrid",
+      "e02_embed_search", "t18_quality_classifier", "s15_batch_matryoshka",
+      "r01_rerank")
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
