@@ -83,6 +83,22 @@ object Scale {
       f"planted near-dup pairs ${cliquePairs}%,d, found ${found}%,d " +
       f"(recall ${found.toDouble / cliquePairs}%.4f)")
 
+    // ---- SemDeDup probe (d19): the cluster-bounded curation pass on
+    // the same planted-clique corpus. Cost model: per-cell all-pairs
+    // (nv/ncells)^2, never nv^2 — and the within-cell drop rule
+    // should catch most planted replicas (a replica missed only when
+    // the one perturbed dimension flips its cell — the documented
+    // cross-cell trade vs the complete LSH path above).
+    var semDropped = 0L
+    timeV("semDedup")({
+      semDropped = graft.operators.Dedup.semDedup(vecs, 256, 0.9)
+        .filter(col("dropped")).count(); nv
+    })
+    val planted = n0 * (reps - 1) // each base doc's higher-id replicas
+    println(f"[scale] semDedup: $semDropped%,d dropped of $planted%,d planted replica " +
+      f"dups (${semDropped.toDouble / planted}%.3f caught within-cell; 256 cells " +
+      f"bound the pair stage at ${nv / 256}%,d-vec cells)")
+
     // ---- stored-PQ probe: the ANN read path. Build the IVF-PQ index
     // once (codes = m bytes/vector, partitioned by cell), then compare
     // the codes-only stored search against the inline path that
