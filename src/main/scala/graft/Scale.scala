@@ -90,7 +90,7 @@ object Scale {
     // the one perturbed dimension flips its cell — the documented
     // cross-cell trade vs the complete LSH path above).
     var semDropped = 0L
-    timeV("semDedup")({
+    time("semDedup")({
       semDropped = graft.operators.Dedup.semDedup(vecs, 256, 0.9)
         .filter(col("dropped")).count(); nv
     })

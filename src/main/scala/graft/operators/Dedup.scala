@@ -1022,7 +1022,18 @@ object Dedup {
       .select(col("vec_id"), col("embedding")).collect() // ncells x dim — KB
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     require(cents.size == ncells, s"centroid init needs vec_ids 0..${ncells - 1}")
-    val flat = (0 until ncells).flatMap(j => cents(j.toLong)).toArray
+    semDedupWithCentroids(embeddings,
+      (0 until ncells).map(j => cents(j.toLong)).toArray, tau)
+  }
+
+  /** [[semDedup]] with caller-supplied centroids — the seam a TRAINED
+    * coarse quantizer (an MLlib KMeans fit, cf. s04) drops into; the
+    * default entry path uses the first-ncells data vectors so the
+    * oracle can replay assignment. Centroid row index = cell id. */
+  def semDedupWithCentroids(embeddings: DataFrame,
+      centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    val ncells = centroids.length
+    val flat = centroids.flatten
     val assigned = embeddings.select(col("vec_id"), col("embedding"),
       graft.functions.pqAssign(col("embedding"), flat, 1, ncells)
         .getField("codes").getItem(0).cast("int").as("cell"))

@@ -338,6 +338,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.filter(_._2._2).keySet === droppedRef)
   }
 
+  test("d19 semDedup: trained KMeans centroids drop into the centroid seam") {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = graft.sources.Tables.embeddings(spark, GraftTestSession.sf)
+    // pinned partitioning + seed, the s04 determinism recipe
+    val fv = emb.repartition(8, col("vec_id")).sortWithinPartitions("vec_id")
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val cents = new KMeans().setK(8).setSeed(7L).setMaxIter(10)
+      .setFeaturesCol("fv").fit(fv).clusterCenters.map(_.toArray)
+    val got = graft.operators.Dedup.semDedupWithCentroids(emb, cents, 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got.size === emb.count())
+    // trained cells are the argmin-L2 assignment against the fit's centers
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(v: Array[Double], c: Array[Double]): Double =
+      v.indices.foldLeft(0.0)((s, i) => { val d = v(i) - c(i); s + d * d })
+    got.foreach { case (id, (cell, _)) =>
+      assert(cell === cents.indices.minBy(j => l2(vecs(id), cents(j))))
+    }
+    // drop rule unchanged: every drop has a smaller-id cell-mate at tau
+    val cellOf = got.map { case (id, (c, _)) => id -> c }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.filter(_._2._2).keys.foreach { j =>
+      assert(vecs.keys.exists(i =>
+        i < j && cellOf(i) == cellOf(j) && cos(vecs(i), vecs(j)) >= 0.3),
+        s"dropped $j has no similar smaller-id cell-mate")
+    }
+  }
+
   test("t18 qualityScore: sigmoid of the index-order dot, keep = logit sign") {
     val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
     val emb = graft.operators.TextOps.embedDocuments(docs)

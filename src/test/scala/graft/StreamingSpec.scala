@@ -276,6 +276,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming curation: embedder + classifier seams run per micro-batch, equal batch") {
+    import graft.operators.TextOps
+    val src = Files.createTempDirectory("graft-cur-src")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), src.resolve("part1.parquet"))
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    // the t18 stage is stateless column/mapPartitions work, so it runs
+    // unchanged under Structured Streaming — open() per partition per
+    // micro-batch, no state store involved
+    val scored = TextOps.qualityScore(
+      TextOps.embedDocuments(stream), TextOps.classifierWeights(64))
+    val q = scored.writeStream.format("memory").queryName("cur_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cur_out").collect().map(_.toSeq).toSet
+    val batch = TextOps.qualityScore(
+      TextOps.embedDocuments(spark.read.parquet(s"$sf/documents.parquet")),
+      TextOps.classifierWeights(64)).collect().map(_.toSeq).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("streaming ANN ingest: batch-2 vector searchable codes-only; batch replay doesn't double") {
     import spark.implicits._
     import graft.operators.Similarity
