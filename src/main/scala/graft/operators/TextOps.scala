@@ -784,6 +784,63 @@ object TextOps {
       FROM occ JOIN freq USING (w)
       GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- bigram-LM surprisal (the CCNet/Wikipedia-LM perplexity
+    //      filter, self-trained): add-one-smoothed bigram model
+    //      trained ON the corpus — -log2 P(w2|w1) with P = (c12+1)/
+    //      (c1+V) — scoring each doc by average bits/bigram. High
+    //      bits = unusual word sequences (boilerplate, gibberish,
+    //      wrong language); the curation gate thresholds on it. All
+    //      counts integer; the ONLY float op is one division + log2
+    //      per DISTINCT bigram, rounded to 9 decimals and summed as
+    //      DECIMAL (order-independent, §4 rule). Two count shuffles +
+    //      one doc rollup, cost ∝ corpus tokens; a held-out LM table
+    //      joins into the same shape ----
+    ("t19_bigram_surprisal", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val ws = filter(split(trim(col("text")), " "), w => w =!= "")
+      val big = docs.select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - 1),
+            i => struct(element_at(col("ws"), i).as("w1"),
+              element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = docs.select(explode(ws).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          round(log2((col("c1") + col("v")).cast("double") /
+            (col("c12") + lit(1)).cast("double")), 9)
+            .cast("decimal(28,9)").as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("snll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("snll").cast("double") / col("n_bigrams"), 6)
+            .as("bits_per_bigram"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws
+                 FROM documents),
+      big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+              FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM w WHERE len(ws) >= 2) t),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+      v AS (SELECT count(DISTINCT x) AS v FROM
+              (SELECT unnest(ws) AS x FROM w) u),
+      sc AS (SELECT b.doc_id,
+               CAST(round(log2(CAST(c1.c1 + v.v AS DOUBLE) /
+                 (c12.c12 + 1)), 9) AS DECIMAL(28,9)) AS nll
+             FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS bits_per_bigram
+      FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- Misra-Gries heavy hitters (mergeable sketch #3 next to HLL
     //      q38 / theta q62): bounded-memory frequent-token candidates.
     //      The contract the oracle checks is the DETERMINISTIC part of

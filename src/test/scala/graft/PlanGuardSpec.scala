@@ -23,8 +23,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "t15_heavy_hitters", // broadcast 1-row token total + 1-row MG sketch
     "p02_pipeline_full", // broadcast 1-row mix total (d14's rate stage)
     "p03_retrieval_pipeline", // broadcast 1-row chunk-corpus stats (t07's shape)
-    "p04_batch_retrieval") // same 1-row stats crossJoin as p03 (the query
+    "p04_batch_retrieval", // same 1-row stats crossJoin as p03 (the query
                            // table joins by TERM — an equi hash join, not NL)
+    "t19_bigram_surprisal") // broadcast 1-row vocab size
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
