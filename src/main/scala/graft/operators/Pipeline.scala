@@ -404,6 +404,89 @@ object Pipeline {
                              ORDER BY CAST(sdec AS DOUBLE) DESC, uid) AS rn
         FROM sc WHERE uid // 1048576 <> query_id) t
       WHERE rn <= 10
-      ORDER BY query_id, bm25 DESC, doc_id, chunk_id"""))
+      ORDER BY query_id, bm25 DESC, doc_id, chunk_id""")),
+
+    // ---- SEMANTIC curation pipeline (the DataComp/DCLM shape): the
+    //      t18 classifier gates raw text, then d19's cluster-bounded
+    //      semantic dedup prunes the SURVIVORS against the
+    //      corpus-level coarse quantizer — classifier embed (e01
+    //      seam), sigmoid head, semi-join into the embeddings table,
+    //      cell assignment, within-cell drop rule, all ONE Catalyst
+    //      plan. The oracle chains the t18 and d19 oracles' CTEs
+    //      with the keep-set semi-join between them, bit-exact end
+    //      to end ----
+    ("p05_curation_pipeline", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val scored = TextOps.qualityScore(
+        TextOps.embedDocuments(docs), TextOps.classifierWeights(64))
+      val kept = scored.filter(col("keep"))
+        .select(col("doc_id").as("vec_id"), col("score"))
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).collect() // 16 x dim — KB
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      val keptEmb = emb.join(kept.select("vec_id"), Seq("vec_id"), "left_semi")
+      Dedup.semDedupWithCentroids(keptEmb,
+          (0 until 16).map(j => cents(j.toLong)).toArray, 0.3)
+        .filter(!col("dropped"))
+        .join(kept, Seq("vec_id"))
+        .select(col("vec_id").as("doc_id"), col("cell"), col("score"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH wr AS (SELECT doc_id,
+             unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS w
+           FROM documents),
+      hh AS (SELECT doc_id, """ + OracleSql.fnvU64("w") + """ AS h FROM wr),
+      ccx AS (SELECT doc_id, CAST(h % 64 AS INT) AS i,
+                CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+              FROM hh),
+      acc AS (SELECT doc_id, i, CAST(sum(sgn) AS BIGINT) AS v
+              FROM ccx GROUP BY doc_id, i),
+      grid AS (SELECT d.doc_id, r.range AS i
+               FROM (SELECT DISTINCT doc_id FROM documents) d, range(64) r),
+      fullv AS (SELECT g.doc_id, g.i, coalesce(a.v, 0) AS v
+                FROM grid g LEFT JOIN acc a ON a.doc_id = g.doc_id AND a.i = g.i),
+      nrm AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS n
+              FROM fullv GROUP BY doc_id),
+      femb AS (SELECT f.doc_id, f.i,
+                 CAST(CASE WHEN n.n = 0 THEN 0 ELSE f.v / n.n END AS FLOAT) AS fv
+               FROM fullv f JOIN nrm n USING (doc_id)),
+      wt AS (SELECT range AS i,
+               CAST((range * 2654435761) % 1024 AS DOUBLE) / 1024.0 - 0.5 AS w
+             FROM range(64)),
+      dots AS (SELECT doc_id,
+                 list_sum(list(CAST(fv AS DOUBLE) * w ORDER BY i)) AS dot
+               FROM femb JOIN wt USING (i) GROUP BY doc_id),
+      kept AS (SELECT doc_id, round(1.0 / (1.0 + exp(-dot)), 6) AS score
+               FROM dots WHERE dot >= 0),
+      cents AS (SELECT vec_id AS cid, embedding AS ce
+                FROM embeddings WHERE vec_id < 16),
+      za AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.ce) AS b
+             FROM embeddings e JOIN kept k ON k.doc_id = e.vec_id, cents c),
+      d2 AS (SELECT vec_id, cid,
+               sum((CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))) AS d
+             FROM za GROUP BY 1, 2),
+      asg AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM d2) t WHERE rn = 1),
+      pr AS (SELECT x.vec_id AS ia, y.vec_id AS ib
+             FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+      z2 AS (SELECT pr.ia, pr.ib, unnest(ea.embedding) AS a, unnest(eb.embedding) AS b
+             FROM pr JOIN embeddings ea ON ea.vec_id = pr.ia
+                     JOIN embeddings eb ON eb.vec_id = pr.ib),
+      sums AS (SELECT ia, ib,
+                 sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+                 sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+                 sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+               FROM z2 GROUP BY 1, 2),
+      dup AS (SELECT DISTINCT ib FROM sums
+              WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.3)
+      SELECT a.vec_id AS doc_id, CAST(a.cid AS INT) AS cell, k.score
+      FROM asg a JOIN kept k ON k.doc_id = a.vec_id
+      LEFT JOIN dup ON dup.ib = a.vec_id
+      WHERE dup.ib IS NULL
+      ORDER BY doc_id"""))
   )
 }
