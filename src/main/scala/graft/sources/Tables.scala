@@ -23,15 +23,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS): surfaced as exact `ts_ns`
-    * (long) plus micro-truncated `ts` (timestamp). `ts div 1000` is
-    * integer division — ns values (~1.7e18) exceed double precision.
+  /** events.ts contract: downstream always sees `ts` (TIMESTAMP, µs,
+    * UTC instant) plus `ts_ns` (epoch-nanos BIGINT). The on-disk type
+    * has shipped in two generations, so the loader adapts on schema:
+    *   - TIMESTAMP(NANOS) — read as a nanos long (nanosAsLong conf);
+    *     `ts div 1000` is integer division because ns values (~1.7e18)
+    *     exceed double precision.
+    *   - TIMESTAMP(MICROS) — read as a timestamp (NTZ under the
+    *     default inferTimestampNTZ); cast to an instant under the UTC
+    *     session zone and derive ts_ns = unix_micros * 1000 (no
+    *     overflow: |µs| < 2^53 for any realistic date, ×1000 < 2^63).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts_ns",
+            unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

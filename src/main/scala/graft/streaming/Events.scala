@@ -24,20 +24,39 @@ case class SessionState(start_us: Long, last_us: Long, n: Long)
   */
 object Events {
 
-  /** Parquet schema of the events table (ts read as nanos long). */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Parquet schema of the events table with `ts` of the given type —
+    * the streaming source needs an explicit schema, and the on-disk ts
+    * type has shipped as both TIMESTAMP(NANOS)-as-long and
+    * TIMESTAMP(MICROS) (see [[graft.sources.Tables.events]]).
+    */
+  def schemaWith(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-source stream over a directory of event parquet files (the
     * file source requires a directory; at scale this is the landing
-    * path new files arrive in, or a Kafka source instead).
+    * path new files arrive in, or a Kafka source instead). The ts type
+    * is probed from files already in the landing dir (a batch-read of
+    * the footer only — no data scan); an empty dir defaults to the
+    * current µs-timestamp generation. Output contract matches
+    * [[graft.sources.Tables.events]]: ts TIMESTAMP + ts_ns BIGINT.
     */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(TimestampNTZType)
+    val stream = spark.readStream.schema(schemaWith(tsType)).parquet(dir)
+    tsType match {
+      case LongType =>
+        stream.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        stream.withColumn("ts_ns",
+            unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Hourly tumbling-window counts+sums with a 2h watermark —
     * streaming twin of q32_events_window.
