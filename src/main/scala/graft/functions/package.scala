@@ -41,6 +41,29 @@ package object functions {
   def mgSketch(c: Column, cap: Int): Column =
     col(expr.MisraGriesAgg(ex(c), cap).toAggregateExpression())
 
+  /** Aggregate: Spark's bloom-filter sketch (serialized bytes) over a
+    * LONG column. Partial blooms OR-merge map-side, so the build is
+    * one tree-aggregated pass with no pre-shuffle; the result is a
+    * fixed `numBits/8`-byte sidecar object regardless of input size.
+    */
+  def bloomAgg(c: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    col(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      ex(c), ex(lit(expectedItems)), ex(lit(numBits))).toAggregateExpression())
+  }
+
+  /** Map-only membership probe of a driver-held serialized bloom over
+    * a LONG column: the filter bytes ride the plan as a literal
+    * (deserialized once, probe stays in codegen), so no join, shuffle,
+    * or broadcast exchange appears in the plan. May return false
+    * positives, never false negatives.
+    */
+  def bloomMightContain(bf: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      ex(lit(bf)), ex(c)))
+  }
+
   /** Distinct-count estimate of a theta-sketch column. */
   def thetaEstimate(c: Column): Column = col(expr.ThetaEstimate(ex(c)))
 

@@ -198,6 +198,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** [[decontaminate]] flipped to the 100 TB shape: screen a batch
+    * against a MASSIVE seen/reference corpus (prior training runs, an
+    * earlier crawl) whose distinct-shingle set is far beyond any
+    * broadcast threshold — the case d12's `broadcast(evalH)` cannot
+    * serve. Three phases:
+    *   1. BUILD — one tree-aggregated pass folds the reference's
+    *      n-gram shingle hashes into a fixed-size bloom
+    *      (`numBits/8` bytes on the driver; a sidecar-sized object a
+    *      production loop builds once and reuses across batches).
+    *   2. PROBE — a map-only `might_contain` prefilter over the
+    *      batch's shingles: no join, no exchange, stays in codegen.
+    *   3. CONFIRM — the bloom has no false negatives, so the
+    *      surviving candidate hashes are a superset of the truly
+    *      shared ones and, under low contamination, tiny (bounded by
+    *      shared + fpp x |batch shingles|). One semi-join of the
+    *      reference against that broadcast candidate set drops the
+    *      false positives, making the final per-doc counts EXACT —
+    *      same semantics and oracle as d12.
+    * Shuffle budget: reference scanned map-only (build once ever,
+    * confirm once per batch, candidate side broadcast both times);
+    * batch scanned once; every exchange is candidate-sized.
+    */
+  def bloomDecontaminate(corpus: DataFrame, ref: DataFrame, n: Int = 8,
+      minShared: Int = 3, expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val sh = graft.functions.shingleHashes(col("text"), n)
+    val refH = ref.repartition(par).select(explode(sh).as("h"))
+    // numBits/8 bytes on the driver — the reusable sidecar; null when
+    // the reference is empty (BloomFilterAggregate of zero rows).
+    val bf = refH.agg(graft.functions.bloomAgg(col("h"), expectedItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val corpusH = corpus.repartition(par).select(col("doc_id"), explode(sh).as("h"))
+    val cand =
+      if (bf == null) corpusH.where(lit(false))
+      else corpusH.where(graft.functions.bloomMightContain(bf, col("h")))
+    val candSet = cand.select(col("h")).distinct()
+    val confirmed = refH.join(broadcast(candSet), Seq("h"), "left_semi").distinct()
+    val shared = cand.join(broadcast(confirmed), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id")).join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as(s"n_shared_${n}grams"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Exact duplicated-substring spans (the Lee et al. "Deduplicating
     * Training Data" companion to d11's near-dup windows): per doc, the
     * MAXIMAL word runs of >= `minWords` words in which every k-word
@@ -1460,6 +1507,45 @@ object Dedup {
                  FROM documents),
       f AS (SELECT doc_id,
               (doc_id % 1000003) * 427799 % 1000003 % 50 = 0 AS ev
+            FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(ws) >= 8
+                   THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                     || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+                   ELSE array_to_string(ws, ' ') END AS tg
+            FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+                  FROM w WHERE len(ws) > 0)),
+      th AS (SELECT tg, ${OracleSql.fnvU64("tg")} AS h
+             FROM (SELECT DISTINCT tg FROM g)),
+      gh AS (SELECT DISTINCT doc_id, h FROM g JOIN th USING (tg)),
+      eh AS (SELECT DISTINCT h FROM gh JOIN f USING (doc_id) WHERE ev),
+      sh AS (SELECT gh.doc_id, count(*) AS n
+             FROM gh JOIN f USING (doc_id) JOIN eh USING (h)
+             WHERE NOT ev GROUP BY gh.doc_id)
+      SELECT d.doc_id, CAST(coalesce(sh.n, 0) AS BIGINT) AS n_shared_8grams,
+        coalesce(sh.n, 0) >= 3 AS contaminated
+      FROM documents d JOIN f USING (doc_id) LEFT JOIN sh ON sh.doc_id = d.doc_id
+      WHERE NOT f.ev ORDER BY d.doc_id""")),
+
+    // ---- bloom-prefiltered decontamination against a LARGE seen
+    //      corpus (~33% hash split — the shape where d12's broadcast
+    //      eval set stops fitting): bloom prunes, an exact confirm
+    //      join removes false positives, so the result is exactly
+    //      d12's semantics on the bigger split. Oracle replays the
+    //      same fnvU64 chain; the bloom never appears in it because
+    //      it only PRUNES ----
+    ("d20_bloom_decontaminate", (s: SparkSession, d: String) => {
+      val all = Tables.documents(s, d)
+      val isSeen =
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L), lit(1000003L)) % 3 === 0
+      bloomDecontaminate(all.filter(!isSeen), all.filter(isSeen), 8, 3)
+    }, Some(s"""
+      WITH w AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+                 FROM documents),
+      f AS (SELECT doc_id,
+              (doc_id % 1000003) * 427799 % 1000003 % 3 = 0 AS ev
             FROM documents),
       g AS (SELECT DISTINCT doc_id,
               CASE WHEN len(ws) >= 8

@@ -161,6 +161,34 @@ class DedupSpec extends AnyFunSuite {
     assert(m(2L) === ((0L, false)))
   }
 
+  test("bloomDecontaminate: exact d12 parity, bloom prunes, empty ref degenerates") {
+    import org.apache.spark.sql.functions._
+    val evalDoc = "the capital of france is paris and the capital of italy is rome always"
+    val contaminated = s"intro words here $evalDoc trailing content words"
+    val clean = "totally unrelated text about mountains rivers forests deserts oceans and valleys spanning many words"
+    val batch = docs(1L -> contaminated, 2L -> clean)
+    val ref = docs(100L -> evalDoc)
+    val exact = Dedup.decontaminate(batch, ref, 8, 3).collect().map(_.toSeq)
+    val bloomed = Dedup.bloomDecontaminate(batch, ref, 8, 3).collect().map(_.toSeq)
+    assert(bloomed.toSeq === exact.toSeq)
+
+    // the map-only prefilter really prunes: the clean doc's shingles
+    // share nothing with the ref, so candidates < total batch shingles
+    val sh = graft.functions.shingleHashes(col("text"), 8)
+    val refBf = ref.select(explode(sh).as("h"))
+      .agg(graft.functions.bloomAgg(col("h"), 1L << 12, 1L << 16))
+      .head.getAs[Array[Byte]](0)
+    val batchH = batch.select(explode(sh).as("h"))
+    val nCand = batchH.where(graft.functions.bloomMightContain(refBf, col("h"))).count()
+    assert(nCand < batchH.count(), "bloom prefilter should prune unshared shingles")
+    assert(nCand >= 3, "bloom must keep every truly shared shingle (no false negatives)")
+
+    // empty reference: bloom agg yields null, every doc comes back clean
+    val none = Dedup.bloomDecontaminate(batch, ref.where(lit(false)), 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(none.toSet === Set((1L, 0L, false), (2L, 0L, false)))
+  }
+
   test("signature store: batch join reads the corpus store with zero exchange") {
     import org.apache.spark.sql.functions._
     val corpus = docs(1L -> base, 3L -> far)
