@@ -353,6 +353,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-group percentile gate (the CCNet-style adaptive threshold:
+    * every language/source has its own score distribution, so a global
+    * cutoff over- or under-filters — drop each group's bottom `p`
+    * instead). Score-agnostic: plug word counts, [[qualityScore]],
+    * a perplexity — any numeric column.
+    *
+    * NOT a per-group sort window: `Window.partitionBy(group)
+    * .orderBy(score)` over the corpus serializes each group into one
+    * task — the d17 skew trap. Instead the d17 two-phase histogram
+    * shape: (1) groupBy(group, score) count — partial-aggregable, one
+    * corpus exchange of histogram-sized output; (2) cumulative counts
+    * + threshold over the HISTOGRAM (distinct scores per group, tiny);
+    * (3) thresholds (one row per group) broadcast back, map-only
+    * filter. Threshold = min score whose cumulative count reaches
+    * ceil(p*n): a real data value, ties all kept, no interpolation —
+    * integer comparisons end-to-end, so oracle parity is exact.
+    */
+  def percentileGate(scored: DataFrame, group: String, score: String,
+      p: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p > 0 && p < 1, s"need 0 < p < 1, got $p")
+    val hist = scored.groupBy(col(group), col(score)).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(group).orderBy(score)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(group)))
+    val thr = cum.filter(col("cum") >= ceil(lit(p) * col("n")))
+      .groupBy(col(group)).agg(min(col(score)).as("thr"))
+    scored.join(broadcast(thr), Seq(group))
+      .filter(col(score) >= col("thr"))
+  }
+
   /** Sliding-window chunking with overlap (RAG / context-window prep):
     * fixed `chunk`-word windows every `stride` words, so consecutive
     * chunks share `chunk - stride` boundary words. One generator over
@@ -840,6 +872,34 @@ object TextOps {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS bits_per_bigram
       FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- per-language percentile gate: drop each language's bottom
+    //      20% by word count (the adaptive-threshold filter; score
+    //      column is pluggable). Integer threshold election over the
+    //      two-phase histogram; oracle replays it exactly ----
+    ("t20_percentile_gate", (s: SparkSession, d: String) => {
+      val ws = filter(split(trim(col("text")), " "), w => w =!= "")
+      val scored = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), size(ws).cast("bigint").as("n_words"))
+      percentileGate(scored, "lang", "n_words", 0.2)
+        .select(col("doc_id"), col("lang"), col("n_words"), col("thr"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH s AS (SELECT doc_id, lang,
+          CAST(len(list_filter(string_split(trim(text), ' '), t -> t <> ''))
+            AS BIGINT) AS n_words
+        FROM documents),
+      h AS (SELECT lang, n_words, count(*) AS cnt FROM s GROUP BY 1, 2),
+      c AS (SELECT lang, n_words,
+              sum(cnt) OVER (PARTITION BY lang ORDER BY n_words) AS cum,
+              sum(cnt) OVER (PARTITION BY lang) AS n
+            FROM h),
+      t AS (SELECT lang, CAST(min(n_words) AS BIGINT) AS thr
+            FROM c WHERE cum >= ceil(0.2 * n) GROUP BY lang)
+      SELECT s.doc_id, s.lang, s.n_words, t.thr
+      FROM s JOIN t USING (lang) WHERE s.n_words >= t.thr
+      ORDER BY s.doc_id""")),
 
     // ---- Misra-Gries heavy hitters (mergeable sketch #3 next to HLL
     //      q38 / theta q62): bounded-memory frequent-token candidates.

@@ -206,6 +206,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("percentileGate: per-group threshold, ties kept, no corpus sort window") {
+    import spark.implicits._
+    val scored = (
+      (1L to 10L).map(i => (i, "a", i)) ++          // a: scores 1..10
+      (11L to 14L).map(i => (i, "b", 5L)) ++        // b: all tied at 5
+      Seq((21L, "c", 1L), (22L, "c", 1L), (23L, "c", 2L), (24L, "c", 3L))
+    ).toDF("doc_id", "lang", "n_words")
+    val out = graft.operators.TextOps.percentileGate(scored, "lang", "n_words", 0.2)
+      .select("doc_id", "lang", "n_words", "thr")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val byLang = out.groupBy(_._2)
+    // a: n=10, ceil(0.2*10)=2 -> thr=2, doc 1 (score 1) dropped
+    assert(byLang("a").map(_._1).sorted === (2L to 10L))
+    assert(byLang("a").forall(_._3 == 2L))
+    // b: all tied at the threshold value -> everything kept
+    assert(byLang("b").map(_._1).sorted === (11L to 14L))
+    // c: n=4, ceil(0.8)=1 -> thr=1 (cum at score 1 is already 2) -> all kept
+    assert(byLang("c").map(_._1).sorted === Seq(21L, 22L, 23L, 24L))
+
+    // scale shape: the only window runs over the histogram, and the
+    // threshold join is a broadcast — the corpus never sorts per group
+    val plan = graft.operators.TextOps.percentileGate(scored, "lang", "n_words", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"threshold join should broadcast:\n$plan")
+  }
+
   test("gopherRules: first failing rule named, clean doc kept") {
     import spark.implicits._
     val rows = Seq(
