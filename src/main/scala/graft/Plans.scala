@@ -47,7 +47,9 @@ object Plans {
       "d19_semantic_dedup" -> "SemDeDup: zero-shuffle PqAssign cell map (centroids are codegen literals in the scan projection — no centroid join anywhere); the within-cell pair join is an equi-join ON CELL (AQE broadcasts the gate-corpus side here; at scale it is one cell-key exchange), so the quadratic stage never leaves its cell; drop set aggregates on id_b and broadcasts back",
       "s15_batch_matryoshka" -> "BATCH matryoshka: one corpus scan, prefix-cosine per (vec, query), TopKPerKey shortlist CARRIES the full vectors so the re-rank stage is heap-local — no second scan, no vec_id join between stages",
       "r01_rerank" -> "retrieve->rerank: jaccard shortlist bounds the exchange at shortlistN x Q rows, the MapPartitions cross-encoder stage sits strictly AFTER TopKPerKey — the pairwise scorer never sees the corpus",
-      "t18_quality_classifier" -> "quality classifier: embed (MapPartitions seam) -> zip_with/aggregate dot -> sigmoid, all in one stage, zero exchanges before the output sort")
+      "t18_quality_classifier" -> "quality classifier: embed (MapPartitions seam) -> zip_with/aggregate dot -> sigmoid, all in one stage, zero exchanges before the output sort",
+      "d20_bloom_decontaminate" -> "bloom decontamination: the batch probe is a map-only codegen Filter (the bloom rides the plan as a truncated literal — no join or exchange introduces it); every KEYED exchange (two distincts, the per-doc count) is candidate-sized and both confirm joins broadcast — the only full-width exchanges are the single-file-testdata round-robin repartitions, absent when the source arrives pre-split",
+      "t20_percentile_gate" -> "percentile gate: one partial-aggregable groupBy(group, score) is the only corpus exchange; the cumulative window runs over the histogram, thresholds broadcast back into a map-only filter — no per-group corpus sort")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +
@@ -55,7 +57,11 @@ object Plans {
     picks.foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // materialize AQE final plan
+      // cap line length: large literals (the d20 bloom is numBits/8
+      // bytes of hex) would otherwise dump megabytes into the evidence
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+        .linesIterator.map(l => if (l.length > 400) l.take(400) + "…<truncated>" else l)
+        .mkString("\n")
       sb.append(s"\n## $name\n\n$why\n\n```\n${plan.trim}\n```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
