@@ -223,13 +223,36 @@ object Dedup {
   def bloomDecontaminate(corpus: DataFrame, ref: DataFrame, n: Int = 8,
       minShared: Int = 3, expectedItems: Long = 1L << 20,
       numBits: Long = 1L << 23): DataFrame = {
+    val bf = buildShingleBloom(ref, n, expectedItems, numBits)
+    bloomDecontaminateWith(corpus, ref, bf, n, minShared)
+  }
+
+  /** The d20 BUILD phase alone: fold `ref`'s n-gram shingle hashes
+    * into a serialized bloom (numBits/8 bytes on the driver — the
+    * reusable sidecar a production loop persists via
+    * [[writeBloomSidecar]] and rebuilds only when the reference
+    * changes). Null when the reference is empty.
+    */
+  def buildShingleBloom(ref: DataFrame, n: Int = 8,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): Array[Byte] = {
+    val par = ref.sparkSession.sparkContext.defaultParallelism
+    val sh = graft.functions.shingleHashes(col("text"), n)
+    ref.repartition(par).select(explode(sh).as("h"))
+      .agg(graft.functions.bloomAgg(col("h"), expectedItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** The d20 PROBE + CONFIRM phases against a prebuilt bloom — the
+    * per-batch (or per-micro-batch: streaming decontamination reuses
+    * this verbatim) work once the sidecar exists. `ref` is only
+    * scanned for the candidate-broadcast confirm semi-join; the bloom
+    * bytes ride the plan as a literal.
+    */
+  def bloomDecontaminateWith(corpus: DataFrame, ref: DataFrame,
+      bf: Array[Byte], n: Int = 8, minShared: Int = 3): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val sh = graft.functions.shingleHashes(col("text"), n)
     val refH = ref.repartition(par).select(explode(sh).as("h"))
-    // numBits/8 bytes on the driver — the reusable sidecar; null when
-    // the reference is empty (BloomFilterAggregate of zero rows).
-    val bf = refH.agg(graft.functions.bloomAgg(col("h"), expectedItems, numBits).as("bf"))
-      .head.getAs[Array[Byte]](0)
     val corpusH = corpus.repartition(par).select(col("doc_id"), explode(sh).as("h"))
     val cand =
       if (bf == null) corpusH.where(lit(false))
@@ -243,6 +266,37 @@ object Dedup {
         coalesce(col("n_shared"), lit(0L)).as(s"n_shared_${n}grams"),
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
       .orderBy("doc_id")
+  }
+
+  /** Persist a [[buildShingleBloom]] result (binary sidecar:
+    * magic + shingle n + byte length + serialized filter). Empty
+    * reference (null bloom) writes length 0; the loader returns null.
+    */
+  def writeBloomSidecar(spark: SparkSession, path: String, bf: Array[Byte],
+      n: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/shingle_bloom.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(fs.create(p, true))
+    try {
+      out.writeInt(0x47424c31) // "GBL1"
+      out.writeInt(n)
+      out.writeInt(if (bf == null) 0 else bf.length)
+      if (bf != null) out.write(bf)
+    } finally out.close()
+  }
+
+  /** Load a bloom sidecar: (shingle n, serialized filter or null). */
+  def readBloomSidecar(spark: SparkSession, path: String): (Int, Array[Byte]) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/shingle_bloom.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.DataInputStream(fs.open(p))
+    try {
+      require(in.readInt() == 0x47424c31, s"corrupt bloom sidecar at $p")
+      val n = in.readInt()
+      val len = in.readInt()
+      if (len == 0) (n, null)
+      else { val b = new Array[Byte](len); in.readFully(b); (n, b) }
+    } finally in.close()
   }
 
   /** Exact duplicated-substring spans (the Lee et al. "Deduplicating

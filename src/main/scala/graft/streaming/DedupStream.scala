@@ -82,4 +82,35 @@ object DedupStream {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Streaming decontamination — d20's production loop: the reference
+    * bloom is built ONCE ([[graft.operators.Dedup.writeBloomSidecar]])
+    * and every micro-batch probes the same sidecar bytes (loaded once
+    * here, not per batch), confirming candidates against `ref` so
+    * per-doc counts stay exact. Per-batch cost: one map-only probe of
+    * the batch + one candidate-broadcast confirm pass over `ref`; the
+    * sidecar rebuilds only when the reference corpus changes. Output
+    * (doc_id, n_shared, contaminated) lands partitioned by
+    * micro_batch with dynamic overwrite — idempotent under retry like
+    * [[start]].
+    */
+  def startDecontaminate(sidecarPath: String, ref: DataFrame,
+      docStream: DataFrame, minShared: Int,
+      outPath: String, checkpoint: String): StreamingQuery = {
+    val (n, bf) = graft.operators.Dedup
+      .readBloomSidecar(docStream.sparkSession, sidecarPath)
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .bloomDecontaminateWith(batch, ref, bf, n, minShared)
+          .withColumn("micro_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("micro_batch")
+          .parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
 }

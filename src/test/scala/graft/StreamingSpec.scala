@@ -125,6 +125,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted === batchSessions - nUsers)
   }
 
+  test("streaming decontamination: one persisted bloom sidecar serves every micro-batch, exact counts") {
+    import spark.implicits._
+    val evalDoc = "the capital of france is paris and the capital of italy is rome always"
+    val contaminated = s"intro words here $evalDoc trailing content words"
+    val clean = "totally unrelated text about mountains rivers forests deserts oceans and valleys spanning many words"
+    val ref = Seq(100L -> evalDoc).toDF("doc_id", "text")
+
+    def addFile(src: java.nio.file.Path, name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-bloomstream-stage")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+
+    val sidecar = Files.createTempDirectory("graft-bloom-sidecar").toString
+    // BUILD once: the production loop persists the bloom and rebuilds
+    // it only when the reference changes
+    graft.operators.Dedup.writeBloomSidecar(spark, sidecar,
+      graft.operators.Dedup.buildShingleBloom(ref, 8, 1L << 12, 1L << 16), 8)
+
+    val src = Files.createTempDirectory("graft-bloomstream-src")
+    val out = Files.createTempDirectory("graft-bloomstream-out").toString
+    val ckpt = Files.createTempDirectory("graft-bloomstream-ckpt").toString
+    addFile(src, "b1.parquet", Seq(1L -> contaminated, 2L -> clean))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(src.toString)
+    val q = graft.streaming.DedupStream.startDecontaminate(
+      sidecar, ref, stream, 3, out, ckpt)
+    try {
+      q.processAllAvailable()
+      addFile(src, "b2.parquet", Seq(3L -> contaminated, 4L -> clean))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("contaminated"), col("micro_batch").cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 && !got(2L)._1, s"batch 1 exact flags: $got")
+    assert(got(3L)._1 && !got(4L)._1, s"batch 2 exact flags (same sidecar): $got")
+    assert(got(1L)._2 === 0L && got(3L)._2 === 1L)
+  }
+
   test("streaming incremental dedup: batch 2 near-dups against batch 1's appended uniques") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills near the old stone bridge"
