@@ -133,6 +133,31 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Deterministic training-order shuffle, written as ~`nShards`
+    * shard files (the final pipeline step: training wants the corpus
+    * in pseudo-random order, and REPRODUCIBLY so — a re-run or a
+    * retried stage must yield the same sequence, which rules out
+    * RNG). Position = a Knuth-style mod-p hash of `key` with `seed`
+    * (31-bit domain products, ANSI-overflow-safe), tie-broken by the
+    * key itself for a total order. Laid out by `repartitionByRange` +
+    * `sortWithinPartitions`, so shard k holds the k-th contiguous
+    * slice of the shuffled sequence and reading part files in name
+    * order replays the exact global order. At 100 TB this is one
+    * range-partitioned sort — sampled bounds, the same plan shape as
+    * any global ORDER BY, no single-task window anywhere. A different
+    * `seed` reshuffles every epoch without rewriting pipeline logic.
+    */
+  def writeTrainingShards(df: DataFrame, path: String, nShards: Int,
+      key: String = "doc_id", seed: Long = 17L): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val P = 1000003L
+    val pos = pmod((pmod(col(key), lit(P)) + lit(seed % P)) * lit(427799L), lit(P))
+    df.withColumn("shuffle_pos", pos)
+      .repartitionByRange(nShards, col("shuffle_pos"), col(key))
+      .sortWithinPartitions(col("shuffle_pos"), col(key))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

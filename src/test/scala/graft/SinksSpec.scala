@@ -179,6 +179,49 @@ class SinksSpec extends AnyFunSuite {
     assert(avgO < globalO * 0.7, s"orderkey clustering weak: $avgO vs $globalO")
   }
 
+  test("training shards: deterministic shuffled order, contiguous per shard, re-run identical") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val path = tmp("graft-shards")
+    Sinks.writeTrainingShards(docs, path, 4)
+
+    def shardFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+    val files = shardFiles(path)
+    assert(files.length === 4, s"expected 4 shard files, got ${files.length}")
+
+    // reading part files in name order replays the global shuffled
+    // order: positions are contiguous across shards, (pos, id)-sorted
+    // within each, and the union is exactly the corpus
+    val seq = files.flatMap { f =>
+      spark.read.parquet(f).select("shuffle_pos", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(seq.map(_._2).toSet === docs.collect().map(_.getLong(0)).toSet)
+    assert(seq.toSeq === seq.sortBy(identity).toSeq,
+      "concatenated shards must form one totally ordered shuffled sequence")
+    // it's actually a shuffle, not id order
+    assert(seq.map(_._2).toSeq !== seq.map(_._2).sorted.toSeq)
+
+    // reproducibility: a second write yields the byte-identical sequence
+    val path2 = tmp("graft-shards2")
+    Sinks.writeTrainingShards(docs, path2, 4)
+    val seq2 = shardFiles(path2).flatMap { f =>
+      spark.read.parquet(f).select("shuffle_pos", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(seq2.toSeq === seq.toSeq)
+
+    // a different seed is a different epoch order over the same corpus
+    val path3 = tmp("graft-shards3")
+    Sinks.writeTrainingShards(docs, path3, 4, seed = 18L)
+    val seq3 = shardFiles(path3).flatMap { f =>
+      spark.read.parquet(f).select("doc_id").collect().map(_.getLong(0))
+    }
+    assert(seq3.toSet === seq.map(_._2).toSet)
+    assert(seq3.toSeq !== seq.map(_._2).toSeq)
+  }
+
   test("malformed JSON records: permissive capture vs dropmalformed") {
     import java.nio.file.{Files => JFiles, Paths}
     val dir = tmp("graft-badjson")
