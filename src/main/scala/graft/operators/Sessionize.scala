@@ -98,6 +98,37 @@ object Sessionize {
   private def eventsUs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
 
+  /** Cohort retention (the product-analytics matrix beside sessions
+    * ss01 and funnels ss03/ss04): bucket each user into the ISO week
+    * of their FIRST event, then for every (cohort_week, k) count the
+    * cohort's users still active k weeks later and their share of the
+    * cohort. Shuffle budget: one partial-aggregable distinct over
+    * (user, week) — activity collapses to user-weeks BEFORE anything
+    * keyed by user, so a bot with millions of events contributes one
+    * row per week; one user-key groupBy for first-seen plus the
+    * user-key join it colocates with; one matrix-sized (cohort, k)
+    * rollup. The retention-share window runs over the matrix
+    * (O(weeks²) rows regardless of corpus size), never the corpus.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val act = events.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val mat = act.join(first, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("bigint").as("week_k"))
+      .groupBy("cohort_week", "week_k").agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy("cohort_week")
+    mat
+      .withColumn("cohort_size",
+        max(when(col("week_k") === 0, col("n_users"))).over(w))
+      .select(col("cohort_week").cast("string").as("cohort_week"),
+        col("week_k"), col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_week", "week_k")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     ("ss01_sessionize", (s: SparkSession, d: String) => {
       sessionized(eventsUs(s, d), keepCols = Seq.empty)
@@ -219,7 +250,27 @@ object Sessionize {
         round(CAST(count(t2) AS DOUBLE) / count(*), 6) AS r_view,
         round(CAST(count(t3) AS DOUBLE) / count(*), 6) AS r_click,
         round(CAST(count(t4) AS DOUBLE) / count(*), 6) AS r_purchase
-      FROM d4"""))
+      FROM d4""")),
+
+    // ---- cohort retention matrix: first-event week cohorts, share
+    //      still active k weeks later. Week truncation is tz-stable
+    //      (UTC session both sides) and insensitive to the ns-vs-µs
+    //      generation difference ----
+    ("ss05_retention", (s: SparkSession, d: String) =>
+      retention(Tables.events(s, d)), Some("""
+      WITH a AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+      f AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1),
+      m AS (SELECT f.cohort_week,
+              CAST(datediff('day', f.cohort_week, a.week) / 7 AS BIGINT) AS week_k,
+              count(*) AS n_users
+            FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+      SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_k,
+        CAST(n_users AS BIGINT) AS n_users,
+        round(CAST(n_users AS DOUBLE) /
+          max(CASE WHEN week_k = 0 THEN n_users END)
+            OVER (PARTITION BY cohort_week), 6) AS retention
+      FROM m ORDER BY cohort_week, week_k"""))
   )
 
   private lazy val ss01OracleSql = Some("""

@@ -105,6 +105,31 @@ class SessionizeSpec extends AnyFunSuite {
       "election must not use a per-cluster window:\n" + election.take(3000))
   }
 
+  test("retention: cohorts by first-seen week, shares vs cohort size, dup events collapse") {
+    import spark.implicits._
+    // week boundaries (UTC Mondays): 2024-01-01, 2024-01-08, 2024-01-15
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")
+    val events = Seq(
+      // cohort 2024-01-01: u1 active wk0+wk1+wk2, u2 wk0 only,
+      // u3 wk0+wk2 (skips wk1) — u1 has DUPLICATE events in wk0
+      (1L, ts("2024-01-02")), (1L, ts("2024-01-03")), (1L, ts("2024-01-09")),
+      (1L, ts("2024-01-16")),
+      (2L, ts("2024-01-04")),
+      (3L, ts("2024-01-05")), (3L, ts("2024-01-17")),
+      // cohort 2024-01-08: u4 active wk0+wk1
+      (4L, ts("2024-01-10")), (4L, ts("2024-01-18"))
+    ).toDF("user_id", "ts")
+    val got = Sessionize.retention(events)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("2024-01-01", 0L)) === ((3L, 1.0)))
+    assert(got(("2024-01-01", 1L)) === ((1L, 0.333333)))
+    assert(got(("2024-01-01", 2L)) === ((2L, 0.666667)))
+    assert(got(("2024-01-08", 0L)) === ((1L, 1.0)))
+    assert(got(("2024-01-08", 1L)) === ((1L, 1.0)))
+    assert(got.size === 5)
+  }
+
   test("ss04 entry: 4-stage funnel is materializable and monotone") {
     val r = SparkEntry.queries("ss04_funnel_stages")(spark, sf).collect().head
     val ns = Seq("n_signup", "n_view", "n_click", "n_purchase")
