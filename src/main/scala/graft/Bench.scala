@@ -95,7 +95,11 @@ object Bench {
       "d18_canonical_dedup", "q68_quantile_sketch", "q69_window_dist",
       "p03_retrieval_pipeline", "d19_semantic_dedup", "h02_batch_hybrid",
       "e02_embed_search", "t18_quality_classifier", "s15_batch_matryoshka",
-      "r01_rerank")
+      "r01_rerank", "s14_batch_ivfpq_search", "p04_batch_retrieval",
+      "p05_curation_pipeline", "t19_bigram_surprisal",
+      "d20_bloom_decontaminate", "t20_percentile_gate", "ss05_retention")
+    // line-length budget: 65 headline entries ≈ 1750 chars — keep
+    // comfortably under the driver's 2000-char stdout tail
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
