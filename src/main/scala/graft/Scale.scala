@@ -246,6 +246,23 @@ object Scale {
     println(f"[scale] hot-user skew: $nS%,d events with one ${nS - nE}%,d-event bot " +
       f"vs $nB%,d balanced — ${tSkew / tBal}%.2fx straggler " +
       "(bound = the bot's rows through one sort task; windows don't AQE-split)")
+
+    // ---- bloom-decontamination probe (d20): the reference corpus is
+    // the REPLICATED set (reps x the base — the "seen corpus too big
+    // to broadcast" shape), the batch is the base corpus. The bloom
+    // BUILD is the once-ever cost (∝ reference); the per-batch
+    // probe+confirm must track the BATCH + the candidate set, and the
+    // sidecar stays numBits/8 bytes no matter how large the reference
+    // grows — vs d12, whose broadcast shingle set scales WITH the
+    // reference and eventually cannot ship at all.
+    val refBig = docs // the replicated near-dup corpus from above
+    var bloom: Array[Byte] = null
+    val tb0 = System.nanoTime()
+    bloom = graft.operators.Dedup.buildShingleBloom(refBig, 8, 1L << 22, 1L << 25)
+    println(f"[scale] bloomBuild        ${(System.nanoTime() - tb0) / 1e9}%8.2f s  " +
+      f"(ref=$n docs -> sidecar ${bloom.length / 1024} KiB, fixed)")
+    time("bloomDecontam")(graft.operators.Dedup
+      .bloomDecontaminateWith(base, refBig, bloom, 8, 3).count())
     spark.stop()
   }
 }

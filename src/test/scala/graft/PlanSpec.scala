@@ -54,6 +54,18 @@ class PlanSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[doc_id.*polyfingerprint""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("d20: bloom probe is a codegen map-only Filter, confirm joins broadcast") {
+    val df = SparkEntry.queries("d20_bloom_decontaminate")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the might_contain prefilter sits inside whole-stage codegen —
+    // no join or exchange introduces the bloom
+    assert("""\*\(\d+\) Filter .*might_contain""".r.findFirstIn(plan).isDefined, plan.take(4000))
+    // and no sort-merge join anywhere: every join in the confirm
+    // chain builds on the candidate-sized side
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+  }
+
   test("FuseJaccard rule rewrites intersect/union composite to fused kernel") {
     val df = SparkEntry.queries("d02_dedup_minhash")(spark, sf)
     val opt = df.queryExecution.optimizedPlan.toString
