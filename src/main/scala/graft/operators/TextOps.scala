@@ -385,6 +385,27 @@ object TextOps {
       .filter(col(score) >= col("thr"))
   }
 
+  /** [[percentileGate]] for CONTINUOUS scores (a classifier sigmoid, a
+    * perplexity): there the exact histogram degenerates — distinct
+    * scores ≈ corpus rows — so the threshold comes from Spark's
+    * `approx_percentile` t-digest-style sketch instead: mergeable,
+    * partial-aggregable, #groups output rows, `accuracy` bounds the
+    * rank error (1/accuracy of the group size). Same broadcast-back +
+    * map-only filter tail as the exact form; same skew immunity (no
+    * per-group sort window). Not oracle-matchable by construction —
+    * the sketch is an approximation — so the contract is spec-gated:
+    * the approximate threshold must sit within the rank-error bound
+    * of the exact one.
+    */
+  def percentileGateApprox(scored: DataFrame, group: String, score: String,
+      p: Double, accuracy: Int = 10000): DataFrame = {
+    require(p > 0 && p < 1, s"need 0 < p < 1, got $p")
+    val thr = scored.groupBy(col(group))
+      .agg(percentile_approx(col(score), lit(p), lit(accuracy)).as("thr"))
+    scored.join(broadcast(thr), Seq(group))
+      .filter(col(score) >= col("thr"))
+  }
+
   /** Sliding-window chunking with overlap (RAG / context-window prep):
     * fixed `chunk`-word windows every `stride` words, so consecutive
     * chunks share `chunk - stride` boundary words. One generator over

@@ -233,6 +233,26 @@ class OperatorsSpec extends AnyFunSuite {
       s"threshold join should broadcast:\n$plan")
   }
 
+  test("percentileGateApprox: continuous scores, threshold within rank-error of exact") {
+    import spark.implicits._
+    // 1000 distinct continuous scores in one group — the shape where
+    // the exact histogram would be corpus-sized
+    val scored = (1 to 1000)
+      .map(i => (i.toLong, "a", i / 1000.0 + 1e-9 * i)).toDF("doc_id", "lang", "s")
+    val kept = graft.operators.TextOps
+      .percentileGateApprox(scored, "lang", "s", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact p=0.2 drops docs 1..199 (threshold = 200th value); at
+    // accuracy=10000 the rank error on n=1000 is well under 1 rank,
+    // but allow a small slack band
+    val dropped = (1L to 1000L).toSet -- kept
+    assert(dropped.forall(_ <= 205L), s"dropped above the error band: $dropped")
+    assert(dropped.size >= 195 && dropped.size <= 205,
+      s"dropped ${dropped.size}, expected ~200 (p=0.2 of 1000)")
+    // kept set is a suffix: the gate is a pure threshold
+    assert(kept === ((dropped.max + 1) to 1000L).toSet)
+  }
+
   test("gopherRules: first failing rule named, clean doc kept") {
     import spark.implicits._
     val rows = Seq(
