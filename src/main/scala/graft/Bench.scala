@@ -108,6 +108,12 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full)
     val qs = jsonMap(timings.filter { case (k, _) => headline.contains(k) })
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
+    // every recorded BENCH_r{N}.json shows parsed:null — the driver
+    // reads a 2000-char stdout TAIL, and a long headline line can lose
+    // its FRONT (where "value" lives) to the window. Emit a compact
+    // self-contained line LAST so the tail always ends with a complete
+    // parseable record; full per-query detail stays in BENCH_FULL.json.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":{},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
