@@ -49,7 +49,8 @@ object Plans {
       "r01_rerank" -> "retrieve->rerank: jaccard shortlist bounds the exchange at shortlistN x Q rows, the MapPartitions cross-encoder stage sits strictly AFTER TopKPerKey — the pairwise scorer never sees the corpus",
       "t18_quality_classifier" -> "quality classifier: embed (MapPartitions seam) -> zip_with/aggregate dot -> sigmoid, all in one stage, zero exchanges before the output sort",
       "d20_bloom_decontaminate" -> "bloom decontamination: the batch probe is a map-only codegen Filter (the bloom rides the plan as a truncated literal — no join or exchange introduces it); every KEYED exchange (two distincts, the per-doc count) is candidate-sized and both confirm joins broadcast — the only full-width exchanges are the single-file-testdata round-robin repartitions, absent when the source arrives pre-split",
-      "t20_percentile_gate" -> "percentile gate: one partial-aggregable groupBy(group, score) is the only corpus exchange; the cumulative window runs over the histogram, thresholds broadcast back into a map-only filter — no per-group corpus sort")
+      "t20_percentile_gate" -> "percentile gate: one partial-aggregable groupBy(group, score) is the only corpus exchange; the cumulative window runs over the histogram, thresholds broadcast back into a map-only filter — no per-group corpus sort",
+      "ss05_retention" -> "cohort retention: activity collapses to distinct (user, week) BEFORE any user-keyed stage (bot-proof — no per-user ordering window anywhere), then a user-key agg/join pair; the share window runs over the cohort matrix only")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +
