@@ -110,9 +110,20 @@ object Sessionize {
     * rollup. The retention-share window runs over the matrix
     * (O(weeks²) rows regardless of corpus size), never the corpus.
     */
-  def retention(events: DataFrame): DataFrame = {
-    val act = events.select(col("user_id"),
+  def retention(events: DataFrame): DataFrame =
+    retentionFromWeeks(activityWeeks(events))
+
+  /** The bot-proof collapse alone: distinct (user_id, week DATE) from
+    * raw events — the compact activity table the streaming form
+    * accumulates in its store. */
+  def activityWeeks(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
       date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+
+  /** [[retention]] from an already-collapsed distinct (user_id, week)
+    * table ([[activityWeeks]]' shape; streaming replays this over its
+    * store each micro-batch). */
+  def retentionFromWeeks(act: DataFrame): DataFrame = {
     val first = act.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
     val mat = act.join(first, "user_id")
       .select(col("cohort_week"),

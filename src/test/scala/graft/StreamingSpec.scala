@@ -168,6 +168,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1L)._2 === 0L && got(3L)._2 === 1L)
   }
 
+  test("streaming retention: matrix equals batch ss05 after every micro-batch, store stays distinct") {
+    import spark.implicits._
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")
+    val b1 = Seq((1L, ts("2024-01-02")), (1L, ts("2024-01-03")),
+      (2L, ts("2024-01-04")), (3L, ts("2024-01-05")))
+    val b2 = Seq((1L, ts("2024-01-09")), (1L, ts("2024-01-16")),
+      (3L, ts("2024-01-17")), (4L, ts("2024-01-10")), (4L, ts("2024-01-18")))
+
+    def addFile(src: java.nio.file.Path, name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      val stage = Files.createTempDirectory("graft-ret-stage")
+      rows.toDF("user_id", "ts").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+
+    val src = Files.createTempDirectory("graft-ret-src")
+    val store = Files.createTempDirectory("graft-ret-store").toString + "/pairs"
+    val out = Files.createTempDirectory("graft-ret-out").toString
+    val ckpt = Files.createTempDirectory("graft-ret-ckpt").toString
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP").parquet(src.toString)
+    val q = graft.streaming.RetentionStream.start(store, stream, out, ckpt)
+    def matrix(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    try {
+      q.processAllAvailable()
+      assert(matrix(spark.read.parquet(out)) ===
+        matrix(graft.operators.Sessionize.retention(b1.toDF("user_id", "ts"))))
+      addFile(src, "b2.parquet", b2)
+      q.processAllAvailable()
+      assert(matrix(spark.read.parquet(out)) ===
+        matrix(graft.operators.Sessionize.retention((b1 ++ b2).toDF("user_id", "ts"))))
+    } finally q.stop()
+    // the store holds each (user, week) exactly once — batch 2
+    // repeated user 1's first week inside its own rows and across
+    // batch 1, and neither duplicated
+    val pairs = spark.read.parquet(store).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString))
+    assert(pairs.length === pairs.distinct.length, s"store has dup pairs: ${pairs.toSeq}")
+    assert(pairs.length === 8)
+  }
+
   test("streaming incremental dedup: batch 2 near-dups against batch 1's appended uniques") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills near the old stone bridge"
