@@ -93,6 +93,13 @@ object DedupStream {
     * (doc_id, n_shared, contaminated) lands partitioned by
     * micro_batch with dynamic overwrite — idempotent under retry like
     * [[start]].
+    *
+    * CONTRACT: `ref` and the sidecar must describe the same corpus.
+    * The bloom has no false positives that survive the confirm, but a
+    * reference row added AFTER the sidecar was built is invisible to
+    * the probe (a false NEGATIVE — its matches are silently missed
+    * even though `ref` contains it). Growing the reference means
+    * rebuilding the sidecar and restarting the stream.
     */
   def startDecontaminate(sidecarPath: String, ref: DataFrame,
       docStream: DataFrame, minShared: Int,
