@@ -139,7 +139,10 @@ object Similarity {
     require(qs.nonEmpty, "empty query batch")
     qs.foreach { case (id, q) => require(q.length == dim,
       s"query $id dim ${q.length} != index dim $dim at $path") }
-    val lutsFlat = qs.flatMap { case (_, q) => adcLutFlat(q, cbFlat, m, k) }
+    // same rotation crossing as the single-query path, per query
+    val rot = opqRotationOpt(spark, path)
+    val lutsFlat = qs.flatMap { case (_, q) =>
+      adcLutFlat(rot.map(rotateQuery(_, q)).getOrElse(q), cbFlat, m, k) }
     val qids = array(qs.map(q => lit(q._1)): _*)
     val scored = dropTombstonedVecs(spark, path,
       spark.read.parquet(s"$path/codes"))
@@ -615,12 +618,67 @@ object Similarity {
       (conf.getInt(0), conf.getInt(1), conf.getInt(2), cbFlat)
     })
 
+  /** Cached OPQ rotation per index path; empty array = unrotated index
+    * (the miss marker — ConcurrentHashMap can't hold nulls). */
+  private val opqRotationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  private def opqRotationOpt(spark: SparkSession, path: String): Option[Array[Double]] =
+    Option(opqRotationCache.computeIfAbsent(path, _ =>
+      try readOpqSidecar(spark, path)
+      catch { case scala.util.control.NonFatal(_) => Array.emptyDoubleArray }))
+      .filter(_.nonEmpty)
+
+  /** q' = R q, driver arithmetic (R row-major d×d). */
+  private def rotateQuery(r: Array[Double], q: Array[Double]): Array[Double] = {
+    val d = q.length
+    Array.tabulate(d) { i =>
+      var s = 0.0; var j = 0
+      while (j < d) { s += r(i * d + j) * q(j); j += 1 }
+      s
+    }
+  }
+
+  /** With `opq = true` the index is OPQ-built end-to-end
+    * ([[opqParametricRotation]]): the rotation is learned from the
+    * data, persisted beside the codebook ([[writeOpqSidecar]]), the
+    * codebook and codes quantize the ROTATED vectors (same codegen
+    * kernels — their double input path), and every search rotates its
+    * query through the same sidecar before building LUTs. R is
+    * orthonormal, so distances are preserved exactly and search
+    * semantics are unchanged — only the quantization grid tightens on
+    * anisotropic data. Flat-PQ only; the IVF-PQ layout keeps the
+    * unrotated build (rotation ahead of the coarse quantizer is a
+    * separate trade).
+    */
   def writePqIndex(embeddings: DataFrame, path: String,
-      m: Int = 8, k: Int = 16): Unit = {
+      m: Int = 8, k: Int = 16, opq: Boolean = false): Unit = {
     pqSidecarCache.remove(path)
+    opqRotationCache.remove(path)
     val spark = embeddings.sparkSession
-    val cbFlat = pqFlat(pqCodebook(embeddings, k), k)
-    embeddings.select(col("vec_id"),
+    val (src, cbFlat) =
+      if (opq) {
+        val rMat = opqParametricRotation(embeddings, m)
+        writeOpqSidecar(spark, path, rMat)
+        val rotated = rotateEmbeddings(embeddings, rMat)
+        // rotated vectors are array<double> (MatVec), so the first-k
+        // codebook collect reads doubles — same data-sampled choice
+        // as the unrotated branch
+        val cb = rotated.filter(col("vec_id") < k)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+        require(cb.size == k, s"codebook needs vec_ids 0..${k - 1}")
+        (rotated, pqFlat(cb, k))
+      } else {
+        // a rebuild WITHOUT opq over a previously-OPQ path must not
+        // leave the stale rotation behind — searches would rotate
+        // queries against unrotated codes
+        val p = new org.apache.hadoop.fs.Path(s"$path/opq_rotation.txt")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, false)
+        (embeddings, pqFlat(pqCodebook(embeddings, k), k))
+      }
+    src.select(col("vec_id"),
         graft.functions.pqCodes(col("embedding"), cbFlat, m, k).as("codes"))
       .write.mode("overwrite").parquet(s"$path/codes")
     import spark.implicits._
@@ -645,7 +703,10 @@ object Similarity {
     val (m, k, dim, cbFlat) = readPqSidecars(spark, path)
     require(q.length == dim,
       s"query dim ${q.length} != index dim $dim at $path")
-    val lutFlat = adcLutFlat(q, cbFlat, m, k)
+    // OPQ-built index: the query crosses into rotated space here —
+    // one driver-side d² multiply — and nothing else changes
+    val q1 = opqRotationOpt(spark, path).map(rotateQuery(_, q)).getOrElse(q)
+    val lutFlat = adcLutFlat(q1, cbFlat, m, k)
     dropTombstonedVecs(spark, path, spark.read.parquet(s"$path/codes"))
       .filter(col("vec_id") =!= excludeId)
       .select(col("vec_id"),

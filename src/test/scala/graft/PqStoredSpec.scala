@@ -32,6 +32,59 @@ class PqStoredSpec extends AnyFunSuite {
     assert(stored === inline)
   }
 
+  test("OPQ stored index: tighter self-ADC on anisotropic data, batch parity, clean rebuild") {
+    import spark.implicits._
+    // the correlated corpus from the OPQ rotation gate: rank-3 signal
+    // on non-axis directions + noise — the shape where unrotated PQ
+    // wastes its grid
+    val rnd = new scala.util.Random(7)
+    val d = 64
+    val dirs = Array.fill(3)(Array.fill(d)(rnd.nextGaussian()))
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val aniso = (0 until 512).map { id =>
+      val c = Array(3.0, 2.0, 1.5).map(_ * rnd.nextGaussian())
+      (id.toLong, Array.tabulate(d)(j =>
+        (c(0) * dirs(0)(j) + c(1) * dirs(1)(j) + c(2) * dirs(2)(j) +
+          0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    def qv(id: Long) = aniso.filter(col("vec_id") === id)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    // self-ADC = the quantization error a search actually pays for a
+    // vector against its own code; sum over probes, full result list
+    def selfAdc(path: String): Double = (100L to 107L).map { id =>
+      Similarity.pqSearchStored(spark, path, qv(id), 512)
+        .filter(col("vec_id") === id).head().getDouble(1)
+    }.sum
+
+    val plain = tmp("pq-plain"); val opq = tmp("pq-opq")
+    Similarity.writePqIndex(aniso, plain, 8, 16)
+    Similarity.writePqIndex(aniso, opq, 8, 16, opq = true)
+    val (sPlain, sOpq) = (selfAdc(plain), selfAdc(opq))
+    info(f"self-ADC over 8 probes: unrotated $sPlain%.4f -> OPQ $sOpq%.4f")
+    assert(sOpq < sPlain, s"OPQ must tighten the grid: $sOpq vs $sPlain")
+
+    // batch path crosses the same rotation: per-query parity
+    val queries = Seq((100L, qv(100L).map(_.toFloat).toSeq),
+      (101L, qv(101L).map(_.toFloat).toSeq)).toDF("query_id", "embedding")
+    val batch = Similarity.pqSearchStoredBatch(spark, opq, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singles = Seq(100L, 101L).flatMap { id =>
+      Similarity.pqSearchStored(spark, opq, qv(id), 5)
+        .collect().map(r => (id, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch === singles)
+
+    // rebuilding the SAME path without opq must drop the stale
+    // rotation — otherwise searches rotate queries against unrotated
+    // codes
+    Similarity.writePqIndex(aniso, opq, 8, 16)
+    val rebuilt = Similarity.pqSearchStored(spark, opq, qv(100L), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val freshPlain = Similarity.pqSearchStored(spark, plain, qv(100L), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rebuilt === freshPlain)
+  }
+
   test("ivfPqSearchStored matches inline ivfPqSearch bit-exactly") {
     val path = tmp("ivfpqidx")
     Similarity.writeIvfPqIndex(emb, path, 8, 16)
