@@ -139,6 +139,14 @@ object Similarity {
     require(qs.nonEmpty, "empty query batch")
     qs.foreach { case (id, q) => require(q.length == dim,
       s"query $id dim ${q.length} != index dim $dim at $path") }
+    // enforced LUT ceiling — see ivfPqSearchStoredBatch; here the
+    // literal is Q × m × k doubles
+    val lutDoubles = qs.length.toLong * m * k
+    val lutCeil = batchLutMaxDoubles(spark)
+    require(lutDoubles <= lutCeil,
+      s"pqSearchStoredBatch: ${qs.length} queries needs a $lutDoubles-double " +
+        s"LUT literal > ceiling $lutCeil (graft.index.batchLutMaxDoubles); " +
+        "shard the query table over multiple calls and union the results")
     // same rotation crossing as the single-query path, per query
     val rot = opqRotationOpt(spark, path)
     val lutsFlat = qs.flatMap { case (_, q) =>
@@ -623,10 +631,29 @@ object Similarity {
   private val opqRotationCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
 
+  /** Ceiling (in doubles) on the per-call ADC LUT literal the batch
+    * stored-search paths ship in the plan — the driver-side
+    * materialization bound that keeps "KB at serving batch sizes" an
+    * enforced contract instead of an assertion
+    * ([[Dedup.tombstoneBroadcastMax]] precedent). The default 1M
+    * doubles (8 MB of plan literals ≈ 8192 queries at m=8,k=16) is the
+    * point past which a single plan's LUT state stops being serving
+    * metadata; shard the query table over multiple calls beyond it —
+    * answers are per-query, so the union is identical. Tunable per
+    * session via `graft.index.batchLutMaxDoubles` (specs set it low to
+    * force the guard). */
+  private[operators] def batchLutMaxDoubles(spark: SparkSession): Long =
+    spark.conf.getOption("graft.index.batchLutMaxDoubles")
+      .map(_.toLong).getOrElse(1L << 20)
+
   private def opqRotationOpt(spark: SparkSession, path: String): Option[Array[Double]] =
     Option(opqRotationCache.computeIfAbsent(path, _ =>
+      // ONLY a genuinely absent sidecar means "plain index". A corrupt
+      // or unreadable sidecar on an OPQ-built index must fail loudly —
+      // caching it as a miss would silently search with UNROTATED
+      // queries against rotated codes (wrong neighbors, no error).
       try readOpqSidecar(spark, path)
-      catch { case scala.util.control.NonFatal(_) => Array.emptyDoubleArray }))
+      catch { case _: java.io.FileNotFoundException => Array.emptyDoubleArray }))
       .filter(_.nonEmpty)
 
   /** q' = R q, driver arithmetic (R row-major d×d). */
@@ -647,9 +674,11 @@ object Similarity {
     * query through the same sidecar before building LUTs. R is
     * orthonormal, so distances are preserved exactly and search
     * semantics are unchanged — only the quantization grid tightens on
-    * anisotropic data. Flat-PQ only; the IVF-PQ layout keeps the
-    * unrotated build (rotation ahead of the coarse quantizer is a
-    * separate trade).
+    * anisotropic data. The IVF-PQ layout takes the same flag
+    * ([[writeIvfPqIndex]]): there the rotation runs BEFORE coarse
+    * assignment, so centroids and the residual codebook live in
+    * rotated space and the stored searches rotate queries through the
+    * same sidecar.
     */
   def writePqIndex(embeddings: DataFrame, path: String,
       m: Int = 8, k: Int = 16, opq: Boolean = false): Unit = {
@@ -795,6 +824,15 @@ object Similarity {
     }
   }
 
+  /** Float or double array column rows to doubles — the OPQ-rotated
+    * build feeds array<double> (MatVec) where the plain build feeds the
+    * float embedding column. */
+  private def toDoubles(s: Seq[Any]): Array[Double] =
+    s.iterator.map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+    }.toArray
+
   /** Residual codebook (j-major flat k × dim): vectors 0..k-1, each
     * minus ITS cell centroid. */
   private def residualCodebookFlat(embeddings: DataFrame,
@@ -802,7 +840,7 @@ object Similarity {
     val dim = cents.head._2.length
     val cbRows = embeddings.filter(col("vec_id") < k)
       .select(col("vec_id"), col("label"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+      .map(r => (r.getLong(0), r.getInt(1), toDoubles(r.getSeq[Any](2))))
     require(cbRows.length == k, s"residual codebook needs vec_ids 0..${k - 1}")
     cbRows.sortBy(_._1).flatMap { case (_, l, e) =>
       val c = cents(l); (0 until dim).map(t => e(t) - c(t))
@@ -874,18 +912,45 @@ object Similarity {
     * against the broadcast centroid map, PqCodes kernel) plus the
     * centroid aggregation; written once, amortized over every query.
     */
+  /** With `opq = true` the layout that ships at billion scale gets the
+    * same end-to-end rotation as the flat index: the rotation is
+    * learned from the data ([[opqParametricRotation]] — d² driver work
+    * on a corpus-independent sample), persisted via the same sidecar,
+    * and the vectors are rotated BEFORE coarse assignment, so the
+    * stored centroids AND the residual codebook live in rotated space.
+    * Every stored search ([[ivfPqSearchStored]] /
+    * [[ivfPqSearchStoredBatch]]) and every append
+    * ([[appendToIvfPqIndex]]) crosses into rotated space through the
+    * cached sidecar before touching centroids or LUTs. R orthonormal
+    * preserves distances exactly, so probe ranking and ADC semantics
+    * are unchanged — only the quantization grid tightens.
+    */
   def writeIvfPqIndex(embeddings: DataFrame, path: String,
-      m: Int = 8, k: Int = 16): Unit = {
+      m: Int = 8, k: Int = 16, opq: Boolean = false): Unit = {
     ivfSidecarCache.remove(path)
+    opqRotationCache.remove(path)
     val spark = embeddings.sparkSession
-    val cents = cellCentroids(embeddings)
+    val src =
+      if (opq) {
+        val rMat = opqParametricRotation(embeddings, m)
+        writeOpqSidecar(spark, path, rMat)
+        rotateEmbeddings(embeddings, rMat)
+      } else {
+        // a rebuild WITHOUT opq over a previously-OPQ path must not
+        // leave the stale rotation behind (writePqIndex precedent)
+        val p = new org.apache.hadoop.fs.Path(s"$path/opq_rotation.txt")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, false)
+        embeddings
+      }
+    val cents = cellCentroids(src)
     val dim = cents.head._2.length
-    val rcb = residualCodebookFlat(embeddings, cents, k)
+    val rcb = residualCodebookFlat(src, cents, k)
     val centMap = map(cents.toSeq.sortBy(_._1).flatMap { case (l, c) =>
       Seq(lit(l), array(c.map(lit(_)): _*)) }: _*)
     val residual = transform(col("embedding"),
       (x, i) => x.cast("double") - element_at(element_at(centMap, col("label")), i + 1))
-    embeddings.select(col("vec_id"), col("label").as("cell"),
+    src.select(col("vec_id"), col("label").as("cell"),
         graft.functions.pqCodes(residual, rcb, m, k).as("codes"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     import spark.implicits._
@@ -938,8 +1003,12 @@ object Similarity {
       nprobe: Int, topK: Int, excludeId: Long = -1L): DataFrame = {
     val (m, k, dim, cents, rcb) = readIvfSidecars(spark, path)
     require(q.length == dim, s"query dim ${q.length} != index dim $dim at $path")
-    val probes = probeCells(cents, q, nprobe)
-    val lutsFlat = probes.toArray.flatMap(l => ivfLutFor(q, cents, rcb, l, m, k))
+    // OPQ-built index: centroids and residual codebook live in rotated
+    // space — the query crosses here (one driver-side d² multiply)
+    // BEFORE probe ranking, so coarse selection and LUTs agree
+    val q1 = opqRotationOpt(spark, path).map(rotateQuery(_, q)).getOrElse(q)
+    val probes = probeCells(cents, q1, nprobe)
+    val lutsFlat = probes.toArray.flatMap(l => ivfLutFor(q1, cents, rcb, l, m, k))
     val slotOf = map(probes.zipWithIndex.flatMap { case (l, s) =>
       Seq(lit(l), lit(s)) }: _*)
     // a cell outside the probe map would make AdcDist yield null, and
@@ -991,9 +1060,25 @@ object Similarity {
     require(qs.nonEmpty, "empty query batch")
     qs.foreach { case (id, q) => require(q.length == dim,
       s"query $id dim ${q.length} != index dim $dim at $path") }
+    // ENFORCED serving contract, not an honor-system comment: the LUT
+    // literal is Q × nprobe × m × k doubles of plan state — past the
+    // ceiling the plan itself becomes pathological, so fail loudly and
+    // point at the escape hatch (chunk the batch; results are
+    // per-query, so a union of chunked calls is identical).
+    val lutDoubles = qs.length.toLong * math.min(nprobe, cents.size) * m * k
+    val lutCeil = batchLutMaxDoubles(spark)
+    require(lutDoubles <= lutCeil,
+      s"ivfPqSearchStoredBatch: ${qs.length} queries x nprobe=$nprobe needs a " +
+        s"$lutDoubles-double LUT literal > ceiling $lutCeil " +
+        "(graft.index.batchLutMaxDoubles); shard the query table over " +
+        "multiple calls and union the results")
+    // same rotation crossing as the single-query path, per query —
+    // BEFORE probe ranking (centroids live in rotated space)
+    val rot = opqRotationOpt(spark, path)
     // slot layout: queries in id order, each query's probes in probe
     // order — lutsFlat(slot*m*k ..) is the LUT the slot column selects
-    val slotted = qs.flatMap { case (qid, q) =>
+    val slotted = qs.flatMap { case (qid, q0) =>
+      val q = rot.map(rotateQuery(_, q0)).getOrElse(q0)
       probeCells(cents, q, nprobe).map(cell =>
         (qid, cell, ivfLutFor(q, cents, rcb, cell, m, k)))
     }.zipWithIndex
@@ -1044,7 +1129,13 @@ object Similarity {
     * centroid + residual codes — the shared map stage of both append
     * paths. One codegen scan, no shuffle. */
   private def assignToStoredCells(newVectors: DataFrame, path: String): DataFrame = {
-    val (m, k, _, cents, rcb) = readIvfSidecars(newVectors.sparkSession, path)
+    val spark = newVectors.sparkSession
+    val (m, k, _, cents, rcb) = readIvfSidecars(spark, path)
+    // OPQ-built index: appended vectors must cross into rotated space
+    // exactly like build and search — the stored centroids/codebook ARE
+    // rotated, so an unrotated append would code garbage residuals
+    val src = opqRotationOpt(spark, path)
+      .map(rotateEmbeddings(newVectors, _)).getOrElse(newVectors)
     val cellSeq = cents.toSeq.sortBy(_._1)
     // rank cells by cos(v, c) = dot/(|v||c|): |v| is row-constant, so
     // dot/|c| ranks identically; dot is the in-order left fold the
@@ -1061,7 +1152,7 @@ object Similarity {
       Seq(lit(l), array(c.map(lit(_)): _*)) }: _*)
     val residual = transform(col("embedding"),
       (x, i) => x.cast("double") - element_at(element_at(centMap, col("cell")), i + 1))
-    newVectors
+    src
       .select(col("vec_id"), col("embedding"))
       .withColumn("cell", (lit(0) - array_max(scored).getField("nl")).cast("int"))
       .select(col("vec_id"), col("cell"),

@@ -85,6 +85,104 @@ class PqStoredSpec extends AnyFunSuite {
     assert(rebuilt === freshPlain)
   }
 
+  test("OPQ IVF-PQ stored index: tighter in-cell ADC, single/batch/append parity through rotation, clean rebuild") {
+    import spark.implicits._
+    // same correlated rank-3 corpus as the flat-PQ OPQ gate, plus the
+    // label column the IVF layout coarse-partitions on
+    val rnd = new scala.util.Random(11)
+    val d = 64
+    val dirs = Array.fill(3)(Array.fill(d)(rnd.nextGaussian()))
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val aniso = (0 until 512).map { id =>
+      val c = Array(3.0, 2.0, 1.5).map(_ * rnd.nextGaussian())
+      (id.toLong, (id % 4).toInt, Array.tabulate(d)(j =>
+        (c(0) * dirs(0)(j) + c(1) * dirs(1)(j) + c(2) * dirs(2)(j) +
+          0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    def qv(id: Long) = aniso.filter(col("vec_id") === id)
+      .head().getSeq[Float](2).map(_.toDouble).toArray
+    // in-cell self-ADC: probe ALL cells so a vector's own cell is
+    // always read — the adc of the vector itself is the residual
+    // quantization error the search actually pays
+    def selfAdc(path: String): Double = (100L to 107L).map { id =>
+      Similarity.ivfPqSearchStored(spark, path, qv(id), 4, 512)
+        .filter(col("vec_id") === id).head().getDouble(2)
+    }.sum
+
+    val plain = tmp("ivfpq-plain"); val opq = tmp("ivfpq-opq")
+    Similarity.writeIvfPqIndex(aniso, plain, 8, 16)
+    Similarity.writeIvfPqIndex(aniso, opq, 8, 16, opq = true)
+    val (sPlain, sOpq) = (selfAdc(plain), selfAdc(opq))
+    info(f"IVF in-cell self-ADC over 8 probes: unrotated $sPlain%.4f -> OPQ $sOpq%.4f")
+    assert(sOpq < sPlain, s"OPQ must tighten the residual grid: $sOpq vs $sPlain")
+
+    // batch path crosses the same rotation BEFORE probe ranking:
+    // per-query parity with the single-query stored path
+    val queries = Seq((100L, qv(100L).map(_.toFloat).toSeq),
+      (101L, qv(101L).map(_.toFloat).toSeq)).toDF("query_id", "embedding")
+    val batch = Similarity.ivfPqSearchStoredBatch(spark, opq, queries, 2, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val singles = Seq(100L, 101L).flatMap { id =>
+      Similarity.ivfPqSearchStored(spark, opq, qv(id), 2, 5)
+        .collect().map(r => (id, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(batch === singles)
+
+    // append on an OPQ index crosses the same rotation: a re-appended
+    // copy of a stored vector must land in a cell with the SAME adc
+    // as the original (same rotated residual, same codes)
+    val copy = Seq((90000L, qv(100L).map(_.toFloat).toSeq)).toDF("vec_id", "embedding")
+    Similarity.appendToIvfPqIndex(copy, opq)
+    val res = Similarity.ivfPqSearchStored(spark, opq, qv(100L), 4, 512)
+      .filter(col("vec_id").isin(100L, 90000L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(res.keySet === Set(100L, 90000L))
+    assert(res(90000L) === res(100L),
+      s"appended copy must code identically through the rotation: $res")
+
+    // rebuilding the SAME path without opq must drop the stale rotation
+    Similarity.writeIvfPqIndex(aniso, opq, 8, 16)
+    val rebuilt = Similarity.ivfPqSearchStored(spark, opq, qv(100L), 2, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val freshPlain = Similarity.ivfPqSearchStored(spark, plain, qv(100L), 2, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rebuilt === freshPlain)
+  }
+
+  test("batch stored searches enforce the LUT ceiling; chunked calls return identical results") {
+    val path = tmp("pqlutceil")
+    Similarity.writePqIndex(emb, path, 8, 16)
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val unchunked = Similarity.pqSearchStoredBatch(spark, path, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 4 queries x 8 x 16 = 512 LUT doubles: a 256 ceiling must trip
+    // with a message naming the conf and the escape hatch
+    spark.conf.set("graft.index.batchLutMaxDoubles", "256")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.pqSearchStoredBatch(spark, path, qs, 5)
+      }
+      assert(e.getMessage.contains("graft.index.batchLutMaxDoubles"), e.getMessage)
+      assert(e.getMessage.contains("shard the query table"), e.getMessage)
+      // the documented escape hatch: chunk the batch under the ceiling,
+      // union the chunks — identical to the unchunked answer
+      val chunked = Seq(0L -> 2L, 2L -> 4L).flatMap { case (lo, hi) =>
+        Similarity.pqSearchStoredBatch(spark, path,
+          qs.filter(col("query_id") >= lo && col("query_id") < hi), 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }.toSet
+      assert(chunked === unchunked)
+      // the IVF batch path enforces the same ceiling
+      val ivf = tmp("ivflutceil")
+      Similarity.writeIvfPqIndex(emb, ivf, 8, 16)
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.ivfPqSearchStoredBatch(spark, ivf, qs, 2, 5)
+      }
+      assert(e2.getMessage.contains("graft.index.batchLutMaxDoubles"), e2.getMessage)
+    } finally spark.conf.unset("graft.index.batchLutMaxDoubles")
+  }
+
   test("ivfPqSearchStored matches inline ivfPqSearch bit-exactly") {
     val path = tmp("ivfpqidx")
     Similarity.writeIvfPqIndex(emb, path, 8, 16)
