@@ -269,34 +269,93 @@ object Dedup {
   }
 
   /** Persist a [[buildShingleBloom]] result (binary sidecar:
-    * magic + shingle n + byte length + serialized filter). Empty
-    * reference (null bloom) writes length 0; the loader returns null.
+    * magic + shingle n + built-at reference row count + byte length +
+    * serialized filter). Empty reference (null bloom) writes length 0;
+    * the loader returns null. `refRows` (-1 = unknown) is what the
+    * refresh cadence ([[maybeRefreshBloomSidecar]]) compares reference
+    * growth against. The length prefix + readFully make a torn file
+    * fail loudly on read; the write lands on a tmp name first and
+    * swaps in via rename so a crash mid-write never replaces a good
+    * sidecar with a partial one.
     */
   def writeBloomSidecar(spark: SparkSession, path: String, bf: Array[Byte],
-      n: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/shingle_bloom.bin")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = new java.io.DataOutputStream(fs.create(p, true))
+      n: Int, refRows: Long = -1L): Unit = {
+    val fin = new org.apache.hadoop.fs.Path(s"$path/shingle_bloom.bin")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/shingle_bloom.bin.tmp")
+    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
     try {
-      out.writeInt(0x47424c31) // "GBL1"
+      out.writeInt(0x47424c32) // "GBL2" (v2: + refRows; v1 still read)
       out.writeInt(n)
+      out.writeLong(refRows)
       out.writeInt(if (bf == null) 0 else bf.length)
       if (bf != null) out.write(bf)
     } finally out.close()
+    // swap: delete + rename (HDFS rename won't overwrite). The gap is
+    // a missing-file window, not a torn-file window — a concurrent
+    // reader fails loudly and retries; the single-writer streaming
+    // loop swaps in its between-batch quiet window where it races
+    // nothing (compactSignatureStore's contract).
+    if (fs.exists(fin)) fs.delete(fin, false)
+    require(fs.rename(tmp, fin), s"bloom sidecar swap failed at $fin")
   }
 
-  /** Load a bloom sidecar: (shingle n, serialized filter or null). */
-  def readBloomSidecar(spark: SparkSession, path: String): (Int, Array[Byte]) = {
+  /** Load a bloom sidecar: (shingle n, serialized filter or null,
+    * built-at reference rows — -1 when unknown/v1). */
+  def readBloomSidecarMeta(spark: SparkSession,
+      path: String): (Int, Array[Byte], Long) = {
     val p = new org.apache.hadoop.fs.Path(s"$path/shingle_bloom.bin")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = new java.io.DataInputStream(fs.open(p))
     try {
-      require(in.readInt() == 0x47424c31, s"corrupt bloom sidecar at $p")
+      val magic = in.readInt()
+      require(magic == 0x47424c31 || magic == 0x47424c32,
+        s"corrupt bloom sidecar at $p")
       val n = in.readInt()
+      val refRows = if (magic == 0x47424c32) in.readLong() else -1L
       val len = in.readInt()
-      if (len == 0) (n, null)
-      else { val b = new Array[Byte](len); in.readFully(b); (n, b) }
+      if (len == 0) (n, null, refRows)
+      else { val b = new Array[Byte](len); in.readFully(b); (n, b, refRows) }
     } finally in.close()
+  }
+
+  /** Load a bloom sidecar: (shingle n, serialized filter or null). */
+  def readBloomSidecar(spark: SparkSession, path: String): (Int, Array[Byte]) = {
+    val (n, bf, _) = readBloomSidecarMeta(spark, path)
+    (n, bf)
+  }
+
+  /** Refresh CADENCE for the bloom sidecar — the companion of the
+    * compaction triggers, closing the freshness gap the sidecar
+    * contract documents (a reference row added after the build is
+    * invisible to the probe until a rebuild): rebuild + atomically
+    * swap the sidecar when the reference has grown by `growthFactor`
+    * since the stored build (or when the stored count is unknown —
+    * a v1 sidecar refreshes once onto v2 and then keys normally).
+    * Returns whether it refreshed, so a serving loop knows to reload
+    * the filter bytes.
+    *
+    * The growth probe is one count() of the reference — a
+    * footer-level scan on parquet, cheap next to any batch's probe
+    * work; the rebuild itself is the one-time tree-agg build, paid
+    * only when the trigger fires. STALE-WINDOW SEMANTICS: matches
+    * against reference rows added since the last refresh are missed
+    * (false negatives) until the next trigger — the bound is
+    * `growthFactor`; a use that cannot tolerate any window must
+    * rebuild on every reference write instead of on a cadence.
+    */
+  def maybeRefreshBloomSidecar(spark: SparkSession, path: String,
+      ref: DataFrame, growthFactor: Double = 1.5,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): Boolean = {
+    require(growthFactor > 1.0, s"need growthFactor > 1, got $growthFactor")
+    val (n, _, builtRows) = readBloomSidecarMeta(spark, path)
+    val curRows = ref.count()
+    if (builtRows >= 0 && curRows < builtRows * growthFactor) false
+    else {
+      writeBloomSidecar(spark, path,
+        buildShingleBloom(ref, n, expectedItems, numBits), n, curRows)
+      true
+    }
   }
 
   /** Exact duplicated-substring spans (the Lee et al. "Deduplicating

@@ -98,18 +98,45 @@ object DedupStream {
     * The bloom has no false positives that survive the confirm, but a
     * reference row added AFTER the sidecar was built is invisible to
     * the probe (a false NEGATIVE — its matches are silently missed
-    * even though `ref` contains it). Growing the reference means
-    * rebuilding the sidecar and restarting the stream.
+    * even though `ref` contains it). `refreshGrowthFactor` closes that
+    * gap on a cadence: before each micro-batch the reference's row
+    * count is compared against the count stored in the sidecar at
+    * build time ([[graft.operators.Dedup.maybeRefreshBloomSidecar]]),
+    * and past the factor the bloom is rebuilt, atomically swapped, and
+    * reloaded — so reference growth is screened from the NEXT batch
+    * on. Stale window: rows added since the last refresh are missed
+    * until the trigger fires (bounded by the factor); None keeps the
+    * build-once behavior (rebuild + restart to pick up growth).
     */
-  def startDecontaminate(sidecarPath: String, ref: DataFrame,
+  def startDecontaminate(sidecarPath: String, ref: => DataFrame,
       docStream: DataFrame, minShared: Int,
-      outPath: String, checkpoint: String): StreamingQuery = {
-    val (n, bf) = graft.operators.Dedup
+      outPath: String, checkpoint: String,
+      refreshGrowthFactor: Option[Double] = None,
+      bloomExpectedItems: Long = 1L << 20,
+      bloomNumBits: Long = 1L << 23): StreamingQuery = {
+    // loaded once, reloaded only when the refresh cadence swaps the
+    // sidecar — never re-read per batch
+    var (n, bf) = graft.operators.Dedup
       .readBloomSidecar(docStream.sparkSession, sidecarPath)
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // `ref` is by-name: a batch DataFrame snapshots its file
+        // listing at creation, so a growing reference directory needs
+        // a fresh plan per micro-batch (pass `spark.read.parquet(dir)`
+        // as the argument) — both the growth probe and the confirm
+        // join below must see the CURRENT reference
+        val refDf = ref
+        refreshGrowthFactor.foreach { f =>
+          if (graft.operators.Dedup.maybeRefreshBloomSidecar(spark,
+              sidecarPath, refDf, f, bloomExpectedItems, bloomNumBits)) {
+            val reloaded = graft.operators.Dedup
+              .readBloomSidecar(spark, sidecarPath)
+            n = reloaded._1; bf = reloaded._2
+          }
+        }
         graft.operators.Dedup
-          .bloomDecontaminateWith(batch, ref, bf, n, minShared)
+          .bloomDecontaminateWith(batch, refDf, bf, n, minShared)
           .withColumn("micro_batch", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -13,37 +13,79 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Per micro-batch: collapse the batch to its user-weeks, anti-join
   * the store so only NEVER-SEEN pairs append (a replayed batch
   * appends nothing — the store self-heals, like the signature store),
-  * then recompute the matrix FROM THE STORE and overwrite the output.
-  * Recomputing from the store rather than applying deltas is what
-  * makes a crash between the two writes harmless: the matrix is a
-  * pure function of the store, so any replay converges to the same
-  * output. Per-batch cost: batch collapse + one agg over the compact
-  * store; the matrix itself is O(weeks²) rows.
+  * then recompute the matrix from the post-append store content and
+  * overwrite the output. The store is read ONCE per batch (cached for
+  * the anti-join) and the matrix recomputes from `store ∪ fresh` —
+  * exactly the post-append content, so the matrix stays a pure
+  * function of the store and a crash between the two writes is
+  * harmless: any replay converges to the same output. Per-batch cost:
+  * batch collapse + one agg over the compact store; the matrix itself
+  * is O(weeks²) rows.
+  *
+  * MAINTENANCE: every append lands one more parquet file, and a
+  * months-long stream would degrade on file listing alone — so the
+  * same self-triggering cadence as the signature store
+  * ([[graft.operators.Dedup.maybeCompactSignatureStore]]): when the
+  * store's file count passes `maxStoreFiles`, it is rewritten to
+  * size-based file counts ([[graft.sources.Sinks.compactParquet]]'s
+  * checked rename swap) in the single writer's between-batch quiet
+  * window. Contents are already distinct (the anti-join invariant), so
+  * compaction is a pure rewrite — the matrix is unchanged.
   */
 object RetentionStream {
 
+  /** Parquet data files directly under `path` (KB listing, no read). */
+  private def storeFileCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Compact the activity store when its file count exceeds
+    * `maxFiles` — returns whether it compacted. Safe to call from the
+    * foreachBatch loop: single writer, between-batch quiet window. */
+  def maybeCompactRetentionStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, maxFiles: Int): Boolean = {
+    require(maxFiles >= 1, s"need maxFiles >= 1, got $maxFiles")
+    if (storeFileCount(spark, storePath) > maxFiles) {
+      graft.sources.Sinks.compactParquet(spark, storePath); true
+    } else false
+  }
+
   /** `eventStream` must carry (user_id, ts). Matrix lands at
     * `outPath` (full overwrite — it is cohort x offset, tiny);
-    * activity pairs accumulate at `storePath`.
+    * activity pairs accumulate at `storePath`, compacted whenever the
+    * file count passes `maxStoreFiles` (None = never, the pre-cadence
+    * behavior).
     */
   def start(storePath: String, eventStream: DataFrame,
-      outPath: String, checkpoint: String): StreamingQuery =
+      outPath: String, checkpoint: String,
+      maxStoreFiles: Option[Int] = None): StreamingQuery =
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val pairs = graft.operators.Sessionize.activityWeeks(batch)
         val existing =
-          try spark.read.parquet(storePath)
+          try spark.read.parquet(storePath).persist()
           catch { case _: org.apache.spark.sql.AnalysisException =>
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               pairs.schema)
           }
-        pairs.join(existing, Seq("user_id", "week"), "left_anti")
-          .write.mode("append").parquet(storePath)
-        graft.operators.Sessionize
-          .retentionFromWeeks(spark.read.parquet(storePath))
-          .write.mode("overwrite").parquet(outPath)
+        val fresh = pairs.join(existing, Seq("user_id", "week"), "left_anti")
+          .persist()
+        try {
+          fresh.write.mode("append").parquet(storePath)
+          // existing ∪ fresh IS the post-append store content — one
+          // store read serves both the anti-join and the matrix
+          graft.operators.Sessionize
+            .retentionFromWeeks(existing.unionByName(fresh))
+            .write.mode("overwrite").parquet(outPath)
+        } finally { fresh.unpersist(); existing.unpersist() }
+        maxStoreFiles.foreach(maybeCompactRetentionStore(spark, storePath, _))
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -168,6 +168,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1L)._2 === 0L && got(3L)._2 === 1L)
   }
 
+  test("bloom refresh cadence: reference growth rebuilds the sidecar and later batches screen the new doc") {
+    import spark.implicits._
+    val doc0 = "the capital of france is paris and the capital of italy is rome always"
+    val doc1 = "seven silver ships sailed slowly through the narrow northern strait before dawn broke over the frozen harbor"
+    val hit0 = s"intro words $doc0 more trailing words"
+    val hit1 = s"prefix filler $doc1 suffix content here"
+
+    val refDir = Files.createTempDirectory("graft-bloomref").toString
+    Seq(100L -> doc0).toDF("doc_id", "text").write.mode("append").parquet(refDir)
+    val sidecar = Files.createTempDirectory("graft-bloomref-sidecar").toString
+    graft.operators.Dedup.writeBloomSidecar(spark, sidecar,
+      graft.operators.Dedup.buildShingleBloom(
+        spark.read.parquet(refDir), 8, 1L << 12, 1L << 16), 8, refRows = 1L)
+
+    def addFile(src: java.nio.file.Path, name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-bloomref-stage")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-bloomref-src")
+    val out = Files.createTempDirectory("graft-bloomref-out").toString
+    val ckpt = Files.createTempDirectory("graft-bloomref-ckpt").toString
+    addFile(src, "b1.parquet", Seq(1L -> hit0, 2L -> hit1))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(src.toString)
+    // ref is BY-NAME: each micro-batch re-plans the read so reference
+    // growth is visible to the growth probe and the confirm join
+    val q = graft.streaming.DedupStream.startDecontaminate(
+      sidecar, spark.read.parquet(refDir), stream, 3, out, ckpt,
+      refreshGrowthFactor = Some(1.5),
+      bloomExpectedItems = 1L << 12, bloomNumBits = 1L << 16)
+    try {
+      q.processAllAvailable()
+      // batch 1: ref count 1 < 1 * 1.5 — no refresh; doc1 is not in
+      // the reference yet, so hit1 passes clean (the documented
+      // stale-window false negative)
+      val b1 = spark.read.parquet(out)
+        .select(col("doc_id"), col("contaminated")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(b1(1L) && !b1(2L), s"pre-growth flags: $b1")
+      // the reference GROWS past the factor: 2 rows >= 1 * 1.5
+      Seq(101L -> doc1).toDF("doc_id", "text").write.mode("append").parquet(refDir)
+      addFile(src, "b2.parquet", Seq(3L -> hit0, 4L -> hit1))
+      q.processAllAvailable()
+      val b2 = spark.read.parquet(out)
+        .filter(col("micro_batch") === 1)
+        .select(col("doc_id"), col("contaminated")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(b2(3L) && b2(4L),
+        s"post-refresh batch must screen the NEW reference doc too: $b2")
+    } finally q.stop()
+    // the swapped sidecar recorded the new build point
+    val (_, _, rows) = graft.operators.Dedup.readBloomSidecarMeta(spark, sidecar)
+    assert(rows === 2L, s"refreshed sidecar must store the new ref count, got $rows")
+  }
+
   test("streaming retention: matrix equals batch ss05 after every micro-batch, store stays distinct") {
     import spark.implicits._
     def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")
@@ -191,22 +249,32 @@ class StreamingSpec extends AnyFunSuite {
     addFile(src, "b1.parquet", b1)
     val stream = spark.readStream
       .schema("user_id LONG, ts TIMESTAMP").parquet(src.toString)
-    val q = graft.streaming.RetentionStream.start(store, stream, out, ckpt)
+    // maxStoreFiles=1: EVERY batch whose append leaves >1 file
+    // triggers a compact, so the cadence runs mid-stream, not just at
+    // the end — the strongest bounded-file-count setting
+    val q = graft.streaming.RetentionStream.start(store, stream, out, ckpt,
+      maxStoreFiles = Some(1))
     def matrix(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(t => (t._1, t._2)).toSeq
+    def storeFiles() = new java.io.File(store).listFiles()
+      .count(_.getName.endsWith(".parquet"))
     try {
       q.processAllAvailable()
       assert(matrix(spark.read.parquet(out)) ===
         matrix(graft.operators.Sessionize.retention(b1.toDF("user_id", "ts"))))
       addFile(src, "b2.parquet", b2)
       q.processAllAvailable()
+      // matrix still equals batch ss05 AFTER compaction ran
       assert(matrix(spark.read.parquet(out)) ===
         matrix(graft.operators.Sessionize.retention((b1 ++ b2).toDF("user_id", "ts"))))
     } finally q.stop()
+    // the cadence keeps the file count BOUNDED (≤ maxFiles once
+    // compacted) instead of one-file-per-append forever
+    assert(storeFiles() <= 1, s"store not compacted: ${storeFiles()} files")
     // the store holds each (user, week) exactly once — batch 2
     // repeated user 1's first week inside its own rows and across
-    // batch 1, and neither duplicated
+    // batch 1, and neither duplicated; compaction preserved contents
     val pairs = spark.read.parquet(store).collect()
       .map(r => (r.getLong(0), r.getDate(1).toString))
     assert(pairs.length === pairs.distinct.length, s"store has dup pairs: ${pairs.toSeq}")
