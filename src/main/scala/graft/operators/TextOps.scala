@@ -379,7 +379,14 @@ object TextOps {
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(group).orderBy(score)))
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy(group)))
-    val thr = cum.filter(col("cum") >= ceil(lit(p) * col("n")))
+    // rank boundary in EXACT decimal arithmetic: BigDecimal.valueOf
+    // takes the double's shortest decimal form (0.2 → decimal 0.2, not
+    // 0.2000…011), so ceil(p·n) matches a decimal-literal consumer
+    // (the DuckDB oracle) for ANY caller-supplied p — IEEE-double
+    // ceil could elect a one-score-step-different threshold where p·n
+    // lands near an integer
+    val thr = cum.filter(col("cum") >=
+        ceil(lit(java.math.BigDecimal.valueOf(p)) * col("n")))
       .groupBy(col(group)).agg(min(col(score)).as("thr"))
     scored.join(broadcast(thr), Seq(group))
       .filter(col(score) >= col("thr"))
@@ -921,6 +928,48 @@ object TextOps {
       SELECT s.doc_id, s.lang, s.n_words, t.thr
       FROM s JOIN t USING (lang) WHERE s.n_words >= t.thr
       ORDER BY s.doc_id""")),
+
+    // ---- APPROX percentile gate CONTRACT (q68's pattern, per group):
+    //      the continuous-score form a classifier/perplexity pipeline
+    //      uses — distinct scores ≈ rows, so the threshold comes from
+    //      the mergeable approx_percentile sketch whose VALUES are
+    //      merge-order-dependent. The oracle therefore checks the
+    //      DETERMINISTIC guarantee, not the estimate: per language,
+    //      the exact rank interval [count(<thr), count(<=thr)] of the
+    //      gate's own elected threshold must overlap the target rank
+    //      p*n within ±n/accuracy (+1 boundary slack), and the gate
+    //      must keep exactly the rows >= that threshold ----
+    ("t20_percentile_gate_approx", (s: SparkSession, d: String) => {
+      val p = 0.2; val acc = 1000
+      // a genuinely continuous score (log-length): ties are rare, the
+      // histogram degenerates, the sketch path is the right tool
+      val scored = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          log(lit(1.0) + length(col("text"))).as("score"))
+      val gated = percentileGateApprox(scored, "lang", "score", p, acc)
+      // the gate's OWN per-group threshold (constant within a group)
+      // rides its output — judging a recomputed sketch would race a
+      // second merge order
+      val keptStats = gated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"), min(col("thr")).as("thr"))
+      scored.join(broadcast(keptStats), Seq("lang"))
+        .groupBy(col("lang"), col("kept"), col("thr"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("score") < col("thr"), 1L).otherwise(0L)).as("lo"),
+          sum(when(col("score") <= col("thr"), 1L).otherwise(0L)).as("hi"))
+        .select(col("lang"), col("n"),
+          (expr(s"n div $acc") + 1L).as("rank_tol"),
+          (col("hi") >= lit(p) * col("n") - (expr(s"n div $acc") + 1L) &&
+            col("lo") <= lit(p) * col("n") + (expr(s"n div $acc") + 1L))
+            .as("ok_rank"),
+          (col("kept") === col("n") - col("lo")).as("ok_kept"))
+        .orderBy("lang")
+    }, Some(s"""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) // 1000 + 1 AS BIGINT) AS rank_tol,
+        true AS ok_rank, true AS ok_kept
+      FROM documents GROUP BY lang ORDER BY lang""")),
 
     // ---- Misra-Gries heavy hitters (mergeable sketch #3 next to HLL
     //      q38 / theta q62): bounded-memory frequent-token candidates.

@@ -150,8 +150,15 @@ object Sinks {
   def writeTrainingShards(df: DataFrame, path: String, nShards: Int,
       key: String = "doc_id", seed: Long = 17L): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod}
-    val P = 1000003L
-    val pos = pmod((pmod(col(key), lit(P)) + lit(seed % P)) * lit(427799L), lit(P))
+    // P = 2^31-1 (Mersenne prime): ~2.1B distinct positions, so
+    // positions are ~unique per doc at billion-doc scale (the old
+    // P≈1e6 collided every 1M-th id into ascending-id runs — weak
+    // shuffling for training order). Two multiply-mod rounds mix the
+    // affine structure away; all intermediates stay ANSI-safe
+    // (pmod result < 2^31; x*427799 < 2^50, x*1000003 < 2^51).
+    val P = 2147483647L
+    val r1 = pmod((pmod(col(key), lit(P)) + lit(seed % P)) * lit(427799L), lit(P))
+    val pos = pmod((r1 + lit(1L)) * lit(1000003L), lit(P))
     df.withColumn("shuffle_pos", pos)
       .repartitionByRange(nShards, col("shuffle_pos"), col(key))
       .sortWithinPartitions(col("shuffle_pos"), col(key))

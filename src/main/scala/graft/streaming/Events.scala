@@ -24,6 +24,8 @@ case class SessionState(start_us: Long, last_us: Long, n: Long)
   */
 object Events {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Parquet schema of the events table with `ts` of the given type —
     * the streaming source needs an explicit schema, and the on-disk ts
     * type has shipped as both TIMESTAMP(NANOS)-as-long and
@@ -38,16 +40,28 @@ object Events {
   /** File-source stream over a directory of event parquet files (the
     * file source requires a directory; at scale this is the landing
     * path new files arrive in, or a Kafka source instead). The ts type
-    * is probed from files already in the landing dir (a batch-read of
-    * the footer only — no data scan); an empty dir defaults to the
-    * current µs-timestamp generation. Output contract matches
-    * [[graft.sources.Tables.events]]: ts TIMESTAMP + ts_ns BIGINT.
+    * is probed ONCE at stream definition from files already in the
+    * landing dir (a batch-read of the footer only — no data scan); an
+    * empty dir defaults to the current µs-timestamp generation, and
+    * the probed/defaulted choice is logged because a wrong guess
+    * only surfaces when data lands. PRODUCTION streams over an
+    * initially-EMPTY landing dir must pin the generation explicitly
+    * via `tsType` (both generations have shipped — see
+    * [[graft.sources.Tables.events]]): if the first files to arrive
+    * are the TIMESTAMP(NANOS)-as-long generation while the schema
+    * defaulted to µs, micro-batches fail or misread. Output contract
+    * matches Tables.events: ts TIMESTAMP + ts_ns BIGINT.
     */
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
-    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
-      .getOrElse(TimestampNTZType)
-    val stream = spark.readStream.schema(schemaWith(tsType)).parquet(dir)
-    tsType match {
+  def readStream(spark: SparkSession, dir: String,
+      tsType: Option[org.apache.spark.sql.types.DataType] = None): DataFrame = {
+    val resolved = tsType.getOrElse {
+      val probed = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      log.info(s"Events.readStream($dir): ts type ${probed.toOption
+        .map(t => s"probed as $t").getOrElse("defaulted to TimestampNTZType (empty landing dir)")}")
+      probed.getOrElse(TimestampNTZType)
+    }
+    val stream = spark.readStream.schema(schemaWith(resolved)).parquet(dir)
+    resolved match {
       case LongType =>
         stream.withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))

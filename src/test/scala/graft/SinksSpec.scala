@@ -202,6 +202,11 @@ class SinksSpec extends AnyFunSuite {
       "concatenated shards must form one totally ordered shuffled sequence")
     // it's actually a shuffle, not id order
     assert(seq.map(_._2).toSeq !== seq.map(_._2).sorted.toSeq)
+    // the 2^31-1 position domain + double mixing round: positions are
+    // ~unique per doc (the old 1e6 domain collided ids mod P into
+    // ascending-id runs — weak shuffling at billion-doc scale)
+    assert(seq.map(_._1).distinct.length === seq.length,
+      "positions must not collide at corpus size << 2^31")
 
     // reproducibility: a second write yields the byte-identical sequence
     val path2 = tmp("graft-shards2")
