@@ -50,6 +50,48 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("h02 doc↔embedding id join co-partitions via bucketing: zero id-keyed exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the SURVEY §5 claim under test: at scale the hybrid-retrieval
+      // doc↔embedding join co-partitions via bucketing on id, so the
+      // corpus-sized join never shuffles either side — only the
+      // broadcast query fan-in and the k×Q TopKPerKey exchange remain
+      Sinks.writeBucketed(Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")), "b_h02_docs", 8, "doc_id")
+      Sinks.writeBucketed(Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding")), "b_h02_embs", 8, "vec_id")
+      val docs = spark.table("b_h02_docs").select(col("doc_id"),
+        graft.functions.shingleHashes(col("text"), 3).as("sh"))
+      val both = docs.join(spark.table("b_h02_embs"),
+        col("doc_id") === col("vec_id"))
+      val q = both.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("query_id"), col("sh").as("qsh"))
+      val scored = both.crossJoin(broadcast(q))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          graft.functions.jaccardHashes(col("sh"), col("qsh")).as("score"))
+      val topk = graft.operators.TopK.topKPerKey(
+        scored, Seq("query_id"), "score", "doc_id", 10)
+      assert(topk.count() > 0)
+      val plan = topk.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // both sides read their bucketed layout...
+      assert(plan.contains("Bucketed: true"), plan.take(4000))
+      // ...the id join is a sort-merge over co-located buckets...
+      assert(plan.contains("SortMergeJoin"), plan.take(4000))
+      // ...and NO exchange is keyed on the join ids: the only
+      // hash exchanges allowed are TopKPerKey's query_id-keyed one
+      assert(!"hashpartitioning\\((doc_id|vec_id)".r.findFirstIn(plan).isDefined,
+        s"id join must not shuffle on bucketed tables:\n${plan.take(4000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_h02_docs")
+      spark.sql("DROP TABLE IF EXISTS b_h02_embs")
+    }
+  }
+
   test("writeBucketed clears a dead table-write orphan, refuses foreign data") {
     import java.nio.file.{Files => JFiles, Paths}
     val warehouse = spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri
