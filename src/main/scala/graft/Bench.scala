@@ -97,9 +97,12 @@ object Bench {
       "e02_embed_search", "t18_quality_classifier", "s15_batch_matryoshka",
       "r01_rerank", "s14_batch_ivfpq_search", "p04_batch_retrieval",
       "p05_curation_pipeline", "t19_bigram_surprisal",
-      "d20_bloom_decontaminate", "t20_percentile_gate", "ss05_retention")
-    // line-length budget: 65 headline entries ≈ 1750 chars — keep
-    // comfortably under the driver's 2000-char stdout tail
+      "d20_bloom_decontaminate", "t20_percentile_gate", "ss05_retention",
+      "rj02_interval_overlap", "s16_knn_join", "t21_dsir_weights",
+      "d21_weighted_sample", "d22_token_budget")
+    // line-length budget: 70 headline entries ≈ 1900 chars — the
+    // compact self-contained line printed LAST is what the driver's
+    // 2000-char stdout tail is guaranteed to parse
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0

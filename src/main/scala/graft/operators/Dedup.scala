@@ -1151,6 +1151,94 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Systematic weighted sampling: every document's inclusion
+    * probability is proportional to its integer weight (here token
+    * count), via the classic stride rule — walk the corpus in
+    * deterministic hash order (d06's overflow-safe mod-p hash, doc_id
+    * tiebreak), lay documents end-to-end on the token axis, and keep
+    * each document whose span (cum−w, cum] contains a multiple of
+    * `stride = totalTokens div nTicks`. Exactly `nTicks` ticks exist
+    * and all arithmetic is integer, so the oracle replays bit-exactly.
+    * A huge doc spanning several ticks is kept once (inclusion capped
+    * at 1 — the weighted-sampling "certainty" case).
+    *
+    * SCALE SHAPE: same two-phase prefix sum as [[mixtureSample]] — a
+    * KB (bucket → token-sum) histogram prefix-scanned on the driver,
+    * then ONE bucket-parallel window with the bucket's global offset
+    * joined in. No single-partition window anywhere; parallelism =
+    * [[MixtureBuckets]] regardless of corpus size.
+    */
+  def weightedSystematicSample(documents: DataFrame, nTicks: Long): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tok = size(split(trim(col("text")), " ")).cast("long")
+    val h = pmod(pmod(col("doc_id"), lit(MixtureHashP)) * lit(427799L), lit(MixtureHashP))
+    val base = documents.select(col("doc_id"), col("source"), tok.as("w"), h.as("h"),
+      (h / lit(MixtureHashP / MixtureBuckets + 1L)).cast("int").as("b"))
+    // phase A: KB histogram → driver prefix offsets
+    val hist = base.groupBy(col("b")).agg(sum(col("w")).as("bw"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = hist.map(_._2).sum
+    val stride = total / nTicks
+    require(stride > 0, s"corpus token weight $total < nTicks=$nTicks")
+    var off = 0L
+    val offs = broadcast(hist.toSeq.map { case (b, s) =>
+      val row = (b, off); off += s; row }.toDF("b", "off"))
+    // phase B: bucket-parallel window; global cum = offset + in-bucket
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.join(offs, "b")
+      .withColumn("cum", sum(col("w")).over(win) + col("off"))
+      // integer stride rule: a tick m*stride falls inside (cum-w, cum]
+      .filter(expr(s"cum div $stride") > expr(s"(cum - w) div $stride"))
+      .select(col("doc_id"), col("source"), col("w").as("n_tokens"),
+        col("cum").as("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Greedy quality-ordered selection under a GLOBAL token budget —
+    * "fill the training run with the best documents first": walk docs
+    * in (quality desc, doc_id) order (quality = n_chars here, the
+    * longest-first default; any integer score plugs in) and keep every
+    * doc whose running token count stays within
+    * `totalTokens * budgetNum / budgetDen`. Integer arithmetic
+    * throughout → bit-exact oracle.
+    *
+    * SCALE SHAPE: the order key is a VALUE (not a hash), so buckets
+    * are value ranges — b = n_chars div 64 — whose DESCENDING bucket
+    * order equals the global order. Phase A prefix-scans the KB
+    * histogram from the top bucket down and keeps only buckets whose
+    * entry offset is within budget (later buckets can't contribute);
+    * phase B is one bucket-parallel window. Same shape as
+    * [[mixtureSample]]; no global sort, no single-partition window.
+    */
+  def tokenBudgetSelect(documents: DataFrame,
+      budgetNum: Long = 1L, budgetDen: Long = 5L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tok = size(split(trim(col("text")), " ")).cast("long")
+    val base = documents.select(col("doc_id"), col("n_chars"), tok.as("w"),
+      (col("n_chars") / lit(64L)).cast("int").as("b"))
+    val hist = base.groupBy(col("b")).agg(sum(col("w")).as("bw"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    val total = hist.map(_._2).sum
+    val budget = total * budgetNum / budgetDen
+    var off = 0L
+    val offRows = hist.iterator.takeWhile(_ => off <= budget).map { case (b, s) =>
+      val row = (b, off); off += s; row }.toSeq
+    val offs = broadcast(offRows.toDF("b", "off"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(desc("n_chars"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.join(offs, "b")
+      .withColumn("cum", sum(col("w")).over(win) + col("off"))
+      .filter(col("cum") <= budget)
+      .select(col("doc_id"), col("n_chars"), col("w").as("n_tokens"),
+        col("cum").as("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication that bounds the quadratic similarity pass by
     * CLUSTERING — assign every embedding to one of `ncells` k-means
@@ -1913,6 +2001,42 @@ object Dedup {
       SELECT a.vec_id, CAST(a.cid AS INT) AS cell,
         (dup.ib IS NOT NULL) AS dropped
       FROM asg a LEFT JOIN dup ON dup.ib = a.vec_id
-      ORDER BY a.vec_id"""))
+      ORDER BY a.vec_id""")),
+
+    // ---- systematic weighted sampling: inclusion ∝ token count via
+    //      the integer stride rule over the deterministic-hash corpus
+    //      order; two-phase bucket-parallel prefix sum (d17 shape) ----
+    ("d21_weighted_sample", (s: SparkSession, d: String) =>
+      weightedSystematicSample(Tables.documents(s, d), 64), Some("""
+      WITH t AS (SELECT doc_id, source,
+          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w,
+          (doc_id % 1000003) * 427799 % 1000003 AS h
+        FROM documents),
+      c AS (SELECT doc_id, source, w,
+          CAST(sum(w) OVER (ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM t),
+      tot AS (SELECT CAST(sum(w) AS BIGINT) // 64 AS stride FROM t)
+      SELECT doc_id, source, w AS n_tokens, cum AS cum_tokens
+      FROM c, tot
+      WHERE cum // stride > (cum - w) // stride
+      ORDER BY doc_id""")),
+
+    // ---- greedy quality-first selection to a global 20% token
+    //      budget (quality = n_chars, longest-first); value-range
+    //      buckets make the prefix sum bucket-parallel ----
+    ("d22_token_budget", (s: SparkSession, d: String) =>
+      tokenBudgetSelect(Tables.documents(s, d), 1L, 5L), Some("""
+      WITH t AS (SELECT doc_id, n_chars,
+          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w
+        FROM documents),
+      c AS (SELECT doc_id, n_chars, w,
+          CAST(sum(w) OVER (ORDER BY n_chars DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM t),
+      tot AS (SELECT CAST(sum(w) AS BIGINT) * 1 // 5 AS budget FROM t)
+      SELECT doc_id, n_chars, w AS n_tokens, cum AS cum_tokens
+      FROM c, tot WHERE cum <= budget
+      ORDER BY doc_id"""))
   )
 }

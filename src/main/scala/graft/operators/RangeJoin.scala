@@ -53,25 +53,33 @@ object RangeJoin {
       .drop("_b").distinct()
   }
 
+  /** (user_id, sid, s_start, s_end) session intervals in µs — the
+    * rj01/rj02 front half (same gap rule as ss01, µs-floored for
+    * oracle parity across both events-table timestamp generations).
+    * One (user) shuffle feeding both interval-join shapes. */
+  private def userSessions(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    ev
+      .select(col("user_id"), col("event_id"), col("tus"),
+        lag(col("tus"), 1).over(w).as("prev"))
+      .select(col("user_id"), col("event_id"), col("tus"),
+        when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L).as("is_new"))
+      .select(col("user_id"), col("tus"), sum(col("is_new")).over(wRun).as("sid"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("tus")).as("s_start"), max(col("tus")).as("s_end"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // events joined back to their user's session intervals (sessions
     // derived as in ss01), counting events per session interval
     ("rj01_point_interval", (s: SparkSession, d: String) => {
       val ev = Tables.events(s, d)
         .withColumn("tus", expr("ts_ns div 1000"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-      val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-      val sessions = ev
-        .select(col("user_id"), col("event_id"), col("tus"),
-          lag(col("tus"), 1).over(w).as("prev"))
-        .select(col("user_id"), col("event_id"), col("tus"),
-          when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1L)
-            .otherwise(0L).as("is_new"))
-        .select(col("user_id"), col("tus"), sum(col("is_new")).over(wRun).as("sid"))
-        .groupBy(col("user_id"), col("sid"))
-        .agg(min(col("tus")).as("s_start"), max(col("tus")).as("s_end"))
+      val sessions = userSessions(ev)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("tus"))
       pointIntervalJoin(purchases, sessions, on = "user_id",
@@ -100,6 +108,58 @@ object RangeJoin {
       SELECT p.user_id, CAST(s.sid AS BIGINT) AS sid, count(*) AS n_purchases
       FROM purchases p JOIN sessions s
         ON p.user_id = s.user_id AND p.tus BETWEEN s.s_start AND s.s_end
-      GROUP BY p.user_id, s.sid ORDER BY p.user_id, sid"""))
+      GROUP BY p.user_id, s.sid ORDER BY p.user_id, sid""")),
+
+    // interval×interval overlap via the shared grid: for a 10% user
+    // sample, count concurrent sessions of OTHER users (co-activity).
+    // The raw inequality pair would plan as a nested-loop product;
+    // the grid join's candidate volume is (n+m)·buckets_per_interval
+    // on an equi-key Catalyst hash-partitions normally. Oracle is the
+    // exhaustive inequality join, so a hash match proves the grid
+    // candidates covered every true overlap (bucketWidth ≥ nothing is
+    // required for completeness — adjacent-bucket pairs always share
+    // a bucket because both sides explode the FULL span).
+    ("rj02_interval_overlap", (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .withColumn("tus", expr("ts_ns div 1000"))
+      val sessions = userSessions(ev)
+      val a = sessions.filter(pmod(col("user_id"), lit(10L)) === 0L)
+        .select(col("user_id").as("a_user"), col("sid").as("a_sid"),
+          col("s_start").as("a_start"), col("s_end").as("a_end"))
+      val b = sessions
+        .select(col("user_id").as("b_user"), col("sid").as("b_sid"),
+          col("s_start").as("b_start"), col("s_end").as("b_end"))
+      intervalOverlapJoin(a, b, "a_start", "a_end", "b_start", "b_end",
+        bucketWidth = 3600L * 1000000L) // 1h buckets (µs)
+        .filter(col("a_user") =!= col("b_user"))
+        .groupBy(col("a_user"), col("a_sid"))
+        .agg(count(lit(1)).as("n_concurrent"))
+        .select(col("a_user"), col("a_sid").cast("bigint").as("a_sid"),
+          col("n_concurrent"))
+        .orderBy("a_user", "a_sid")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id,
+                   epoch_ns(ts) // 1000 AS tus FROM events),
+      l AS (SELECT user_id, event_id, tus,
+              lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS p
+            FROM e),
+      f AS (SELECT user_id, event_id, tus,
+              CASE WHEN p IS NULL OR tus - p > 1800000000 THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sess0 AS (SELECT user_id, tus,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f),
+      sessions AS (SELECT user_id, sid, min(tus) AS s_start, max(tus) AS s_end
+                   FROM sess0 GROUP BY user_id, sid),
+      a AS (SELECT user_id AS a_user, sid AS a_sid,
+                   s_start AS a_start, s_end AS a_end
+            FROM sessions WHERE user_id % 10 = 0)
+      SELECT a_user, CAST(a_sid AS BIGINT) AS a_sid,
+             count(*) AS n_concurrent
+      FROM a JOIN sessions b
+        ON a.a_start <= b.s_end AND b.s_start <= a.a_end
+       AND b.user_id <> a.a_user
+      GROUP BY a_user, a_sid ORDER BY a_user, a_sid"""))
   )
 }

@@ -84,6 +84,34 @@ object Similarity {
       .filter(col("cos") >= cosMin)
       .orderBy("id_a", "id_b")
 
+  /** Thresholded KNN self-join: for EVERY vector, its top-`k` most
+    * similar OTHER vectors among pairs with cosine >= `cosMin` — the
+    * corpus-wide "nearest neighbors table" (near-dup triage, semantic
+    * clustering seeds, hard-negative mining). Candidates come from the
+    * same banded multi-table LSH as [[nearDupPairs]] (never all-pairs;
+    * the s05/d05 recall contract covers the >=cosMin band), the pair
+    * list is symmetrized with one zero-shuffle unionAll, and the
+    * per-id top-k runs on the TopKPerKey custom operator — a bounded
+    * heap per id, so the exchange after pair generation carries at
+    * most k rows per id instead of every candidate (the window
+    * row_number formulation would sort each id's full candidate list).
+    * Ranking uses the ROUNDED cosine (6 dp) with the neighbor id as
+    * the unique tiebreak, so the result is replay-exact on any engine.
+    */
+  def knnJoin(embeddings: DataFrame, cosMin: Double, k: Int): DataFrame = {
+    val pairs = lshBucketedPairs(embeddings, LshTables, LshBits, Seq("embedding"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("id_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"),
+        round(vectorCosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+      .filter(col("cos") >= cosMin)
+    val sym = pairs
+      .select(col("id_a").as("id"), col("id_b").as("nb"), col("cos"))
+      .unionAll(pairs
+        .select(col("id_b").as("id"), col("id_a").as("nb"), col("cos")))
+    TopK.topKPerKey(sym, Seq("id"), ord = "cos", tie = "nb", k = k)
+      .select(col("id"), col("nb"), col("cos"))
+  }
+
   /** Brute-force cosine top-k of `embeddings` vs the vector with
     * `queryId`: broadcast one row, codegen cosine per row, Spark plans
     * the order+limit as TakeOrderedAndProject (per-partition top-k,
@@ -2268,6 +2296,38 @@ object Similarity {
           row_number() OVER (PARTITION BY query_id
                              ORDER BY f1 DESC, doc_id) AS rn
         FROM f1t) t WHERE rn <= 5
-      ORDER BY query_id, f1 DESC, doc_id"""))
+      ORDER BY query_id, f1 DESC, doc_id""")),
+
+    // ---- corpus-wide thresholded KNN self-join: every vector's top-5
+    //      neighbors at cos>=0.35, LSH candidates + TopKPerKey bounded
+    //      heap. Oracle is the EXHAUSTIVE symmetric truth, so a hash
+    //      match proves candidate recall 1.0 in the >=0.35 band AND
+    //      the heap's (cos desc, nb asc) order matches the window
+    //      row_number rule ----
+    ("s16_knn_join", (s: SparkSession, d: String) =>
+      knnJoin(Tables.embeddings(s, d), 0.35, 5)
+        .orderBy(col("id"), desc("cos"), col("nb")), Some("""
+      WITH p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      sums AS (
+        SELECT id_a, id_b,
+          sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+          sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nrm_a,
+          sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nrm_b
+        FROM p GROUP BY id_a, id_b),
+      cosym AS (
+        SELECT id_a AS id, id_b AS nbr,
+               round(dot / (sqrt(nrm_a) * sqrt(nrm_b)), 6) AS cos FROM sums
+        UNION ALL
+        SELECT id_b, id_a,
+               round(dot / (sqrt(nrm_a) * sqrt(nrm_b)), 6) FROM sums),
+      r AS (SELECT id, nbr, cos,
+              row_number() OVER (PARTITION BY id
+                                 ORDER BY cos DESC, nbr) AS rn
+            FROM cosym WHERE cos >= 0.35)
+      SELECT id, nbr AS nb, cos FROM r WHERE rn <= 5
+      ORDER BY id, cos DESC, nbr"""))
   )
 }

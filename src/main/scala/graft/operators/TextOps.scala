@@ -315,6 +315,50 @@ object TextOps {
       (dot >= 0).as("keep"))
   }
 
+  /** DSIR-style hashed-unigram importance weight (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score every document by the average
+    * log-likelihood ratio of its tokens under bag-of-hashed-unigram
+    * models of a TARGET distribution (rows matching `targetPred` —
+    * e.g. a trusted high-quality slice) vs the RAW corpus, with
+    * add-one smoothing over `buckets` FNV hash buckets. High score =
+    * "looks like the target"; compose with [[percentileGate]] for the
+    * resampling gate.
+    *
+    * SCALE SHAPE: one corpus-token pass feeds a single `buckets`-key
+    * count shuffle (map-side partials collapse each task to <=buckets
+    * rows, raw+target counted in the same pass); the bucket model is
+    * a `buckets`-row broadcast; scoring is a broadcast join + one
+    * doc-keyed rollup. The ONLY float op is one log2 per bucket
+    * (<=buckets of them), rounded to 9 dp and decimal-summed (§4
+    * rule) — so the score is replay-exact cross-engine.
+    */
+  def dsirLogRatio(documents: DataFrame, targetPred: Column,
+      buckets: Int = 4096): DataFrame = {
+    val ws = filter(split(trim(col("text")), " "), w => w =!= "")
+    val occ = documents
+      .select(col("doc_id"), targetPred.as("is_t"), explode(ws).as("w"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(graft.functions.fnv64(col("w")), lit(buckets.toLong)).as("bkt"))
+    val cnt = occ.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tot = cnt.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lr = cnt.crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        round(log2(((col("ct") + lit(1L)).cast("double") *
+            (col("nr") + lit(buckets.toLong)).cast("double")) /
+          ((col("cr") + lit(1L)).cast("double") *
+            (col("nt") + lit(buckets.toLong)).cast("double"))), 9)
+          .cast("decimal(28,9)").as("lr"))
+    occ.join(broadcast(lr), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("slr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("slr").cast("double") / col("n_tokens"), 6)
+          .as("dsir_logratio"))
+  }
+
   /** count of words of `ws` that fall in `set` (codegen higher-order fn). */
   private def nIn(ws: Column, set: Seq[String]): Column =
     size(filter(ws, w => w.isin(set: _*)))
@@ -970,6 +1014,38 @@ object TextOps {
         CAST(count(*) // 1000 + 1 AS BIGINT) AS rank_tol,
         true AS ok_rank, true AS ok_kept
       FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- DSIR importance weights: avg log2 ratio of target-vs-raw
+    //      hashed-unigram models (target = lang 'en'); the oracle
+    //      recomputes the FNV bucket of every distinct word, both
+    //      bucket models, and the decimal-summed per-doc score ----
+    ("t21_dsir_weights", (s: SparkSession, d: String) =>
+      dsirLogRatio(Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism),
+        col("lang") === "en", 4096)
+        .orderBy("doc_id"), Some(s"""
+      WITH w AS (SELECT doc_id, lang,
+             unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS wd
+           FROM documents),
+      dw AS (SELECT DISTINCT wd FROM w),
+      wh AS (SELECT wd, ${OracleSql.fnvU64("wd")} AS hu FROM dw),
+      occ AS (SELECT w.doc_id, w.lang = 'en' AS is_t,
+               ((${OracleSql.signed("hu")} % 4096) + 4096) % 4096 AS bkt
+             FROM w JOIN wh USING (wd)),
+      cnt AS (SELECT bkt, count(*) AS cr,
+               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+             FROM occ GROUP BY bkt),
+      tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                     CAST(sum(ct) AS BIGINT) AS nt FROM cnt),
+      lr AS (SELECT bkt,
+               CAST(round(log2((CAST(ct + 1 AS DOUBLE) * CAST(nr + 4096 AS DOUBLE)) /
+                               (CAST(cr + 1 AS DOUBLE) * CAST(nt + 4096 AS DOUBLE))), 9)
+                 AS DECIMAL(28,9)) AS lr
+             FROM cnt, tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        round(CAST(sum(lr) AS DOUBLE) / count(*), 6) AS dsir_logratio
+      FROM occ JOIN lr USING (bkt)
+      GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- Misra-Gries heavy hitters (mergeable sketch #3 next to HLL
     //      q38 / theta q62): bounded-memory frequent-token candidates.

@@ -588,4 +588,55 @@ class DedupSpec extends AnyFunSuite {
     // the dominant source actually uses its larger share
     assert(bySrc(srcs(0)) > bySrc(srcs(1)))
   }
+
+  test("d21 weightedSystematicSample equals the single-window stride rule; nTicks ticks covered") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
+    val nTicks = 16L
+    val fast = Dedup.weightedSystematicSample(docs, nTicks).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // independent naive formulation: ONE global window, same constants
+    val tok = size(split(trim(col("text")), " ")).cast("long")
+    val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L), lit(1000003L))
+    val cum = docs.select(col("doc_id"), tok.as("w"), h.as("h"))
+      .withColumn("cum", sum(col("w")).over(
+        Window.orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val total = docs.select(sum(tok)).head().getLong(0)
+    val stride = total / nTicks
+    val naive = cum
+      .filter(expr(s"cum div $stride") > expr(s"(cum - w) div $stride"))
+      .select("doc_id", "w", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast === naive, "bucket-parallel selection diverged from the single-window rule")
+    // the ticks partition: summed tick coverage over selected spans is exactly nTicks
+    val ticks = fast.toSeq.map { case (_, w, c) => c / stride - (c - w) / stride }.sum
+    assert(ticks === nTicks, s"expected $nTicks ticks covered, got $ticks")
+  }
+
+  test("d22 tokenBudgetSelect equals the single-window greedy rule and respects the budget") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
+    val fast = Dedup.tokenBudgetSelect(docs, 1L, 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val tok = size(split(trim(col("text")), " ")).cast("long")
+    val total = docs.select(sum(tok)).head().getLong(0)
+    val budget = total / 5L
+    val naive = docs.select(col("doc_id"), col("n_chars"), tok.as("w"))
+      .withColumn("cum", sum(col("w")).over(
+        Window.orderBy(desc("n_chars"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") <= budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fast === naive, "bucket-parallel greedy selection diverged from the single-window rule")
+    assert(fast.nonEmpty && fast.map(_._4).max <= budget)
+    // greedy means the kept set is exactly the top docs by (n_chars desc, doc_id)
+    val keptIds = fast.map(_._1)
+    val order = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, nc) => (-nc, id) }.map(_._1)
+    assert(order.take(keptIds.size).toSet === keptIds, "kept set is not a prefix of the quality order")
+  }
 }

@@ -451,4 +451,53 @@ class OperatorsSpec extends AnyFunSuite {
       assert(batch(q) === single, s"query $q batch/single divergence")
     }
   }
+
+  test("rj02 intervalOverlapJoin equals the exhaustive inequality join") {
+    import spark.implicits._
+    // spans crossing bucket boundaries, nested, touching, disjoint
+    val a = Seq((1L, 0L, 10L), (2L, 5L, 6L), (3L, 20L, 29L), (4L, 100L, 100L))
+      .toDF("aid", "as_", "ae")
+    val b = Seq((10L, 9L, 12L), (11L, 6L, 6L), (12L, 30L, 40L), (13L, 0L, 200L))
+      .toDF("bid", "bs", "be")
+    val grid = graft.operators.RangeJoin
+      .intervalOverlapJoin(a, b, "as_", "ae", "bs", "be", bucketWidth = 4L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = a.join(b, col("as_") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grid === naive, s"grid $grid vs naive $naive")
+    // the wide b-interval meets every a-interval; the disjoint one meets none
+    assert(naive.count(_._2 == 13L) === 4 && !naive.exists(_._2 == 12L))
+  }
+
+  test("s16 knnJoin equals the symmetric window top-k over the near-dup pair set") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.sources.Tables.embeddings(spark, GraftTestSession.sf)
+    val res = graft.operators.Similarity.knnJoin(emb, 0.3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pairs = graft.operators.Similarity.nearDupPairs(emb, 0.3)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cos"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cos")))
+    val naive = sym
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(desc("cos"), col("nb"))))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res === naive, "TopKPerKey heap diverged from the window row_number rule")
+    assert(res.groupBy(_._1).values.forall(_.size <= 3))
+  }
+
+  test("t21 dsirLogRatio: target-language docs score higher; replay-deterministic") {
+    val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
+    val scores = graft.operators.TextOps.dsirLogRatio(docs, col("lang") === "en", 512)
+    val j = scores.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("dsir_logratio")).as("m"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(j(true) > j(false),
+      s"target slice should score higher: en=${j(true)} other=${j(false)}")
+    val r1 = scores.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val r2 = graft.operators.TextOps.dsirLogRatio(docs, col("lang") === "en", 512)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(r1 === r2, "DSIR scores are not replay-deterministic")
+  }
 }
