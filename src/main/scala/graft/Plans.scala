@@ -50,7 +50,12 @@ object Plans {
       "t18_quality_classifier" -> "quality classifier: embed (MapPartitions seam) -> zip_with/aggregate dot -> sigmoid, all in one stage, zero exchanges before the output sort",
       "d20_bloom_decontaminate" -> "bloom decontamination: the batch probe is a map-only codegen Filter (the bloom rides the plan as a truncated literal — no join or exchange introduces it); every KEYED exchange (two distincts, the per-doc count) is candidate-sized and both confirm joins broadcast — the only full-width exchanges are the single-file-testdata round-robin repartitions, absent when the source arrives pre-split",
       "t20_percentile_gate" -> "percentile gate: one partial-aggregable groupBy(group, score) is the only corpus exchange; the cumulative window runs over the histogram, thresholds broadcast back into a map-only filter — no per-group corpus sort",
-      "ss05_retention" -> "cohort retention: activity collapses to distinct (user, week) BEFORE any user-keyed stage (bot-proof — no per-user ordering window anywhere), then a user-key agg/join pair; the share window runs over the cohort matrix only")
+      "ss05_retention" -> "cohort retention: activity collapses to distinct (user, week) BEFORE any user-keyed stage (bot-proof — no per-user ordering window anywhere), then a user-key agg/join pair; the share window runs over the cohort matrix only",
+      "rj02_interval_overlap" -> "interval overlap join: both sides explode onto the shared hour grid, bucket equi-join + exact refine + pair distinct (no nested-loop product); Catalyst pushes the 10% user sample filter BELOW the a-side window into its scan, so only the b-side sessionizes the full corpus",
+      "s16_knn_join" -> "KNN self-join: ONE LSH bucket exchange (candidate pass), cosine refine computed once per unordered pair (both directions explode from the same row — no union recompute), TopKPerKey partial heaps bound the final exchange at k rows/id",
+      "d21_weighted_sample" -> "systematic weighted sample: KB bucket histogram (phase A, driver prefix) then ONE bucket-parallel window — Exchange hashes b, never a single partition; stride selection is a codegen integer filter",
+      "t21_dsir_weights" -> "DSIR weights: token pass partial-aggs to <=4096 rows/task before the only bucket-keyed exchange, the model is a 4096-row broadcast, scoring is broadcast-join + one doc_id rollup — no corpus-sized keyed exchange anywhere",
+      "pr01_pagerank" -> "PageRank: per-round edge join + partial-aggregable inflow groupBy(dst), ranks are scaled BIGINTs (no float, no decimal payload) — 8 unrolled rounds in one AQE plan")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +

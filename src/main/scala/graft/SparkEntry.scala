@@ -18,7 +18,8 @@ object SparkEntry {
       graft.operators.AsOf.entries ++
       graft.operators.TopK.entries ++
       graft.operators.Skyline.entries ++
-      graft.operators.RangeJoin.entries
+      graft.operators.RangeJoin.entries ++
+      graft.operators.Graph.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

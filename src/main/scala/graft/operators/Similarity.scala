@@ -99,15 +99,17 @@ object Similarity {
     * the unique tiebreak, so the result is replay-exact on any engine.
     */
   def knnJoin(embeddings: DataFrame, cosMin: Double, k: Int): DataFrame = {
-    val pairs = lshBucketedPairs(embeddings, LshTables, LshBits, Seq("embedding"))
-      .select(least(col("x.vec_id"), col("y.vec_id")).as("id_a"),
-        greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"),
+    // both directions emitted from ONE pair row (explode of a 2-struct
+    // array), so the exact-cosine refine — the dominant CPU of the op —
+    // runs once per unordered candidate pair, not once per union branch
+    val sym = lshBucketedPairs(embeddings, LshTables, LshBits, Seq("embedding"))
+      .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"),
         round(vectorCosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
       .filter(col("cos") >= cosMin)
-    val sym = pairs
-      .select(col("id_a").as("id"), col("id_b").as("nb"), col("cos"))
-      .unionAll(pairs
-        .select(col("id_b").as("id"), col("id_a").as("nb"), col("cos")))
+      .select(explode(array(
+        struct(col("ida").as("id"), col("idb").as("nb"), col("cos")),
+        struct(col("idb").as("id"), col("ida").as("nb"), col("cos")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"), col("e.cos").as("cos"))
     TopK.topKPerKey(sym, Seq("id"), ord = "cos", tie = "nb", k = k)
       .select(col("id"), col("nb"), col("cos"))
   }

@@ -486,6 +486,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res.groupBy(_._1).values.forall(_.size <= 3))
   }
 
+  test("pr01 pageRank equals a driver-side integer reference; hub outranks leaves") {
+    import spark.implicits._
+    // star 1—{2,3,4} plus disjoint pair 5—6, undirected
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val sym = und ++ und.map(_.swap)
+    val res = graft.operators.Graph.pageRank(sym.toDF("src", "dst"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent driver-side reference, same integer rule
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (sym.map(_._1) ++ sym.map(_._2)).distinct
+    val n = nodes.size
+    val tp = 1000000000000L * 15L / (100L * n)
+    var r = nodes.map(_ -> 1000000000000L / n).toMap
+    (1 to 8).foreach { _ =>
+      val inflow = sym.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        r(s) * 85L / (deg(s) * 100L) }.sum).toMap
+      r = nodes.map(v => v -> (tp + inflow.getOrElse(v, 0L))).toMap
+    }
+    assert(res === r, "distributed ranks diverged from the integer reference")
+    assert(res(1L) > res(2L), "hub must outrank a leaf")
+    assert(res(2L) === res(3L) && res(3L) === res(4L), "symmetric leaves must tie")
+  }
+
   test("t21 dsirLogRatio: target-language docs score higher; replay-deterministic") {
     val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
     val scores = graft.operators.TextOps.dsirLogRatio(docs, col("lang") === "en", 512)
