@@ -559,4 +559,60 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).take(3).toSet
     assert(top === Set(93001L, 93002L, 93003L), s"got $top")
   }
+
+  test("streaming heavy hitters: MG guarantee holds across batches, fold cadence bounds the store") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-hhstage")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-hh-src")
+    val store = Files.createTempDirectory("graft-hh-store").toString + "/mg"
+    val out = Files.createTempDirectory("graft-hh-out").toString
+    val ckpt = Files.createTempDirectory("graft-hh-ckpt").toString
+    // three batches; "alpha" is heavy ACROSS batches but not in any
+    // single one's top — the cross-batch merge must still keep it
+    val b1 = Seq(1L -> "alpha alpha beta gamma delta epsilon zeta",
+      2L -> "beta beta beta common words here")
+    val b2 = Seq(3L -> "alpha alpha gamma gamma other tokens flow",
+      4L -> "noise one two three four five six")
+    // alpha totals 9 of N=40 tokens > N/(cap+1)=8 — heavy overall,
+    // yet never the unanimous winner of a single batch
+    val b3 = Seq(5L -> "alpha alpha alpha alpha alpha rare tail",
+      6L -> "beta beta closing batch text stream")
+    val cap = 4
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(src.toString)
+    val q = graft.streaming.HeavyHitterStream.start(store, stream, cap, out, ckpt,
+      maxStoreParts = Some(2))
+    try {
+      q.processAllAvailable()
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+    } finally q.stop()
+    // exact whole-stream truth
+    val allRows = (b1 ++ b2 ++ b3).map(_._2).flatMap(_.split(" ")).filter(_.nonEmpty)
+    val truth = allRows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = allRows.size.toLong
+    val sketch = spark.read.parquet(out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size <= cap, s"published sketch exceeds cap: $sketch")
+    // the MG contract: every token with true count > N/(cap+1) survives,
+    // and no surviving count exceeds its true count
+    truth.filter(_._2 * (cap + 1) > n).keys.foreach { w =>
+      assert(sketch.contains(w), s"heavy token '$w' missing from $sketch (truth $truth)")
+    }
+    sketch.foreach { case (w, c) =>
+      assert(c <= truth(w), s"sketch over-counts '$w': $c > ${truth(w)}")
+    }
+    // fold cadence: maxStoreParts=2 → the three partials folded; the
+    // base partition exists and the partition count is bounded
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base partial after fold: $parts")
+    assert(parts.size <= 3, s"store partition count unbounded: $parts")
+  }
 }
