@@ -44,17 +44,24 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int,
       dampingNum: Long = 85L, dampingDen: Long = 100L): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct()
+    // lineage cuts, CC's cadence: without them every round would
+    // re-execute the caller's edge-generation chain (for pr01 that is
+    // the whole LSH pair pass — iters× the cost) and r's plan would
+    // grow one join+agg deeper per round
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val e = cut(edges.select(col("src"), col("dst")))
+    val deg = cut(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val nodes = cut(e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct())
     // n is ONE driver-side scalar (a count, not data) — the teleport
     // constant needs it as a literal so each round stays one plan
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge set")
     val teleport = RankScale * (dampingDen - dampingNum) / (dampingDen * n)
     var r = nodes.select(col("id"), lit(RankScale / n).as("r"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val inflow = e.join(r, e("src") === r("id"))
         .join(deg, "src")
         .select(col("dst"),
@@ -63,6 +70,47 @@ object Graph {
       r = nodes.join(inflow, nodes("id") === inflow("dst"), "left")
         .select(col("id"),
           (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("r"))
+      if (i % 4 == 0 && i < iters) r = cut(r)
+    }
+    r
+  }
+
+  /** Personalized PageRank: teleport mass restarts ONLY at `sources`
+    * (an (id) DataFrame ⊆ edge endpoints) — the random surfer keeps
+    * returning to the seed set, so rank measures proximity TO the
+    * seeds (retrieval expansion, related-doc discovery, hard-negative
+    * neighborhoods). Same integer-exact arithmetic as [[pageRank]]:
+    * r'(v) = [v∈S]·(1−d)/|S| + d·Σ_{u→v} r(u)/deg(u), ranks in
+    * 1e-12 units, zero float ops.
+    */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame, iters: Int,
+      dampingNum: Long = 85L, dampingDen: Long = 100L): DataFrame = {
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val e = cut(edges.select(col("src"), col("dst")))
+    val deg = cut(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val src = cut(sources.select(col("id")).distinct())
+    val nodes = cut(e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .join(src.select(col("id"), lit(true).as("is_src")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_src"), lit(false)).as("is_src")))
+    val nS = src.count()
+    require(nS > 0, "personalizedPageRank needs a non-empty source set")
+    val teleport = RankScale * (dampingDen - dampingNum) / (dampingDen * nS)
+    var r = nodes.select(col("id"),
+      when(col("is_src"), lit(RankScale / nS)).otherwise(lit(0L)).as("r"))
+    (1 to iters).foreach { i =>
+      val inflow = e.join(r, e("src") === r("id"))
+        .join(deg, "src")
+        .select(col("dst"),
+          expr(s"(r * $dampingNum) div (deg * $dampingDen)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      r = nodes.join(inflow, nodes("id") === inflow("dst"), "left")
+        .select(col("id"),
+          (when(col("is_src"), lit(teleport)).otherwise(lit(0L))
+            + coalesce(col("inflow"), lit(0L))).as("r"))
+      if (i % 4 == 0 && i < iters) r = cut(r)
     }
     r
   }
@@ -113,6 +161,65 @@ object Graph {
       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
       tp AS (SELECT (1000000000000 * 15) // (100 * n) AS t FROM nn),
       r0 AS (SELECT id, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+      $rounds
+      SELECT id, CAST(r AS BIGINT) AS rank_e12 FROM r8 ORDER BY id"""
+    }),
+
+    // ---- personalized PageRank from the 10 smallest-id nodes of the
+    //      near-dup graph: proximity to the seed set. Same exhaustive
+    //      truth edges; teleport restarts only at seeds ----
+    ("pr02_personalized_pr", (s: SparkSession, d: String) => {
+      val pairs = Similarity.nearDupPairs(Tables.embeddings(s, d), 0.35)
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val seeds = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id")))
+        .distinct().orderBy("id").limit(10)
+      personalizedPageRank(edges, seeds, 8)
+        .select(col("id"), col("r").as("rank_e12"))
+        .orderBy("id")
+    }, Some {
+      val rounds = (1 to 8).map { i =>
+        s"""r$i AS (
+          SELECT nd.id,
+            (CASE WHEN sd.id IS NOT NULL THEN tpv.t ELSE 0 END)
+              + coalesce(s.inflow, 0) AS r
+          FROM nodes nd CROSS JOIN tpv
+          LEFT JOIN seeds sd ON sd.id = nd.id
+          LEFT JOIN (
+            SELECT e.dst,
+              CAST(sum((r.r * 85) // (deg.deg * 100)) AS BIGINT) AS inflow
+            FROM edges e JOIN r${i - 1} r ON r.id = e.src
+                 JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) s ON s.dst = nd.id)"""
+      }.mkString(",\n")
+      s"""
+      WITH p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      sums AS (
+        SELECT id_a, id_b,
+          sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+          sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nrm_a,
+          sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nrm_b
+        FROM p GROUP BY id_a, id_b),
+      tpairs AS (SELECT id_a, id_b FROM sums
+                 WHERE round(dot / (sqrt(nrm_a) * sqrt(nrm_b)), 6) >= 0.35),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM tpairs
+                UNION ALL SELECT id_b, id_a FROM tpairs),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS id FROM edges
+                UNION SELECT DISTINCT dst FROM edges),
+      seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 10),
+      ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+      tpv AS (SELECT (1000000000000 * 15) // (100 * n) AS t FROM ns),
+      r0 AS (SELECT nd.id,
+               CASE WHEN sd.id IS NOT NULL THEN 1000000000000 // ns.n
+                    ELSE 0 END AS r
+             FROM nodes nd CROSS JOIN ns
+             LEFT JOIN seeds sd ON sd.id = nd.id),
       $rounds
       SELECT id, CAST(r AS BIGINT) AS rank_e12 FROM r8 ORDER BY id"""
     })

@@ -509,6 +509,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res(2L) === res(3L) && res(3L) === res(4L), "symmetric leaves must tie")
   }
 
+  test("pr02 personalizedPageRank: integer reference parity; disconnected component ranks zero") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val sym = und ++ und.map(_.swap)
+    val res = graft.operators.Graph.personalizedPageRank(
+      sym.toDF("src", "dst"), Seq(1L).toDF("id"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (sym.map(_._1) ++ sym.map(_._2)).distinct
+    val tp = 1000000000000L * 15L / 100L // |S| = 1
+    var r = nodes.map(v => v -> (if (v == 1L) 1000000000000L else 0L)).toMap
+    (1 to 8).foreach { _ =>
+      val inflow = sym.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        r(s) * 85L / (deg(s) * 100L) }.sum).toMap
+      r = nodes.map(v =>
+        v -> ((if (v == 1L) tp else 0L) + inflow.getOrElse(v, 0L))).toMap
+    }
+    assert(res === r, "distributed PPR diverged from the integer reference")
+    assert(res(5L) === 0L && res(6L) === 0L, "unreachable nodes must rank zero")
+    assert(res(1L) > res(2L) && res(2L) > 0L)
+  }
+
   test("t21 dsirLogRatio: target-language docs score higher; replay-deterministic") {
     val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
     val scores = graft.operators.TextOps.dsirLogRatio(docs, col("lang") === "en", 512)
