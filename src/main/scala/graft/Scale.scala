@@ -246,6 +246,18 @@ object Scale {
     println(f"[scale] hot-user skew: $nS%,d events with one ${nS - nE}%,d-event bot " +
       f"vs $nB%,d balanced — ${tSkew / tBal}%.2fx straggler " +
       "(bound = the bot's rows through one sort task; windows don't AQE-split)")
+    // the MITIGATION (ss06): day-split only the bot's window partitions
+    val tBnd = {
+      val t = System.nanoTime()
+      val n = graft.operators.Sessionize
+        .sessionizedBounded(skewed, maxPerUser = 10000L).count()
+      val sec = (System.nanoTime() - t) / 1e9
+      println(f"[scale] sessionize-bounded $sec%8.2f s  ($n session rows)")
+      sec
+    }
+    println(f"[scale] hot-user mitigation: sessionizedBounded cuts the straggler to " +
+      f"${tBnd / tBal}%.2fx of balanced (vs ${tSkew / tBal}%.2fx unbounded) — " +
+      "the bot's sort spreads over its active days; sessions split only at day boundaries")
 
     // ---- bloom-decontamination probe (d20): the reference corpus is
     // the REPLICATED set (reps x the base — the "seen corpus too big

@@ -470,6 +470,53 @@ object Multimodal {
     * decoded pixels it claims. Same zero-shuffle partition-local seam
     * as [[imageStats]].
     */
+  /** dHash perceptual fingerprint (Krawetz's difference hash) — THE
+    * image near-dup primitive: sample a 9×8 luminance grid by
+    * nearest-neighbor (gx = x·w div 9, gy = y·h div 8), bit(x,y) =
+    * gray(x+1, y) > gray(x, y), 64 bits packed as two 32-bit halves
+    * (hash_hi = bits 32..63) so the oracle's integer packing never
+    * touches the BIGINT sign bit. gray = r+g+b (integer sum, no
+    * division). Decode rides the same per-partition ImageIO seam as
+    * m03/m06; the oracle replays PngGen's pixel formula at the
+    * sampled coordinates, so a hash match proves the kernel decoded
+    * and sampled the TRUE raster. Near-dup images then block/join on
+    * the hash halves with a hamming refine — the d03 SimHash shape.
+    */
+  def imageDHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaFrames(s, d)
+      .filter(_.media_type == "image")
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          require(img != null, s"undecodable image payload for doc ${m.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          def gray(gx: Int, gy: Int): Int = {
+            val v = img.getRGB(gx, gy)
+            ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+          }
+          var hi = 0L; var lo = 0L
+          var y = 0
+          while (y < 8) {
+            val gy = y * h / 8
+            var x = 0
+            while (x < 8) {
+              if (gray((x + 1) * w / 9, gy) > gray(x * w / 9, gy)) {
+                val k = y * 8 + x
+                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (m.doc_id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "hash_hi", "hash_lo")
+  }
+
   def imageResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaFrames(s, d)
@@ -707,6 +754,32 @@ object Multimodal {
     // oracle replays the generator's pixel formula at the EVEN
     // (2x, 2y) coordinates only — a hash match proves the resize
     // kernel sampled exactly those decoded pixels
+    // ---- m08 entry function lives below with the other kernels ----
+    ("m08_image_dhash", (s: SparkSession, d: String) =>
+      imageDHash(s, d).orderBy("doc_id"), Some("""
+      WITH img AS (
+        SELECT doc_id, 8 + doc_id % 57 AS w, 8 + (doc_id * 31) % 41 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      g AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS k FROM img),
+      c AS (SELECT doc_id, k, (k % 8) AS x, (k // 8) AS y, w, h FROM g),
+      pix AS (SELECT doc_id, k,
+        ((((x * w) // 9) * 31 + ((y * h) // 8) * 7
+          + (doc_id % 251) * 13) & 16777215) AS v0,
+        (((((x + 1) * w) // 9) * 31 + ((y * h) // 8) * 7
+          + (doc_id % 251) * 13) & 16777215) AS v1
+        FROM c),
+      bits AS (SELECT doc_id, k,
+        CASE WHEN (((v1 >> 16) & 255) + ((v1 >> 8) & 255) + (v1 & 255)) >
+                  (((v0 >> 16) & 255) + ((v0 >> 8) & 255) + (v0 & 255))
+             THEN 1 ELSE 0 END AS b
+        FROM pix)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                      ELSE 0 END) AS BIGINT) AS hash_hi,
+        CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
+                      ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
     ("m06_image_resize", (s: SparkSession, d: String) =>
       imageResize(s, d).orderBy("doc_id"), Some("""
       WITH img AS (

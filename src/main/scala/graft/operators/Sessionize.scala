@@ -40,6 +40,49 @@ object Sessionize {
         :+ sum(col("_new")).over(wRun).as("session_id"): _*)
   }
 
+  /** Hot-user-BOUNDED sessionization — the mitigation for the
+    * documented ss01 straggler bound (window partitions don't
+    * AQE-split, so one pathological user — a bot — serializes exactly
+    * one task; the Scale probe measures it). Users whose event count
+    * exceeds `maxPerUser` get their stream pre-split by UTC day: the
+    * session window partitions on (user, slice), so no task ever
+    * sorts more than one hot DAY of one user. Normal users (slice 0)
+    * come out EXACTLY as [[sessionized]] — identical ordinal
+    * session_id — and a hot user's sessions are exact within each
+    * day; a session genuinely crossing midnight splits in two (the
+    * documented approximation this trade buys the bound with).
+    * session_id = slice·2³² + within-slice ordinal stays unique and
+    * deterministic. Cost: one extra partial-aggregable per-user count
+    * (collapses to distinct users map-side) + a broadcast of the hot
+    * set (tiny by construction — it IS the pathology list).
+    */
+  def sessionizedBounded(events: DataFrame, maxPerUser: Long,
+      gapNs: Long = GapNs, userCol: String = "user_id", tsCol: String = "ts_ns",
+      idCol: String = "event_id", keepCols: Seq[String] = Seq("event_type"))
+      : DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val hot = events.groupBy(col(userCol)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxPerUser)
+      .select(col(userCol), lit(true).as("_hot"))
+    val sliced = events.join(broadcast(hot), Seq(userCol), "left")
+      .withColumn("_slice",
+        when(col("_hot").isNotNull, expr(s"$tsCol div $dayNs")).otherwise(lit(0L)))
+    val w = Window.partitionBy(col(userCol), col("_slice"))
+      .orderBy(col(tsCol), col(idCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliced
+      .select(Seq(col(userCol), col(idCol), col(tsCol), col("_slice"))
+        ++ keepCols.map(col)
+        :+ lag(col(tsCol), 1).over(w).as("_prev"): _*)
+      .select(Seq(col(userCol), col(idCol), col(tsCol), col("_slice"))
+        ++ keepCols.map(col)
+        :+ when(col("_prev").isNull || col(tsCol) - col("_prev") > gapNs, 1L)
+          .otherwise(0L).as("_new"): _*)
+      .select(Seq(col(userCol), col(tsCol)) ++ keepCols.map(col)
+        :+ (col("_slice") * lit(1L << 32) + sum(col("_new")).over(wRun))
+          .as("session_id"): _*)
+  }
+
   /** Per-session stage times of an ORDERED funnel over an ARBITRARY
     * stage list: stage i's first hit AT-OR-AFTER stage i−1's (an
     * out-of-order hit doesn't advance the funnel). Returns one row
@@ -150,6 +193,44 @@ object Sessionize {
           col("n_events"), col("dur_ns"))
         .orderBy("user_id", "session_id")
     }, ss01OracleSql),
+
+    // ---- ss01 under the hot-user bound: maxPerUser=70 makes the
+    //      busier half of the sf corpus "hot" (their windows split by
+    //      day) while the rest replays ss01 exactly — the oracle
+    //      recomputes the per-user counts, the slice rule, and the
+    //      slice-composed session ids ----
+    ("ss06_sessionize_bounded", (s: SparkSession, d: String) => {
+      sessionizedBounded(eventsUs(s, d), maxPerUser = 70, keepCols = Seq.empty)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_id").cast("bigint").as("session_id"),
+          col("n_events"))
+        .orderBy("user_id", "session_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id,
+                   (epoch_ns(ts) // 1000) * 1000 AS tns FROM events),
+      cnt AS (SELECT user_id, count(*) AS n FROM e GROUP BY user_id),
+      s AS (SELECT e.user_id, e.event_id, e.tns,
+              CASE WHEN c.n > 70 THEN e.tns // 86400000000000
+                   ELSE 0 END AS slice
+            FROM e JOIN cnt c USING (user_id)),
+      l AS (SELECT user_id, event_id, tns, slice,
+              lag(tns) OVER (PARTITION BY user_id, slice
+                             ORDER BY tns, event_id) AS p
+            FROM s),
+      f AS (SELECT user_id, event_id, tns, slice,
+              CASE WHEN p IS NULL OR tns - p > 1800000000000 THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sess AS (SELECT user_id, slice, tns,
+              sum(is_new) OVER (PARTITION BY user_id, slice
+                                ORDER BY tns, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f)
+      SELECT user_id,
+        CAST(slice * 4294967296 + sid AS BIGINT) AS session_id,
+        count(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""")),
 
     // same sessions via Spark's native session_window (the streaming-
     // ready form); output matches ss01 minus the ordinal session_id

@@ -138,4 +138,40 @@ class SessionizeSpec extends AnyFunSuite {
       s"funnel reach must be non-increasing: $ns")
     assert(r.getAs[Long]("n_sessions") > 0L)
   }
+
+  test("sessionizedBounded: normal users exact, hot user splits only at the day boundary") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    val gap = 30L * 60 * 1000 * 1000 * 1000L
+    val sec = 1000000000L
+    val rows = Seq(
+      // user 1 (3 events ≤ maxPerUser): two sessions, must match sessionized
+      (1L, 10L, 1000L), (1L, 11L, 1000L + 60L * sec),
+      (1L, 12L, 1000L + gap + 61L * sec),
+      // user 2 (5 events, HOT): a session straddling midnight + one later
+      (2L, 20L, day - 2L * sec), (2L, 21L, day - sec),
+      (2L, 22L, day + sec), (2L, 23L, day + 2L * sec),
+      (2L, 24L, day + gap + 10L * sec))
+    val df = rows.toDF("user_id", "event_id", "ts_ns")
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.select("user_id", "ts_ns", "session_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bounded = toMap(Sessionize.sessionizedBounded(df, maxPerUser = 3,
+      keepCols = Seq.empty))
+    val exact = toMap(Sessionize.sessionized(df, keepCols = Seq.empty))
+    // normal user: identical session ids, row for row
+    rows.filter(_._1 == 1L).foreach { case (u, _, t) =>
+      assert(bounded((u, t)) === exact((u, t)), s"non-hot user diverged at ts $t")
+    }
+    // hot user: the midnight-straddling exact session splits in two;
+    // ids compose slice·2^32 + ordinal
+    val s32 = 1L << 32
+    assert(bounded((2L, day - 2L * sec)) === 1L)
+    assert(bounded((2L, day - sec)) === 1L)
+    assert(bounded((2L, day + sec)) === s32 + 1L)
+    assert(bounded((2L, day + 2L * sec)) === s32 + 1L)
+    assert(bounded((2L, day + gap + 10L * sec)) === s32 + 2L)
+    // the unbounded truth keeps the straddler whole (2 sessions total)
+    assert(rows.filter(_._1 == 2L).map(r => exact((2L, r._3))).distinct.size === 2)
+  }
 }
