@@ -100,7 +100,8 @@ object Bench {
       "d20_bloom_decontaminate", "t20_percentile_gate", "ss05_retention",
       "rj02_interval_overlap", "s16_knn_join", "t21_dsir_weights",
       "d21_weighted_sample", "d22_token_budget", "pr01_pagerank",
-      "pr02_personalized_pr", "m08_image_dhash", "ss06_sessionize_bounded")
+      "pr02_personalized_pr", "m08_image_dhash", "ss06_sessionize_bounded",
+      "d23_temperature_mix")
     // line-length budget: 70 headline entries ≈ 1900 chars — the
     // compact self-contained line printed LAST is what the driver's
     // 2000-char stdout tail is guaranteed to parse

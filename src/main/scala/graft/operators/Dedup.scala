@@ -1033,6 +1033,28 @@ object Dedup {
         (pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"),
           lit(4L)) + lit(1L)).as("w"))
 
+  /** Temperature-scaled mixture weights — the multilingual /
+    * multi-source "alpha sampling" knob (mT5, XLM-R: sample source s
+    * ∝ (its token share)^α, α<1 flattening head sources toward the
+    * tail). Natural weights = per-source token counts; the power is
+    * applied via REPEATED FLOOR-SQRT (`halvings` times → α = 1/2^k),
+    * because sqrt of an integer-valued double is correctly rounded in
+    * every IEEE engine — so the scaled weights replay bit-exactly in
+    * the oracle, unlike exp(α·ln w). α ∈ {1/2, 1/4, …}: the dyadic
+    * ladder brackets the common 0.3–0.7 settings. Output feeds
+    * [[mixtureSample]]'s (source, w) recipe directly.
+    */
+  def temperatureWeights(documents: DataFrame, halvings: Int): DataFrame = {
+    require(halvings >= 1 && halvings <= 4, s"halvings in [1,4], got $halvings")
+    val tok = size(split(trim(col("text")), " ")).cast("long")
+    val w0 = documents.select(col("source"), tok.as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("w"))
+    (1 to halvings).foldLeft(w0) { (df, _) =>
+      df.select(col("source"),
+        floor(sqrt(col("w").cast("double"))).cast("long").as("w"))
+    }
+  }
+
   private def mixtureBase(documents: DataFrame, weights: DataFrame): DataFrame = {
     val tok = size(split(trim(col("text")), " ")).cast("long")
     val h = pmod(pmod(col("doc_id"), lit(MixtureHashP)) * lit(427799L), lit(MixtureHashP))
@@ -1921,6 +1943,33 @@ object Dedup {
       c AS (SELECT t.*, CAST(sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
             FROM t)
+      SELECT doc_id, source, tok AS n_tokens, cum AS cum_tokens
+      FROM c, tot, wsum
+      WHERE cum <= w * tok_total // (4 * w_total)
+      ORDER BY doc_id""")),
+
+    // ---- temperature-scaled mixture: α=1/2 flattening of the
+    //      per-source token shares (isqrt weights — bit-exact
+    //      cross-engine), then d17's two-phase budget selection.
+    //      Oracle recomputes the isqrt recipe and replays the
+    //      naive window rule ----
+    ("d23_temperature_mix", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      mixtureSample(docs, temperatureWeights(docs, halvings = 1), 1L, 4L)
+    }, Some("""
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok,
+                   (doc_id % 1000003) * 427799 % 1000003 AS h
+                 FROM documents),
+      wt AS (SELECT source,
+               CAST(floor(sqrt(CAST(sum(tok) AS DOUBLE))) AS BIGINT) AS w
+             FROM t GROUP BY source),
+      tot AS (SELECT CAST(sum(tok) AS BIGINT) AS tok_total FROM t),
+      wsum AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM wt),
+      c AS (SELECT t.doc_id, t.source, t.tok, wt.w,
+              CAST(sum(t.tok) OVER (PARTITION BY t.source ORDER BY t.h, t.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM t JOIN wt USING (source))
       SELECT doc_id, source, tok AS n_tokens, cum AS cum_tokens
       FROM c, tot, wsum
       WHERE cum <= w * tok_total // (4 * w_total)

@@ -589,6 +589,30 @@ class DedupSpec extends AnyFunSuite {
     assert(bySrc(srcs(0)) > bySrc(srcs(1)))
   }
 
+  test("d23 temperatureWeights: exact isqrt of source token mass, flattening lifts the tail share") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val big = (1L to 64L).map(i => (i, "w " * 32 + "end", "srcA"))
+    val small = (100L to 103L).map(i => (i, "w w w end", "srcB"))
+    val docs = (big ++ small).toDF("doc_id", "text", "source")
+    def wmap(h: Int) = graft.operators.Dedup.temperatureWeights(docs, h)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tok = docs.select(col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w1 = wmap(1)
+    assert(w1("srcA") === math.sqrt(tok("srcA").toDouble).toLong)
+    assert(w1("srcB") === math.sqrt(tok("srcB").toDouble).toLong)
+    // α=1/2 flattens: weight ratio strictly below the raw token ratio
+    val raw = tok("srcA").toDouble / tok("srcB")
+    val flat1 = w1("srcA").toDouble / w1("srcB")
+    val w2 = wmap(2)
+    val flat2 = w2("srcA").toDouble / w2("srcB")
+    assert(flat1 < raw && flat2 < flat1,
+      s"flattening must be monotone in halvings: raw=$raw a=$flat1 a2=$flat2")
+  }
+
   test("d21 weightedSystematicSample equals the single-window stride rule; nTicks ticks covered") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
