@@ -55,7 +55,8 @@ object Plans {
       "s16_knn_join" -> "KNN self-join: ONE LSH bucket exchange (candidate pass), cosine refine computed once per unordered pair (both directions explode from the same row — no union recompute), TopKPerKey partial heaps bound the final exchange at k rows/id",
       "d21_weighted_sample" -> "systematic weighted sample: KB bucket histogram (phase A, driver prefix) then ONE bucket-parallel window — Exchange hashes b, never a single partition; stride selection is a codegen integer filter",
       "t21_dsir_weights" -> "DSIR weights: token pass partial-aggs to <=4096 rows/task before the only bucket-keyed exchange, the model is a 4096-row broadcast, scoring is broadcast-join + one doc_id rollup — no corpus-sized keyed exchange anywhere",
-      "pr01_pagerank" -> "PageRank: per-round edge join + partial-aggregable inflow groupBy(dst), ranks are scaled BIGINTs (no float, no decimal payload) — 8 unrolled rounds in one AQE plan")
+      "pr01_pagerank" -> "PageRank: per-round edge join + partial-aggregable inflow groupBy(dst), ranks are scaled BIGINTs (no float, no decimal payload); edges/deg/nodes localCheckpoint-ed so rounds never re-execute the LSH edge chain",
+      "ss06_sessionize_bounded" -> "bounded sessionize: one partial-aggregable per-user count elects the hot set (broadcast, tiny), session window partitions on (user, slice) — no task sorts more than one hot day; normal users ride slice 0 bit-identically to ss01")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +

@@ -255,9 +255,13 @@ object Scale {
       println(f"[scale] sessionize-bounded $sec%8.2f s  ($n session rows)")
       sec
     }
-    println(f"[scale] hot-user mitigation: sessionizedBounded cuts the straggler to " +
-      f"${tBnd / tBal}%.2fx of balanced (vs ${tSkew / tBal}%.2fx unbounded) — " +
-      "the bot's sort spreads over its active days; sessions split only at day boundaries")
+    println(f"[scale] hot-user mitigation: sessionizedBounded ${tBnd / tBal}%.2fx of " +
+      f"balanced vs ${tSkew / tBal}%.2fx unbounded — at THIS corpus size the flat " +
+      "cost of the hot-set election (one partial-agg count pass) exceeds the " +
+      "900k-row sort it parallelizes, so the bound is bought at a small premium; " +
+      "the win is STRUCTURAL and appears when one bot's single-task sort dwarfs " +
+      "that flat pass (the 100 TB bot shape): no task ever sorts more than one " +
+      "hot day regardless of bot size, while unbounded grows without bound")
 
     // ---- bloom-decontamination probe (d20): the reference corpus is
     // the REPLICATED set (reps x the base — the "seen corpus too big
