@@ -19,7 +19,8 @@ object SparkEntry {
       graft.operators.TopK.entries ++
       graft.operators.Skyline.entries ++
       graft.operators.RangeJoin.entries ++
-      graft.operators.Graph.entries
+      graft.operators.Graph.entries ++
+      graft.operators.Timeseries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

