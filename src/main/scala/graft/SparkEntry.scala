@@ -20,7 +20,9 @@ object SparkEntry {
       graft.operators.Skyline.entries ++
       graft.operators.RangeJoin.entries ++
       graft.operators.Graph.entries ++
-      graft.operators.Timeseries.entries
+      graft.operators.Timeseries.entries ++
+      graft.operators.Quality.entries ++
+      graft.operators.Warehouse.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Data-quality profiling + constraint validation (the Deequ-shaped
+  * surface a 100 TB ingest runs before anything downstream trusts a
+  * table): per-column profiles and a declarative constraint suite,
+  * each computed in as few passes as the metrics allow.
+  *
+  * Reference anchor: keenwa's statistics surface
+  * (src/statistics/simple.rs) feeds its cost model from per-relation
+  * row counts/selectivity; dq01 is the same metric catalog computed
+  * AS data (one row per column) so a pipeline can gate on it.
+  *
+  * SCALE: dq01 is ONE scan — all per-column metrics ride a single
+  * Aggregate (the multi-distinct Expand multiplies map-side rows by
+  * the distinct-column count, the documented cost of exact
+  * n_distinct; swap in approx_count_distinct when ±2% is fine and the
+  * Expand disappears). dq02's single-table checks fuse into one scan
+  * the same way; the referential check is a key-shuffled anti-join —
+  * broadcast when the parent is dim-sized, shuffle-hash past that —
+  * and every emitted row is constraint-sized (a handful), never data.
+  */
+object Quality {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** One profile row per column: (column, n_rows, n_null, n_distinct,
+    * min_s, max_s) with min/max rendered to STRINGS by `fmt` so mixed
+    * column types share one schema (numeric→plain digits,
+    * double→DECIMAL(18,2) string, timestamp→'yyyy-MM-dd HH:mm:ss' —
+    * the SURVEY §4 parity renderings).
+    */
+  def profile(df: DataFrame, cols: Seq[(String, Column => Column)])
+      : DataFrame = {
+    val aggs = count(lit(1)).as("_nr") +: cols.flatMap { case (c, fmt) =>
+      Seq(count(col(c)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"),
+        fmt(min(col(c))).as(s"_min_$c"),
+        fmt(max(col(c))).as(s"_max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { case (c, _) =>
+      struct(lit(c).as("col_name"), col("_nr").as("n_rows"),
+        (col("_nr") - col(s"_nn_$c")).as("n_null"),
+        col(s"_nd_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_s"), col(s"_max_$c").as("max_s"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Declarative constraint checks → one row per constraint:
+    * (constraint, violations, passed 0/1). `uniqueKey` /
+    * `completeCols` / `predicates` fuse into ONE scan of `df`;
+    * each (childCol, parent, parentCol) referential pair adds one
+    * anti-join. Constraint rows are unioned tiny frames.
+    */
+  def checkConstraints(df: DataFrame,
+      uniqueKey: Option[String],
+      completeCols: Seq[String],
+      predicates: Seq[(String, Column)],
+      refs: Seq[(String, String, DataFrame, String)]): DataFrame = {
+    val named: Seq[(String, Column)] =
+      uniqueKey.toSeq.map(k =>
+        s"${k}_unique" -> (count(lit(1)) - countDistinct(col(k)))) ++
+      completeCols.map(c =>
+        s"${c}_complete" -> (count(lit(1)) - count(col(c)))) ++
+      predicates.map { case (n, p) =>
+        n -> sum(when(!p, 1L).otherwise(0L)) }
+    val aggs = named.map { case (n, c) => c.as(n) }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val fused = one.select(explode(array(named.map { case (n, _) =>
+      struct(lit(n).as("check_name"), col(n).as("violations"))
+    }: _*)).as("c")).select(col("c.*"))
+    val refRows = refs.map { case (name, childCol, parent, parentCol) =>
+      df.select(col(childCol)).filter(col(childCol).isNotNull)
+        .join(parent.select(col(parentCol).as(childCol)), Seq(childCol),
+          "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    }
+    refRows.foldLeft(fused)(_ unionAll _)
+      .select(col("check_name"), col("violations"),
+        when(col("violations") === 0L, 1L).otherwise(0L).as("passed"))
+  }
+
+  private val fmtLong: Column => Column = _.cast("string")
+  private val fmtStr: Column => Column = identity
+  private val fmtMoney: Column => Column =
+    _.cast(DecimalType(18, 2)).cast("string")
+  private val fmtTs: Column => Column =
+    date_format(_, "yyyy-MM-dd HH:mm:ss")
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+    // ---- one-pass column profile of orders ----
+    ("dq01_profile", (s: SparkSession, d: String) => {
+      profile(Tables.orders(s, d), Seq(
+        "o_orderkey" -> fmtLong, "o_custkey" -> fmtLong,
+        "o_orderstatus" -> fmtStr, "o_totalprice" -> fmtMoney,
+        "o_orderdate" -> fmtTs, "o_orderpriority" -> fmtStr))
+        .orderBy("col_name")
+    }, Some {
+      def leg(c: String, minmax: String => String) = s"""
+        SELECT '$c' AS col_name, count(*) AS n_rows,
+          count(*) - count($c) AS n_null,
+          count(DISTINCT $c) AS n_distinct,
+          ${minmax(s"min($c)")} AS min_s, ${minmax(s"max($c)")} AS max_s
+        FROM orders"""
+      val varchar = (e: String) => s"CAST($e AS VARCHAR)"
+      val money = (e: String) => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
+      val tsf = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+      Seq(leg("o_orderkey", varchar), leg("o_custkey", varchar),
+        leg("o_orderstatus", varchar), leg("o_totalprice", money),
+        leg("o_orderdate", tsf), leg("o_orderpriority", varchar))
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    }),
+
+    // ---- constraint suite over orders (+ customer FK) ----
+    ("dq02_constraints", (s: SparkSession, d: String) => {
+      checkConstraints(Tables.orders(s, d),
+        uniqueKey = Some("o_orderkey"),
+        completeCols = Seq("o_custkey"),
+        predicates = Seq(
+          "o_totalprice_nonneg" -> (col("o_totalprice") >= 0),
+          "o_orderstatus_domain" -> col("o_orderstatus").isin("O", "F", "P")),
+        refs = Seq(("o_custkey_fk", "o_custkey",
+          Tables.customer(s, d), "c_custkey")))
+        .orderBy("check_name")
+    }, Some("""
+      WITH m AS (
+        SELECT 'o_orderkey_unique' AS check_name,
+          count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+        UNION ALL
+        SELECT 'o_custkey_complete', count(*) - count(o_custkey) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_nonneg',
+          sum(CASE WHEN NOT (o_totalprice >= 0) THEN 1 ELSE 0 END) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus_domain',
+          sum(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END)
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey_fk', count(*) FROM
+          (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+          ANTI JOIN customer ON o.o_custkey = c_custkey)
+      SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+      FROM m ORDER BY check_name"""))
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Quality, Warehouse}
+
+/** Constructed-frame semantics for the dq/wh families (the sf oracle
+  * entries cover end-to-end parity).
+  */
+class WarehouseQualitySpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  test("checkConstraints counts each violation class independently") {
+    val df = Seq(
+      (1L, Some(10L), 5.0),  // clean
+      (1L, Some(10L), -1.0), // dup key + negative
+      (2L, None, 3.0),       // null fk col (completeness, NOT fk violation)
+      (3L, Some(99L), 0.0)   // fk orphan (99 not in parent)
+    ).toDF("id", "fk", "amt")
+    val parent = Seq(10L).toDF("pid")
+    val m = Quality.checkConstraints(df, Some("id"), Seq("fk"),
+      Seq("amt_nonneg" -> (col("amt") >= 0)),
+      Seq(("fk_ref", "fk", parent, "pid")))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(m("id_unique") === ((1L, 0L)))     // 4 rows, 3 distinct ids
+    assert(m("fk_complete") === ((1L, 0L)))   // one null fk
+    assert(m("amt_nonneg") === ((1L, 0L)))    // one negative
+    assert(m("fk_ref") === ((1L, 0L)))        // null fk is NOT an orphan
+  }
+
+  test("profile renders nulls and distincts per column") {
+    val df = Seq((Some(1L), "a"), (Some(1L), "b"), (None, "b"))
+      .toDF("k", "s")
+    val out = Quality.profile(df,
+      Seq("k" -> (_.cast("string")), "s" -> identity))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5)))).toMap
+    assert(out("k") === ((3L, 1L, 1L, "1", "1")))
+    assert(out("s") === ((3L, 0L, 2L, "a", "b")))
+  }
+
+  test("scd2History numbers runs, closes intervals, flap reopens") {
+    // key 1: A(t1) A(t2) B(t3) A(t4) -> 3 versions A[1,3) B[3,4) A[4,)
+    val ch = Seq((1L, "A", 1L, 10L), (1L, "A", 2L, 11L),
+      (1L, "B", 3L, 12L), (1L, "A", 4L, 13L))
+      .toDF("k", "a", "t", "tie")
+    val h = Warehouse.scd2History(ch, "k", "a", "t", "tie")
+      .orderBy("version")
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    assert(h.toSeq === Seq(
+      ("A", 1L, Some(3L), 1L), ("B", 3L, Some(4L), 2L),
+      ("A", 4L, None, 3L)))
+  }
+
+  test("scd2History plans exactly one exchange for the window chain") {
+    val orders = graft.sources.Tables.orders(spark, GraftTestSession.sf)
+    val df = Warehouse.scd2History(orders, "o_custkey", "o_orderstatus",
+      "o_orderdate", "o_orderkey")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 keyed exchange, plan:\n$plan")
+  }
+
+  test("snapshotAt includes open rows and excludes future versions") {
+    val ch = Seq((1L, "A", 1L, 1L), (1L, "B", 5L, 2L), (2L, "C", 9L, 3L))
+      .toDF("k", "a", "t", "tie")
+    val h = Warehouse.scd2History(ch, "k", "a", "t", "tie")
+    // reuse the filter logic on long "timestamps" via a direct filter
+    val at = 4L
+    val snap = h.filter(col("eff_from") <= at &&
+      (col("eff_to").isNull || col("eff_to") > at))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(snap.toSeq.sorted === Seq((1L, "A"))) // B starts at 5, C at 9
+  }
+}
