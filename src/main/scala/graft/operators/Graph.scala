@@ -115,6 +115,72 @@ object Graph {
     r
   }
 
+  /** Per-vertex triangle counts on an UNDIRECTED graph given as
+    * canonical distinct edges (id_a < id_b) — the clustering/cohesion
+    * primitive (community density, spam-ring detection, co-purchase
+    * cliques).
+    *
+    * SCALE: the classic degree-ordered orientation (Cohen 2009; the
+    * MapReduce triangle standard): every edge points from its lower
+    * (deg, id) endpoint to the higher, which bounds each vertex's
+    * out-degree by O(√m) REGARDLESS of how skewed the raw degree
+    * distribution is — a celebrity node's million neighbors generate
+    * wedges at its neighbors, not at it. Wedge generation is a
+    * self-join of the oriented edges on src (Σ outdeg² ≤ m^1.5 total,
+    * vs Σ deg² unbounded for the naive orientation), and the close
+    * check is one semi-join back against the oriented edge set — the
+    * orientation is a total order, so a wedge's closing edge can only
+    * be oriented v→w. No all-pairs stage anywhere.
+    *
+    * DETERMINISM: counting only — no floats, no RNG; the (deg, id)
+    * struct comparison is a total order, so the oriented edge set is
+    * replay-exact.
+    */
+  def trianglesPerVertex(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(deg.select(col("id").as("id_a"), col("deg").as("deg_a")),
+        Seq("id_a"))
+      .join(deg.select(col("id").as("id_b"), col("deg").as("deg_b")),
+        Seq("id_b"))
+    val aFirst =
+      struct(col("deg_a"), col("id_a")) < struct(col("deg_b"), col("id_b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+      when(aFirst, col("id_b")).otherwise(col("id_a")).as("dst"),
+      when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("deg_dst"))
+    val wedges = oriented.select(col("src"), col("dst").as("v"),
+        col("deg_dst").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"),
+        col("deg_dst").as("dw")), Seq("src"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+    val tris = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      .select(col("src").as("u"), col("v"), col("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Co-purchase edge list from an order-lines table: part pairs
+    * sharing an order, kept at `minSupport`+ co-occurrences. The
+    * per-order self-join is quadratic ONLY in basket size (bounded by
+    * the order format, not by N); the support groupBy partial-
+    * aggregates map-side.
+    */
+  def copurchaseEdges(lines: DataFrame, minSupport: Long,
+      orderCol: String = "l_orderkey", itemCol: String = "l_partkey")
+      : DataFrame = {
+    val a = lines.select(col(orderCol).as("_o"), col(itemCol).as("id_a"))
+    val b = lines.select(col(orderCol).as("_o"), col(itemCol).as("id_b"))
+    a.join(b, Seq("_o")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select(col("id_a"), col("id_b"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // ---- PageRank over the embedding near-dup graph (d05's verified
     //      LSH edge generator, symmetrized): influence of each doc in
@@ -222,6 +288,30 @@ object Graph {
              LEFT JOIN seeds sd ON sd.id = nd.id),
       $rounds
       SELECT id, CAST(r AS BIGINT) AS rank_e12 FROM r8 ORDER BY id"""
-    })
+    }),
+
+    // ---- per-part triangle counts on the "bought together at least
+    //      twice" co-purchase graph: exact edges (no LSH), degree-
+    //      ordered wedge join. Oracle replays the canonical-id
+    //      3-way join — same triangle set, different join order ----
+    ("tr01_triangles", (s: SparkSession, d: String) => {
+      trianglesPerVertex(copurchaseEdges(Tables.lineitem(s, d), 2L))
+        .orderBy("id")
+    }, Some("""
+      WITH e AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      tri AS (
+        SELECT e1.id_a AS u, e1.id_b AS v, e2.id_b AS w
+        FROM e e1
+        JOIN e e2 ON e2.id_a = e1.id_a AND e1.id_b < e2.id_b
+        JOIN e e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b)
+      SELECT id, count(*) AS n_tri FROM (
+        SELECT u AS id FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+      GROUP BY id ORDER BY id"""))
   )
 }

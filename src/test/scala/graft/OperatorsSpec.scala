@@ -531,6 +531,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res(1L) > res(2L) && res(2L) > 0L)
   }
 
+  test("tr01 trianglesPerVertex: degree-oriented counts equal brute force on a skewed toy graph") {
+    import spark.implicits._
+    // K4 {1..4} + hub 1 with pendants {7,8,9} + disjoint triangle {10,11,12}
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 7L), (1L, 8L), (1L, 9L), (10L, 11L), (10L, 12L),
+      (11L, 12L))
+    val res = graft.operators.Graph
+      .trianglesPerVertex(edges.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute-force reference: all vertex triples with all three edges
+    val es = edges.toSet
+    def has(a: Long, b: Long) = es.contains((a min b, a max b))
+    val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = (for {
+      i <- vs; j <- vs if i < j; k <- vs if j < k
+      if has(i, j) && has(i, k) && has(j, k)
+    } yield Seq(i, j, k)).flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(res === brute)
+    assert(res(1L) === 3L && !res.contains(7L) && res(10L) === 1L)
+  }
+
   test("t21 dsirLogRatio: target-language docs score higher; replay-deterministic") {
     val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
     val scores = graft.operators.TextOps.dsirLogRatio(docs, col("lang") === "en", 512)
