@@ -22,7 +22,8 @@ object SparkEntry {
       graft.operators.Graph.entries ++
       graft.operators.Timeseries.entries ++
       graft.operators.Quality.entries ++
-      graft.operators.Warehouse.entries
+      graft.operators.Warehouse.entries ++
+      graft.operators.Basket.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
