@@ -164,6 +164,43 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Deterministic synchronous label propagation (community
+    * detection; Raghavan et al. 2007 made replay-exact): labels start
+    * as node ids; each round every node adopts the label most
+    * frequent among its neighbors, ties to the SMALLEST label — so a
+    * fixed round count produces the identical labeling on any engine
+    * (no RNG, no async order dependence; sync LPA may oscillate on
+    * bipartite cores, which a fixed `iters` makes harmless for
+    * determinism).
+    *
+    * SCALE: each round = one edges⋈labels join + one partial-
+    * aggregable (node, label) count + one argmax groupBy (`max_by`
+    * over the unique (count, −label) struct — no per-node sort).
+    * Cost ∝ edges per round; lineage cuts every 4 rounds (the
+    * [[pageRank]] cadence) keep the plan finite.
+    *
+    * `pairs`: canonical undirected edges (id_a < id_b).
+    */
+  def labelPropagation(pairs: DataFrame, iters: Int): DataFrame = {
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val e = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var l = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    (1 to iters).foreach { i =>
+      l = e.join(l, e("src") === l("id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"),
+          struct(col("c"), (lit(0L) - col("label")).as("nl"))).as("label"))
+        .select(col("dst").as("id"), col("label"))
+      if (i % 4 == 0 && i < iters) l = cut(l)
+    }
+    l
+  }
+
   /** Co-purchase edge list from an order-lines table: part pairs
     * sharing an order, kept at `minSupport`+ co-occurrences. The
     * per-order self-join is quadratic ONLY in basket size (bounded by
@@ -312,6 +349,33 @@ object Graph {
         SELECT u AS id FROM tri
         UNION ALL SELECT v FROM tri
         UNION ALL SELECT w FROM tri)
-      GROUP BY id ORDER BY id"""))
+      GROUP BY id ORDER BY id""")),
+
+    // ---- communities on the same co-purchase graph: 6 synchronous
+    //      LPA rounds, ties to the smallest label; oracle unrolls the
+    //      identical rounds (argmax via row_number) ----
+    ("lp01_label_propagation", (s: SparkSession, d: String) => {
+      labelPropagation(copurchaseEdges(Tables.lineitem(s, d), 2L), 6)
+        .orderBy("id")
+    }, Some {
+      val rounds = (1 to 6).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, l.label, count(*) AS c
+             FROM edges e JOIN l${i - 1} l ON l.id = e.src GROUP BY 1, 2),
+           l$i AS (SELECT id, label FROM (
+             SELECT id, label, row_number() OVER (PARTITION BY id
+               ORDER BY c DESC, label) AS rn FROM c$i) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""
+      WITH p AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+      l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+      $rounds
+      SELECT id, label FROM l6 ORDER BY id"""
+    })
   )
 }

@@ -553,6 +553,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res(1L) === 3L && !res.contains(7L) && res(10L) === 1L)
   }
 
+  test("lp01 labelPropagation: two cliques converge to their min labels; deterministic ties") {
+    import spark.implicits._
+    // K4 {1..4} — bridge 4—5 — K4 {5..8}: communities must keep the
+    // bridge from merging the cliques
+    def k4(v: Seq[Long]) = for (i <- v; j <- v if i < j) yield (i, j)
+    val edges = (k4(Seq(1L, 2L, 3L, 4L)) ++ k4(Seq(5L, 6L, 7L, 8L))
+      :+ ((4L, 5L))).toDF("id_a", "id_b")
+    val res = graft.operators.Graph.labelPropagation(edges, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L).forall(res(_) == 1L),
+      s"left clique must adopt min label 1: $res")
+    assert(Seq(6L, 7L, 8L).forall(res(_) == 5L),
+      s"right clique must adopt min label 5: $res")
+    // driver-side replay of the same sync rule = exact parity
+    val sym = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap(e => Seq(e, e.swap))
+    var l = sym.map(_._1).distinct.map(v => v -> v).toMap
+    (1 to 6).foreach { _ =>
+      l = sym.groupBy(_._2).view.mapValues { in =>
+        in.map(e => l(e._1)).groupBy(identity).view.mapValues(_.size)
+          .toSeq.maxBy { case (lab, c) => (c, -lab) }._1
+      }.toMap
+    }
+    assert(res === l, "distributed LPA diverged from the sync reference")
+  }
+
   test("t21 dsirLogRatio: target-language docs score higher; replay-deterministic") {
     val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
     val scores = graft.operators.TextOps.dsirLogRatio(docs, col("lang") === "en", 512)
