@@ -56,7 +56,12 @@ object Plans {
       "d21_weighted_sample" -> "systematic weighted sample: KB bucket histogram (phase A, driver prefix) then ONE bucket-parallel window — Exchange hashes b, never a single partition; stride selection is a codegen integer filter",
       "t21_dsir_weights" -> "DSIR weights: token pass partial-aggs to <=4096 rows/task before the only bucket-keyed exchange, the model is a 4096-row broadcast, scoring is broadcast-join + one doc_id rollup — no corpus-sized keyed exchange anywhere",
       "pr01_pagerank" -> "PageRank: per-round edge join + partial-aggregable inflow groupBy(dst), ranks are scaled BIGINTs (no float, no decimal payload); edges/deg/nodes localCheckpoint-ed so rounds never re-execute the LSH edge chain",
-      "ss06_sessionize_bounded" -> "bounded sessionize: one partial-aggregable per-user count elects the hot set (broadcast, tiny), session window partitions on (user, slice) — no task sorts more than one hot day; normal users ride slice 0 bit-identically to ss01")
+      "ss06_sessionize_bounded" -> "bounded sessionize: one partial-aggregable per-user count elects the hot set (broadcast, tiny), session window partitions on (user, slice) — no task sorts more than one hot day; normal users ride slice 0 bit-identically to ss01",
+      "ts01_resample_ffill" -> "resample+ffill: ONE event-sized partial-aggregable (key, bucket) exchange; spine generation, gap join and the carry-forward window all run on bucket-sized data (the window partition is hours-long, not event-long)",
+      "tr01_triangles" -> "triangles: degree-ordered orientation (out-degree <= sqrt(2m) under any skew), wedge self-join on src, ONE semi-join close check — no all-pairs stage, counting only",
+      "wh01_scd2_history" -> "SCD2 build: lag change-detect, version row_number and interval-close lead share ONE (key) exchange and one (ts, tie) sort — the filter between windows preserves both properties",
+      "rec01_item_jaccard" -> "item-item Jaccard: basket-bounded pair self-join, item-sized support joins, TopKPerKey bounds the final exchange at k rows/item — no per-item sort",
+      "dq01_profile" -> "column profile: ONE scan, all metrics in a single Aggregate (Expand x distinct-cols is the exact-distinct cost), output is column-count rows")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +

@@ -126,6 +126,17 @@ object Timeseries {
       .select(col(keyCol), expr(s"$tsCol div ${bucketNs}L").as("bucket"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
+    anomalousFromCounts(counts, num, den, keyCol)
+  }
+
+  /** The anomaly flag over PRE-AGGREGATED (key, bucket, n) counts —
+    * the shared back half of [[anomalousBuckets]] and the streaming
+    * twin ([[graft.streaming.AnomalyStream]]), whose state store
+    * already holds merged counts. `counts` must be unique per
+    * (key, bucket).
+    */
+  def anomalousFromCounts(counts: DataFrame, num: Long, den: Long,
+      keyCol: String = "event_type"): DataFrame = {
     val stats = counts.groupBy(col(keyCol))
       .agg(sum(col("n")).as("n_total"),
         (max(col("bucket")) - min(col("bucket")) + lit(1L)).as("n_buckets"))

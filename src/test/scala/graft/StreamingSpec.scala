@@ -615,4 +615,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.contains("batch_id=-1"), s"no base partial after fold: $parts")
     assert(parts.size <= 3, s"store partition count unbounded: $parts")
   }
+
+  test("streaming anomalies: published table equals batch ts03 over the whole stream; fold bounds the store") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(String, Long)]): Unit = {
+      val stage = Files.createTempDirectory("graft-anstage")
+      rows.toDF("event_type", "ts_ns").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-an-src")
+    val store = Files.createTempDirectory("graft-an-store").toString + "/counts"
+    val out = Files.createTempDirectory("graft-an-out").toString
+    val ckpt = Files.createTempDirectory("graft-an-ckpt").toString
+    // bucketNs=10: key "a" accumulates a spike in bucket 2 ONLY across
+    // batches (2+3 events vs 1 per other bucket) — the store merge,
+    // not any single batch, must produce the flag
+    val b1 = Seq("a" -> 5L, "a" -> 15L, "a" -> 25L, "a" -> 27L, "b" -> 5L)
+    val b2 = Seq("a" -> 21L, "a" -> 23L, "a" -> 24L, "b" -> 15L)
+    val b3 = Seq("a" -> 35L, "b" -> 25L)
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("event_type STRING, ts_ns LONG").parquet(src.toString)
+    val q = graft.streaming.AnomalyStream.start(store, stream,
+      bucketNs = 10L, num = 2L, den = 1L, out, ckpt,
+      maxStoreParts = Some(2))
+    def published() = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    def batchTruth(rows: Seq[(String, Long)]) =
+      graft.operators.Timeseries.anomalousFromCounts(
+        rows.toDF("event_type", "ts_ns")
+          .selectExpr("event_type", "ts_ns div 10L AS bucket")
+          .groupBy($"event_type", $"bucket").agg(count(lit(1)).as("n")),
+        2L, 1L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTruth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2))
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+      // the cross-batch spike is the flag: a/bucket 2 has 5 of a's 8
+      // events over dense range 4 → 5·4 > 8·2
+      assert(published().exists(t => t._1 == "a" && t._2 == 2L && t._3 == 5L),
+        s"cross-batch spike missing: ${published()}")
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base partial after fold: $parts")
+    assert(parts.size <= 3, s"store partition count unbounded: $parts")
+  }
 }
