@@ -61,7 +61,10 @@ object Plans {
       "tr01_triangles" -> "triangles: degree-ordered orientation (out-degree <= sqrt(2m) under any skew), wedge self-join on src, ONE semi-join close check — no all-pairs stage, counting only",
       "wh01_scd2_history" -> "SCD2 build: lag change-detect, version row_number and interval-close lead share ONE (key) exchange and one (ts, tie) sort — the filter between windows preserves both properties",
       "rec01_item_jaccard" -> "item-item Jaccard: basket-bounded pair self-join, item-sized support joins, TopKPerKey bounds the final exchange at k rows/item — no per-item sort",
-      "dq01_profile" -> "column profile: ONE scan, all metrics in a single Aggregate (Expand x distinct-cols is the exact-distinct cost), output is column-count rows")
+      "dq01_profile" -> "column profile: ONE scan, all metrics in a single Aggregate (Expand x distinct-cols is the exact-distinct cost), output is column-count rows",
+      "er01_candidate_pairs" -> "ER candidates: self-join hashed on the BLOCK key (no cartesian, no BNLJ) — the quadratic stage never leaves its block; integer features + keep prune computed inside the join stage",
+      "bfs01_shortest_hops" -> "multi-source BFS (final round): frontier-sized edge join + visited-sized anti-join only — per-round cost tracks the frontier, never the graph; lineage cuts keep the plan flat",
+      "cdc01_snapshot_diff" -> "CDC diff: ONE snapshot-sized full-outer hash join, change classification map-only on top — fact history never joined")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +

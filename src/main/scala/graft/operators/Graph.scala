@@ -201,6 +201,44 @@ object Graph {
     l
   }
 
+  /** Multi-source BFS: exact shortest hop counts from `sources` on a
+    * DIRECTED edge list (src, dst) — pass both directions for an
+    * undirected graph. Returns (id, dist) for every node reachable
+    * within `maxHops`; unreachable-within-cap nodes are absent (the
+    * cap makes the answer finite and replay-exact — every reported
+    * dist ≤ maxHops is the TRUE shortest distance, because BFS
+    * discovers nodes in distance order).
+    *
+    * SCALE: frontier-based — round h joins ONLY the current frontier
+    * against edges (cost ∝ frontier out-degree, not graph size) and
+    * anti-joins the visited set (keyed, visited-sized). O(diameter)
+    * rounds, early exit on an empty frontier (one driver isEmpty per
+    * round — a scalar, inherent to iterative fixpoints, same as
+    * [[Dedup.connectedComponents]]). Lineage cut per round keeps the
+    * plan flat. Integer-only — bit-identical on any engine.
+    */
+  def shortestHops(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val e = cut(edges.select(col("src"), col("dst")))
+    var visited = cut(sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = visited
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      frontier = cut(frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("dist", lit(h.toLong)))
+      visited = cut(visited.unionAll(frontier))
+    }
+    visited
+  }
+
   /** Co-purchase edge list from an order-lines table: part pairs
     * sharing an order, kept at `minSupport`+ co-occurrences. The
     * per-order self-join is quadratic ONLY in basket size (bounded by
@@ -376,6 +414,43 @@ object Graph {
       l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
       $rounds
       SELECT id, label FROM l6 ORDER BY id"""
-    })
+    }),
+
+    // ---- multi-source BFS on the co-purchase graph: exact hop
+    //      distance from the 5 smallest part ids, capped at 8 hops.
+    //      Oracle = DuckDB recursive CTE (UNION-deduped (id, d)
+    //      states, depth-capped); Spark = frontier expansion ----
+    ("bfs01_shortest_hops", (s: SparkSession, d: String) => {
+      val pairs = copurchaseEdges(Tables.lineitem(s, d), 2L)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val seeds = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id")))
+        .distinct().orderBy("id").limit(5)
+      shortestHops(edges, seeds, 8).orderBy("id")
+    }, Some("""
+      WITH RECURSIVE
+      p AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+      -- inside a WITH RECURSIVE, DuckDB 1.0 evaluates a plain UNION
+      -- between non-recursive CTE legs as bag union — dedup must be
+      -- an explicit DISTINCT over UNION ALL here
+      nodes AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+      seeds AS (SELECT id FROM (
+        SELECT id, row_number() OVER (ORDER BY id) AS rn FROM nodes)
+        WHERE rn <= 5),
+      walk(id, d) AS (
+        SELECT id, 0 FROM seeds
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w
+        JOIN edges e ON e.src = w.id WHERE w.d < 8),
+      sp AS (SELECT id, min(d) AS dist FROM walk GROUP BY id)
+      SELECT id, CAST(dist AS BIGINT) AS dist FROM sp ORDER BY id"""))
   )
 }

@@ -55,6 +55,40 @@ object Warehouse {
     history.filter(col("eff_from") <= lit(at) &&
       (col("eff_to").isNull || col("eff_to") > lit(at)))
 
+  /** CDC snapshot diff: classify every key of two keyed snapshots as
+    * inserted ('I': key only in `cur`), deleted ('D': key only in
+    * `old`), or updated ('U': key in both with ANY `cmpCols` value
+    * changed, null-safely) — unchanged keys are dropped. Output:
+    * keys, `change_type`, and `old_`/`new_`-prefixed copies of each
+    * compared column.
+    *
+    * SCALE: ONE full-outer join hashed on the key — both sides
+    * snapshot-sized (≪ the fact table they were derived from), the
+    * change filter map-only on top of it. This is the incremental-
+    * load primitive: at 100 TB you diff two bounded dimension
+    * snapshots, never the fact history.
+    */
+  def snapshotDiff(old: DataFrame, cur: DataFrame, keyCols: Seq[String],
+      cmpCols: Seq[String]): DataFrame = {
+    val o = old.select(keyCols.map(col) ++
+      cmpCols.map(c => col(c).as(s"old_$c")): _*)
+    val n = cur.select(keyCols.map(col) ++
+      cmpCols.map(c => col(c).as(s"new_$c")): _*)
+    // presence flags survive the outer join (a missing side's key
+    // columns are null-merged by the USING join, so they can't be
+    // the presence test themselves)
+    val j = o.withColumn("_in_old", lit(true))
+      .join(n.withColumn("_in_new", lit(true)), keyCols, "full_outer")
+    val changed = cmpCols.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    j.withColumn("change_type",
+        when(col("_in_old").isNull, lit("I"))
+          .when(col("_in_new").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("change_type").isNotNull)
+      .drop("_in_old", "_in_new")
+  }
+
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
   private def ordersHistory(s: SparkSession, d: String): DataFrame =
     scd2History(Tables.orders(s, d), "o_custkey", "o_orderstatus",
@@ -108,5 +142,41 @@ object Warehouse {
       WHERE eff_from <= TIMESTAMP '1998-06-15 00:00:00'
         AND (eff_to IS NULL OR eff_to > TIMESTAMP '1998-06-15 00:00:00')
       ORDER BY o_custkey"""))
+    ,
+
+    // ---- CDC diff of two point-in-time snapshots (1997-01-01 vs
+    //      1999-01-01): who appeared, whose status moved. version is
+    //      compared too so A→B→A round-trips still surface as 'U'.
+    //      ONE snapshot-sized full-outer join ----
+    ("cdc01_snapshot_diff", (s: SparkSession, d: String) => {
+      val h = ordersHistory(s, d)
+      def snap(at: String) =
+        snapshotAt(h, java.sql.Timestamp.valueOf(at))
+          .select(col("o_custkey"), col("o_orderstatus"), col("version"))
+      snapshotDiff(snap("1997-01-01 00:00:00"), snap("1999-01-01 00:00:00"),
+        Seq("o_custkey"), Seq("o_orderstatus", "version"))
+        .select(col("o_custkey"), col("change_type"),
+          col("old_o_orderstatus"), col("new_o_orderstatus"),
+          col("old_version"), col("new_version"))
+        .orderBy("o_custkey")
+    }, Some(s"""
+      WITH $historySql,
+      s1 AS (SELECT o_custkey, o_orderstatus, version FROM v
+             WHERE eff_from <= TIMESTAMP '1997-01-01 00:00:00'
+               AND (eff_to IS NULL OR eff_to > TIMESTAMP '1997-01-01 00:00:00')),
+      s2 AS (SELECT o_custkey, o_orderstatus, version FROM v
+             WHERE eff_from <= TIMESTAMP '1999-01-01 00:00:00'
+               AND (eff_to IS NULL OR eff_to > TIMESTAMP '1999-01-01 00:00:00')),
+      j AS (SELECT coalesce(s1.o_custkey, s2.o_custkey) AS o_custkey,
+              CASE WHEN s1.o_custkey IS NULL THEN 'I'
+                   WHEN s2.o_custkey IS NULL THEN 'D'
+                   WHEN s1.o_orderstatus IS DISTINCT FROM s2.o_orderstatus
+                     OR s1.version IS DISTINCT FROM s2.version THEN 'U'
+              END AS change_type,
+              s1.o_orderstatus AS old_o_orderstatus,
+              s2.o_orderstatus AS new_o_orderstatus,
+              s1.version AS old_version, s2.version AS new_version
+            FROM s1 FULL JOIN s2 ON s1.o_custkey = s2.o_custkey)
+      SELECT * FROM j WHERE change_type IS NOT NULL ORDER BY o_custkey"""))
   )
 }

@@ -593,4 +593,24 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
     assert(r1 === r2, "DSIR scores are not replay-deterministic")
   }
+
+  test("bfs01 shortestHops: exact BFS distances, cap honored, unreachable absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5, branch 2-6, isolated component {8,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (8L, 9L))
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    val seeds = Seq(1L).toDF("id")
+    def run(cap: Int) = graft.operators.Graph.shortestHops(edges, seeds, cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(8) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L,
+      4L -> 3L, 5L -> 4L), "exact distances (8/9 unreachable, absent)")
+    assert(run(2) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L),
+      "cap drops deeper nodes, keeps exact distances within it")
+    // multi-source: nearest seed wins
+    val ms = graft.operators.Graph.shortestHops(edges, Seq(1L, 5L).toDF("id"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ms(3L) === 2L && ms(4L) === 1L && ms(5L) === 0L)
+  }
 }

@@ -78,4 +78,23 @@ class WarehouseQualitySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(snap.toSeq.sorted === Seq((1L, "A"))) // B starts at 5, C at 9
   }
+
+  test("snapshotDiff classifies I/U/D, drops unchanged, compares null-safely") {
+    val old = Seq((1L, Some("A")), (2L, Some("B")), (3L, Some("C")),
+      (5L, None: Option[String])).toDF("k", "v")
+    val cur = Seq((1L, Some("A")), (2L, Some("X")), (4L, Some("D")),
+      (5L, Some("E"))).toDF("k", "v")
+    val got = Warehouse.snapshotDiff(old, cur, Seq("k"), Seq("v"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(3), Option(r.getString(1)), Option(r.getString(2)))))
+      .toMap
+    // key 1 unchanged → absent; 2 updated; 3 deleted; 4 inserted;
+    // 5 null→E must register as U (null-safe compare)
+    assert(got === Map(
+      2L -> (("U", Some("B"), Some("X"))),
+      3L -> (("D", Some("C"), None)),
+      4L -> (("I", None, Some("D"))),
+      5L -> (("U", None, Some("E")))))
+  }
 }
