@@ -64,7 +64,8 @@ object Plans {
       "dq01_profile" -> "column profile: ONE scan, all metrics in a single Aggregate (Expand x distinct-cols is the exact-distinct cost), output is column-count rows",
       "er01_candidate_pairs" -> "ER candidates: self-join hashed on the BLOCK key (no cartesian, no BNLJ) — the quadratic stage never leaves its block; integer features + keep prune computed inside the join stage",
       "bfs01_shortest_hops" -> "multi-source BFS (final round): frontier-sized edge join + visited-sized anti-join only — per-round cost tracks the frontier, never the graph; lineage cuts keep the plan flat",
-      "cdc01_snapshot_diff" -> "CDC diff: ONE snapshot-sized full-outer hash join, change classification map-only on top — fact history never joined")
+      "cdc01_snapshot_diff" -> "CDC diff: ONE snapshot-sized full-outer hash join, change classification map-only on top — fact history never joined",
+      "ix02_phrase_search" -> "phrase search: anchor trick — broadcast phrase table join + ONE (doc, anchor) groupBy for any phrase length; exchanges bounded by phrase-word postings, never corpus")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +

@@ -24,7 +24,8 @@ object SparkEntry {
       graft.operators.Quality.entries ++
       graft.operators.Warehouse.entries ++
       graft.operators.Basket.entries ++
-      graft.operators.Er.entries
+      graft.operators.Er.entries ++
+      graft.operators.Search.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

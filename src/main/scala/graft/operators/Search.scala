@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Exact-match retrieval over an inverted index: positional postings,
+  * boolean conjunctive search, and exact phrase search — the
+  * complement to [[TextOps]]'s ranked BM25 (p03/p04). A curation
+  * pipeline uses these for contamination audits ("which documents
+  * contain this benchmark sentence verbatim?") where ranked retrieval
+  * is the wrong tool.
+  *
+  * Reference anchor: keenwa's relational surface (logical/mod.rs) —
+  * postings are a plain (word, doc, pos) relation and both query
+  * modes are join+aggregate plans over it; no bespoke runtime.
+  *
+  * SCALE: the postings build is one generator pass (posexplode) —
+  * cost ∝ tokens, no shuffle until a consumer asks for one.
+  * [[writePostingsStore]] lands them bucketed+sorted by word (the
+  * signature-store discipline): term lookups then prune to the
+  * buckets holding the query terms (Spark bucket pruning on word
+  * equality/IN — spec-asserted SelectedBucketsCount), so query cost
+  * tracks posting-list length, never corpus size. Conjunctive search
+  * is one term-filtered distinct + doc-keyed count (candidate-sized
+  * exchanges only). Phrase search is the anchor trick: term i at
+  * position p votes for anchor p−i; a full occurrence is an anchor
+  * with all |phrase| distinct i's — ONE broadcast join + ONE
+  * (doc, anchor) groupBy regardless of phrase length (no per-word
+  * self-join chain).
+  */
+object Search {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Positional postings (word, doc_id, pos). Positions index the
+    * raw whitespace split of the trimmed text (empty tokens from
+    * repeated separators are dropped AFTER numbering, so positions
+    * are stable under them and adjacency means "adjacent in the raw
+    * token stream").
+    */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+      .select(col("word"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Postings landed bucketed+sorted by word: bucket pruning makes a
+    * term lookup read only the buckets its words hash to, and the
+    * in-bucket sort keeps a word's posting list contiguous. One
+    * bucket-aligned shuffle at build time (pmod(hash(word), n) — the
+    * repartition MUST colocate equal bucket ids per the Spark 4
+    * task-alignment gotcha), paid once, amortized over every query.
+    */
+  def writePostingsStore(docs: DataFrame, path: String, table: String,
+      nBuckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    postings(docs)
+      .repartition(nBuckets, pmod(hash(col("word")), lit(nBuckets)))
+      .write.bucketBy(nBuckets, "word").sortBy("word", "doc_id", "pos")
+      .option("path", path).saveAsTable(table)
+  }
+
+  /** Documents containing ALL of `terms` (boolean AND). Term filter
+    * is a map-only IN-list over the scan (bucket-pruned on a stored
+    * index), then one (word, doc) distinct + doc-keyed count — both
+    * exchanges bounded by matched postings.
+    */
+  def conjunctiveSearch(postings: DataFrame, terms: Seq[String]): DataFrame =
+    postings.filter(col("word").isin(terms: _*))
+      .select(col("word"), col("doc_id")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.length.toLong)
+      .select(col("doc_id"))
+
+  /** Exact phrase occurrence counts: (doc_id, n_hits) for documents
+    * containing `phrase` as consecutive tokens, n_hits ≥ 1. The
+    * anchor trick handles repeated words in the phrase correctly
+    * (one posting row can vote for several term slots — the
+    * (doc, anchor) group still needs all |phrase| DISTINCT slots).
+    */
+  def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val ph = phrase.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("i", "word")
+    postings.join(broadcast(ph), Seq("word"))
+      .select(col("doc_id"), (col("pos") - col("i")).as("anchor"), col("i"))
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("i")).as("n_slots"))
+      .filter(col("n_slots") === phrase.length.toLong)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Shared oracle tokenizer: positions zip via parallel unnest. */
+  private val wordsSql = """
+    t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+          FROM documents),
+    words AS (SELECT doc_id, w AS word, o AS pos FROM (
+      SELECT doc_id, unnest(ws) AS w,
+             unnest(generate_series(0, len(ws) - 1)) AS o FROM t)
+      WHERE w <> '')"""
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+    // ---- boolean AND over the postings: contamination-audit shape
+    //      ("every doc mentioning all three") ----
+    ("ix01_conjunctive_search", (s: SparkSession, d: String) => {
+      conjunctiveSearch(postings(Tables.documents(s, d)),
+        Seq("spark", "window", "merge"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $wordsSql
+      SELECT doc_id FROM words
+      WHERE word IN ('spark', 'window', 'merge')
+      GROUP BY doc_id HAVING count(DISTINCT word) = 3
+      ORDER BY doc_id""")),
+
+    // ---- exact phrase counts via the anchor trick: one join + one
+    //      groupBy for any phrase length ----
+    ("ix02_phrase_search", (s: SparkSession, d: String) => {
+      phraseSearch(postings(Tables.documents(s, d)),
+        Seq("slow", "hash", "batch"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $wordsSql,
+      ph(i, word) AS (VALUES (0, 'slow'), (1, 'hash'), (2, 'batch')),
+      anchors AS (
+        SELECT w.doc_id, w.pos - ph.i AS anchor,
+               count(DISTINCT ph.i) AS n_slots
+        FROM words w JOIN ph ON ph.word = w.word
+        GROUP BY 1, 2 HAVING count(DISTINCT ph.i) = 3)
+      SELECT doc_id, count(*) AS n_hits FROM anchors
+      GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

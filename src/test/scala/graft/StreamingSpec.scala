@@ -671,4 +671,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.contains("batch_id=-1"), s"no base partial after fold: $parts")
     assert(parts.size <= 3, s"store partition count unbounded: $parts")
   }
+
+  test("streaming CDC: I/U/D feed per batch, tombstone re-insert, late data no-regress, fold keeps snapshot") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, String, Long)]): Unit = {
+      val stage = Files.createTempDirectory("graft-cdcstage")
+      rows.toDF("user_id", "event_type", "ts_ns").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-cdc-src")
+    val store = Files.createTempDirectory("graft-cdc-store").toString + "/state"
+    val feed = Files.createTempDirectory("graft-cdc-feed").toString
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val b1 = Seq((1L, "open", 10L), (2L, "open", 20L))
+    val b2 = Seq((1L, "upgrade", 30L), (3L, "open", 40L))
+    val b3 = Seq((2L, "close", 50L), (1L, "open", 25L)) // D + LATE no-op
+    val b4 = Seq((2L, "open", 60L)) // re-insert after tombstone
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts_ns LONG")
+      .parquet(src.toString)
+    val q = graft.streaming.CdcStream.start(store, stream,
+      "user_id", "ts_ns", Seq("event_type"),
+      deleteWhen = Some("event_type = 'close'"), feed, ckpt,
+      maxStoreParts = Some(2))
+    def feedOf(b: Long) = spark.read
+      .schema("user_id LONG, old_event_type STRING, new_event_type STRING, change_type STRING")
+      .parquet(s"$feed/batch_id=$b")
+      .collect().map(r => (r.getLong(0), r.getString(3),
+        Option(r.getString(1)), Option(r.getString(2)))).toSet
+    try {
+      q.processAllAvailable()
+      assert(feedOf(0) === Set(
+        (1L, "I", None, Some("open")), (2L, "I", None, Some("open"))))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(feedOf(1) === Set(
+        (1L, "U", Some("open"), Some("upgrade")),
+        (3L, "I", None, Some("open"))))
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      // 2 dies; 1's LATE ts=25 event must NOT regress the ts=30 state
+      assert(feedOf(2) === Set((2L, "D", Some("open"), None)))
+      addFile(src, "b4.parquet", b4); q.processAllAvailable()
+      assert(feedOf(3) === Set((2L, "I", None, Some("open"))))
+      val snap = graft.streaming.CdcStream
+        .snapshot(spark, store, "user_id", Seq("event_type"))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(snap === Map(1L -> "upgrade", 2L -> "open", 3L -> "open"))
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+  }
 }
