@@ -65,7 +65,11 @@ object Plans {
       "er01_candidate_pairs" -> "ER candidates: self-join hashed on the BLOCK key (no cartesian, no BNLJ) — the quadratic stage never leaves its block; integer features + keep prune computed inside the join stage",
       "bfs01_shortest_hops" -> "multi-source BFS (final round): frontier-sized edge join + visited-sized anti-join only — per-round cost tracks the frontier, never the graph; lineage cuts keep the plan flat",
       "cdc01_snapshot_diff" -> "CDC diff: ONE snapshot-sized full-outer hash join, change classification map-only on top — fact history never joined",
-      "ix02_phrase_search" -> "phrase search: anchor trick — broadcast phrase table join + ONE (doc, anchor) groupBy for any phrase length; exchanges bounded by phrase-word postings, never corpus")
+      "ix02_phrase_search" -> "phrase search: anchor trick — broadcast phrase table join + ONE (doc, anchor) groupBy for any phrase length; exchanges bounded by phrase-word postings, never corpus",
+      "t22_quantile_bins" -> "quantile bins: histogram ranks (partial-agg (group,score) count, cum window over the HISTOGRAM), tie index keyed by (group,score) — no group-only sort of the corpus, one hot language cannot serialize a task",
+      "cor01_column_moments" -> "column moments: ONE Aggregate over one scan carries all pair statistics (map-side partials), output is pair-count rows; corr a scalar expression on top",
+      "ts05_mad_outliers" -> "MAD outliers: two histogram-elected medians (partial-agg counts + histogram windows), broadcast med/mad joins, map-only flag — no per-key sort of the corpus",
+      "rfm01_segments" -> "RFM: one fact groupBy(customer) + 1-row max-date broadcast; the three quantile binning passes run over the customer frame with histogram-sized windows")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +

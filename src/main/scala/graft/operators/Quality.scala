@@ -87,6 +87,55 @@ object Quality {
         when(col("violations") === 0L, 1L).otherwise(0L).as("passed"))
   }
 
+  /** Pairwise column moments + Pearson correlation in ONE Aggregate
+    * over one scan (the ML-feature-stats pass: which numeric columns
+    * are redundant / co-vary). Inputs are cast to DECIMAL(18,2) so
+    * every sufficient statistic (Σx, Σx², Σxy) is EXACT — the only
+    * float arithmetic is the final correlation, computed from those
+    * exact sums in one fixed-order double expression (both engines
+    * correctly-round each op, so round(·, 9) is replay-stable). The
+    * moment outputs are the exact decimals cast back to DOUBLE (§4's
+    * money-sum convention — one correctly-rounded cast on each side,
+    * bit-identical across engines).
+    *
+    * SCALE: no shuffle beyond the global-agg reduce (all k·(k+1)/2
+    * sums partial-aggregate map-side); output is pair-count rows.
+    * Null policy: rows with a null in EITHER column of a pair are
+    * excluded from that pair's stats (pairwise deletion) — the n per
+    * pair makes that explicit.
+    */
+  def columnMoments(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    def d(c: String) = col(c).cast(DecimalType(18, 2))
+    val aggs = pairs.flatMap { case (x, y) =>
+      val both = d(x).isNotNull && d(y).isNotNull
+      def s(c: Column, n: String) =
+        sum(when(both, c)).cast(DecimalType(38, 6)).cast("double").as(n)
+      Seq(count(when(both, lit(1))).as(s"n_${x}_$y"),
+        s(d(x), s"sx_${x}_$y"), s(d(y), s"sy_${x}_$y"),
+        s(d(x) * d(x), s"sxx_${x}_$y"), s(d(y) * d(y), s"syy_${x}_$y"),
+        s(d(x) * d(y), s"sxy_${x}_$y"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (x, y) =>
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        col(s"n_${x}_$y").as("n"),
+        col(s"sx_${x}_$y").as("sum_x"), col(s"sy_${x}_$y").as("sum_y"),
+        col(s"sxx_${x}_$y").as("sum_xx"), col(s"syy_${x}_$y").as("sum_yy"),
+        col(s"sxy_${x}_$y").as("sum_xy"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .withColumn("corr", round(
+        (col("n").cast("double") * col("sum_xy").cast("double") -
+          col("sum_x").cast("double") * col("sum_y").cast("double")) /
+        (sqrt(col("n").cast("double") * col("sum_xx").cast("double") -
+            col("sum_x").cast("double") * col("sum_x").cast("double")) *
+          sqrt(col("n").cast("double") * col("sum_yy").cast("double") -
+            col("sum_y").cast("double") * col("sum_y").cast("double"))), 9))
+  }
+
   private val fmtLong: Column => Column = _.cast("string")
   private val fmtStr: Column => Column = identity
   private val fmtMoney: Column => Column =
@@ -148,6 +197,101 @@ object Quality {
           ANTI JOIN customer ON o.o_custkey = c_custkey)
       SELECT check_name, CAST(violations AS BIGINT) AS violations,
         CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
-      FROM m ORDER BY check_name"""))
+      FROM m ORDER BY check_name""")),
+
+    // ---- profile drift: dq01's profile of two order cohorts (pre/
+    //      post 1998) diffed with the CDC classifier — the schema-
+    //      drift monitor a nightly pipeline runs. Two one-pass
+    //      profiles + one profile-sized (≈ #columns rows) diff join —
+    //      the fact table is scanned twice and shuffled never ----
+    ("dq03_profile_drift", (s: SparkSession, d: String) => {
+      val cut = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+      def prof(f: Column) = profile(
+        Tables.orders(s, d).filter(f), Seq(
+          "o_custkey" -> fmtLong, "o_orderstatus" -> fmtStr,
+          "o_totalprice" -> fmtMoney))
+      Warehouse.snapshotDiff(
+        prof(col("o_orderdate") < lit(cut)),
+        prof(col("o_orderdate") >= lit(cut)),
+        Seq("col_name"),
+        Seq("n_rows", "n_null", "n_distinct", "min_s", "max_s"))
+        .orderBy("col_name")
+    }, Some {
+      def side(alias: String, cond: String) = {
+        def leg(c: String, fmt: String => String) = s"""
+          SELECT '$c' AS col_name, count(*) AS n_rows,
+            count(*) - count($c) AS n_null,
+            count(DISTINCT $c) AS n_distinct,
+            ${fmt(s"min($c)")} AS min_s, ${fmt(s"max($c)")} AS max_s
+          FROM orders WHERE $cond"""
+        val varchar = (e: String) => s"CAST($e AS VARCHAR)"
+        val money = (e: String) => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
+        s"""$alias AS (${Seq(leg("o_custkey", varchar),
+          leg("o_orderstatus", varchar), leg("o_totalprice", money))
+          .mkString(" UNION ALL ")})"""
+      }
+      s"""
+      WITH ${side("p1", "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'")},
+      ${side("p2", "o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'")}
+      SELECT coalesce(p1.col_name, p2.col_name) AS col_name,
+        CASE WHEN p1.col_name IS NULL THEN 'I'
+             WHEN p2.col_name IS NULL THEN 'D'
+             WHEN p1.n_rows IS DISTINCT FROM p2.n_rows
+               OR p1.n_null IS DISTINCT FROM p2.n_null
+               OR p1.n_distinct IS DISTINCT FROM p2.n_distinct
+               OR p1.min_s IS DISTINCT FROM p2.min_s
+               OR p1.max_s IS DISTINCT FROM p2.max_s THEN 'U' END
+          AS change_type,
+        p1.n_rows AS old_n_rows, p2.n_rows AS new_n_rows,
+        p1.n_null AS old_n_null, p2.n_null AS new_n_null,
+        p1.n_distinct AS old_n_distinct, p2.n_distinct AS new_n_distinct,
+        p1.min_s AS old_min_s, p2.min_s AS new_min_s,
+        p1.max_s AS old_max_s, p2.max_s AS new_max_s
+      FROM p1 FULL JOIN p2 ON p1.col_name = p2.col_name
+      WHERE CASE WHEN p1.col_name IS NULL THEN 'I'
+             WHEN p2.col_name IS NULL THEN 'D'
+             WHEN p1.n_rows IS DISTINCT FROM p2.n_rows
+               OR p1.n_null IS DISTINCT FROM p2.n_null
+               OR p1.n_distinct IS DISTINCT FROM p2.n_distinct
+               OR p1.min_s IS DISTINCT FROM p2.min_s
+               OR p1.max_s IS DISTINCT FROM p2.max_s THEN 'U' END
+        IS NOT NULL
+      ORDER BY col_name"""
+    }),
+
+    // ---- pairwise moments + correlation of lineitem's numeric
+    //      features, one Aggregate over one scan; sums exact decimal,
+    //      corr one fixed-order double expression on top ----
+    ("cor01_column_moments", (s: SparkSession, d: String) => {
+      columnMoments(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_x", "col_y")
+    }, Some {
+      def leg(x: String, y: String) = s"""
+        SELECT col_x, col_y, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+          round((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                 - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+            / (sqrt(CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                    - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                      - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))), 9)
+            AS corr
+        FROM (
+          SELECT '$x' AS col_x, '$y' AS col_y,
+            count(*) FILTER (ok) AS n,
+            CAST(CAST(sum(xx) FILTER (ok) AS DECIMAL(38,6)) AS DOUBLE) AS sum_x,
+            CAST(CAST(sum(yy) FILTER (ok) AS DECIMAL(38,6)) AS DOUBLE) AS sum_y,
+            CAST(CAST(sum(xx * xx) FILTER (ok) AS DECIMAL(38,6)) AS DOUBLE) AS sum_xx,
+            CAST(CAST(sum(yy * yy) FILTER (ok) AS DECIMAL(38,6)) AS DOUBLE) AS sum_yy,
+            CAST(CAST(sum(xx * yy) FILTER (ok) AS DECIMAL(38,6)) AS DOUBLE) AS sum_xy
+          FROM (SELECT CAST($x AS DECIMAL(18,2)) AS xx,
+                       CAST($y AS DECIMAL(18,2)) AS yy,
+                       $x IS NOT NULL AND $y IS NOT NULL AS ok
+                FROM lineitem))"""
+      Seq(leg("l_quantity", "l_extendedprice"),
+        leg("l_quantity", "l_discount"),
+        leg("l_extendedprice", "l_discount"))
+        .mkString("", " UNION ALL ", " ORDER BY col_x, col_y")
+    })
   )
 }

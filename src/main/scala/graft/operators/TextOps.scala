@@ -436,6 +436,44 @@ object TextOps {
       .filter(col(score) >= col("thr"))
   }
 
+  /** Per-group rank-based quantile bins (feature discretization /
+    * sampling strata: "which length-decile of its language is this
+    * doc?"). bin(r) = ((r−1)·n) div c + 1 for rank r of c group rows
+    * — ranks are total via the (score, id) order, so bins are
+    * replay-exact and integer end-to-end.
+    *
+    * NOT `ntile` over `Window.partitionBy(group).orderBy(score)` —
+    * that serializes each group into one task (the d17/t20 skew
+    * trap). Instead ranks come from the histogram: (1) one partial-
+    * aggregable (group, score) count; (2) cumulative-before counts
+    * over the HISTOGRAM; (3) join back on (group, score) + a
+    * row_number window keyed by (group, score) — partitions are
+    * histogram-BUCKET-sized, so no task sorts more than one score's
+    * ties (a pathologically tie-heavy score column is the caller's
+    * signal to bin on a finer score). rank = cum_before + tie_idx.
+    */
+  def quantileBins(scored: DataFrame, group: String, score: String,
+      idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"need n >= 1, got $n")
+    val hist = scored.groupBy(col(group), col(score))
+      .agg(count(lit(1)).as("_cnt"))
+    val cum = hist
+      .withColumn("_cum_before", sum(col("_cnt")).over(
+        Window.partitionBy(group).orderBy(score)) - col("_cnt"))
+      .withColumn("_n_grp", sum(col("_cnt")).over(Window.partitionBy(group)))
+      .drop("_cnt")
+    val idx = row_number().over(
+      Window.partitionBy(col(group), col(score)).orderBy(col(idCol)))
+    scored.join(cum, Seq(group, score))
+      .withColumn("_rank", col("_cum_before") + idx)
+      // integer floor division: (r-1)*n and _n_grp are BIGINTs, so
+      // `div` stays in the exact domain (never float `/`)
+      .withColumn("bin",
+        expr(s"((_rank - 1) * ${n}L) div _n_grp") + lit(1L))
+      .drop("_cum_before", "_n_grp", "_rank")
+  }
+
   /** [[percentileGate]] for CONTINUOUS scores (a classifier sigmoid, a
     * perplexity): there the exact histogram degenerates — distinct
     * scores ≈ corpus rows — so the threshold comes from Spark's
@@ -1014,6 +1052,26 @@ object TextOps {
         CAST(count(*) // 1000 + 1 AS BIGINT) AS rank_tol,
         true AS ok_rank, true AS ok_kept
       FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- rank-based quantile bins (sampling strata / feature
+    //      discretization): each doc's length decile within its
+    //      language — histogram-ranked, no per-group sort window ----
+    ("t22_quantile_bins", (s: SparkSession, d: String) => {
+      quantileBins(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", "doc_id", 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("bin"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, lang, n_chars,
+        ((CAST(r - 1 AS BIGINT) * 10) // c) + 1 AS bin
+      FROM (
+        SELECT doc_id, lang, n_chars,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY n_chars, doc_id) AS r,
+          count(*) OVER (PARTITION BY lang) AS c
+        FROM documents)
+      ORDER BY doc_id""")),
 
     // ---- DSIR importance weights: avg log2 ratio of target-vs-raw
     //      hashed-unigram models (target = lang 'en'); the oracle

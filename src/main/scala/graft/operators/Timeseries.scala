@@ -147,6 +147,46 @@ object Timeseries {
         col("n_buckets"))
   }
 
+  /** Rank-based lower median election over a (key, v) frame: the
+    * smallest v whose cumulative count reaches ceil(n/2) — a REAL
+    * data value, integer comparisons only, elected over the
+    * HISTOGRAM (t20's skew-proof shape: the only value-sized
+    * exchange is the partial-aggregable histogram groupBy). */
+  private def medianOf(kv: DataFrame, keyCol: String, vCol: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = kv.groupBy(col(keyCol), col(vCol)).agg(count(lit(1)).as("_c"))
+    hist
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.partitionBy(keyCol).orderBy(vCol)))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(keyCol)))
+      .filter(col("_cum") * 2 >= col("_n"))
+      .groupBy(col(keyCol)).agg(min(col(vCol)).as(out))
+  }
+
+  /** Robust outliers per key: |x − median| > k · MAD, everything in
+    * scaled integers (values → cents) so the flag is engine-exact.
+    * Median and MAD (median absolute deviation) are both rank-based
+    * lower medians elected via [[medianOf]] — two histogram passes,
+    * a broadcast stats join, one map-only flag filter; no per-key
+    * sort anywhere. A zero MAD (over half the values identical)
+    * degenerates the rule to "any deviation flags", which is the
+    * honest reading of k·0.
+    */
+  def madOutliers(events: DataFrame, k: Long,
+      keyCol: String = "event_type"): DataFrame = {
+    val cents = events.select(col("event_id"), col(keyCol),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val med = medianOf(cents, keyCol, "cents", "med")
+    val dev = cents.join(broadcast(med), Seq(keyCol))
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = medianOf(dev, keyCol, "dev", "mad")
+    dev.join(broadcast(mad), Seq(keyCol))
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col("event_id"), col(keyCol), col("cents"),
+        col("med"), col("mad"))
+  }
+
   private val tsPrefix = """
       WITH e AS (SELECT event_type, event_id,
                    (epoch_ns(ts) // 1000) * 1000 AS tns, value
@@ -214,6 +254,36 @@ object Timeseries {
       SELECT c.event_type, c.hour_idx, c.n, st.n_total, st.n_buckets
       FROM c JOIN st USING (event_type)
       WHERE c.n * st.n_buckets * 1 > st.n_total * 2
-      ORDER BY c.event_type, c.hour_idx"""))
+      ORDER BY c.event_type, c.hour_idx""")),
+
+    // ---- robust per-type outliers: |cents − median| > 5·MAD, both
+    //      medians rank-elected over histograms (no per-key sort).
+    //      Oracle replays the identical lower-median election ----
+    ("ts05_mad_outliers", (s: SparkSession, d: String) => {
+      madOutliers(eventsUs(s, d), k = 5L)
+        .orderBy("event_id")
+    }, Some("""
+      WITH c AS (SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      h1 AS (SELECT event_type, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+      m1 AS (SELECT event_type, min(cents) AS med FROM (
+               SELECT event_type, cents,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+               FROM h1) WHERE cum * 2 >= n GROUP BY event_type),
+      d AS (SELECT c.event_id, c.event_type, c.cents, m1.med,
+              abs(c.cents - m1.med) AS dev
+            FROM c JOIN m1 USING (event_type)),
+      h2 AS (SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+      m2 AS (SELECT event_type, min(dev) AS mad FROM (
+               SELECT event_type, dev,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+               FROM h2) WHERE cum * 2 >= n GROUP BY event_type)
+      SELECT d.event_id, d.event_type, d.cents, d.med, m2.mad
+      FROM d JOIN m2 USING (event_type)
+      WHERE d.dev > 5 * m2.mad
+      ORDER BY d.event_id"""))
   )
 }

@@ -89,6 +89,44 @@ object Warehouse {
       .drop("_in_old", "_in_new")
   }
 
+  /** RFM customer segmentation: recency (days since last order, vs
+    * the dataset's max date), frequency (order count), monetary
+    * (exact decimal spend, surfaced as DOUBLE per §4) — each
+    * discretized into `n` quantile bins via
+    * [[TextOps.quantileBins]]'s histogram ranking, combined into one
+    * `rfm_code` (r·100 + f·10 + m). Bin 1 = smallest value: most
+    * recent / fewest orders / lowest spend.
+    *
+    * SCALE: ONE fact-table groupBy(customer) + a 1-row max-date
+    * broadcast; the three binning passes run over the CUSTOMER frame
+    * (≪ facts) with histogram-sized windows — no global sort, no
+    * single-partition ntile. Binning keys on the double-cast
+    * monetary (not the decimal) so rank order is engine-identical.
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+      amtCol: String, n: Int): DataFrame = {
+    val per = orders.groupBy(col(custCol)).agg(
+      max(col(dateCol)).as("_last"),
+      count(lit(1)).as("frequency"),
+      sum(col(amtCol).cast("decimal(18,2)")).cast("decimal(38,2)")
+        .cast("double").as("monetary"))
+    val mx = orders.agg(max(col(dateCol)).as("_mx"))
+    val rfm = per.crossJoin(broadcast(mx))
+      .select(col(custCol),
+        datediff(col("_mx"), col("_last")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+      .withColumn("_g", lit(0))
+    def bin(df: DataFrame, score: String, out: String) =
+      TextOps.quantileBins(df, "_g", score, custCol, n)
+        .withColumnRenamed("bin", out)
+    val binned = bin(bin(bin(rfm, "recency_days", "r_bin"),
+      "frequency", "f_bin"), "monetary", "m_bin")
+    binned.select(col(custCol), col("recency_days"), col("frequency"),
+      col("monetary"), col("r_bin"), col("f_bin"), col("m_bin"),
+      (col("r_bin") * 100L + col("f_bin") * 10L + col("m_bin"))
+        .as("rfm_code"))
+  }
+
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
   private def ordersHistory(s: SparkSession, d: String): DataFrame =
     scd2History(Tables.orders(s, d), "o_custkey", "o_orderstatus",
@@ -177,6 +215,40 @@ object Warehouse {
               s2.o_orderstatus AS new_o_orderstatus,
               s1.version AS old_version, s2.version AS new_version
             FROM s1 FULL JOIN s2 ON s1.o_custkey = s2.o_custkey)
-      SELECT * FROM j WHERE change_type IS NOT NULL ORDER BY o_custkey"""))
+      SELECT * FROM j WHERE change_type IS NOT NULL ORDER BY o_custkey""")),
+
+    // ---- RFM segments: per-customer recency/frequency/monetary,
+    //      each quintile-binned by t22's histogram ranks. Oracle
+    //      replays the identical rank formula with row_number ----
+    ("rfm01_segments", (s: SparkSession, d: String) => {
+      rfmSegments(Tables.orders(s, d), "o_custkey", "o_orderdate",
+        "o_totalprice", 5)
+        .orderBy("o_custkey")
+    }, Some("""
+      WITH per AS (
+        SELECT o_custkey,
+          date_diff('day', CAST(max(o_orderdate) AS DATE),
+            (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+            AS recency_days,
+          count(*) AS frequency,
+          CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DECIMAL(38,2)) AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey),
+      ranked AS (
+        SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+          frequency, monetary,
+          row_number() OVER (ORDER BY recency_days, o_custkey) AS rr,
+          row_number() OVER (ORDER BY frequency, o_custkey) AS rf,
+          row_number() OVER (ORDER BY monetary, o_custkey) AS rm,
+          count(*) OVER () AS c
+        FROM per)
+      SELECT o_custkey, recency_days, frequency, monetary,
+        ((CAST(rr - 1 AS BIGINT) * 5) // c) + 1 AS r_bin,
+        ((CAST(rf - 1 AS BIGINT) * 5) // c) + 1 AS f_bin,
+        ((CAST(rm - 1 AS BIGINT) * 5) // c) + 1 AS m_bin,
+        (((CAST(rr - 1 AS BIGINT) * 5) // c) + 1) * 100
+          + (((CAST(rf - 1 AS BIGINT) * 5) // c) + 1) * 10
+          + (((CAST(rm - 1 AS BIGINT) * 5) // c) + 1) AS rfm_code
+      FROM ranked ORDER BY o_custkey"""))
   )
 }

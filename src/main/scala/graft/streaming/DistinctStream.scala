@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming distinct cardinality per key — q38's HLL sketch kept
+  * incrementally: "distinct users per event type, over the whole
+  * stream so far", re-published every micro-batch. The fifth
+  * mergeable-sketch family member (HLL/theta/Misra-Gries/GK), and the
+  * production metric (DAU/MAU-style) a 100 TB event pipeline cannot
+  * compute exactly without shuffling every distinct id per batch.
+  *
+  * State = per-(key, batch) serialized DataSketches HLL sketches
+  * (`hll_sketch_agg` binaries, KB each — lgK=12 ≈ 1.6% rse) in
+  * `batch_id=` partitions with dynamic overwrite — the
+  * [[AnomalyStream]] layout with sketch bytes instead of counts.
+  * Published estimate = `hll_sketch_estimate(hll_union_agg(...))`
+  * over the store: HLL union is register-wise max — associative,
+  * commutative, idempotent — so the published table is a pure
+  * function of the SET of stored sketches: replay converges, and the
+  * fold cadence (union closed partials into `batch_id=-1`) cannot
+  * change any estimate. Per-batch cost: one batch-sized sketch agg +
+  * a store-sized (keys × partitions rows, KB payloads) union — event
+  * ids NEVER cross a batch boundary, only registers do.
+  *
+  * The estimate's CONTRACT (not its value) is the gate, as in q38:
+  * within ±5% of the exact cumulative distinct count, and invariant
+  * under the fold (StreamingSpec asserts both).
+  */
+object DistinctStream {
+
+  private def batchSketches(batch: DataFrame, keyCol: String,
+      idCol: String): DataFrame =
+    batch.groupBy(col(keyCol))
+      .agg(hll_sketch_agg(col(idCol), lit(12)).as("sk"))
+
+  /** Published estimates: one (key, n_distinct_est) row per key from
+    * the unioned store sketches. */
+  def estimates(spark: SparkSession, storePath: String,
+      keyCol: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy(col(keyCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("n_distinct_est"))
+
+  /** Union every closed partial into the `batch_id=-1` base when the
+    * partition count exceeds `maxParts`. Register-wise max merge —
+    * estimates are invariant. Checked tmp/old rename swap;
+    * single-writer quiet window. */
+  def maybeCompactPartials(spark: SparkSession, storePath: String,
+      keyCol: String, maxParts: Int, keepBatchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    require(maxParts >= 1, s"need maxParts >= 1, got $maxParts")
+    val dir = new Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return false
+    val parts = fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+    if (parts.length <= maxParts) return false
+    val tmp = new Path(storePath + "_fold_tmp")
+    val old = new Path(storePath + "_fold_old")
+    require(!fs.exists(tmp) && !fs.exists(old),
+      s"distinct fold: stale $tmp or $old exists — inspect/remove first")
+    val all = spark.read.parquet(storePath)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val folded = all.filter(col("batch_id") =!= keepBatchId)
+      .groupBy(col(keyCol))
+      .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+      .withColumn("batch_id", lit(-1L))
+    val current = all.filter(col("batch_id") === keepBatchId)
+    folded.select(current.columns.map(col): _*)
+      .unionByName(current)
+      .write.partitionBy("batch_id").parquet(tmp.toString)
+    require(fs.rename(dir, old), s"fold: rename $storePath -> $old failed")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir)
+      sys.error(s"fold: rename $tmp -> $storePath failed (original restored)")
+    }
+    fs.delete(old, true)
+    true
+  }
+
+  /** `eventStream` must carry `keyCol` and `idCol`. Estimates land at
+    * `outPath` (full overwrite — key-count rows); sketch partials
+    * accumulate at `storePath`, folded past `maxStoreParts`. */
+  def start(storePath: String, eventStream: DataFrame, keyCol: String,
+      idCol: String, outPath: String, checkpoint: String,
+      maxStoreParts: Option[Int] = None): StreamingQuery =
+    eventStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batchSketches(batch, keyCol, idCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storePath)
+        estimates(spark, storePath, keyCol)
+          .write.mode("overwrite").parquet(outPath)
+        maxStoreParts.foreach { n =>
+          maybeCompactPartials(spark, storePath, keyCol, n, batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

@@ -672,6 +672,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.size <= 3, s"store partition count unbounded: $parts")
   }
 
+  test("streaming distinct (HLL): estimate tracks exact cumulative within 5%, fold leaves estimates unchanged") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(String, Long)]): Unit = {
+      val stage = Files.createTempDirectory("graft-dstage")
+      rows.toDF("event_type", "user_id").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-d-src")
+    val store = Files.createTempDirectory("graft-d-store").toString + "/sk"
+    val out = Files.createTempDirectory("graft-d-out").toString
+    val ckpt = Files.createTempDirectory("graft-d-ckpt").toString
+    // overlapping ids across batches: the union, not a sum, must win
+    val b1 = (1L to 40L).map(("a", _)) ++ (1L to 10L).map(("b", _))
+    val b2 = (21L to 60L).map(("a", _)) ++ (11L to 15L).map(("b", _))
+    val b3 = (1L to 5L).map(("a", _)) // pure replay-overlap batch
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("event_type STRING, user_id LONG").parquet(src.toString)
+    val q = graft.streaming.DistinctStream.start(store, stream,
+      "event_type", "user_id", out, ckpt, maxStoreParts = Some(2))
+    def published() = spark.read.parquet(out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def within5(got: Map[String, Long], exact: Map[String, Long]) =
+      exact.forall { case (k, n) =>
+        math.abs(got(k) - n) <= math.max(1.0, 0.05 * n) }
+    try {
+      q.processAllAvailable()
+      assert(within5(published(), Map("a" -> 40L, "b" -> 10L)))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(within5(published(), Map("a" -> 60L, "b" -> 15L)))
+      val beforeFold = published()
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      // b3 adds no new ids anywhere — idempotent union, and the fold
+      // that b3 triggers must leave every estimate identical
+      assert(published() === beforeFold)
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+  }
+
   test("streaming CDC: I/U/D feed per batch, tombstone re-insert, late data no-regress, fold keeps snapshot") {
     import spark.implicits._
     def addFile(src: java.nio.file.Path, name: String,

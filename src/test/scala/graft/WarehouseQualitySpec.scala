@@ -79,6 +79,42 @@ class WarehouseQualitySpec extends AnyFunSuite {
     assert(snap.toSeq.sorted === Seq((1L, "A"))) // B starts at 5, C at 9
   }
 
+  test("columnMoments: exact sums, corr ±1 on (anti)correlated columns, pairwise null deletion") {
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(5.0)),
+      (Some(2.0), Some(4.0), Some(4.0)),
+      (Some(3.0), Some(6.0), None: Option[Double]),
+      (None: Option[Double], Some(8.0), Some(2.0))
+    ).toDF("a", "b", "c")
+    val m = Quality.columnMoments(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(8)))).toMap
+    // a-b: 3 complete rows, b = 2a exactly → corr 1
+    assert(m(("a", "b")) === ((3L, 6.0, 1.0)))
+    // a-c: rows 1,2 only (pairwise deletion) → perfect anticorr
+    assert(m(("a", "c"))._1 === 2L && m(("a", "c"))._3 === -1.0)
+    // sum_x of the a-c pair excludes a's value from the c-null row
+    assert(m(("a", "c"))._2 === 3.0)
+  }
+
+  test("quantileBins: rank formula, tie split by id, no per-group sort of the corpus") {
+    val df = Seq(
+      (1L, "g", 10L), (2L, "g", 10L), (3L, "g", 20L), (4L, "g", 30L),
+      (5L, "h", 7L)
+    ).toDF("id", "grp", "s")
+    val out = graft.operators.TextOps.quantileBins(df, "grp", "s", "id", 2)
+    val got = out.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("bin")).toMap
+    // g: ranks by (s, id) = 1,2,3,4 → bins ((r-1)*2) div 4 + 1 = 1,1,2,2
+    // (the score-10 tie splits deterministically by id)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    // skew shape: no window partitioned by the group alone — every
+    // Sort/Window over the data is keyed by (grp, s); only the
+    // histogram-sized cum window may key on grp
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ntile"), plan)
+  }
+
   test("snapshotDiff classifies I/U/D, drops unchanged, compares null-safely") {
     val old = Seq((1L, Some("A")), (2L, Some("B")), (3L, Some("C")),
       (5L, None: Option[String])).toDF("k", "v")
