@@ -101,7 +101,12 @@ object Bench {
       "rj02_interval_overlap", "s16_knn_join", "t21_dsir_weights",
       "d21_weighted_sample", "d22_token_budget", "pr01_pagerank",
       "pr02_personalized_pr", "m08_image_dhash", "ss06_sessionize_bounded",
-      "d23_temperature_mix")
+      "d23_temperature_mix", "er01_candidate_pairs", "er02_entity_clusters",
+      "bfs01_shortest_hops", "cdc01_snapshot_diff", "ix01_conjunctive_search",
+      "ix02_phrase_search", "t22_quantile_bins", "cor01_column_moments",
+      "rfm01_segments", "ts05_mad_outliers", "tr01_triangles",
+      "lp01_label_propagation", "wh01_scd2_history", "ts01_resample_ffill",
+      "dq01_profile", "ar01_assoc_rules", "rec01_item_jaccard")
     // line-length budget: 70 headline entries ≈ 1900 chars — the
     // compact self-contained line printed LAST is what the driver's
     // 2000-char stdout tail is guaranteed to parse

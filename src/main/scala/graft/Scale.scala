@@ -279,6 +279,32 @@ object Scale {
       f"(ref=$n docs -> sidecar ${bloom.length / 1024} KiB, fixed)")
     time("bloomDecontam")(graft.operators.Dedup
       .bloomDecontaminateWith(base, refBig, bloom, 8, 3).count())
+
+    // ---- ER blocking probe (er01): the catalog replicated Rx with
+    // fresh keys — every block grows Rx, so the in-block quadratic is
+    // the HONEST cost of a denser catalog, while the blocking still
+    // wins all-pairs by the block-count factor at any R. Measured
+    // comparisons = Σ|block|·(|block|−1)/2 (what the block join
+    // actually evaluates pre-filter) vs N·(N−1)/2 all-pairs.
+    val partsBase = graft.sources.Tables.part(spark, sfDir)
+    val erReps = math.max(2, reps / 4)
+    val partsBig = (0 until erReps).map { i =>
+      partsBase.select(
+        (col("p_partkey") + lit(i.toLong * 10000000L)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }.reduce(_ unionAll _)
+    val nP = partsBig.count()
+    val blockCmp = partsBig
+      .groupBy(concat_ws(" ",
+        element_at(split(col("p_name"), " "), 2), col("p_type")))
+      .agg(count(lit(1)).as("b"))
+      .agg(sum(expr("b * (b - 1) div 2")).as("cmp"))
+      .collect()(0).getLong(0)
+    time("erCandidates")(graft.operators.Er.partPairsOf(partsBig).count())
+    println(f"[scale] ER blocking: $nP%,d records, $blockCmp%,d in-block " +
+      f"comparisons vs ${nP * (nP - 1) / 2}%,d all-pairs " +
+      f"(${nP * (nP - 1) / 2.0 / blockCmp}%.0fx saved by the block key)")
     spark.stop()
   }
 }

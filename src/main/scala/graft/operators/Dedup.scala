@@ -946,22 +946,38 @@ object Dedup {
   /** Connected components over an undirected edge list `(id_a, id_b)`
     * — the dedup-resolution step that turns near-dup PAIRS into
     * CLUSTERS so one canonical doc per cluster survives. Iterative
-    * min-label propagation with POINTER HALVING: each round every
-    * node adopts the smallest label among itself and its neighbors,
-    * then additionally jumps to its label's label — path lengths halve
-    * each round, so convergence is O(log diameter) (plain propagation
-    * is O(diameter) and chain-shaped corpora can exceed any fixed
-    * round budget). Each round is two key shuffles; lineage is cut
-    * per round: with a reliable checkpoint dir configured
+    * min-label propagation over the CONTRACTED label graph: each
+    * round projects the edges onto current labels (dropping intra-
+    * label edges — the contracted graph SHRINKS as plateaus merge),
+    * lets every LABEL adopt its minimum contracted neighbor, and
+    * pointer-jumps (lab := label(lab)).
+    *
+    * The contraction is what makes chain-shaped graphs converge:
+    * naive per-node min propagation (even with pointer halving)
+    * floods the global minimum plateau-BY-plateau — an ER catalog
+    * chained through size steps (er02: cliques of equal-name parts
+    * linked size→size±1) measured 35+ rounds for a diameter-92
+    * graph, because a jump to a stale local minimum makes no
+    * progress until that minimum itself is relabeled. On the
+    * contracted graph every plateau is ONE node, so the same flood
+    * eats whole plateaus per round and the edge set it runs on
+    * shrinks geometrically (that ER graph: 6 rounds).
+    *
+    * Each round: two label-projection joins + a label-graph groupBy
+    * (≤ distinct-label rows) + remap/jump joins — all bounded by the
+    * current CONTRACTED edge count, which only decreases. Lineage is
+    * cut per round: with a reliable checkpoint dir configured
     * (`sparkContext.setCheckpointDir`) rounds checkpoint to it — an
     * executor loss at 100 TB replays one round, not all — otherwise
     * memory-only `localCheckpoint` (the local-harness default).
-    * Throws instead of silently returning under-merged labels if the
+    * Convergence = the contracted graph has no edges left (one
+    * driver isEmpty per round, inherent to iterative fixpoints);
+    * throws instead of silently returning under-merged labels if the
     * round budget is exhausted. (GraphX has an RDD-based equivalent;
     * this stays on the DataFrame path so Catalyst/AQE handle
     * partitioning and skew.)
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
@@ -972,27 +988,37 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val nbrMin = labels.join(sym, col("id") === col("y"))
-        .groupBy(col("x")).agg(min(col("lab")).as("nlab"))
-      val hop = labels.join(nbrMin, col("id") === col("x"), "left")
-        .select(col("id"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
-          col("lab").as("prev"))
-      // pointer halving: lab := label(lab) (labels only decrease, so
-      // the jump is always toward the component minimum)
-      val m = labels.select(col("id").as("mid"), col("lab").as("mlab"))
-      val next = cut(hop.join(m, hop("lab") === m("mid"), "left")
-        .select(col("id"),
-          least(col("lab"), coalesce(col("mlab"), col("lab"))).as("lab"),
-          col("prev")))
-      converged = next.filter(col("lab") < col("prev")).isEmpty
-      labels = next.select(col("id"), col("lab"))
+      // contracted label graph: distinct cross-label edges only
+      val lx = labels.select(col("id").as("x"), col("lab").as("lx"))
+      val ly = labels.select(col("id").as("y"), col("lab").as("ly"))
+      val e2 = cut(sym.join(lx, Seq("x")).join(ly, Seq("y"))
+        .filter(col("lx") =!= col("ly"))
+        .select(col("lx"), col("ly")).distinct())
+      converged = e2.isEmpty
+      if (!converged) {
+        // every label adopts its min contracted neighbor (strictly
+        // improving rows only — keeps the remap join small)
+        val nl = e2.unionAll(e2.select(col("ly").as("lx"), col("lx").as("ly")))
+          .groupBy(col("lx")).agg(min(col("ly")).as("nl"))
+          .filter(col("nl") < col("lx"))
+          .withColumnRenamed("lx", "lab")
+        val step = labels.join(nl, Seq("lab"), "left")
+          .select(col("id"),
+            least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
+        // pointer jump: lab := label(lab) (labels only decrease, so
+        // the jump is always toward the component minimum)
+        val m = step.select(col("id").as("mid"), col("lab").as("mlab"))
+        labels = cut(step.join(m, step("lab") === m("mid"), "left")
+          .select(col("id"),
+            least(col("lab"), coalesce(col("mlab"), col("lab"))).as("lab")))
+      }
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          "(pointer-halving needs ~log2(diameter); raise maxIter)")
+          "(contracted-graph rounds shrink the edge set geometrically; " +
+          "raise maxIter)")
     labels
   }
 

@@ -56,10 +56,13 @@ object Search {
   def writePostingsStore(docs: DataFrame, path: String, table: String,
       nBuckets: Int = 16): Unit = {
     val spark = docs.sparkSession
+    // DROP on an external table removes only metadata — overwrite
+    // mode clears the path too, so a rebuild never mixes stale files
     spark.sql(s"DROP TABLE IF EXISTS $table")
     postings(docs)
       .repartition(nBuckets, pmod(hash(col("word")), lit(nBuckets)))
-      .write.bucketBy(nBuckets, "word").sortBy("word", "doc_id", "pos")
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "word").sortBy("word", "doc_id", "pos")
       .option("path", path).saveAsTable(table)
   }
 

@@ -56,12 +56,12 @@ object CdcStream {
         attrCols.map(c => col(s"_m.$c").as(c)).toList: _*)
   }
 
-  /** The LIVE snapshot of the store (tombstoned keys excluded).
-    * `excludeBatch` drops that batch's partial first — the "previous
-    * snapshot" leg of the per-batch diff. */
-  def snapshot(spark: SparkSession, storePath: String, keyCol: String,
-      attrCols: Seq[String], excludeBatch: Option[Long] = None): DataFrame = {
-    val store = spark.read.parquet(storePath)
+  /** [[snapshot]] over an already-loaded store frame — both legs of
+    * the per-batch diff derive from ONE cached read (the
+    * RetentionStream lesson: don't re-list and re-scan the store per
+    * leg). */
+  private def snapshotOf(store: DataFrame, keyCol: String,
+      attrCols: Seq[String], excludeBatch: Option[Long]): DataFrame = {
     val scoped = excludeBatch match {
       case Some(b) => store.filter(col("batch_id").cast("long") =!= b)
       case None => store
@@ -70,6 +70,13 @@ object CdcStream {
       .filter(!col("_is_del"))
       .drop("_is_del")
   }
+
+  /** The LIVE snapshot of the store (tombstoned keys excluded).
+    * `excludeBatch` drops that batch's partial first — the "previous
+    * snapshot" leg of the per-batch diff. */
+  def snapshot(spark: SparkSession, storePath: String, keyCol: String,
+      attrCols: Seq[String], excludeBatch: Option[Long] = None): DataFrame =
+    snapshotOf(spark.read.parquet(storePath), keyCol, attrCols, excludeBatch)
 
   /** Max-merge every closed partial into the `batch_id=-1` base when
     * the partition count exceeds `maxParts` — latest-wins merge is
@@ -130,16 +137,21 @@ object CdcStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(storePath)
-        val prev = snapshot(spark, storePath, keyCol, attrCols,
-          excludeBatch = Some(batchId)).drop("_ts")
-        val cur = snapshot(spark, storePath, keyCol, attrCols).drop("_ts")
-        graft.operators.Warehouse
-          .snapshotDiff(prev, cur, Seq(keyCol), attrCols)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(feedPath)
+        // ONE store read serves both diff legs (cache released after
+        // the feed write) — not two list+scan passes per batch
+        val store = spark.read.parquet(storePath).cache()
+        try {
+          val prev = snapshotOf(store, keyCol, attrCols,
+            excludeBatch = Some(batchId)).drop("_ts")
+          val cur = snapshotOf(store, keyCol, attrCols, None).drop("_ts")
+          graft.operators.Warehouse
+            .snapshotDiff(prev, cur, Seq(keyCol), attrCols)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(feedPath)
+        } finally store.unpersist()
         maxStoreParts.foreach { n =>
           maybeCompactPartials(spark, storePath, keyCol, attrCols, n, batchId)
         }

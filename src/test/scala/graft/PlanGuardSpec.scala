@@ -27,7 +27,8 @@ class PlanGuardSpec extends AnyFunSuite {
                            // table joins by TERM — an equi hash join, not NL)
     "t19_bigram_surprisal", // broadcast 1-row vocab size
     "t21_dsir_weights", // broadcast 1-row (nr, nt) token totals
-    "ar01_assoc_rules") // broadcast 1-row basket total (lift's N)
+    "ar01_assoc_rules", // broadcast 1-row basket total (lift's N)
+    "rfm01_segments") // broadcast 1-row dataset max date (recency's anchor)
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
