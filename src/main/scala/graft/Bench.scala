@@ -107,9 +107,11 @@ object Bench {
       "rfm01_segments", "ts05_mad_outliers", "tr01_triangles",
       "lp01_label_propagation", "wh01_scd2_history", "ts01_resample_ffill",
       "dq01_profile", "ar01_assoc_rules", "rec01_item_jaccard")
-    // line-length budget: 70 headline entries ≈ 1900 chars — the
-    // compact self-contained line printed LAST is what the driver's
-    // 2000-char stdout tail is guaranteed to parse
+    // line-length budget: ~90 headline entries exceed the driver's
+    // 2000-char stdout tail — that's fine ONLY because the compact
+    // self-contained line printed LAST is what the tail is guaranteed
+    // to parse; the headline line is for humans and BENCH_FULL.json
+    // carries complete per-query detail
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0

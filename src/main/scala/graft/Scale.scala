@@ -296,8 +296,7 @@ object Scale {
     }.reduce(_ unionAll _)
     val nP = partsBig.count()
     val blockCmp = partsBig
-      .groupBy(concat_ws(" ",
-        element_at(split(col("p_name"), " "), 2), col("p_type")))
+      .groupBy(graft.operators.Er.partBlockKey(col("p_name"), col("p_type")))
       .agg(count(lit(1)).as("b"))
       .agg(sum(expr("b * (b - 1) div 2")).as("cmp"))
       .collect()(0).getLong(0)

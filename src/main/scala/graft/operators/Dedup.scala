@@ -350,7 +350,12 @@ object Dedup {
     require(growthFactor > 1.0, s"need growthFactor > 1, got $growthFactor")
     val (n, _, builtRows) = readBloomSidecarMeta(spark, path)
     val curRows = ref.count()
-    if (builtRows >= 0 && curRows < builtRows * growthFactor) false
+    // no-growth short-circuit FIRST: with builtRows == 0 (sidecar
+    // built over an empty reference) the factor comparison
+    // `curRows < 0 * f` would otherwise trigger a full rebuild on
+    // EVERY batch while the reference stays empty
+    if (builtRows >= 0 &&
+      (curRows <= builtRows || curRows < builtRows * growthFactor)) false
     else {
       writeBloomSidecar(spark, path,
         buildShingleBloom(ref, n, expectedItems, numBits), n, curRows)
