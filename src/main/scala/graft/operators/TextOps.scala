@@ -414,24 +414,36 @@ object TextOps {
     * ceil(p*n): a real data value, ties all kept, no interpolation —
     * integer comparisons end-to-end, so oracle parity is exact.
     */
-  def percentileGate(scored: DataFrame, group: String, score: String,
-      p: Double): DataFrame = {
+  /** The threshold election of [[percentileGate]] over a
+    * PRE-AGGREGATED (group, score, n) histogram — shared with the
+    * streaming twin ([[graft.streaming.ThresholdStream]]), whose
+    * state store already holds merged counts. `hist` must be unique
+    * per (group, score); output one (group, thr) row per group.
+    */
+  def percentileThresholds(hist: DataFrame, group: String,
+      score: String, p: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(p > 0 && p < 1, s"need 0 < p < 1, got $p")
-    val hist = scored.groupBy(col(group), col(score)).agg(count(lit(1)).as("cnt"))
     val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(
+      .withColumn("cum", sum(col("n")).over(
         Window.partitionBy(group).orderBy(score)))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(group)))
+      .withColumn("ntot", sum(col("n")).over(Window.partitionBy(group)))
     // rank boundary in EXACT decimal arithmetic: BigDecimal.valueOf
     // takes the double's shortest decimal form (0.2 → decimal 0.2, not
     // 0.2000…011), so ceil(p·n) matches a decimal-literal consumer
     // (the DuckDB oracle) for ANY caller-supplied p — IEEE-double
     // ceil could elect a one-score-step-different threshold where p·n
     // lands near an integer
-    val thr = cum.filter(col("cum") >=
-        ceil(lit(java.math.BigDecimal.valueOf(p)) * col("n")))
+    cum.filter(col("cum") >=
+        ceil(lit(java.math.BigDecimal.valueOf(p)) * col("ntot")))
       .groupBy(col(group)).agg(min(col(score)).as("thr"))
+  }
+
+  def percentileGate(scored: DataFrame, group: String, score: String,
+      p: Double): DataFrame = {
+    val hist = scored.groupBy(col(group), col(score))
+      .agg(count(lit(1)).as("n"))
+    val thr = percentileThresholds(hist, group, score, p)
     scored.join(broadcast(thr), Seq(group))
       .filter(col(score) >= col("thr"))
   }

@@ -152,16 +152,18 @@ object Timeseries {
     * data value, integer comparisons only, elected over the
     * HISTOGRAM (t20's skew-proof shape: the only value-sized
     * exchange is the partial-aggregable histogram groupBy). */
-  private def medianOf(kv: DataFrame, keyCol: String, vCol: String,
+  private def medianOf(kv: DataFrame, keyCols: Seq[String], vCol: String,
       out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = kv.groupBy(col(keyCol), col(vCol)).agg(count(lit(1)).as("_c"))
+    val hist = kv.groupBy((keyCols :+ vCol).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
     hist
       .withColumn("_cum", sum(col("_c")).over(
-        Window.partitionBy(keyCol).orderBy(vCol)))
-      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(keyCol)))
+        Window.partitionBy(keyCols.map(col): _*).orderBy(vCol)))
+      .withColumn("_n", sum(col("_c")).over(
+        Window.partitionBy(keyCols.map(col): _*)))
       .filter(col("_cum") * 2 >= col("_n"))
-      .groupBy(col(keyCol)).agg(min(col(vCol)).as(out))
+      .groupBy(keyCols.map(col): _*).agg(min(col(vCol)).as(out))
   }
 
   /** Robust outliers per key: |x − median| > k · MAD, everything in
@@ -177,14 +179,43 @@ object Timeseries {
       keyCol: String = "event_type"): DataFrame = {
     val cents = events.select(col("event_id"), col(keyCol),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val med = medianOf(cents, keyCol, "cents", "med")
+    val med = medianOf(cents, Seq(keyCol), "cents", "med")
     val dev = cents.join(broadcast(med), Seq(keyCol))
       .withColumn("dev", abs(col("cents") - col("med")))
-    val mad = medianOf(dev, keyCol, "dev", "mad")
+    val mad = medianOf(dev, Seq(keyCol), "dev", "mad")
     dev.join(broadcast(mad), Seq(keyCol))
       .filter(col("dev") > lit(k) * col("mad"))
       .select(col("event_id"), col(keyCol), col("cents"),
         col("med"), col("mad"))
+  }
+
+  /** Seasonally-adjusted anomalies: flag every (key, day, hour-of-
+    * day) whose count exceeds `num/den` × that key's MEDIAN count for
+    * the same hour-of-day across days — "3× its usual 9am", not "3×
+    * the flat average" (ts03), so a daily-periodic load pattern stops
+    * drowning real spikes. The baseline is [[medianOf]]'s rank-
+    * elected lower median per (key, hod) — integer end-to-end.
+    *
+    * SCALE: one partial-aggregable (key, day, hod) count ∝ events,
+    * then everything (median histograms, the stats join, the flag)
+    * runs on day-hour-sized data (keys × days × 24), never event
+    * volume. Hours with ZERO events are absent from the count frame
+    * and therefore from the median population — the baseline is
+    * "median over hours that had traffic", documented behavior (a
+    * dense-spine variant would compose [[resample]] first).
+    */
+  def seasonalAnomalies(events: DataFrame, num: Long, den: Long,
+      keyCol: String = "event_type", tsCol: String = "ts_ns")
+      : DataFrame = {
+    val c = events.select(col(keyCol),
+        expr(s"$tsCol div ${DayNs}L").as("day"),
+        expr(s"($tsCol div ${HourNs}L) % 24").as("hod"))
+      .groupBy(col(keyCol), col("day"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    val med = medianOf(c, Seq(keyCol, "hod"), "n", "med")
+    c.join(med, Seq(keyCol, "hod"))
+      .filter(col("n") * lit(den) > col("med") * lit(num))
+      .select(col(keyCol), col("day"), col("hod"), col("n"), col("med"))
   }
 
   private val tsPrefix = """
@@ -284,6 +315,29 @@ object Timeseries {
       SELECT d.event_id, d.event_type, d.cents, d.med, m2.mad
       FROM d JOIN m2 USING (event_type)
       WHERE d.dev > 5 * m2.mad
-      ORDER BY d.event_id"""))
+      ORDER BY d.event_id""")),
+
+    // ---- seasonal anomalies: 2x the key's hour-of-day MEDIAN across
+    //      days (rank-elected lower median), so daily periodicity is
+    //      the baseline, not noise. Oracle replays the election ----
+    ("ts06_seasonal_anomalies", (s: SparkSession, d: String) => {
+      seasonalAnomalies(eventsUs(s, d), num = 2L, den = 1L)
+        .orderBy("event_type", "day", "hod")
+    }, Some(tsPrefix + """,
+      c AS (SELECT event_type, tns // 86400000000000 AS day,
+              (tns // 3600000000000) % 24 AS hod, count(*) AS n
+            FROM e GROUP BY 1, 2, 3),
+      h AS (SELECT event_type, hod, n, count(*) AS cnt
+            FROM c GROUP BY 1, 2, 3),
+      m AS (SELECT event_type, hod, min(n) AS med FROM (
+              SELECT event_type, hod, n,
+                sum(cnt) OVER (PARTITION BY event_type, hod
+                  ORDER BY n) AS cum,
+                sum(cnt) OVER (PARTITION BY event_type, hod) AS tot
+              FROM h) WHERE cum * 2 >= tot GROUP BY event_type, hod)
+      SELECT c.event_type, c.day, c.hod, c.n, m.med
+      FROM c JOIN m USING (event_type, hod)
+      WHERE c.n * 1 > m.med * 2
+      ORDER BY c.event_type, c.day, c.hod"""))
   )
 }

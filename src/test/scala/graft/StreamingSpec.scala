@@ -672,6 +672,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.size <= 3, s"store partition count unbounded: $parts")
   }
 
+  test("streaming percentile thresholds equal batch t20 election over the whole stream; fold bounds the store") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(String, Long)]): Unit = {
+      val stage = Files.createTempDirectory("graft-thstage")
+      rows.toDF("lang", "score").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-th-src")
+    val store = Files.createTempDirectory("graft-th-store").toString + "/h"
+    val out = Files.createTempDirectory("graft-th-out").toString
+    val ckpt = Files.createTempDirectory("graft-th-ckpt").toString
+    // en's distribution shifts up in b2 — the published cutoff must
+    // move with the CUMULATIVE distribution, not the latest batch
+    val b1 = Seq("en" -> 1L, "en" -> 2L, "en" -> 3L, "en" -> 4L,
+      "en" -> 5L, "de" -> 10L)
+    val b2 = Seq("en" -> 6L, "en" -> 7L, "en" -> 8L, "en" -> 9L,
+      "en" -> 10L, "de" -> 20L)
+    val b3 = Seq("de" -> 30L)
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("lang STRING, score LONG").parquet(src.toString)
+    val q = graft.streaming.ThresholdStream.start(store, stream,
+      "lang", "score", p = 0.4, out, ckpt, maxStoreParts = Some(2))
+    def published() = spark.read.parquet(out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def batchTruth(rows: Seq[(String, Long)]) =
+      graft.operators.TextOps.percentileThresholds(
+        rows.toDF("lang", "score")
+          .groupBy($"lang", $"score").agg(count(lit(1)).as("n")),
+        "lang", "score", 0.4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTruth(b1)) // en thr=2 (ceil(.4*5)=2)
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2)) // en thr=4 over 10
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+      assert(published()("en") === 4L)
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+  }
+
   test("streaming distinct (HLL): estimate tracks exact cumulative within 5%, fold leaves estimates unchanged") {
     import spark.implicits._
     def addFile(src: java.nio.file.Path, name: String,
