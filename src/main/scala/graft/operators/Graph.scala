@@ -239,6 +239,48 @@ object Graph {
     visited
   }
 
+  /** k-core: the maximal subgraph where every vertex keeps degree ≥ k
+    * — the classic cohesion filter (spam/bot rings, dense co-purchase
+    * neighborhoods) and the cheap preconditioner before expensive
+    * per-vertex analytics. Iterative peeling: drop all vertices with
+    * current degree < k, repeat to fixpoint (the result is
+    * order-independent, so synchronous rounds are replay-exact).
+    * Returns surviving (id, deg) with deg = the vertex's IN-CORE
+    * degree.
+    *
+    * SCALE: each round is one partial-aggregable degree count + two
+    * semi-join filters over the CURRENT edge set, which only shrinks;
+    * rounds ≤ the peel depth (data-dependent; throws loudly past
+    * `maxIter` — callers with an unrolled-round oracle must keep the
+    * two budgets equal). Lineage cut per round.
+    */
+  def kCore(pairs: DataFrame, k: Long, maxIter: Int): DataFrame = {
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    var e = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val weak = deg.filter(col("deg") < k)
+      converged = weak.isEmpty
+      if (!converged) {
+        val keep = deg.filter(col("deg") >= k).select(col("src"))
+        e = cut(e.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi"))
+      }
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIter rounds — raise maxIter " +
+          "(and the oracle's unroll depth with it)")
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+  }
+
   /** Co-purchase edge list from an order-lines table: part pairs
     * sharing an order, kept at `minSupport`+ co-occurrences. The
     * per-order self-join is quadratic ONLY in basket size (bounded by
@@ -451,6 +493,38 @@ object Graph {
         SELECT e.dst, w.d + 1 FROM walk w
         JOIN edges e ON e.src = w.id WHERE w.d < 8),
       sp AS (SELECT id, min(d) AS dist FROM walk GROUP BY id)
-      SELECT id, CAST(dist AS BIGINT) AS dist FROM sp ORDER BY id"""))
+      SELECT id, CAST(dist AS BIGINT) AS dist FROM sp ORDER BY id""")),
+
+    // ---- 3-core of the co-purchase graph: peel-to-fixpoint, rounds
+    //      ≤ 12 (probed: 8 at sf0.01, 2 at sf0.1 — Spark throws past
+    //      the budget so a deeper graph fails loudly, never silently
+    //      diverges from the oracle's 12 unrolled no-op-padded
+    //      rounds) ----
+    ("kc01_kcore", (s: SparkSession, d: String) => {
+      kCore(copurchaseEdges(Tables.lineitem(s, d), 2L), 3L, 12)
+        .orderBy("id")
+    }, Some {
+      // e{i-1} is referenced TWICE per round (degree count + edge
+      // filter): MATERIALIZED stops DuckDB inlining the chain into
+      // 2^12 scans of lineitem ("Too many open files" without it)
+      val rounds = (1 to 12).map { i =>
+        s"""d$i AS (SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY src),
+           s$i AS (SELECT src FROM d$i WHERE deg >= 3),
+           e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+                   JOIN s$i a ON a.src = e.src
+                   JOIN s$i b ON b.src = e.dst)"""
+      }.mkString(",\n")
+      s"""
+      WITH p AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+             UNION ALL SELECT id_b, id_a FROM p),
+      $rounds
+      SELECT src AS id, count(*) AS deg FROM e12
+      GROUP BY src ORDER BY id"""
+    })
   )
 }

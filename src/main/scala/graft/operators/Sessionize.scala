@@ -163,6 +163,34 @@ object Sessionize {
     events.select(col("user_id"),
       date_trunc("week", col("ts")).cast("date").as("week")).distinct()
 
+  /** Daily user growth: per day — active users, NEW users (first
+    * seen that day), returning = active − new, and the cumulative
+    * distinct user count (= running sum of new, exactly, since every
+    * user is new exactly once). Same bot-proof collapse as
+    * [[retention]]: the corpus drops to distinct (user, day) before
+    * any user-keyed stage; first-seen is one partial-aggregable
+    * min(day) per user; the only window runs over the DAY table
+    * (calendar-sized, single ordered partition of ~10³ rows at any
+    * corpus size — not a skew surface).
+    */
+  def userGrowth(events: DataFrame): DataFrame = {
+    val a = events.select(col("user_id"),
+      col("ts").cast("date").as("day")).distinct()
+    val act = a.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    val nw = a.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    act.join(nw, Seq("day"), "left")
+      .select(col("day"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("returning_users",
+        col("active_users") - col("new_users"))
+      .withColumn("cumulative_users", sum(col("new_users")).over(w))
+      .select(col("day").cast("string").as("day"), col("active_users"),
+        col("new_users"), col("returning_users"), col("cumulative_users"))
+  }
+
   /** [[retention]] from an already-collapsed distinct (user_id, week)
     * table ([[activityWeeks]]' shape; streaming replays this over its
     * store each micro-batch). */
@@ -348,6 +376,28 @@ object Sessionize {
     //      still active k weeks later. Week truncation is tz-stable
     //      (UTC session both sides) and insensitive to the ns-vs-µs
     //      generation difference ----
+    // ---- daily user growth: active / new (first-seen that day) /
+    //      returning / cumulative distinct users per day. The ss05
+    //      collapse discipline: activity drops to distinct (user,
+    //      day) BEFORE any user-keyed stage (bot-proof), first-seen
+    //      is one partial-aggregable min per user, and the cumulative
+    //      window runs over the DAY table (calendar-sized) ----
+    ("ss07_user_growth", (s: SparkSession, d: String) => {
+      userGrowth(Tables.events(s, d)).orderBy("day")
+    }, Some("""
+      WITH a AS (SELECT DISTINCT user_id,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      f AS (SELECT user_id, min(day) AS d0 FROM a GROUP BY 1),
+      act AS (SELECT day, count(*) AS active_users FROM a GROUP BY 1),
+      nw AS (SELECT d0 AS day, count(*) AS new_users FROM f GROUP BY 1)
+      SELECT CAST(act.day AS VARCHAR) AS day, act.active_users,
+        coalesce(nw.new_users, 0) AS new_users,
+        act.active_users - coalesce(nw.new_users, 0) AS returning_users,
+        CAST(sum(coalesce(nw.new_users, 0))
+          OVER (ORDER BY act.day) AS BIGINT) AS cumulative_users
+      FROM act LEFT JOIN nw USING (day)
+      ORDER BY day""")),
+
     ("ss05_retention", (s: SparkSession, d: String) =>
       retention(Tables.events(s, d)), Some("""
       WITH a AS (SELECT DISTINCT user_id,

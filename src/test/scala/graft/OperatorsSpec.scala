@@ -613,4 +613,43 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ms(3L) === 2L && ms(4L) === 1L && ms(5L) === 0L)
   }
+
+  test("kc01 kCore: cascading peel reaches the fixpoint core with in-core degrees") {
+    import spark.implicits._
+    // K4 {1..4} + pendant chain 4-5-6 + triangle {7,8,9}: the 3-core
+    // is exactly the K4 (the chain peels in cascading rounds, and the
+    // triangle dies because deg 2 < 3)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (7L, 8L), (7L, 9L), (8L, 9L))
+    val got = graft.operators.Graph.kCore(pairs.toDF("id_a", "id_b"), 3L, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2 keeps the triangle too, and 4 loses its pendant edge
+    val k2 = graft.operators.Graph.kCore(pairs.toDF("id_a", "id_b"), 2L, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      7L -> 2L, 8L -> 2L, 9L -> 2L))
+    // budget exhaustion throws rather than returning an under-peeled core
+    intercept[IllegalStateException] {
+      graft.operators.Graph.kCore(pairs.toDF("id_a", "id_b"), 3L, 1)
+    }
+  }
+
+  test("ss07 userGrowth: new/returning split and cumulative distinct on a toy stream") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (1L, "2024-01-02 09:00:00"), (3L, "2024-01-02 10:00:00"),
+      (1L, "2024-01-02 23:00:00"), // same user+day dup must collapse
+      (2L, "2024-01-04 08:00:00")
+    ).toDF("user_id", "s").select(col("user_id"),
+      col("s").cast("timestamp").as("ts"))
+    val got = graft.operators.Sessionize.userGrowth(ev)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "2024-01-01" -> ((2L, 2L, 0L, 2L)),
+      "2024-01-02" -> ((2L, 1L, 1L, 3L)),
+      "2024-01-04" -> ((1L, 0L, 1L, 3L))))
+  }
 }
