@@ -317,4 +317,55 @@ object GraftHash {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](UTF8String.fromBytes(out.toByteArray), nWords, nRemoved))
   }
+
+  /** Banded Levenshtein with early abandon: exact edit distance when
+    * ≤ `bound`, else `bound + 1` (the cap — callers compare against
+    * thresholds ≤ bound, so the cap is indistinguishable from any
+    * over-bound distance). O((len+1)·(2·bound+1)) cells instead of
+    * the full O(n·m) lattice, and the row-min early abandon exits as
+    * soon as every band cell exceeds the bound — the ER hot path
+    * (er01) evaluates millions of in-block pairs where most are far
+    * apart. Operates on UTF-16 code units (== code points for the
+    * BMP; identical to builtin levenshtein on ASCII catalogs — a
+    * caller on astral-plane text should use the builtin).
+    */
+  def boundedLevenshtein(a: UTF8String, b: UTF8String, bound: Int): Long = {
+    val s = a.toString
+    val t = b.toString
+    val n = s.length
+    val m = t.length
+    val inf = bound + 1
+    if (math.abs(n - m) > bound) return inf.toLong
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    while (j <= math.min(m, bound)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      val lo = math.max(1, i - bound)
+      val hi = math.min(m, i + bound)
+      cur(0) = if (i <= bound) i else inf
+      var rowMin = cur(0)
+      val si = s.charAt(i - 1)
+      j = lo
+      while (j <= hi) {
+        val cost = if (si == t.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin >= inf) return inf.toLong
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    math.min(prev(m), inf).toLong
+  }
 }

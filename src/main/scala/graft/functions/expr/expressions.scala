@@ -240,6 +240,23 @@ case class AdcDist(left: Expression, right: Expression, luts: IndexedSeq[Double]
 /** First index where two long-array columns agree (-1 if none) — the
   * per-row dedup predicate of multi-table LSH candidate generation.
   */
+/** Banded edit distance with early abandon — exact when ≤ bound,
+  * else bound+1 (see GraftHash.boundedLevenshtein). The ER candidate
+  * join's inner kernel: builtin levenshtein fills the full n×m
+  * lattice for pairs the band rejects after one row. */
+case class BoundedLevenshtein(left: Expression, right: Expression,
+    bound: Int) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.GraftHash.boundedLevenshtein(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], bound)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GraftHash.boundedLevenshtein($a, $b, $bound)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BoundedLevenshtein =
+    copy(left = l, right = r)
+}
+
 case class FirstMatch(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -24,6 +24,11 @@ package object functions {
   /** Distinct FNV-1a hashes of word n-gram shingles (single pass). */
   def shingleHashes(c: Column, n: Int = 3): Column = col(expr.ShingleHashes(ex(c), n))
 
+  /** Banded edit distance: exact when ≤ bound, else bound+1 (capped).
+    * O(len·bound) + early abandon vs the builtin's full lattice. */
+  def boundedLevenshtein(a: Column, b: Column, bound: Int): Column =
+    col(expr.BoundedLevenshtein(ex(a), ex(b), bound))
+
   /** Morton/Z-order code of two long columns (low 32 bits each). */
   def zorder(a: Column, b: Column): Column =
     col(expr.ZOrder(ex(a.cast("bigint")), ex(b.cast("bigint"))))

@@ -171,4 +171,32 @@ class KernelPropertiesSpec extends AnyFunSuite {
       assert(gotF.getArray(0).toLongArray().toSeq === wantCodes)
     }
   }
+
+  test("boundedLevenshtein equals min(full Levenshtein, bound+1) incl. cap and band edges") {
+    def full(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    val sGen = Gen.listOfN(10, Gen.oneOf('a', 'b', 'c', 'é')).map(_.mkString)
+      .flatMap(s => Gen.choose(0, s.length).map(s.take))
+    forAll2(sGen, sGen) { (s, t) =>
+      for (bound <- 0 to 6) {
+        val want = math.min(full(s, t), bound + 1).toLong
+        val got = GraftHash.boundedLevenshtein(
+          UTF8String.fromString(s), UTF8String.fromString(t), bound)
+        assert(got === want, s"s=$s t=$t bound=$bound")
+      }
+    }
+    // deterministic edges: empty strings, length-gap fast path
+    assert(GraftHash.boundedLevenshtein(
+      UTF8String.fromString(""), UTF8String.fromString("abc"), 2) === 3L)
+    assert(GraftHash.boundedLevenshtein(
+      UTF8String.fromString(""), UTF8String.fromString(""), 0) === 0L)
+    assert(GraftHash.boundedLevenshtein(
+      UTF8String.fromString("abcdefgh"), UTF8String.fromString("a"), 3) === 4L)
+  }
 }
