@@ -69,7 +69,11 @@ object Plans {
       "t22_quantile_bins" -> "quantile bins: histogram ranks (partial-agg (group,score) count, cum window over the HISTOGRAM), tie index keyed by (group,score) — no group-only sort of the corpus, one hot language cannot serialize a task",
       "cor01_column_moments" -> "column moments: ONE Aggregate over one scan carries all pair statistics (map-side partials), output is pair-count rows; corr a scalar expression on top",
       "ts05_mad_outliers" -> "MAD outliers: two histogram-elected medians (partial-agg counts + histogram windows), broadcast med/mad joins, map-only flag — no per-key sort of the corpus",
-      "rfm01_segments" -> "RFM: one fact groupBy(customer) + 1-row max-date broadcast; the three quantile binning passes run over the customer frame with histogram-sized windows")
+      "rfm01_segments" -> "RFM: one fact groupBy(customer) + 1-row max-date broadcast; the three quantile binning passes run over the customer frame with histogram-sized windows",
+      "kc01_kcore" -> "k-core (final round): one partial-aggregable degree count + two semi-joins over the shrunken edge set — per-round cost tracks surviving edges only",
+      "ss07_user_growth" -> "user growth: (user, day) distinct collapse BEFORE any user-keyed stage, first-seen one partial-agg min, cumulative window over the calendar-sized day table",
+      "ts06_seasonal_anomalies" -> "seasonal anomalies: event-sized (key, day, hod) count partial-aggs; median election + flag run on day-hour-sized frames",
+      "ix01_conjunctive_search" -> "conjunctive search: IN-list term filter map-only over the scan, (word, doc) distinct + doc count bounded by matched postings")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +
