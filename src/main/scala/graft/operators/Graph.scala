@@ -263,7 +263,9 @@ object Graph {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // cut: the degree frame is read twice (convergence probe + the
+      // keep filter) — without it the groupBy re-executes per reader
+      val deg = cut(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
       val weak = deg.filter(col("deg") < k)
       converged = weak.isEmpty
       if (!converged) {
