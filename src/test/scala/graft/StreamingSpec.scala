@@ -672,6 +672,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.size <= 3, s"store partition count unbounded: $parts")
   }
 
+  test("streaming OHLC bars equal batch ts02 over the whole stream incl. late events; fold bounds the store") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, String, Long, Double)]): Unit = {
+      val stage = Files.createTempDirectory("graft-barstage")
+      rows.toDF("event_id", "event_type", "ts_ns", "value").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-bar-src")
+    val store = Files.createTempDirectory("graft-bar-store").toString + "/bars"
+    val out = Files.createTempDirectory("graft-bar-out").toString
+    val ckpt = Files.createTempDirectory("graft-bar-ckpt").toString
+    // bucketNs=10; batch 3 delivers a LATE event (ts=12) that must
+    // retro-open bucket 1 (becomes its earliest event)
+    val b1 = Seq((1L, "a", 5L, 10.0), (2L, "a", 15L, 30.0))
+    val b2 = Seq((3L, "a", 17L, 20.0), (4L, "b", 25L, 5.5))
+    val b3 = Seq((5L, "a", 12L, 40.0))
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("event_id LONG, event_type STRING, ts_ns LONG, value DOUBLE")
+      .parquet(src.toString)
+    val q = graft.streaming.BarStream.start(store, stream,
+      "event_type", bucketNs = 10L, out, ckpt, maxStoreParts = Some(2))
+    def published() = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    def batchTruth(rows: Seq[(Long, String, Long, Double)]) =
+      graft.operators.Timeseries.ohlcBars(
+        rows.toDF("event_id", "event_type", "ts_ns", "value"), 10L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6), r.getDouble(7)))).toMap
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTruth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2))
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+      // the late ts=12 event re-opened a's bucket 1: open=40, n=3
+      val (n, open, _, _, close, _) = published()(("a", 1L))
+      assert(n === 3L && open === 40.0 && close === 20.0)
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+  }
+
   test("streaming percentile thresholds equal batch t20 election over the whole stream; fold bounds the store") {
     import spark.implicits._
     def addFile(src: java.nio.file.Path, name: String,
