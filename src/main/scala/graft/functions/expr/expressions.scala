@@ -237,15 +237,17 @@ case class AdcDist(left: Expression, right: Expression, luts: IndexedSeq[Double]
     copy(left = l, right = r)
 }
 
-/** First index where two long-array columns agree (-1 if none) — the
-  * per-row dedup predicate of multi-table LSH candidate generation.
-  */
 /** Banded edit distance with early abandon — exact when ≤ bound,
   * else bound+1 (see GraftHash.boundedLevenshtein). The ER candidate
   * join's inner kernel: builtin levenshtein fills the full n×m
   * lattice for pairs the band rejects after one row. */
 case class BoundedLevenshtein(left: Expression, right: Expression,
     bound: Int) extends BinaryExpression {
+  // validated HERE (bound is a plan-time constant), not per row in
+  // the kernel: negative bounds would silently return 0 for every
+  // pair, and Int.MaxValue would overflow the bound+1 cap
+  require(bound >= 0 && bound < Int.MaxValue,
+    s"need 0 <= bound < Int.MaxValue, got $bound")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     graft.functions.GraftHash.boundedLevenshtein(
@@ -257,6 +259,9 @@ case class BoundedLevenshtein(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** First index where two long-array columns agree (-1 if none) — the
+  * per-row dedup predicate of multi-table LSH candidate generation.
+  */
 case class FirstMatch(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -86,12 +86,6 @@ object Er {
   // min(struct(key, attrs...)) groupBy(entity_id), partial-aggregable,
   // no per-entity sort — shown concretely in er03 below.)
 
-  /** The part-catalog linkage instantiation shared by er01–er03:
-    * block = (last name token, p_type); features = name edit
-    * distance, size gap, brand equality; match = dist<=2 && gap<=1.
-    * Block sizes are bounded by the catalog vocabulary (max 56 at
-    * sf0.01 — Σ|block|² ≈ 33k comparisons vs 2M all-pairs).
-    */
   /** The er01–er03 block key, shared with the Scale probe so the
     * measured Σ|block|² always reflects the key the join actually
     * uses. The space separator is collision-free: the noun is a
@@ -99,6 +93,12 @@ object Er {
   def partBlockKey(name: Column, ptype: Column): Column =
     concat_ws(" ", element_at(split(name, " "), 2), ptype)
 
+  /** The part-catalog linkage instantiation shared by er01–er03:
+    * block = (last name token, p_type); features = name edit
+    * distance, size gap, brand equality; match = dist<=2 && gap<=1.
+    * Block sizes are bounded by the catalog vocabulary (max 56 at
+    * sf0.01 — Σ|block|² ≈ 33k comparisons vs 2M all-pairs).
+    */
   def partPairsOf(records: DataFrame): DataFrame =
     candidatePairs(records, "p_partkey",
       ac => partBlockKey(ac("p_name"), ac("p_type")),

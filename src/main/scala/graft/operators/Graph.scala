@@ -23,6 +23,15 @@ object Graph {
   /** Ranks are scaled BIGINTs in units of 1e-12 — float-free. */
   val RankScale = 1000000000000L
 
+  /** Per-round lineage cut shared by every iterative operator here:
+    * a reliable checkpoint when a checkpoint dir is configured (an
+    * executor loss at 100 TB replays one round, not all), else
+    * memory-only localCheckpoint (the local-harness default). */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
+
   /** Fixed-iteration PageRank on a DIRECTED edge list (src, dst) —
     * pass both directions for an undirected graph. Nodes = edge
     * endpoints. The simplified propagation variant (dangling mass not
@@ -48,9 +57,6 @@ object Graph {
     // re-execute the caller's edge-generation chain (for pr01 that is
     // the whole LSH pair pass — iters× the cost) and r's plan would
     // grow one join+agg deeper per round
-    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val e = cut(edges.select(col("src"), col("dst")))
     val deg = cut(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val nodes = cut(e.select(col("src").as("id"))
@@ -85,9 +91,6 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame, iters: Int,
       dampingNum: Long = 85L, dampingDen: Long = 100L): DataFrame = {
-    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val e = cut(edges.select(col("src"), col("dst")))
     val deg = cut(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val src = cut(sources.select(col("id")).distinct())
@@ -182,9 +185,6 @@ object Graph {
     * `pairs`: canonical undirected edges (id_a < id_b).
     */
   def labelPropagation(pairs: DataFrame, iters: Int): DataFrame = {
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val e = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var l = e.select(col("src").as("id")).distinct()
@@ -219,9 +219,6 @@ object Graph {
     */
   def shortestHops(edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
-    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val e = cut(edges.select(col("src"), col("dst")))
     var visited = cut(sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)))
@@ -251,13 +248,11 @@ object Graph {
     * SCALE: each round is one partial-aggregable degree count + two
     * semi-join filters over the CURRENT edge set, which only shrinks;
     * rounds ≤ the peel depth (data-dependent; throws loudly past
-    * `maxIter` — callers with an unrolled-round oracle must keep the
-    * two budgets equal). Lineage cut per round.
+    * `maxIter`). The convergence PROBE consumes one iteration, so an
+    * oracle unrolling N peel rounds needs `maxIter = N + 1` (N peels
+    * + 1 detecting round). Lineage cut per round.
     */
   def kCore(pairs: DataFrame, k: Long, maxIter: Int): DataFrame = {
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     var e = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var iter = 0
@@ -497,13 +492,14 @@ object Graph {
       sp AS (SELECT id, min(d) AS dist FROM walk GROUP BY id)
       SELECT id, CAST(dist AS BIGINT) AS dist FROM sp ORDER BY id""")),
 
-    // ---- 3-core of the co-purchase graph: peel-to-fixpoint, rounds
-    //      ≤ 12 (probed: 8 at sf0.01, 2 at sf0.1 — Spark throws past
-    //      the budget so a deeper graph fails loudly, never silently
+    // ---- 3-core of the co-purchase graph: peel-to-fixpoint, peel
+    //      depth ≤ 12 (probed: 8 at sf0.01, 2 at sf0.1); maxIter 13 =
+    //      12 peels + the detecting round. Spark throws past the
+    //      budget so a deeper graph fails loudly, never silently
     //      diverges from the oracle's 12 unrolled no-op-padded
-    //      rounds) ----
+    //      rounds ----
     ("kc01_kcore", (s: SparkSession, d: String) => {
-      kCore(copurchaseEdges(Tables.lineitem(s, d), 2L), 3L, 12)
+      kCore(copurchaseEdges(Tables.lineitem(s, d), 2L), 3L, 13)
         .orderBy("id")
     }, Some {
       // e{i-1} is referenced TWICE per round (degree count + edge

@@ -397,23 +397,6 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Per-group percentile gate (the CCNet-style adaptive threshold:
-    * every language/source has its own score distribution, so a global
-    * cutoff over- or under-filters — drop each group's bottom `p`
-    * instead). Score-agnostic: plug word counts, [[qualityScore]],
-    * a perplexity — any numeric column.
-    *
-    * NOT a per-group sort window: `Window.partitionBy(group)
-    * .orderBy(score)` over the corpus serializes each group into one
-    * task — the d17 skew trap. Instead the d17 two-phase histogram
-    * shape: (1) groupBy(group, score) count — partial-aggregable, one
-    * corpus exchange of histogram-sized output; (2) cumulative counts
-    * + threshold over the HISTOGRAM (distinct scores per group, tiny);
-    * (3) thresholds (one row per group) broadcast back, map-only
-    * filter. Threshold = min score whose cumulative count reaches
-    * ceil(p*n): a real data value, ties all kept, no interpolation —
-    * integer comparisons end-to-end, so oracle parity is exact.
-    */
   /** The threshold election of [[percentileGate]] over a
     * PRE-AGGREGATED (group, score, n) histogram — shared with the
     * streaming twin ([[graft.streaming.ThresholdStream]]), whose
@@ -439,6 +422,23 @@ object TextOps {
       .groupBy(col(group)).agg(min(col(score)).as("thr"))
   }
 
+  /** Per-group percentile gate (the CCNet-style adaptive threshold:
+    * every language/source has its own score distribution, so a global
+    * cutoff over- or under-filters — drop each group's bottom `p`
+    * instead). Score-agnostic: plug word counts, [[qualityScore]],
+    * a perplexity — any numeric column.
+    *
+    * NOT a per-group sort window: `Window.partitionBy(group)
+    * .orderBy(score)` over the corpus serializes each group into one
+    * task — the d17 skew trap. Instead the d17 two-phase histogram
+    * shape: (1) groupBy(group, score) count — partial-aggregable, one
+    * corpus exchange of histogram-sized output; (2) cumulative counts
+    * + threshold over the HISTOGRAM (distinct scores per group, tiny);
+    * (3) thresholds (one row per group) broadcast back, map-only
+    * filter. Threshold = min score whose cumulative count reaches
+    * ceil(p*n): a real data value, ties all kept, no interpolation —
+    * integer comparisons end-to-end, so oracle parity is exact.
+    */
   def percentileGate(scored: DataFrame, group: String, score: String,
       p: Double): DataFrame = {
     val hist = scored.groupBy(col(group), col(score))

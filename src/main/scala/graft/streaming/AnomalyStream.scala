@@ -48,43 +48,14 @@ object AnomalyStream {
     graft.operators.Timeseries.anomalousFromCounts(
       mergedCounts(spark, storePath), num, den)
 
-  /** Sum every closed partial into the `batch_id=-1` base when the
-    * partition count exceeds `maxParts`. Lossless (counts are
-    * mergeable); checked tmp/old rename-swap; single-writer quiet
-    * window. Returns whether it folded.
-    */
+  /** Counts-sum fold on the shared [[StoreFold]] protocol —
+    * lossless (counts are mergeable). */
   def maybeCompactPartials(spark: SparkSession, storePath: String,
-      maxParts: Int, keepBatchId: Long): Boolean = {
-    import org.apache.hadoop.fs.Path
-    require(maxParts >= 1, s"need maxParts >= 1, got $maxParts")
-    val dir = new Path(storePath)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return false
-    val parts = fs.listStatus(dir).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
-    if (parts.length <= maxParts) return false
-    val tmp = new Path(storePath + "_fold_tmp")
-    val old = new Path(storePath + "_fold_old")
-    require(!fs.exists(tmp) && !fs.exists(old),
-      s"anomaly fold: stale $tmp or $old exists — inspect/remove first")
-    val all = spark.read.parquet(storePath)
-      .select(col("event_type"), col("bucket"), col("n"),
-        col("batch_id").cast("long").as("batch_id"))
-    val folded = all.filter(col("batch_id") =!= keepBatchId)
-      .groupBy(col("event_type"), col("bucket"))
-      .agg(sum(col("n")).as("n"))
-      .withColumn("batch_id", lit(-1L))
-    val current = all.filter(col("batch_id") === keepBatchId)
-    folded.unionByName(current)
-      .write.partitionBy("batch_id").parquet(tmp.toString)
-    require(fs.rename(dir, old), s"fold: rename $storePath -> $old failed")
-    if (!fs.rename(tmp, dir)) {
-      fs.rename(old, dir)
-      sys.error(s"fold: rename $tmp -> $storePath failed (original restored)")
-    }
-    fs.delete(old, true)
-    true
-  }
+      maxParts: Int, keepBatchId: Long): Boolean =
+    StoreFold.foldPartials(spark, storePath, "anomaly", maxParts,
+      keepBatchId, closed => closed
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("n")).as("n")))
 
   /** `eventStream` must carry (event_type, ts_ns). Published
     * anomalies land at `outPath` (full overwrite — anomaly-sized);

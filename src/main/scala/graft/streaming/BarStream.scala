@@ -70,39 +70,11 @@ object BarStream {
         col("c.v").as("close"),
         col("total").cast("double").as("total"))
 
-  /** Merge every closed partial into `batch_id=-1` past `maxParts` —
-    * all five merges are lossless, protocol as
-    * [[AnomalyStream.maybeCompactPartials]]. */
+  /** Five-field bar merge on the shared [[StoreFold]] protocol. */
   def maybeCompactPartials(spark: SparkSession, storePath: String,
-      keyCol: String, maxParts: Int, keepBatchId: Long): Boolean = {
-    import org.apache.hadoop.fs.Path
-    require(maxParts >= 1, s"need maxParts >= 1, got $maxParts")
-    val dir = new Path(storePath)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return false
-    val parts = fs.listStatus(dir).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
-    if (parts.length <= maxParts) return false
-    val tmp = new Path(storePath + "_fold_tmp")
-    val old = new Path(storePath + "_fold_old")
-    require(!fs.exists(tmp) && !fs.exists(old),
-      s"bar fold: stale $tmp or $old exists — inspect/remove first")
-    val all = spark.read.parquet(storePath)
-      .withColumn("batch_id", col("batch_id").cast("long"))
-    val folded = merge(all.filter(col("batch_id") =!= keepBatchId), keyCol)
-      .withColumn("batch_id", lit(-1L))
-    val current = all.filter(col("batch_id") === keepBatchId)
-    folded.select(current.columns.map(col): _*)
-      .unionByName(current)
-      .write.partitionBy("batch_id").parquet(tmp.toString)
-    require(fs.rename(dir, old), s"fold: rename $storePath -> $old failed")
-    if (!fs.rename(tmp, dir)) {
-      fs.rename(old, dir)
-      sys.error(s"fold: rename $tmp -> $storePath failed (original restored)")
-    }
-    fs.delete(old, true)
-    true
-  }
+      keyCol: String, maxParts: Int, keepBatchId: Long): Boolean =
+    StoreFold.foldPartials(spark, storePath, "bar", maxParts,
+      keepBatchId, merge(_, keyCol))
 
   /** `eventStream` must carry (event_id, `keyCol`, ts_ns, value). */
   def start(storePath: String, eventStream: DataFrame, keyCol: String,

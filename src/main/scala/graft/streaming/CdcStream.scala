@@ -87,36 +87,9 @@ object CdcStream {
     */
   def maybeCompactPartials(spark: SparkSession, storePath: String,
       keyCol: String, attrCols: Seq[String], maxParts: Int,
-      keepBatchId: Long): Boolean = {
-    import org.apache.hadoop.fs.Path
-    require(maxParts >= 1, s"need maxParts >= 1, got $maxParts")
-    val dir = new Path(storePath)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return false
-    val parts = fs.listStatus(dir).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
-    if (parts.length <= maxParts) return false
-    val tmp = new Path(storePath + "_fold_tmp")
-    val old = new Path(storePath + "_fold_old")
-    require(!fs.exists(tmp) && !fs.exists(old),
-      s"cdc fold: stale $tmp or $old exists — inspect/remove first")
-    val all = spark.read.parquet(storePath)
-      .withColumn("batch_id", col("batch_id").cast("long"))
-    val folded = latest(all.filter(col("batch_id") =!= keepBatchId),
-        keyCol, "_ts", attrCols, None)
-      .withColumn("batch_id", lit(-1L))
-    val current = all.filter(col("batch_id") === keepBatchId)
-    folded.select(current.columns.map(col): _*)
-      .unionByName(current)
-      .write.partitionBy("batch_id").parquet(tmp.toString)
-    require(fs.rename(dir, old), s"fold: rename $storePath -> $old failed")
-    if (!fs.rename(tmp, dir)) {
-      fs.rename(old, dir)
-      sys.error(s"fold: rename $tmp -> $storePath failed (original restored)")
-    }
-    fs.delete(old, true)
-    true
-  }
+      keepBatchId: Long): Boolean =
+    StoreFold.foldPartials(spark, storePath, "cdc", maxParts,
+      keepBatchId, closed => latest(closed, keyCol, "_ts", attrCols, None))
 
   /** `updateStream` must carry `keyCol`, `tsCol` and `attrCols`.
     * Rows matching `deleteWhen` (a SQL boolean over those columns)

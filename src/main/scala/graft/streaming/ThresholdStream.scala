@@ -39,42 +39,13 @@ object ThresholdStream {
         .groupBy(col(group), col(score)).agg(sum(col("n")).as("n")),
       group, score, p)
 
-  /** Sum every closed partial into the `batch_id=-1` base when the
-    * partition count exceeds `maxParts` — identical protocol to
-    * [[AnomalyStream.maybeCompactPartials]] (lossless count merge,
-    * checked tmp/old rename swap, single-writer quiet window). */
+  /** Histogram-sum fold on the shared [[StoreFold]] protocol. */
   def maybeCompactPartials(spark: SparkSession, storePath: String,
       group: String, score: String, maxParts: Int,
-      keepBatchId: Long): Boolean = {
-    import org.apache.hadoop.fs.Path
-    require(maxParts >= 1, s"need maxParts >= 1, got $maxParts")
-    val dir = new Path(storePath)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return false
-    val parts = fs.listStatus(dir).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
-    if (parts.length <= maxParts) return false
-    val tmp = new Path(storePath + "_fold_tmp")
-    val old = new Path(storePath + "_fold_old")
-    require(!fs.exists(tmp) && !fs.exists(old),
-      s"threshold fold: stale $tmp or $old exists — inspect/remove first")
-    val all = spark.read.parquet(storePath)
-      .withColumn("batch_id", col("batch_id").cast("long"))
-    val folded = all.filter(col("batch_id") =!= keepBatchId)
-      .groupBy(col(group), col(score)).agg(sum(col("n")).as("n"))
-      .withColumn("batch_id", lit(-1L))
-    val current = all.filter(col("batch_id") === keepBatchId)
-    folded.select(current.columns.map(col): _*)
-      .unionByName(current)
-      .write.partitionBy("batch_id").parquet(tmp.toString)
-    require(fs.rename(dir, old), s"fold: rename $storePath -> $old failed")
-    if (!fs.rename(tmp, dir)) {
-      fs.rename(old, dir)
-      sys.error(s"fold: rename $tmp -> $storePath failed (original restored)")
-    }
-    fs.delete(old, true)
-    true
-  }
+      keepBatchId: Long): Boolean =
+    StoreFold.foldPartials(spark, storePath, "threshold", maxParts,
+      keepBatchId, closed => closed
+        .groupBy(col(group), col(score)).agg(sum(col("n")).as("n")))
 
   /** `scoredStream` must carry `group` and integer `score` columns.
     * Thresholds land at `outPath` (full overwrite — group-count
