@@ -84,18 +84,35 @@ object Search {
     * (one posting row can vote for several term slots — the
     * (doc, anchor) group still needs all |phrase| DISTINCT slots).
     */
-  def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "empty phrase")
+  def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame =
+    phraseSearchMulti(postings, Seq(phrase)).drop("phrase")
+
+  /** The anchor trick for a WHOLE phrase list in ONE postings pass:
+    * the (phrase, slot, word) table broadcasts, every posting votes
+    * for (phrase, anchor) pairs, and a (doc, phrase, anchor) group
+    * holding all |phrase| slots is an occurrence. Cost ∝ postings of
+    * phrase words × phrases sharing them — a K-phrase contamination
+    * audit never rescans the corpus per phrase. Output:
+    * (doc_id, phrase, n_hits ≥ 1).
+    */
+  def phraseSearchMulti(postings: DataFrame,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty), "empty phrase")
     val spark = postings.sparkSession
     import spark.implicits._
-    val ph = phrase.zipWithIndex
-      .map { case (w, i) => (i.toLong, w) }.toDF("i", "word")
+    val ph = phrases.flatMap { p =>
+      p.zipWithIndex.map { case (w, i) => (p.mkString(" "), i.toLong, w) }
+    }.toDF("phrase", "i", "word")
+    val lens = phrases.map(p => (p.mkString(" "), p.length.toLong))
+      .toDF("phrase", "len")
     postings.join(broadcast(ph), Seq("word"))
-      .select(col("doc_id"), (col("pos") - col("i")).as("anchor"), col("i"))
-      .groupBy(col("doc_id"), col("anchor"))
+      .select(col("doc_id"), col("phrase"),
+        (col("pos") - col("i")).as("anchor"), col("i"))
+      .groupBy(col("doc_id"), col("phrase"), col("anchor"))
       .agg(countDistinct(col("i")).as("n_slots"))
-      .filter(col("n_slots") === phrase.length.toLong)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .join(broadcast(lens), Seq("phrase"))
+      .filter(col("n_slots") === col("len"))
+      .groupBy(col("doc_id"), col("phrase")).agg(count(lit(1)).as("n_hits"))
   }
 
   /** Shared oracle tokenizer: positions zip via parallel unnest. */
@@ -136,6 +153,40 @@ object Search {
         FROM words w JOIN ph ON ph.word = w.word
         GROUP BY 1, 2 HAVING count(DISTINCT ph.i) = 3)
       SELECT doc_id, count(*) AS n_hits FROM anchors
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- contamination audit: K benchmark phrases screened against
+    //      the corpus in ONE postings pass, reported per source — the
+    //      verbatim-leak report a training pipeline publishes ----
+    ("ix03_contamination_audit", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val phrases = Seq("slow hash batch", "table hash", "window fast query")
+      phraseSearchMulti(postings(docs), phrases.map(_.split(" ").toSeq))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("phrase"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("n_hits"))
+        .orderBy("phrase", "source")
+    }, Some {
+      val phrases = Seq("slow hash batch", "table hash", "window fast query")
+      val phRows = phrases.flatMap(p => p.split(" ").zipWithIndex.map {
+        case (w, i) => s"('$p', $i, '$w')" }).mkString(", ")
+      s"""
+      WITH $wordsSql,
+      ph(phrase, i, word) AS (VALUES $phRows),
+      plen AS (SELECT phrase, count(*) AS len FROM ph GROUP BY 1),
+      anchors AS (
+        SELECT w.doc_id, ph.phrase, w.pos - ph.i AS anchor,
+               count(DISTINCT ph.i) AS n_slots
+        FROM words w JOIN ph ON ph.word = w.word
+        GROUP BY 1, 2, 3),
+      hits AS (
+        SELECT a.doc_id, a.phrase, count(*) AS n_hits
+        FROM anchors a JOIN plen USING (phrase)
+        WHERE a.n_slots = plen.len GROUP BY 1, 2)
+      SELECT h.phrase, d.source, count(*) AS n_docs,
+             CAST(sum(h.n_hits) AS BIGINT) AS n_hits
+      FROM hits h JOIN documents d USING (doc_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
   )
 }
