@@ -106,7 +106,9 @@ object Bench {
       "ix02_phrase_search", "t22_quantile_bins", "cor01_column_moments",
       "rfm01_segments", "ts05_mad_outliers", "tr01_triangles",
       "lp01_label_propagation", "wh01_scd2_history", "ts01_resample_ffill",
-      "dq01_profile", "ar01_assoc_rules", "rec01_item_jaccard")
+      "dq01_profile", "ar01_assoc_rules", "rec01_item_jaccard",
+      "kc01_kcore", "ss07_user_growth", "ts06_seasonal_anomalies",
+      "er04_multikey_pairs", "ix03_contamination_audit")
     // line-length budget: ~90 headline entries exceed the driver's
     // 2000-char stdout tail — that's fine ONLY because the compact
     // self-contained line printed LAST is what the tail is guaranteed
