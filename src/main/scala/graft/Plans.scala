@@ -73,7 +73,9 @@ object Plans {
       "kc01_kcore" -> "k-core (final round): one partial-aggregable degree count + two semi-joins over the shrunken edge set — per-round cost tracks surviving edges only",
       "ss07_user_growth" -> "user growth: (user, day) distinct collapse BEFORE any user-keyed stage, first-seen one partial-agg min, cumulative window over the calendar-sized day table",
       "ts06_seasonal_anomalies" -> "seasonal anomalies: event-sized (key, day, hod) count partial-aggs; median election + flag run on day-hour-sized frames",
-      "ix01_conjunctive_search" -> "conjunctive search: IN-list term filter map-only over the scan, (word, doc) distinct + doc count bounded by matched postings")
+      "ix01_conjunctive_search" -> "conjunctive search: IN-list term filter map-only over the scan, (word, doc) distinct + doc count bounded by matched postings",
+      "er04_multikey_pairs" -> "multi-pass blocking: two block-keyed hash joins unioned + pair dedup — no cartesian in either pass, cost additive in passes",
+      "ix03_contamination_audit" -> "contamination audit: ONE postings pass for the whole phrase list — (phrase, slot, word) broadcast, (doc, phrase, anchor) groupBy, source rollup")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +
