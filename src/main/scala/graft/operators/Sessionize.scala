@@ -163,6 +163,44 @@ object Sessionize {
     events.select(col("user_id"),
       date_trunc("week", col("ts")).cast("date").as("week")).distinct()
 
+  /** Time-to-convert distribution: for every signup matched to the
+    * user's FIRST purchase within `tolNs` ([[AsOf.asofJoinNear]]
+    * forward — ao03's shape), the conversion count and EXACT p50/p90
+    * lag in whole seconds, elected over the lag histogram by
+    * [[TextOps.percentileThresholds]] (rank-based real data values,
+    * no interpolation — integer end-to-end).
+    *
+    * SCALE: the as-of join is one (user) exchange; lags are
+    * signup-sized; both percentiles ride ONE histogram election
+    * (distinct lag seconds ≪ conversions). Output is a single row.
+    */
+  def conversionLag(events: DataFrame, tolNs: Long): DataFrame = {
+    val ev = events.withColumn("tns", expr("(ts_ns div 1000) * 1000"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("tns"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("tns"))
+      .agg(min(col("event_id")).as("p_event"))
+    val lags = AsOf.asofJoinNear(signups, purchases, on = "user_id",
+        leftTime = "tns", rightTime = "tns", rightVals = Seq("p_event"),
+        toleranceNs = tolNs, forward = true)
+      .filter(col("p_event").isNotNull)
+      // the matched purchase's time is not carried — recover the lag
+      // from the purchase table by (user, event) join, purchase-sized
+      .join(purchases.select(col("user_id"), col("tns").as("p_tns"),
+        col("p_event")), Seq("user_id", "p_event"))
+      .select(expr("(p_tns - tns) div 1000000000L").as("lag_s"))
+      .withColumn("_g", lit(0))
+    val hist = lags.groupBy(col("_g"), col("lag_s"))
+      .agg(count(lit(1)).as("n"))
+    def thr(p: Double, out: String) =
+      TextOps.percentileThresholds(hist, "_g", "lag_s", p)
+        .select(col("thr").as(out))
+    lags.agg(count(lit(1)).as("n_converted"))
+      .crossJoin(broadcast(thr(0.5, "p50_lag_s")))
+      .crossJoin(broadcast(thr(0.9, "p90_lag_s")))
+  }
+
   /** Daily user growth: per day — active users, NEW users (first
     * seen that day), returning = active − new, and the cumulative
     * distinct user count (= running sum of new, exactly, since every
@@ -376,6 +414,33 @@ object Sessionize {
     //      still active k weeks later. Week truncation is tz-stable
     //      (UTC session both sides) and insensitive to the ns-vs-µs
     //      generation difference ----
+    // ---- time-to-convert: signup → first purchase within 7 days,
+    //      exact p50/p90 lag via the t20 rank election; oracle =
+    //      ao03's correlated-min + the same histogram election ----
+    ("ss08_conversion_lag", (s: SparkSession, d: String) => {
+      conversionLag(Tables.events(s, d), 7L * 24 * 3600 * 1000000000L)
+        // single row; explicit order because maxRows=1 doesn't
+        // propagate through the threshold cross joins
+        .orderBy("n_converted")
+    }, Some("""
+      WITH g AS (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events
+                 WHERE event_type = 'signup'),
+      p AS (SELECT user_id, epoch_ns(ts) AS tns, min(event_id) AS p_event
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      m AS (SELECT g.user_id, g.tns,
+              (SELECT min(p.tns) FROM p
+               WHERE p.user_id = g.user_id AND p.tns >= g.tns
+                 AND p.tns <= g.tns + 604800000000000) AS mt
+            FROM g),
+      l AS (SELECT (mt - tns) // 1000000000 AS lag_s FROM m
+            WHERE mt IS NOT NULL),
+      h AS (SELECT lag_s, count(*) AS n FROM l GROUP BY 1),
+      c AS (SELECT lag_s, sum(n) OVER (ORDER BY lag_s) AS cum,
+              sum(n) OVER () AS nt FROM h)
+      SELECT (SELECT count(*) FROM l) AS n_converted,
+        (SELECT min(lag_s) FROM c WHERE cum >= ceil(0.5 * nt)) AS p50_lag_s,
+        (SELECT min(lag_s) FROM c WHERE cum >= ceil(0.9 * nt)) AS p90_lag_s""")),
+
     // ---- daily user growth: active / new (first-seen that day) /
     //      returning / cumulative distinct users per day. The ss05
     //      collapse discipline: activity drops to distinct (user,

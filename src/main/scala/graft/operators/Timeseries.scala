@@ -218,6 +218,46 @@ object Timeseries {
       .select(col(keyCol), col("day"), col("hod"), col("n"), col("med"))
   }
 
+  /** Pearson correlation between TWO keys' per-bucket count series —
+    * "do clicks and purchases move together hour by hour?". The
+    * series live on the SHARED dense grid (min..max bucket across
+    * both keys; absent hours count 0 — a gap in one series is signal,
+    * not missing data). Counts are integers, so every sufficient
+    * statistic (Σx, Σx², Σxy) is an exact BIGINT; the only float is
+    * [[Quality.columnMoments]]'s fixed-order corr expression (round 9,
+    * engine-identical).
+    *
+    * SCALE: one event-sized partial-aggregable (bucket) count with
+    * both keys pivoted in the same pass, a bucket-sized spine join,
+    * one global agg. Output is a single row.
+    */
+  def seriesCorr(events: DataFrame, bucketNs: Long, keyA: String,
+      keyB: String, keyCol: String = "event_type",
+      tsCol: String = "ts_ns"): DataFrame = {
+    val c = events.filter(col(keyCol).isin(keyA, keyB))
+      .select(expr(s"$tsCol div ${bucketNs}L").as("b"), col(keyCol))
+      .groupBy(col("b"))
+      .agg(sum(when(col(keyCol) === keyA, 1L).otherwise(0L)).as("x"),
+        sum(when(col(keyCol) === keyB, 1L).otherwise(0L)).as("y"))
+    val spine = c.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(explode(sequence(col("b0"), col("b1"))).as("b"))
+    val j = spine.join(c, Seq("b"), "left")
+      .select(coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val m = j.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    m.withColumn("corr", round(
+      (col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+      (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+        sqrt(col("n").cast("double") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double"))), 9))
+  }
+
   private val tsPrefix = """
       WITH e AS (SELECT event_type, event_id,
                    (epoch_ns(ts) // 1000) * 1000 AS tns, value
@@ -338,6 +378,35 @@ object Timeseries {
       SELECT c.event_type, c.day, c.hod, c.n, m.med
       FROM c JOIN m USING (event_type, hod)
       WHERE c.n * 1 > m.med * 2
-      ORDER BY c.event_type, c.day, c.hod"""))
+      ORDER BY c.event_type, c.day, c.hod""")),
+
+    // ---- hourly click↔purchase correlation on the shared dense
+    //      grid: exact BIGINT moments, one fixed-order double corr ----
+    ("ts07_series_corr", (s: SparkSession, d: String) => {
+      seriesCorr(eventsUs(s, d), HourNs, "click", "purchase")
+    }, Some(tsPrefix + """,
+      c AS (SELECT tns // 3600000000000 AS b,
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+            FROM e WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+      g AS (SELECT unnest(generate_series((SELECT min(b) FROM c),
+                                          (SELECT max(b) FROM c))) AS b),
+      j AS (SELECT coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+            FROM g LEFT JOIN c USING (b)),
+      m AS (SELECT count(*) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy,
+              CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM j)
+      SELECT n, sx, sy, sxx, syy, sxy,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+          AS corr
+      FROM m"""))
   )
 }

@@ -28,7 +28,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "t19_bigram_surprisal", // broadcast 1-row vocab size
     "t21_dsir_weights", // broadcast 1-row (nr, nt) token totals
     "ar01_assoc_rules", // broadcast 1-row basket total (lift's N)
-    "rfm01_segments") // broadcast 1-row dataset max date (recency's anchor)
+    "rfm01_segments", // broadcast 1-row dataset max date (recency's anchor)
+    "ss08_conversion_lag") // broadcast 1-row p50/p90 threshold singletons
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
