@@ -108,7 +108,8 @@ object Bench {
       "lp01_label_propagation", "wh01_scd2_history", "ts01_resample_ffill",
       "dq01_profile", "ar01_assoc_rules", "rec01_item_jaccard",
       "kc01_kcore", "ss07_user_growth", "ts06_seasonal_anomalies",
-      "er04_multikey_pairs", "ix03_contamination_audit")
+      "er04_multikey_pairs", "ix03_contamination_audit",
+      "ts07_series_corr", "ss08_conversion_lag")
     // line-length budget: ~90 headline entries exceed the driver's
     // 2000-char stdout tail — that's fine ONLY because the compact
     // self-contained line printed LAST is what the tail is guaranteed
