@@ -328,8 +328,20 @@ object GraftHash {
     * apart. Operates on UTF-16 code units (== code points for the
     * BMP; identical to builtin levenshtein on ASCII catalogs — a
     * caller on astral-plane text should use the builtin).
+    *
+    * `bound` is capped at [[LevenshteinBoundMax]]: the cell updates
+    * compute (inf = bound+1) + 1, so bounds near Int.MaxValue would
+    * wrap negative and corrupt the min — the cap makes the stated
+    * "exact when <= bound" invariant actually hold for every legal
+    * bound (the [[graft.functions.expr.BoundedLevenshtein]]
+    * expression validates once at plan time; this guard is the
+    * belt-and-braces for direct callers).
     */
+  val LevenshteinBoundMax: Int = 1 << 20
+
   def boundedLevenshtein(a: UTF8String, b: UTF8String, bound: Int): Long = {
+    require(bound >= 0 && bound <= LevenshteinBoundMax,
+      s"need 0 <= bound <= $LevenshteinBoundMax, got $bound")
     val s = a.toString
     val t = b.toString
     val n = s.length

@@ -245,9 +245,11 @@ case class BoundedLevenshtein(left: Expression, right: Expression,
     bound: Int) extends BinaryExpression {
   // validated HERE (bound is a plan-time constant), not per row in
   // the kernel: negative bounds would silently return 0 for every
-  // pair, and Int.MaxValue would overflow the bound+1 cap
-  require(bound >= 0 && bound < Int.MaxValue,
-    s"need 0 <= bound < Int.MaxValue, got $bound")
+  // pair, and the kernel's cell updates compute (bound+1)+1, so the
+  // bound must leave headroom below Int.MaxValue — capped at 2^20
+  // (far past any real edit budget; matches the kernel's own guard)
+  require(bound >= 0 && bound <= graft.functions.GraftHash.LevenshteinBoundMax,
+    s"need 0 <= bound <= ${graft.functions.GraftHash.LevenshteinBoundMax}, got $bound")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     graft.functions.GraftHash.boundedLevenshtein(

@@ -968,9 +968,16 @@ object Dedup {
     * eats whole plateaus per round and the edge set it runs on
     * shrinks geometrically (that ER graph: 6 rounds).
     *
-    * Each round: two label-projection joins + a label-graph groupBy
-    * (≤ distinct-label rows) + remap/jump joins — all bounded by the
-    * current CONTRACTED edge count, which only decreases. Lineage is
+    * The contracted edge set ITSELF iterates: the original edge list
+    * is projected exactly ONCE (at initialization, where labels = ids
+    * make the projection the identity); each round then remaps the
+    * current contracted edges through the round's label-level merge
+    * map. Per-round cost = contracted-sized joins (the merge map, the
+    * edge remap, the label-graph groupBy — all bounded by the current
+    * contracted edge count, which only decreases) plus ONE pass over
+    * the node labels (a left join against the contracted-sized merge
+    * map — broadcast under AQE once the map shrinks, never a shuffle
+    * of the original edges). Lineage is
     * cut per round: with a reliable checkpoint dir configured
     * (`sparkContext.setCheckpointDir`) rounds checkpoint to it — an
     * executor loss at 100 TB replays one round, not all — otherwise
@@ -990,32 +997,43 @@ object Dedup {
       .unionAll(edges.select(col("id_b").as("x"), col("id_a").as("y"))))
     var labels = cut(sym.select(col("x").as("id")).distinct()
       .select(col("id"), col("id").as("lab")))
+    // contracted label graph, SYMMETRIC + self-loop-free. Initialized
+    // from the original edges once (labels = ids ⇒ the projection is
+    // the identity); every later round derives it from ITSELF, so the
+    // original |edges| never re-joins.
+    var ce = cut(sym.filter(col("x") =!= col("y"))
+      .select(col("x").as("lx"), col("y").as("ly")).distinct())
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // contracted label graph: distinct cross-label edges only
-      val lx = labels.select(col("id").as("x"), col("lab").as("lx"))
-      val ly = labels.select(col("id").as("y"), col("lab").as("ly"))
-      val e2 = cut(sym.join(lx, Seq("x")).join(ly, Seq("y"))
-        .filter(col("lx") =!= col("ly"))
-        .select(col("lx"), col("ly")).distinct())
-      converged = e2.isEmpty
+      converged = ce.isEmpty
       if (!converged) {
         // every label adopts its min contracted neighbor (strictly
-        // improving rows only — keeps the remap join small)
-        val nl = e2.unionAll(e2.select(col("ly").as("lx"), col("lx").as("ly")))
-          .groupBy(col("lx")).agg(min(col("ly")).as("nl"))
+        // improving rows only — keeps the remap joins small), then
+        // one label-level pointer jump (nl composed with itself):
+        // g = the round's merge map over DEAD labels only
+        val nl = ce.groupBy(col("lx")).agg(min(col("ly")).as("nl"))
           .filter(col("nl") < col("lx"))
-          .withColumnRenamed("lx", "lab")
-        val step = labels.join(nl, Seq("lab"), "left")
+        val g = cut(nl.join(
+            nl.select(col("lx").as("jx"), col("nl").as("jnl")),
+            col("nl") === col("jx"), "left")
+          .select(col("lx").as("lab0"),
+            least(col("nl"), coalesce(col("jnl"), col("nl"))).as("lab1")))
+        // node labels: one pass, remapped through the contracted-sized
+        // g (labels only decrease — least() is belt-and-braces)
+        labels = cut(labels.join(g, labels("lab") === g("lab0"), "left")
           .select(col("id"),
-            least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
-        // pointer jump: lab := label(lab) (labels only decrease, so
-        // the jump is always toward the component minimum)
-        val m = step.select(col("id").as("mid"), col("lab").as("mlab"))
-        labels = cut(step.join(m, step("lab") === m("mid"), "left")
-          .select(col("id"),
-            least(col("lab"), coalesce(col("mlab"), col("lab"))).as("lab")))
+            least(col("lab"), coalesce(col("lab1"), col("lab"))).as("lab")))
+        // contracted graph: remap both endpoints through the SAME map,
+        // drop the edges the merge just internalized. Symmetry is
+        // preserved (both directions remap identically), so next
+        // round's per-label min sees every neighbor.
+        val gx = g.select(col("lab0").as("lx"), col("lab1").as("gx"))
+        val gy = g.select(col("lab0").as("ly"), col("lab1").as("gy"))
+        ce = cut(ce.join(gx, Seq("lx"), "left").join(gy, Seq("ly"), "left")
+          .select(coalesce(col("gx"), col("lx")).as("lx"),
+            coalesce(col("gy"), col("ly")).as("ly"))
+          .filter(col("lx") =!= col("ly")).distinct())
       }
       iter += 1
     }

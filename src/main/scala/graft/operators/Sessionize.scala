@@ -193,9 +193,15 @@ object Sessionize {
       .withColumn("_g", lit(0))
     val hist = lags.groupBy(col("_g"), col("lag_s"))
       .agg(count(lit(1)).as("n"))
+    // the max() re-aggregate guarantees ONE row even when the lag
+    // histogram is empty (no conversions at all): without it the
+    // crossJoin would collapse the n_converted=0 aggregate row to
+    // zero rows, while the oracle's scalar subqueries always yield
+    // one row with NULL percentiles
     def thr(p: Double, out: String) =
       TextOps.percentileThresholds(hist, "_g", "lag_s", p)
         .select(col("thr").as(out))
+        .agg(max(col(out)).as(out))
     lags.agg(count(lit(1)).as("n_converted"))
       .crossJoin(broadcast(thr(0.5, "p50_lag_s")))
       .crossJoin(broadcast(thr(0.9, "p90_lag_s")))

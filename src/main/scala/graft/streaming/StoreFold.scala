@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * partition count exceeds `maxParts`, leaving the in-flight batch's
   * partial untouched (so its replay still overwrites its own
   * partition). Crash-safe via the checked tmp/old rename swap, run in
-  * the single writer's between-batch quiet window.
+  * the single writer's between-batch quiet window; a fold interrupted
+  * at ANY point auto-recovers on the next call (the entry block
+  * restores the known-good store from `_fold_old` / discards a
+  * never-swapped `_fold_tmp`), so no crash state needs manual repair.
   *
   * Each twin supplies only its MERGE (counts sum, latest-wins
   * max(struct), HLL register union, bar-field merges, histogram sum)
@@ -29,14 +32,27 @@ object StoreFold {
     require(maxParts >= 1, s"need maxParts >= 1, got $maxParts")
     val dir = new Path(storePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(storePath + "_fold_tmp")
+    val old = new Path(storePath + "_fold_old")
+    // Crash auto-recovery, in dependency order. A fold that died
+    // leaves one of three states, each with an unambiguous known-good
+    // restore (so the next micro-batch heals the store instead of
+    // refusing to run):
+    //  - dir MISSING + old present: died between the two renames —
+    //    old IS the pre-fold store; rename it back.
+    //  - dir present + old present: died after the second rename but
+    //    before cleanup — the fold landed; old is a stale copy.
+    //  - tmp present (old gone after the steps above): tmp was never
+    //    swapped in, possibly half-written — discard; the fold reruns.
+    if (!fs.exists(dir) && fs.exists(old))
+      require(fs.rename(old, dir),
+        s"$label fold: recovery rename $old -> $storePath failed")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     if (!fs.exists(dir)) return false
     val parts = fs.listStatus(dir).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("batch_id="))
     if (parts.length <= maxParts) return false
-    val tmp = new Path(storePath + "_fold_tmp")
-    val old = new Path(storePath + "_fold_old")
-    require(!fs.exists(tmp) && !fs.exists(old),
-      s"$label fold: stale $tmp or $old exists — inspect/remove first")
     val all = spark.read.parquet(storePath)
       .withColumn("batch_id", col("batch_id").cast("long"))
     val folded = merge(all.filter(col("batch_id") =!= keepBatchId))

@@ -30,6 +30,22 @@ class SessionizeSpec extends AnyFunSuite {
     ).toDF("user_id", "event_id", "ts_ns", "event_type")
   }
 
+  test("conversionLag: conversion-free input yields ONE row with null percentiles") {
+    import spark.implicits._
+    // signup present but no purchase at all: the lag histogram is
+    // empty, and the thresholds must still contribute one NULL row
+    // (not collapse the aggregate row to zero rows — the oracle's
+    // scalar subqueries always return n_converted=0 + NULL p50/p90)
+    val ev = Seq((1L, 1L, 1000000000L, "signup"), (2L, 2L, 2000000000L, "view"))
+      .toDF("user_id", "event_id", "ts_ns", "event_type")
+    val out = Sessionize.conversionLag(ev, tolNs = 1000000000L).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(r.fieldIndex("n_converted")) === 0L)
+    assert(r.isNullAt(r.fieldIndex("p50_lag_s")))
+    assert(r.isNullAt(r.fieldIndex("p90_lag_s")))
+  }
+
   test("sessionized() materializes and keeps the pass-through columns") {
     // round-8 regression: the running-sum window orders by event_id,
     // which a projection dropped -> AnalysisException on ANY call
