@@ -773,13 +773,13 @@ object Dedup {
   // collide and one hop always fully resolves.
   // -------------------------------------------------------------------
 
-  private def emptyRemap(spark: SparkSession): DataFrame = {
+  private[operators] def emptyRemap(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(Long, Long)].toDF("old_root", "new_root")
   }
 
   /** Bucket count of an existing bucketed table, from the catalog. */
-  private def bucketsOf(spark: SparkSession, table: String): Int = {
+  private[operators] def bucketsOf(spark: SparkSession, table: String): Int = {
     val rows = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
     rows.find(_.getString(0) == "Num Buckets").map(_.getString(1).trim.toInt)
       .getOrElse(sys.error(s"$table is not a bucketed table"))

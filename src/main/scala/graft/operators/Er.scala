@@ -98,6 +98,198 @@ object Er {
       .drop("lab")
   }
 
+  // -------------------------------------------------------------------
+  // Incremental entity resolution: a bucketed ENTITY STORE maintained
+  // batch-by-batch, so the catalog is never re-blocked end-to-end —
+  // the ER production loop, on the signature-store economics
+  // ([[Dedup.writeSignatureStore]] / [[Dedup.ingestBatchLabeled]]):
+  //   `${name}_blocks` — one row per (record, block pass), keyed by
+  //     skey = xxhash64(pass, block value) and carrying the record's
+  //     columns (the feature inputs); bucketed+sorted by skey, so a
+  //     batch's block join reads the store with ZERO store-side
+  //     exchange — only the batch shuffles.
+  //   `${name}_labels` — (rkey, root) entity labels, bucketed by rkey.
+  //   `${name}_remap`  — (old_root, new_root), broadcast-sized: when a
+  //     batch record bridges two entities nobody rewrites the labels —
+  //     the losing root gets a remap row (lazy union-find, kept
+  //     transitively resolved).
+  // Unlike the dedup store, ingest appends EVERY batch record's blocks
+  // (matched ones too): similarity is not transitive, so a future
+  // record can match B without matching B's own match A — retiring
+  // matched records would silently cost recall.
+  // -------------------------------------------------------------------
+
+  /** The blocking + matching contract of an entity store, evaluated
+    * identically at store build and at every ingest (store and batch
+    * must block the same way or increments silently lose recall).
+    * `keep` prunes candidate pairs on the feature columns; `isMatch`
+    * (also over the feature columns) is the link decision.
+    */
+  final case class LinkSpec(
+      keyCol: String,
+      blockKeys: Seq[(String => Column) => Column],
+      features: Seq[(String, (String => Column, String => Column) => Column)],
+      keep: Column,
+      isMatch: Column)
+
+  /** One row per (record, block pass): skey folds the pass index into
+    * the block value (the skey trick that lets multi-pass blocking
+    * live in ONE bucketed table — cross-pass skey collisions can only
+    * ADD candidate pairs, and `keep`/`isMatch` re-verify on features).
+    */
+  def blockRows(records: DataFrame, spec: LinkSpec): DataFrame =
+    spec.blockKeys.zipWithIndex.map { case (bk, i) =>
+      records.withColumn("skey",
+        xxhash64(lit(i), bk((c: String) => col(c)).cast("string")))
+    }.reduce(_ unionAll _)
+
+  /** Initialize the entity store: one full [[candidatePairsMulti]] +
+    * closure run over the corpus (the LAST full re-block ever needed —
+    * [[ingestBatch]] maintains the store from here on), blocks and
+    * labels landed bucketed, empty remap.
+    */
+  def writeEntityStore(records: DataFrame, name: String, spec: LinkSpec,
+      buckets: Int = 8): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val spark = records.sparkSession
+    val matches = candidatePairsMulti(records, spec.keyCol, spec.blockKeys,
+      spec.features, spec.keep).filter(spec.isMatch)
+    val cc = Dedup.connectedComponents(
+      matches.select(col("a_key").as("id_a"), col("b_key").as("id_b")))
+    val labels = records.select(col(spec.keyCol).as("rkey"))
+      .join(cc, col("rkey") === col("id"), "left")
+      .select(col("rkey"), coalesce(col("lab"), col("rkey")).as("root"))
+    graft.sources.Sinks.writeBucketed(blockRows(records, spec),
+      s"${name}_blocks", buckets, "skey")
+    graft.sources.Sinks.writeBucketed(labels, s"${name}_labels", buckets, "rkey")
+    Dedup.emptyRemap(spark).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_remap")
+  }
+
+  /** Current (rkey, root) entity assignment: the labels table resolved
+    * one hop through the broadcast remap — the labels side never
+    * shuffles ([[Dedup.clusterLabels]]' discipline).
+    */
+  def entityLabels(spark: SparkSession, name: String): DataFrame = {
+    val remap = spark.table(s"${name}_remap")
+    spark.table(s"${name}_labels")
+      .join(broadcast(remap), col("root") === col("old_root"), "left")
+      .select(col("rkey"), coalesce(col("new_root"), col("root")).as("root"))
+  }
+
+  /** One ER production ingest step: block `batch` against the store
+    * (zero store-side exchange — the bucketed blocks table IS the
+    * exchange, written once), link with `spec.isMatch`, attach each
+    * matched record to the SMALLEST matched entity root, merge
+    * entities a record bridges (remap rows only — the labels table is
+    * never rewritten), and append the batch's blocks + labels so the
+    * NEXT batch resolves against them too. Returns
+    * (keyCol, status matched|unique, match_id, entity_id).
+    *
+    * Contract mirrors [[Dedup.ingestBatch]]: the store, not the batch,
+    * is the frame of reference (intra-batch pairs link on the next
+    * round via the appended records); keys are immutable identifiers;
+    * replay is idempotent (self-matches excluded, appends anti-joined
+    * on already-present keys, merge edges vanish on replay).
+    */
+  def ingestBatch(spark: SparkSession, name: String, batch: DataFrame,
+      spec: LinkSpec): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val cols = batch.columns.toSeq
+    val bb = blockRows(batch, spec)
+      .select(col("skey") +: cols.map(c => col(c).as(s"_a_$c")): _*)
+    // projection/rename keeps the store scan bucketed (skey survives)
+    val sbr = spark.table(s"${name}_blocks")
+      .select(col("skey") +: cols.map(c => col(c).as(s"_b_$c")): _*)
+    val feats = spec.features.map { case (n, f) =>
+      f((c: String) => col(s"_a_$c"), (c: String) => col(s"_b_$c")).as(n)
+    }
+    val k = spec.keyCol
+    val pairs = bb.join(sbr, Seq("skey"))
+      // self-exclusion = replay idempotence: a retried batch whose
+      // append landed must not match itself and reclassify
+      .filter(col(s"_a_$k") =!= col(s"_b_$k"))
+      .select(col(s"_a_$k").as("b_key") +: col(s"_b_$k").as("s_key") +: feats: _*)
+      .filter(spec.keep && spec.isMatch)
+      .dropDuplicates("b_key", "s_key")
+    val lab = entityLabels(spark, name)
+    val matched = pairs.join(lab, pairs("s_key") === lab("rkey"))
+      .select(col("b_key"), col("s_key"), col("root"))
+      .localCheckpoint(true)
+    val attach = matched.groupBy(col("b_key"))
+      .agg(min(col("root")).as("aroot"), min(col("s_key")).as("match_id"))
+      .localCheckpoint(true)
+    // one batch record matching entities r1 < r2 merges r2 into r1;
+    // closure over the batch-sized merge graph, remap rows only
+    val mergeEdges = matched.join(attach, "b_key")
+      .filter(col("root") =!= col("aroot"))
+      .select(col("aroot").as("id_a"), col("root").as("id_b")).distinct()
+    val remapNew = broadcast((
+      if (mergeEdges.isEmpty) Dedup.emptyRemap(spark)
+      else Dedup.connectedComponents(mergeEdges)
+        .filter(col("id") =!= col("lab"))
+        .select(col("id").as("old_root"), col("lab").as("new_root"))
+      ).localCheckpoint(true))
+    // old remap rows re-resolve through the new merges; new rows join
+    val remapAll = spark.table(s"${name}_remap")
+      .join(remapNew.select(col("old_root").as("o2"), col("new_root").as("n2")),
+        col("new_root") === col("o2"), "left")
+      .select(col("old_root"), coalesce(col("n2"), col("new_root")).as("new_root"))
+      .unionAll(remapNew)
+      .localCheckpoint(true)
+    val labeled = batch.select(col(k).as("rkey"))
+      .join(attach, col("rkey") === col("b_key"), "left")
+      .select(col("rkey"),
+        when(col("match_id").isNotNull, "matched").otherwise("unique").as("status"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("aroot"), col("rkey")).as("root0"))
+      .join(remapNew, col("root0") === col("old_root"), "left")
+      .select(col("rkey"), col("status"), col("match_id"),
+        coalesce(col("new_root"), col("root0")).as("entity_id"))
+      .localCheckpoint(true)
+    // append EVERY fresh batch record's blocks and labels (see the
+    // store preamble: matched records stay linkable), replay-safe via
+    // the anti-join on keys the store already holds
+    val fresh = batch.join(
+      spark.table(s"${name}_labels").select(col("rkey").as(k)),
+      Seq(k), "left_anti")
+    blockRows(fresh, spec).write.mode(SaveMode.Append)
+      .bucketBy(Dedup.bucketsOf(spark, s"${name}_blocks"), "skey").sortBy("skey")
+      .format("parquet").saveAsTable(s"${name}_blocks")
+    labeled.join(fresh.select(col(k).as("rkey")), Seq("rkey"))
+      .select(col("rkey"), col("entity_id").as("root"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(Dedup.bucketsOf(spark, s"${name}_labels"), "rkey").sortBy("rkey")
+      .format("parquet").saveAsTable(s"${name}_labels")
+    remapAll.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_remap")
+    labeled.withColumnRenamed("rkey", k)
+  }
+
+  /** Fold the remap into the labels table and re-land one sorted file
+    * per bucket for both store tables (the append/compact economics of
+    * [[Dedup.compactSignatureStore]] / [[Dedup.compactLabelStore]]).
+    */
+  def compactEntityStore(spark: SparkSession, name: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val lb = Dedup.bucketsOf(spark, s"${name}_labels")
+    graft.sources.Sinks.writeBucketed(
+      entityLabels(spark, name)
+        .repartition(lb, pmod(hash(col("rkey")), lit(lb))),
+      s"${name}_labels_compact", lb, "rkey")
+    spark.sql(s"DROP TABLE ${name}_labels")
+    spark.sql(s"ALTER TABLE ${name}_labels_compact RENAME TO ${name}_labels")
+    val bb = Dedup.bucketsOf(spark, s"${name}_blocks")
+    graft.sources.Sinks.writeBucketed(
+      spark.table(s"${name}_blocks")
+        .repartition(bb, pmod(hash(col("skey")), lit(bb))),
+      s"${name}_blocks_compact", bb, "skey")
+    spark.sql(s"DROP TABLE ${name}_blocks")
+    spark.sql(s"ALTER TABLE ${name}_blocks_compact RENAME TO ${name}_blocks")
+    Dedup.emptyRemap(spark).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_remap")
+  }
+
   // ---------------- entries ----------------
   // (Golden-record election is a one-liner on the clustered frame —
   // min(struct(key, attrs...)) groupBy(entity_id), partial-aggregable,
@@ -137,6 +329,22 @@ object Er {
 
   private def partPairs(s: SparkSession, d: String): DataFrame =
     partPairsOf(Tables.part(s, d))
+
+  /** The er01/er05 linkage as a store contract: same block key, same
+    * integer features, same keep gate; the link decision is
+    * [[partMatches]]' (dist ≤ 2, size gap ≤ 1). */
+  def partLinkSpec: LinkSpec = LinkSpec(
+    keyCol = "p_partkey",
+    blockKeys = Seq(ac => partBlockKey(ac("p_name"), ac("p_type"))),
+    features = Seq(
+      "name_dist" -> ((ac, bc) =>
+        graft.functions.boundedLevenshtein(ac("p_name"), bc("p_name"), 4)),
+      "size_diff" -> ((ac, bc) =>
+        abs(ac("p_size") - bc("p_size")).cast("long")),
+      "same_brand" -> ((ac, bc) =>
+        when(ac("p_brand") === bc("p_brand"), 1L).otherwise(0L))),
+    keep = col("size_diff") <= 2L && col("name_dist") <= 4L,
+    isMatch = col("name_dist") <= 2L && col("size_diff") <= 1L)
 
   private def partMatches(s: SparkSession, d: String): DataFrame =
     partPairs(s, d).filter(col("name_dist") <= 2L && col("size_diff") <= 1L)
@@ -249,6 +457,90 @@ object Er {
          AND a.p_partkey < b.p_partkey
         WHERE levenshtein(a.p_name, b.p_name) <= 4
           AND abs(a.p_size - b.p_size) <= 2)
-      ORDER BY a_key, b_key"""))
+      ORDER BY a_key, b_key""")),
+
+    // ---- the ER production loop end-to-end: entity store built from
+    //      the corpus split, one batch ingested THROUGH the store
+    //      (blocked with zero store-side exchange, attached to min
+    //      matched root, bridged entities merged by remap rows), final
+    //      labels for every record read back from the store. Oracle
+    //      replays the INCREMENTAL semantics: corpus closure → batch
+    //      attach → merge closure (the store is the frame of
+    //      reference — intra-batch pairs link on the NEXT round) ----
+    ("er05_incremental_er", (s: SparkSession, d: String) => {
+      val all = Tables.part(s, d)
+      // deterministic ~20% "new batch" (d06's ANSI-safe Knuth hash)
+      val isB =
+        pmod(pmod(col("p_partkey"), lit(1000003L)) * lit(427799L), lit(1000003L)) % 5 === 0
+      writeEntityStore(all.filter(!isB), "er05_store", partLinkSpec)
+      val labeled = ingestBatch(s, "er05_store", all.filter(isB), partLinkSpec)
+      entityLabels(s, "er05_store")
+        .join(labeled.select(col("p_partkey").as("rkey"),
+          col("status"), col("match_id")), Seq("rkey"), "left")
+        .select(col("rkey").as("p_partkey"),
+          coalesce(col("status"), lit("corpus")).as("status"),
+          coalesce(col("match_id"), lit(-1L)).as("match_id"),
+          col("root").as("entity_id"))
+        .orderBy("p_partkey")
+    }, Some("""
+      WITH RECURSIVE
+      flag AS (SELECT p_partkey,
+                 (p_partkey % 1000003) * 427799 % 1000003 % 5 = 0 AS isb
+               FROM part),
+      cpairs AS (
+        SELECT a.p_partkey AS a_key, b.p_partkey AS b_key
+        FROM part a JOIN flag fa ON fa.p_partkey = a.p_partkey AND NOT fa.isb
+             JOIN part b
+               ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+              AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+             JOIN flag fb ON fb.p_partkey = b.p_partkey AND NOT fb.isb
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+          AND abs(a.p_size - b.p_size) <= 1),
+      edges AS (SELECT a_key AS src, b_key AS dst FROM cpairs
+                UNION ALL SELECT b_key, a_key FROM cpairs),
+      reach(id, lab) AS (
+        SELECT p.p_partkey, p.p_partkey
+        FROM part p JOIN flag f ON f.p_partkey = p.p_partkey AND NOT f.isb
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(lab) AS root FROM reach GROUP BY id),
+      bpairs AS (
+        SELECT a.p_partkey AS b_key, b.p_partkey AS s_key
+        FROM part a JOIN flag fa ON fa.p_partkey = a.p_partkey AND fa.isb
+             JOIN part b
+               ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+              AND a.p_type = b.p_type
+             JOIN flag fb ON fb.p_partkey = b.p_partkey AND NOT fb.isb
+        WHERE a.p_partkey <> b.p_partkey
+          AND levenshtein(a.p_name, b.p_name) <= 2
+          AND abs(a.p_size - b.p_size) <= 1),
+      matched AS (SELECT bp.b_key, bp.s_key, c.root
+                  FROM bpairs bp JOIN comp c ON c.id = bp.s_key),
+      attach AS (SELECT b_key, min(root) AS aroot, min(s_key) AS match_id
+                 FROM matched GROUP BY b_key),
+      medges AS (SELECT DISTINCT a.aroot AS src, m.root AS dst
+                 FROM matched m JOIN attach a USING (b_key)
+                 WHERE m.root <> a.aroot),
+      msym AS (SELECT src, dst FROM medges
+               UNION ALL SELECT dst, src FROM medges),
+      mreach(id, lab) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM msym)
+        UNION
+        SELECT e.dst, r.lab FROM mreach r JOIN msym e ON e.src = r.id),
+      mcomp AS (SELECT id, min(lab) AS nroot FROM mreach GROUP BY id)
+      SELECT c.id AS p_partkey, 'corpus' AS status,
+             CAST(-1 AS BIGINT) AS match_id,
+             coalesce(mc.nroot, c.root) AS entity_id
+      FROM comp c LEFT JOIN mcomp mc ON mc.id = c.root
+      UNION ALL
+      SELECT p.p_partkey,
+             CASE WHEN a.match_id IS NOT NULL THEN 'matched'
+                  ELSE 'unique' END AS status,
+             CAST(coalesce(a.match_id, -1) AS BIGINT) AS match_id,
+             coalesce(mc.nroot, a.aroot, p.p_partkey) AS entity_id
+      FROM part p JOIN flag f ON f.p_partkey = p.p_partkey AND f.isb
+      LEFT JOIN attach a ON a.b_key = p.p_partkey
+      LEFT JOIN mcomp mc ON mc.id = a.aroot
+      ORDER BY p_partkey"""))
   )
 }
