@@ -558,7 +558,7 @@ object Dedup {
     * tombstone set when it is under [[tombstoneBroadcastMax]], a
     * shuffle-hash anti-join beyond it, or `df` unchanged when nothing
     * was ever deleted (no plan change for stores that never delete). */
-  private def dropTombstoned(spark: SparkSession, name: String,
+  private[operators] def dropTombstoned(spark: SparkSession, name: String,
       df: DataFrame, idCol: String): DataFrame =
     tombstoneIds(spark, name).fold(df) { t =>
       val tt = t.select(col("doc_id").as(idCol))
@@ -661,7 +661,7 @@ object Dedup {
 
   /** Data-file statuses under a catalog table's location. A KB-sized
     * listing — never reads the files. */
-  private def tableDataFiles(spark: SparkSession,
+  private[operators] def tableDataFiles(spark: SparkSession,
       table: String): Array[org.apache.hadoop.fs.FileStatus] = {
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
       .find(_.getString(0) == "Location").map(_.getString(1))
@@ -674,7 +674,7 @@ object Dedup {
   /** Data-file count under a catalog table's location (each bucketed
     * append adds one file per bucket, so count/buckets is the append
     * depth). */
-  private def tableFileCount(spark: SparkSession, table: String): Long =
+  private[operators] def tableFileCount(spark: SparkSession, table: String): Long =
     tableDataFiles(spark, table).length.toLong
 
   /** One production ingest step: classify `batch` against the store

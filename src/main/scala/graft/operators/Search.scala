@@ -64,6 +64,96 @@ object Search {
       .write.mode("overwrite")
       .bucketBy(nBuckets, "word").sortBy("word", "doc_id", "pos")
       .option("path", path).saveAsTable(table)
+    // the store's doc-id registry, bucketed by doc_id: appends
+    // anti-join against it with zero store-side exchange (the
+    // postings table buckets on WORD, so it cannot answer "is this
+    // doc already indexed" without a full scan — the registry can)
+    graft.sources.Sinks.writeBucketed(docs.select(col("doc_id")),
+      s"${table}_docs", nBuckets, "doc_id")
+    // a full rebuild is a NEW store generation: prior tombstones
+    // applied to content this build no longer carries
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
+  }
+
+  /** The store's postings minus tombstoned docs — every query over a
+    * maintained store reads through here ([[Dedup.dropTombstoned]]'s
+    * economics: broadcast anti-join under the byte ceiling,
+    * shuffle-hash beyond it, untouched plan when nothing was ever
+    * deleted). Bucket pruning on word predicates survives the
+    * anti-join (the filter sits above the pruned scan).
+    */
+  def readPostings(spark: SparkSession, table: String): DataFrame =
+    Dedup.dropTombstoned(spark, table, spark.table(table), "doc_id")
+
+  /** Append new documents' postings — the maintenance half of the
+    * production loop (crawl batch lands → postings appended → the
+    * next contamination audit sees them). Each append writes one more
+    * file per bucket: reads stay bucketed (per-bucket sort, never a
+    * shuffle); compact on cadence. Replay-safe: docs the registry
+    * already holds are skipped (anti-join, zero store-side exchange),
+    * and tombstoned ids stay dead (suppression list — a retired doc
+    * cannot resurrect via a crash-replayed append).
+    */
+  def appendToPostingsStore(batch: DataFrame, table: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val spark = batch.sparkSession
+    val fresh = Dedup.dropTombstoned(spark, table,
+      batch.join(spark.table(s"${table}_docs"), Seq("doc_id"), "left_anti"),
+      "doc_id")
+    postings(fresh)
+      .write.mode(SaveMode.Append)
+      .bucketBy(Dedup.bucketsOf(spark, table), "word")
+      .sortBy("word", "doc_id", "pos")
+      .format("parquet").saveAsTable(table)
+    fresh.select(col("doc_id"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(Dedup.bucketsOf(spark, s"${table}_docs"), "doc_id")
+      .sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${table}_docs")
+  }
+
+  /** RETIRE documents (takedown / TTL): append their ids to the KB
+    * tombstone table. Lazy like the signature store's — reads filter
+    * ([[readPostings]]), [[compactPostingsStore]] drops the rows
+    * physically, the tombstone table survives as a suppression list.
+    */
+  def deleteFromPostingsStore(spark: SparkSession, table: String,
+      ids: DataFrame): Unit = {
+    import org.apache.spark.sql.SaveMode
+    ids.select(col("doc_id").cast("bigint")).coalesce(1)
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${table}_tombstones")
+  }
+
+  /** Compact back to ONE sorted file per bucket (postings and
+    * registry), dropping tombstoned rows physically — same
+    * task-alignment discipline as `Dedup.compactSignatureStore`
+    * (repartition on the writer's own bucket-id expression). The
+    * compacted tables are MANAGED; when the original was external
+    * (writePostingsStore's `path`), its now-dead files are removed —
+    * from here on the catalog name, not the build path, is the
+    * store's identity.
+    */
+  def compactPostingsStore(spark: SparkSession, table: String): Unit = {
+    Seq((table, Seq("word", "doc_id", "pos"), "word"),
+        (s"${table}_docs", Seq("doc_id"), "doc_id"))
+      .foreach { case (t, sortCols, key) =>
+        val buckets = Dedup.bucketsOf(spark, t)
+        val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+          .find(_.getString(0) == "Location").map(_.getString(1))
+        Dedup.dropTombstoned(spark, table, spark.table(t), "doc_id")
+          .repartition(buckets, pmod(hash(col(key)), lit(buckets)))
+          .write.bucketBy(buckets, key)
+          .sortBy(sortCols.head, sortCols.tail: _*)
+          .format("parquet").saveAsTable(s"${t}_compact")
+        spark.sql(s"DROP TABLE $t")
+        loc.foreach { l =>
+          val p = new org.apache.hadoop.fs.Path(l)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        spark.sql(s"ALTER TABLE ${t}_compact RENAME TO $t")
+      }
   }
 
   /** Documents containing ALL of `terms` (boolean AND). Term filter

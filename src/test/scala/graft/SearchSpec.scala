@@ -63,6 +63,70 @@ class SearchSpec extends AnyFunSuite {
         .findFirstMatchIn(plan)
       assert(sel.nonEmpty, s"no bucket pruning in plan:\n$plan")
       assert(sel.get.group(1).toInt <= 2, plan)
-    } finally spark.sql("DROP TABLE IF EXISTS b_postings")
+    } finally dropStore("b_postings")
+  }
+
+  private def dropStore(table: String): Unit =
+    Seq(table, s"${table}_docs", s"${table}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def storeFiles(table: String): Int = {
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1)).get
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  test("postings store maintenance: append / tombstone / compact keep queries exact") {
+    val path = Files.createTempDirectory("graft-postings").toString + "/mx"
+    try {
+      Search.writePostingsStore(docs.filter(col("doc_id") <= 2L),
+        path, "m_postings", nBuckets = 4)
+      // --- append: docs 3,4 land; queries see them through the store
+      Search.appendToPostingsStore(docs.filter(col("doc_id") > 2L), "m_postings")
+      def conj(terms: String*) =
+        Search.conjunctiveSearch(Search.readPostings(spark, "m_postings"),
+          terms).collect().map(_.getLong(0)).toSet
+      assert(conj("c") === Set(1L, 3L))
+      assert(conj("a", "b") === Set(1L, 2L))
+      // replayed append is a no-op (registry anti-join)
+      val nRows = spark.table("m_postings").count()
+      Search.appendToPostingsStore(docs, "m_postings")
+      assert(spark.table("m_postings").count() === nRows)
+      // --- tombstone doc 1: every read path excludes it
+      import spark.implicits._
+      Search.deleteFromPostingsStore(spark, "m_postings",
+        Seq(1L).toDF("doc_id"))
+      assert(conj("c") === Set(3L))
+      assert(Search.phraseSearch(Search.readPostings(spark, "m_postings"),
+        Seq("a", "b")).collect().map(_.getLong(0)).toSet === Set.empty[Long])
+      // a replayed append cannot resurrect the retired doc
+      Search.appendToPostingsStore(docs.filter(col("doc_id") === 1L), "m_postings")
+      assert(conj("c") === Set(3L))
+      // --- compact: ONE file per non-empty bucket again (empty
+      //     buckets write no file), tombstoned rows physically gone,
+      //     queries unchanged, pruning intact
+      val before = storeFiles("m_postings")
+      Search.compactPostingsStore(spark, "m_postings")
+      val nonEmpty = spark.table("m_postings")
+        .select(pmod(hash(col("word")), lit(4))).distinct().count().toInt
+      assert(storeFiles("m_postings") === nonEmpty)
+      assert(storeFiles("m_postings") <= before)
+      val docBuckets = spark.table("m_postings_docs")
+        .select(pmod(hash(col("doc_id")), lit(4))).distinct().count().toInt
+      assert(storeFiles("m_postings_docs") === docBuckets)
+      assert(spark.table("m_postings")
+        .filter(col("doc_id") === 1L).isEmpty)
+      assert(conj("c") === Set(3L) && conj("a") === Set(2L, 4L))
+      val q = Search.conjunctiveSearch(
+        Search.readPostings(spark, "m_postings"), Seq("a"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      assert("SelectedBucketsCount: (\\d+) out of 4".r
+        .findFirstMatchIn(plan).exists(_.group(1).toInt <= 1), plan)
+    } finally dropStore("m_postings")
   }
 }
