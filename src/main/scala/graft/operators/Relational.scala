@@ -1456,6 +1456,110 @@ object Relational {
       SELECT CAST(count(*) AS BIGINT) AS n, CAST(1000 AS BIGINT) AS accuracy,
         CAST(count(*) // 1000 + 1 AS BIGINT) AS rank_tol,
         true AS ok_p25, true AS ok_p50, true AS ok_p75
-      FROM lineitem"""))
+      FROM lineitem""")),
+
+    // ---- three-valued boolean tests (IS [NOT] TRUE/FALSE/UNKNOWN —
+    //      reference expr.rs:58: implemented variants, not TODOs) on
+    //      a genuinely NULLable boolean, plus array slice() semantics
+    //      (expr.rs:93) across the full bound matrix: positive,
+    //      negative-from-end, length past the end (clamps), start past
+    //      the end (empty). Slices stringified (engine-portable
+    //      compare); the oracle re-derives each predicate in portable
+    //      SQL and mirrors Spark's slice spec with DuckDB's 1-based
+    //      inclusive list bounds ----
+    ("q70_bool_array", (s: SparkSession, d: String) => {
+      val p = Tables.part(s, d).filter(col("p_partkey") <= 500)
+        .withColumn("b", expr(
+          "CASE WHEN p_size % 3 = 0 THEN CAST(NULL AS BOOLEAN) " +
+            "ELSE p_size % 2 = 0 END"))
+        // variable-length int array (3..8 elements) — long slices
+        // need more room than the 2-word synthetic p_name gives
+        .withColumn("a", sequence(lit(1L), lit(3L) + col("p_size") % 6))
+      p.select(col("p_partkey"),
+          expr("b IS TRUE").as("is_true"),
+          expr("b IS NOT TRUE").as("is_not_true"),
+          expr("b IS FALSE").as("is_false"),
+          expr("b IS NOT FALSE").as("is_not_false"),
+          expr("b IS UNKNOWN").as("is_unknown"),
+          expr("b IS NOT UNKNOWN").as("is_not_unknown"),
+          concat_ws(",", slice(col("a"), 2, 3)).as("s_pos"),
+          concat_ws(",", slice(col("a"), -2, 2)).as("s_neg"),
+          concat_ws(",", slice(col("a"), 4, 10)).as("s_clamp"),
+          concat_ws(",", expr("slice(a, 9, 2)")).as("s_past"))
+        .orderBy("p_partkey")
+    }, Some("""
+      WITH b0 AS (
+        SELECT p_partkey,
+          CASE WHEN p_size % 3 = 0 THEN NULL ELSE p_size % 2 = 0 END AS b,
+          generate_series(1, 3 + p_size % 6) AS a
+        FROM part WHERE p_partkey <= 500)
+      SELECT p_partkey,
+        coalesce(b, false) AS is_true,
+        NOT coalesce(b, false) AS is_not_true,
+        coalesce(NOT b, false) AS is_false,
+        NOT coalesce(NOT b, false) AS is_not_false,
+        b IS NULL AS is_unknown,
+        b IS NOT NULL AS is_not_unknown,
+        coalesce(array_to_string(a[2:4], ','), '') AS s_pos,
+        coalesce(array_to_string(a[len(a)-1:len(a)], ','), '') AS s_neg,
+        coalesce(array_to_string(a[4:len(a)], ','), '') AS s_clamp,
+        coalesce(array_to_string(a[9:10], ','), '') AS s_past
+      FROM b0 ORDER BY p_partkey""")),
+
+    // ---- TPC-H Q21 shape: EXISTS and NOT EXISTS over the SAME table
+    //      with the triple supplier correlation — the classic
+    //      decorrelation stress (the reference's
+    //      correlated_exists_tests only exercise single EXISTS).
+    //      Catalyst must plan ONE left-semi + ONE left-anti join, both
+    //      keyed on l_orderkey, with the left side's exchange reused
+    //      between them (plan evidence in PLANS.md). "Late" is a fixed
+    //      ship-date threshold (this corpus has no commit/receipt
+    //      dates); semantics: the supplier was the ONLY late shipper
+    //      of a finished multi-supplier order ----
+    ("q71_exists_not_exists", (s: SparkSession, d: String) => {
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM v_supplier
+        JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN v_orders ON o_orderkey = l1.l_orderkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+          AND n_name = 'NATION_3'
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM v_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > TIMESTAMP '1997-06-30 00:00:00')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name""")
+    }, Some("""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        AND n_name = 'NATION_3'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > TIMESTAMP '1997-06-30 00:00:00')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name"""))
   )
 }

@@ -33,6 +33,34 @@ object Sinks {
     * / commit-protocol markers) — anything else might be live data
     * owned by another application, and we refuse rather than delete.
     */
+  /** Run `body` with sorted-bucket scans honoring the table's sortBy
+    * order — keenwa's "the index satisfies the ordering enforcer"
+    * case (reference rules/implementation/index.rs:19
+    * IndexOnlyScanRule + properties/ordering). Spark 4 gates this
+    * behind `spark.sql.legacy.bucketedTableScan.outputOrdering`
+    * (default OFF: with several files per bucket the scan concatenates
+    * them and per-bucket order is NOT guaranteed, so the planner
+    * conservatively re-sorts). After a compaction that lands ONE
+    * sorted file per bucket (`Dedup.compactSignatureStore` /
+    * `Search.compactPostingsStore` / any pmod-aligned writeBucketed),
+    * the order IS guaranteed and this scope makes a store-side join
+    * plan with ZERO Sort and ZERO Exchange — at 100 TB an elided sort
+    * per join is real money (SinksSpec asserts both behaviors).
+    * Spark only honors it when every touched bucket has one file;
+    * scoping (rather than a session-wide default) keeps freshly
+    * appended multi-file stores correct.
+    */
+  def withSortedBucketScan[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession

@@ -17,6 +17,25 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("q71: EXISTS + NOT EXISTS decorrelate to one semi + one anti join, no exchange between") {
+    val df = SparkEntry.queries("q71_exists_not_exists")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val lines = plan.linesIterator.toVector
+    val anti = lines.indexWhere(_.contains("LeftAnti"))
+    val semi = lines.indexWhere(_.contains("LeftSemi"))
+    assert(anti >= 0 && semi > anti,
+      s"expected LeftAnti above LeftSemi (anti consumes the semi's output):\n$plan")
+    // the semi's probe side feeds the anti directly: no Exchange may
+    // sit on the spine between them (the ':'-guttered broadcast/build
+    // children are the subquery sides and don't count)
+    val spine = lines.slice(anti + 1, semi)
+      .filterNot(_.trim.startsWith(":"))
+    assert(!spine.exists(_.contains("Exchange")),
+      s"left side must not re-exchange between semi and anti:\n$plan")
+  }
+
   test("q01: filter pushed to parquet scan + column pruning") {
     val plan = physicalPlan("q01_agg")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)

@@ -25,6 +25,43 @@ class SinksSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
   }
 
+  test("sorted one-file-per-bucket stores join with zero Sort under withSortedBucketScan") {
+    // keenwa's IndexOnlyScanRule ordering half: a compacted
+    // bucketed+sorted store must satisfy the merge join's required
+    // ordering with NO Sort node. Spark 4's default re-sorts (multi-
+    // file buckets concatenate, order not guaranteed); the scoped
+    // legacy conf + one sorted file per bucket elides it. Both
+    // behaviors asserted — the default IS the documented caveat.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      val df = (1L to 1000L).map(i => (i, i * 7 % 100)).toDF("k", "v")
+        // pmod task alignment -> exactly one sorted file per bucket
+        .repartition(4, pmod(hash(col("k")), lit(4)))
+      Sinks.writeBucketed(df, "so_left", 4, "k")
+      Sinks.writeBucketed(df.select(col("k"), col("v").as("w")), "so_right", 4, "k")
+      def planOf() = {
+        val j = spark.table("so_left").join(spark.table("so_right"), "k")
+        j.collect()
+        j.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      }
+      val dflt = planOf()
+      assert(dflt.contains("SortMergeJoin") && !dflt.contains("Exchange"), dflt)
+      assert("\\bSort\\b".r.findAllIn(dflt).length === 2, dflt)
+      Sinks.withSortedBucketScan(spark) {
+        val elided = planOf()
+        assert(elided.contains("SortMergeJoin") && !elided.contains("Exchange"), elided)
+        assert("\\bSort\\b".r.findAllIn(elided).isEmpty,
+          s"sorted-bucket store must satisfy the join ordering with no Sort:\n$elided")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS so_left")
+      spark.sql("DROP TABLE IF EXISTS so_right")
+    }
+  }
+
   test("bucketed tables join with zero exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
