@@ -821,6 +821,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.size <= 3, s"store partitions unbounded: $parts")
   }
 
+  test("streaming funnel: published report equals batch ss04 after every batch; conversion assembled across batches") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-fnstage")
+      rows.toDF("user_id", "event_id", "ts_ns", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-fn-src")
+    val store = Files.createTempDirectory("graft-fn-store").toString + "/fn"
+    val out = Files.createTempDirectory("graft-fn-out").toString
+    val ckpt = Files.createTempDirectory("graft-fn-ckpt").toString
+    val stages = Seq("signup", "view", "purchase")
+    val gap = 100L
+    // u1: signup+view in b1, purchase in b2 at gap distance 50 — the
+    //     conversion completes ACROSS the batch boundary in ONE
+    //     session (only the open-state level makes this exact).
+    // u2: session closed by the b2 gap split (>100), new session
+    //     reaches only view — the stored open session must fold into
+    //     the closed counters at its level.
+    // u3: appears first in b3 — fresh user mid-stream.
+    // out-of-order WITHIN b1 (u1's view lands before signup by id).
+    val b1 = Seq((1L, 2L, 20L, "view"), (1L, 1L, 10L, "signup"),
+      (2L, 3L, 15L, "signup"), (2L, 4L, 30L, "view"))
+    val b2 = Seq((1L, 5L, 70L, "purchase"), (2L, 6L, 400L, "view"))
+    val b3 = Seq((3L, 7L, 500L, "signup"), (1L, 8L, 900L, "view"))
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts_ns LONG, event_type STRING")
+      .parquet(src.toString)
+    val q = graft.streaming.FunnelStream.start(store, stream, stages,
+      gapNs = gap, out, ckpt, maxStoreParts = Some(2))
+    def published() = spark.read.parquet(out).collect().map(_.toSeq).toSeq
+    def batchTruth(rows: Seq[(Long, Long, Long, String)]) =
+      graft.operators.Sessionize.funnel(
+        rows.toDF("user_id", "event_id", "ts_ns", "event_type"),
+        stages, gapNs = gap)
+        .collect().map(_.toSeq).toSeq
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTruth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2))
+      // the cross-batch conversion is visible: u1's single session
+      // reached purchase even though no single batch contains the
+      // whole signup->view->purchase chain
+      assert(spark.read.parquet(out).head.getAs[Long]("n_purchase") === 1L)
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+      // 5 sessions total: u1 x2 (split by the 70->900 gap), u2 x2,
+      // u3 x1 — and exactly one full conversion
+      val r = spark.read.parquet(out).head
+      assert(r.getAs[Long]("n_sessions") === 5L)
+      assert(r.getAs[Long]("n_signup") === 3L)
+      assert(r.getAs[Long]("n_purchase") === 1L)
+    } finally q.stop()
+    for (sub <- Seq("closed", "open")) {
+      val parts = new java.io.File(s"$store/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      assert(parts.size <= 3, s"store partitions unbounded: $sub $parts")
+    }
+    // the open store wrote a partial every batch (3 > maxParts=2), so
+    // the fold must have merged its closed partials into the base;
+    // the closed store only ever landed 2 partials (batch 1 closed no
+    // session) and legitimately stays unfolded
+    val openParts = new java.io.File(s"$store/open").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(openParts.contains("batch_id=-1"),
+      s"no base after fold: open $openParts")
+  }
+
   test("streaming CDC: I/U/D feed per batch, tombstone re-insert, late data no-regress, fold keeps snapshot") {
     import spark.implicits._
     def addFile(src: java.nio.file.Path, name: String,
