@@ -304,6 +304,87 @@ object Scale {
     println(f"[scale] ER blocking: $nP%,d records, $blockCmp%,d in-block " +
       f"comparisons vs ${nP * (nP - 1) / 2}%,d all-pairs " +
       f"(${nP * (nP - 1) / 2.0 / blockCmp}%.0fx saved by the block key)")
+
+    // ---- graph-family probe (tr/bfs/pr/lp/kc): a planted power-law
+    // graph with ONE celebrity node (id 0, degree n/10), measured at
+    // 1x and 20x so the §5 claims are numbers, not arguments:
+    //   - triangles: the degree-ordered orientation's wedge work
+    //     (Σ outdeg·(outdeg−1)/2) must stay bounded while the naive
+    //     low-id orientation explodes quadratically at the celebrity;
+    //   - bfs/pr/lp/kc: per-op time across the 20x step should track
+    //     the EDGE factor (frontier/edge-linear rounds), nowhere the
+    //     node-pair quadratic.
+    def plantedGraph(n: Long) = {
+      val ids = spark.range(n).toDF("id")
+      val chain = ids.filter(col("id") < n - 1)
+        .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+      // 4 deterministic pseudo-random out-edges per node (mod-p mix,
+      // ANSI-safe) — the small-world shortcuts that keep BFS shallow
+      val rand = (1 to 4).map { j =>
+        ids.select(col("id").as("src"),
+          pmod(pmod(col("id") + lit(j * 7919L), lit(1000003L))
+            * lit(427799L), lit(n)).as("dst"))
+      }.reduce(_ unionAll _)
+      val celeb = ids.filter(col("id") % 10L === 0 && col("id") =!= 0L)
+        .select(col("id").as("src"), lit(0L).as("dst"))
+      chain.unionAll(rand).unionAll(celeb).filter(col("src") =!= col("dst"))
+    }
+    def wedgeWork(outdeg: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = outdeg.agg(sum(expr("od * (od - 1) div 2")).as("w"),
+        max(col("od")).as("m")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val graphTimes = scala.collection.mutable.Map[(String, Long), Double]()
+    def timeG(name: String, n: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      graphTimes((name, n)) = sec
+      println(f"[scale] $name%-12s n=$n%-7d $sec%8.2f s  ($rows rows)")
+    }
+    val sizes = Seq(10000L, 200000L)
+    sizes.foreach { n =>
+      plantedGraph(n).write.mode("overwrite").parquet(s"$work/graph_$n")
+      val raw = spark.read.parquet(s"$work/graph_$n")
+      val pairs = raw.select(least(col("src"), col("dst")).as("id_a"),
+        greatest(col("src"), col("dst")).as("id_b")).distinct()
+        .localCheckpoint(true)
+      val m = pairs.count()
+      val deg = pairs.select(col("id_a").as("id"))
+        .unionAll(pairs.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val maxDeg = deg.agg(max(col("deg"))).head().getLong(0)
+      // wedge work under both orientations
+      val withDeg = pairs
+        .join(deg.select(col("id").as("id_a"), col("deg").as("deg_a")), Seq("id_a"))
+        .join(deg.select(col("id").as("id_b"), col("deg").as("deg_b")), Seq("id_b"))
+      val ordered = withDeg.select(
+          when(struct(col("deg_a"), col("id_a")) < struct(col("deg_b"), col("id_b")),
+            col("id_a")).otherwise(col("id_b")).as("src"))
+        .groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val naive = pairs.select(col("id_a").as("src"))
+        .groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val (wOrd, moOrd) = wedgeWork(ordered)
+      val (wNaive, moNaive) = wedgeWork(naive)
+      println(f"[scale] graph n=$n%,d: $m%,d edges, celebrity degree $maxDeg%,d; " +
+        f"wedge work degree-ordered $wOrd%,d (max outdeg $moOrd) vs " +
+        f"naive low-id $wNaive%,d (max outdeg $moNaive) — " +
+        f"${wNaive.toDouble / wOrd}%.1fx avoided by the orientation")
+      val sym = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
+      val src1 = spark.range(1, 2).toDF("id")
+      timeG("triangles", n)(graft.operators.Graph.trianglesPerVertex(pairs).count())
+      timeG("bfs", n)(graft.operators.Graph.shortestHops(sym, src1, 25).count())
+      timeG("pagerank", n)(graft.operators.Graph.pageRank(raw, 8).count())
+      timeG("lpa", n)(graft.operators.Graph.labelPropagation(pairs, 4).count())
+      timeG("kcore", n)(graft.operators.Graph.kCore(pairs, 4L, 60).count())
+    }
+    val edgeFactor = sizes.last.toDouble / sizes.head
+    Seq("triangles", "bfs", "pagerank", "lpa", "kcore").foreach { op =>
+      val ratio = graphTimes((op, sizes.last)) / graphTimes((op, sizes.head))
+      println(f"[scale] graph 20x step: $op%-10s time ${ratio}%5.1fx " +
+        f"(edge factor ${edgeFactor}%.0fx — sublinear-in-pairs; " +
+        f"quadratic would be ${edgeFactor * edgeFactor}%.0fx)")
+    }
     spark.stop()
   }
 }
