@@ -506,6 +506,12 @@ object Dedup {
     val (bands, cd) = storeFrames(corpus)
     graft.sources.Sinks.writeBucketed(bands, s"${name}_bands", buckets, "skey")
     graft.sources.Sinks.writeBucketed(cd, s"${name}_shingles", buckets, "doc_id")
+    // a full rebuild is a NEW store generation: the suppression-list
+    // contract ("a retired id stays dead") is scoped to one
+    // generation — carrying the previous generation's tombstones
+    // forward would silently drop legitimately fresh corpus docs
+    // whose ids recur (content-hash ids recur by design)
+    corpus.sparkSession.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
   }
 
   /** RETIRE documents from a signature store (takedown / TTL / GDPR):
@@ -525,6 +531,7 @@ object Dedup {
   def deleteFromSignatureStore(spark: SparkSession, name: String,
       ids: DataFrame): Unit = {
     import org.apache.spark.sql.SaveMode
+    graft.sources.Sinks.clearOrphanLocation(spark, s"${name}_tombstones")
     ids.select(col("doc_id").cast("bigint")).coalesce(1)
       .write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(s"${name}_tombstones")
@@ -801,6 +808,7 @@ object Dedup {
       .join(cc, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("root"))
     graft.sources.Sinks.writeBucketed(labels, s"${name}_labels", buckets, "doc_id")
+    graft.sources.Sinks.clearOrphanLocation(spark, s"${name}_remap")
     emptyRemap(spark).write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_remap")
   }

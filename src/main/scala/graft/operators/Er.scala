@@ -162,6 +162,7 @@ object Er {
     graft.sources.Sinks.writeBucketed(blockRows(records, spec),
       s"${name}_blocks", buckets, "skey")
     graft.sources.Sinks.writeBucketed(labels, s"${name}_labels", buckets, "rkey")
+    graft.sources.Sinks.clearOrphanLocation(spark, s"${name}_remap")
     Dedup.emptyRemap(spark).write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_remap")
   }

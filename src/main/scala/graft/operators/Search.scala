@@ -120,6 +120,7 @@ object Search {
   def deleteFromPostingsStore(spark: SparkSession, table: String,
       ids: DataFrame): Unit = {
     import org.apache.spark.sql.SaveMode
+    graft.sources.Sinks.clearOrphanLocation(spark, s"${table}_tombstones")
     ids.select(col("doc_id").cast("bigint")).coalesce(1)
       .write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(s"${table}_tombstones")
@@ -141,6 +142,7 @@ object Search {
         val buckets = Dedup.bucketsOf(spark, t)
         val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
           .find(_.getString(0) == "Location").map(_.getString(1))
+        graft.sources.Sinks.clearOrphanLocation(spark, s"${t}_compact")
         Dedup.dropTombstoned(spark, table, spark.table(t), "doc_id")
           .repartition(buckets, pmod(hash(col(key)), lit(buckets)))
           .write.bucketBy(buckets, key)

@@ -61,9 +61,16 @@ object Sinks {
     }
   }
 
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+  /** Remove a managed table's LEFTOVER warehouse directory when the
+    * table is not in this session's catalog — the cross-JVM gotcha:
+    * the in-memory catalog dies with the JVM but the warehouse dir
+    * survives, and Spark 4's saveAsTable then refuses with
+    * LOCATION_ALREADY_EXISTS. Deletes only when every file is a
+    * table-write artifact (see the ownership note above).
+    */
+  def clearOrphanLocation(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
       val (db, tbl) = table.split('.') match {
         case Array(d, t) => (d, t)
@@ -80,12 +87,17 @@ object Sinks {
             n.startsWith("_committed") || n.startsWith("_started") ||
             n.startsWith("_temporary") || n.startsWith(".")
           require(tableArtifact,
-            s"writeBucketed: orphan location $loc contains non-table file '$n' — " +
+            s"clearOrphanLocation: orphan location $loc contains non-table file '$n' — " +
               "refusing to delete data this session does not own; remove it manually")
         }
         fs.delete(loc, true)
       }
     }
+  }
+
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    val spark = df.sparkSession
+    clearOrphanLocation(spark, table)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)

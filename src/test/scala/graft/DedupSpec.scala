@@ -333,6 +333,13 @@ class DedupSpec extends AnyFunSuite {
       // not resurrect its signatures through the ingest append
       Dedup.ingestBatch(spark, "sigdel", docs(1L -> base), 0.5)
       assert(spark.table("sigdel_shingles").filter(col("doc_id") === 1L).count() === 0)
+      // ...but only within the store GENERATION: a full rebuild under
+      // the same name resets the suppression list — fresh content
+      // reusing the id (content-hash ids recur by design) must not be
+      // silently dropped by a previous generation's takedowns
+      Dedup.writeSignatureStore(docs(1L -> base, 3L -> far), "sigdel", 4)
+      assert(classify() === Set((2L, 1L)),
+        "rebuild must not inherit the old generation's tombstones")
     } finally {
       Seq("bands", "shingles", "labels", "remap", "tombstones")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS sigdel_$t"))
