@@ -75,7 +75,9 @@ object Plans {
       "ts06_seasonal_anomalies" -> "seasonal anomalies: event-sized (key, day, hod) count partial-aggs; median election + flag run on day-hour-sized frames",
       "ix01_conjunctive_search" -> "conjunctive search: IN-list term filter map-only over the scan, (word, doc) distinct + doc count bounded by matched postings",
       "er04_multikey_pairs" -> "multi-pass blocking: two block-keyed hash joins unioned + pair dedup — no cartesian in either pass, cost additive in passes",
-      "ix03_contamination_audit" -> "contamination audit: ONE postings pass for the whole phrase list — (phrase, slot, word) broadcast, (doc, phrase, anchor) groupBy, source rollup")
+      "ix03_contamination_audit" -> "contamination audit: ONE postings pass for the whole phrase list — (phrase, slot, word) broadcast, (doc, phrase, anchor) groupBy, source rollup",
+      "q71_exists_not_exists" -> "TPC-H Q21 shape: EXISTS + NOT EXISTS on the same table decorrelate to ONE left-semi + ONE left-anti join stacked directly on the filtered l1 scan inside a single codegen span — no exchange on the probe spine between them (PlanSpec-asserted)",
+      "er05_incremental_er" -> "incremental ER ingest: the batch's block rows join the bucketed blocks store with ZERO store-side exchange (the bucketed write IS its shuffle); attach/merge frames are match-edge-sized; the final labels read is one broadcast remap hop over the bucketed labels table")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +

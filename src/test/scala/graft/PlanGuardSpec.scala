@@ -75,7 +75,12 @@ class PlanGuardSpec extends AnyFunSuite {
       val df = fn(spark, sf)
       val plan = df.queryExecution.optimizedPlan.toString
       val ordered = plan.contains("Sort") || plan.contains("GlobalLimit") ||
-        df.schema.nonEmpty && fn(spark, sf).queryExecution.analyzed.maxRows.exists(_ <= 1)
+        df.schema.nonEmpty && fn(spark, sf).queryExecution.analyzed.maxRows.exists(_ <= 1) ||
+        // EliminateSorts strips an ORDER BY whose child is provably
+        // ≤ 1 row (e.g. ss08's all-aggregate cross joins) — that plan
+        // is deterministic precisely BECAUSE maxRows ≤ 1; the hint
+        // nodes in the analyzed plan hide it, the optimized plan knows
+        df.queryExecution.optimizedPlan.maxRows.exists(_ <= 1)
       if (!ordered) Some(name) else None
     }
     assert(unordered.isEmpty, s"queries without deterministic order: $unordered")
