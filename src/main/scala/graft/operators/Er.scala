@@ -172,6 +172,14 @@ object Er {
     * shuffles ([[Dedup.clusterLabels]]' discipline).
     */
   def entityLabels(spark: SparkSession, name: String): DataFrame = {
+    // every ingest OVERWRITES the remap and APPENDS to the labels,
+    // possibly from a cloned session (streaming foreachBatch) whose
+    // writes invalidate only its own relation cache — refresh ours or
+    // a cached listing points at deleted remap files
+    // (FAILED_READ_FILE) / silently misses appended label files.
+    // Metadata-only calls.
+    spark.catalog.refreshTable(s"${name}_remap")
+    spark.catalog.refreshTable(s"${name}_labels")
     val remap = spark.table(s"${name}_remap")
     spark.table(s"${name}_labels")
       .join(broadcast(remap), col("root") === col("old_root"), "left")
@@ -289,6 +297,28 @@ object Er {
     spark.sql(s"ALTER TABLE ${name}_blocks_compact RENAME TO ${name}_blocks")
     Dedup.emptyRemap(spark).write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_remap")
+  }
+
+  /** Self-triggering compaction cadence (the signature store's
+    * discipline): compact when any store table's files-per-bucket
+    * exceed `maxFilesPerBucket` (each ingest appends one file per
+    * bucket, so this is the ingest count since the last compact) OR
+    * the remap outgrew `maxRemapRows` (every read pays the broadcast).
+    * Returns whether it compacted — streaming loops call this per
+    * micro-batch in the writer's quiet window.
+    */
+  def maybeCompactEntityStore(spark: SparkSession, name: String,
+      maxFilesPerBucket: Int, maxRemapRows: Long = 100000L): Boolean = {
+    require(maxFilesPerBucket >= 1,
+      s"need maxFilesPerBucket >= 1, got $maxFilesPerBucket")
+    val over = Seq(s"${name}_blocks" -> "skey", s"${name}_labels" -> "rkey")
+      .exists { case (t, _) =>
+        Dedup.tableFileCount(spark, t) >
+          Dedup.bucketsOf(spark, t).toLong * maxFilesPerBucket
+      }
+    if (over || spark.table(s"${name}_remap").count() > maxRemapRows) {
+      compactEntityStore(spark, name); true
+    } else false
   }
 
   // ---------------- entries ----------------

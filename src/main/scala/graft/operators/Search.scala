@@ -82,8 +82,13 @@ object Search {
     * deleted). Bucket pruning on word predicates survives the
     * anti-join (the filter sits above the pruned scan).
     */
-  def readPostings(spark: SparkSession, table: String): DataFrame =
+  def readPostings(spark: SparkSession, table: String): DataFrame = {
+    // appends/compactions may come from another session (a streaming
+    // writer) — refresh or a cached listing silently misses appended
+    // files / points at compacted-away ones. Metadata-only call.
+    spark.catalog.refreshTable(table)
     Dedup.dropTombstoned(spark, table, spark.table(table), "doc_id")
+  }
 
   /** Append new documents' postings — the maintenance half of the
     * production loop (crawl batch lands → postings appended → the
@@ -156,6 +161,22 @@ object Search {
         }
         spark.sql(s"ALTER TABLE ${t}_compact RENAME TO $t")
       }
+  }
+
+  /** Self-triggering compaction cadence: compact when either store
+    * table's files-per-bucket exceed `maxFilesPerBucket` (each append
+    * lands one file per bucket, so this is the append count since the
+    * last compact). Returns whether it compacted.
+    */
+  def maybeCompactPostingsStore(spark: SparkSession, table: String,
+      maxFilesPerBucket: Int): Boolean = {
+    require(maxFilesPerBucket >= 1,
+      s"need maxFilesPerBucket >= 1, got $maxFilesPerBucket")
+    val over = Seq(table, s"${table}_docs").exists { t =>
+      Dedup.tableFileCount(spark, t) >
+        Dedup.bucketsOf(spark, t).toLong * maxFilesPerBucket
+    }
+    if (over) { compactPostingsStore(spark, table); true } else false
   }
 
   /** Documents containing ALL of `terms` (boolean AND). Term filter

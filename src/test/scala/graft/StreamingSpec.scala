@@ -821,6 +821,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.size <= 3, s"store partitions unbounded: $parts")
   }
 
+  test("streaming ER: batch-2 records link to batch-1 entities; merges land as remap rows; compaction cadence safe") {
+    import spark.implicits._
+    val spec = graft.operators.Er.LinkSpec(
+      keyCol = "id",
+      blockKeys = Seq(ac => ac("blk")),
+      features = Seq(
+        "name_dist" -> ((ac, bc) =>
+          levenshtein(ac("name"), bc("name")).cast("long")),
+        "sz_diff" -> ((ac, bc) => abs(ac("sz") - bc("sz")).cast("long"))),
+      keep = col("name_dist") <= 2L,
+      isMatch = col("name_dist") <= 1L)
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, String, String, Long)]): Unit = {
+      val stage = Files.createTempDirectory("graft-erstage")
+      rows.toDF("id", "name", "blk", "sz").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-er-src")
+    val out = Files.createTempDirectory("graft-er-out").toString
+    val ckpt = Files.createTempDirectory("graft-er-ckpt").toString
+    try {
+      graft.operators.Er.writeEntityStore(Seq(
+        (1L, "acme corp", "x", 10L), (4L, "zenith", "y", 10L),
+        (5L, "acme labs", "x", 10L)).toDF("id", "name", "blk", "sz"),
+        "erstream", spec, buckets = 4)
+      addFile(src, "b1.parquet", Seq(
+        (10L, "acme labz", "x", 10L), (11L, "quark", "y", 5L)))
+      val stream = spark.readStream
+        .schema("id LONG, name STRING, blk STRING, sz LONG")
+        .parquet(src.toString)
+      val q = graft.streaming.ErStream.start("erstream", stream, spec,
+        out, ckpt, maxFilesPerBucket = Some(1))
+      def labels() = graft.operators.Er.entityLabels(spark, "erstream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      try {
+        q.processAllAvailable()
+        assert(labels() === Map(1L -> 1L, 4L -> 4L, 5L -> 5L,
+          10L -> 5L, 11L -> 11L))
+        // batch 2: 20 links to BATCH 1's record 11 — only possible
+        // because the stream appended batch 1 to the store; 30 links
+        // back to the original corpus
+        addFile(src, "b2.parquet", Seq(
+          (20L, "quarks", "y", 5L), (30L, "acme corpz", "x", 10L)))
+        q.processAllAvailable()
+        assert(labels() === Map(1L -> 1L, 4L -> 4L, 5L -> 5L,
+          10L -> 5L, 11L -> 11L, 20L -> 11L, 30L -> 1L))
+        val resolved = spark.read.parquet(out)
+          .collect().map(r => r.getAs[Long]("id") ->
+            ((r.getAs[String]("status"), r.getAs[Long]("match_id")))).toMap
+        assert(resolved(10L) === (("matched", 5L)))
+        assert(resolved(11L) === (("unique", -1L)))
+        assert(resolved(20L) === (("matched", 11L)))
+        assert(resolved(30L) === (("matched", 1L)))
+      } finally q.stop()
+      // cadence ran with maxFilesPerBucket=1 inside the stream; one
+      // more manual compaction must leave the assignment unchanged
+      graft.operators.Er.compactEntityStore(spark, "erstream")
+      assert(spark.table("erstream_remap").isEmpty)
+      assert(labels() === Map(1L -> 1L, 4L -> 4L, 5L -> 5L,
+        10L -> 5L, 11L -> 11L, 20L -> 11L, 30L -> 1L))
+    } finally Seq("blocks", "labels", "remap").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS erstream_$t"))
+  }
+
   test("streaming funnel: published report equals batch ss04 after every batch; conversion assembled across batches") {
     import spark.implicits._
     def addFile(src: java.nio.file.Path, name: String,
