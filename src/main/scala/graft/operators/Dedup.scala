@@ -817,6 +817,13 @@ object Dedup {
     * hop through the broadcast remap — the labels side never shuffles.
     */
   def clusterLabels(spark: SparkSession, name: String): DataFrame = {
+    // ingest overwrites the remap and appends to the labels, possibly
+    // from a streaming clone session whose writes invalidate only its
+    // OWN relation cache — refresh ours or a cached listing points at
+    // deleted remap files / silently misses appended label files
+    // (same class as Er.entityLabels). Metadata-only calls.
+    spark.catalog.refreshTable(s"${name}_remap")
+    spark.catalog.refreshTable(s"${name}_labels")
     val remap = spark.table(s"${name}_remap")
     dropTombstoned(spark, name, spark.table(s"${name}_labels"), "doc_id")
       .join(broadcast(remap), col("root") === col("old_root"), "left")
