@@ -888,6 +888,73 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS erstream_$t"))
   }
 
+  test("streaming conversion lag: report equals batch ss08 after every batch; cross-batch match and beyond-tolerance finality") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-cvstage")
+      rows.toDF("user_id", "event_id", "ts_ns", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-cv-src")
+    val store = Files.createTempDirectory("graft-cv-store").toString + "/cv"
+    val out = Files.createTempDirectory("graft-cv-out").toString
+    val ckpt = Files.createTempDirectory("graft-cv-ckpt").toString
+    val tol = 50L * 1000000000L
+    val G = 1000000000L
+    // u1: converts within b1 (lag 2s); u2: signup b1 -> purchase b2
+    //     (lag 40s, ACROSS batches); u3: first purchase after signup
+    //     is 140s away (> tol) -> resolved unconverted, FINAL; u4:
+    //     signup b2 -> purchase b3 (lag 40s); u1 second signup b3
+    //     stays pending. In-batch disorder: b1 lists the purchase row
+    //     before its signup.
+    val b1 = Seq((1L, 2L, 12 * G, "purchase"), (1L, 1L, 10 * G, "signup"),
+      (2L, 3L, 20 * G, "signup"))
+    val b2 = Seq((2L, 4L, 60 * G, "purchase"), (3L, 5L, 30 * G, "signup"),
+      (3L, 6L, 200 * G, "purchase"), (4L, 7L, 90 * G, "signup"))
+    val b3 = Seq((4L, 8L, 130 * G, "purchase"), (1L, 9L, 140 * G, "signup"))
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts_ns LONG, event_type STRING")
+      .parquet(src.toString)
+    val q = graft.streaming.ConversionStream.start(store, stream, tol,
+      out, ckpt, maxStoreParts = Some(2))
+    def published() = spark.read.parquet(out).collect().map(_.toSeq).toSeq
+    def batchTruth(rows: Seq[(Long, Long, Long, String)]) =
+      graft.operators.Sessionize.conversionLag(
+        rows.toDF("user_id", "event_id", "ts_ns", "event_type"), tol)
+        .collect().map(_.toSeq).toSeq
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTruth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2))
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+      val r = spark.read.parquet(out).head
+      assert(r.getAs[Long]("n_converted") === 3L)
+      assert(r.getAs[Long]("p50_lag_s") === 40L)
+      assert(r.getAs[Long]("p90_lag_s") === 40L)
+      // the final pending state holds exactly u1's unanswered second
+      // signup; u3's signup is GONE (resolved unconverted, final)
+      graft.streaming.ConversionStream.maybeCompactPartials(
+        spark, store, 1, 2L)
+      // merged view (a resolution marker may sit in the kept
+      // in-flight partial while its signup row folded into the base)
+      val pend = spark.read.parquet(s"$store/pending")
+        .groupBy(col("event_id")).agg(max(col("resolved")).as("r"))
+        .filter(col("r") === 0)
+        .select(col("event_id")).collect().map(_.getLong(0)).toSet
+      assert(pend === Set(9L))
+    } finally q.stop()
+    val parts = new java.io.File(s"$store/hist").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+  }
+
   test("streaming funnel: published report equals batch ss04 after every batch; conversion assembled across batches") {
     import spark.implicits._
     def addFile(src: java.nio.file.Path, name: String,
