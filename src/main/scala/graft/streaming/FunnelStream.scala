@@ -40,7 +40,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (the chain computes wholesale); an event arriving after its
   * session was closed by the gap would reopen nothing — that late/
   * watermark discipline is the stateful-sessionization side
-  * (EventsStreamingSpec), not this dashboard's.
+  * (EventsStreamingSpec), not this dashboard's. Violations are NOT
+  * silent: [[lateEvents]] counts them per batch into a `late/`
+  * store, so an operator alerts instead of discovering drift later.
   *
   * SCALE: per batch — one (user) window over the BATCH only, one
   * broadcast-sized join against the open store (active users), and
@@ -70,6 +72,24 @@ object FunnelStream {
   private def openState(spark: SparkSession, storePath: String): DataFrame =
     openMerge(readOr(spark, s"$storePath/open",
       "user_id BIGINT, last_ts BIGINT, lvl INT"))
+
+  private def lateMerge(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id")).agg(sum(col("n")).as("n"))
+
+  /** CONTRACT MONITOR: total events that arrived BEFORE their user's
+    * already-folded last_ts — i.e. violations of the per-user
+    * time-ordered-batches contract. Nonzero means the published
+    * report may undercount (the violating events were still chained,
+    * but stages their lateness should have unlocked in ALREADY-CLOSED
+    * sessions are unrecoverable with bounded state). An operator
+    * alerts on this instead of discovering a silent drift later.
+    */
+  def lateEvents(spark: SparkSession, storePath: String): Long = {
+    val r = lateMerge(readOr(spark, s"$storePath/late",
+      "user_id BIGINT, n BIGINT"))
+      .agg(coalesce(sum(col("n")), lit(0L))).head()
+    r.getLong(0)
+  }
 
   private def closedCounts(spark: SparkSession, storePath: String): DataFrame =
     closedMerge(readOr(spark, s"$storePath/closed", "lvl INT, n BIGINT"))
@@ -168,6 +188,15 @@ object FunnelStream {
       .filter(col("sess") === col("max_sess"))
       .select(col("user_id"), col("end_ts").as("last_ts"), col("lvl"))
       .localCheckpoint(true)
+    // contract monitor: events earlier than the user's folded last_ts
+    // (one batch-sized agg; rides the already-joined prior frame)
+    val latePartial = withPrior
+      .filter(col("last_ts").isNotNull && col("ts_ns") < col("last_ts"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    latePartial.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$storePath/late")
     closedPartial.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$storePath/closed")
@@ -183,7 +212,9 @@ object FunnelStream {
       maxParts, keepBatchId, closedMerge)
     val b = StoreFold.foldPartials(spark, s"$storePath/open", "funnel-open",
       maxParts, keepBatchId, openMerge)
-    a || b
+    val c = StoreFold.foldPartials(spark, s"$storePath/late", "funnel-late",
+      maxParts, keepBatchId, lateMerge)
+    a || b || c
   }
 
   /** `eventStream` must carry (user_id, event_id, ts_ns, event_type).

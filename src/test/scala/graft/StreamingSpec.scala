@@ -1013,6 +1013,12 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_sessions") === 5L)
       assert(r.getAs[Long]("n_signup") === 3L)
       assert(r.getAs[Long]("n_purchase") === 1L)
+      // contract monitor: zero so far (batches were per-user ordered);
+      // an out-of-order event is DETECTED, not silently absorbed
+      assert(graft.streaming.FunnelStream.lateEvents(spark, store) === 0L)
+      addFile(src, "b4.parquet", Seq((1L, 10L, 100L, "view")))
+      q.processAllAvailable()
+      assert(graft.streaming.FunnelStream.lateEvents(spark, store) === 1L)
     } finally q.stop()
     for (sub <- Seq("closed", "open")) {
       val parts = new java.io.File(s"$store/$sub").listFiles()
