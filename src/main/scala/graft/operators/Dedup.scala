@@ -1097,6 +1097,36 @@ object Dedup {
         (pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"),
           lit(4L)) + lit(1L)).as("w"))
 
+  /** Epoch UPSAMPLING to rational per-source weights — the other half
+    * of the mixing dial ([[mixtureSample]] down-samples to ≤ 1 epoch;
+    * real training mixes run high-quality sources at 2–4 epochs).
+    * `weights` rows are (source, w_num, w_den): every doc of a source
+    * appears `w_num div w_den` times, and the fractional remainder is
+    * realized EXACTLY per source by giving one extra copy to the
+    * deterministic hash-slice of docs with
+    * `knuth(doc_id) mod w_den < w_num mod w_den` — no RNG, replayable
+    * bit-exactly on any engine. Output one row per (doc, copy) with
+    * the copy index (shard writers salt on it so repeated copies
+    * spread across shards).
+    *
+    * SCALE: broadcast weight join + a generator explode — ZERO
+    * shuffles; the fan-out is the w-factor itself (the bytes a
+    * multi-epoch mix inherently materializes — or feed the (doc,
+    * n_copies) frame to a manifest writer instead and never expand).
+    */
+  def mixtureUpsample(documents: DataFrame, weights: DataFrame): DataFrame = {
+    val h = pmod(pmod(col("doc_id"), lit(MixtureHashP)) * lit(427799L),
+      lit(MixtureHashP))
+    documents.join(broadcast(weights), Seq("source"))
+      .withColumn("n_copies",
+        expr("w_num div w_den") +
+          when(pmod(h, col("w_den")) < pmod(col("w_num"), col("w_den")), 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+  }
+
   /** Temperature-scaled mixture weights — the multilingual /
     * multi-source "alpha sampling" knob (mT5, XLM-R: sample source s
     * ∝ (its token share)^α, α<1 flattening head sources toward the
@@ -2011,6 +2041,43 @@ object Dedup {
       FROM c, tot, wsum
       WHERE cum <= w * tok_total // (4 * w_total)
       ORDER BY doc_id""")),
+
+    // ---- epoch upsampling: rational per-source weights (1.5x–4.5x),
+    //      whole epochs + an exact hash-sliced remainder — the >1-epoch
+    //      half of the mixing dial next to d17's ≤1-epoch budgets. The
+    //      checksum sums doc_id x (copy+1) over the exploded rows, so
+    //      the oracle verifies the per-doc copy ASSIGNMENT, not just
+    //      totals ----
+    ("d24_epoch_upsample", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val w = docs.select(col("source")).distinct()
+        .select(col("source"),
+          (pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"),
+            lit(7L)) + lit(3L)).as("w_num"),
+          lit(2L).as("w_den"))
+      mixtureUpsample(docs, w)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_copies"),
+          sum(col("doc_id") * (col("copy") + 1)).cast("long").as("checksum"))
+        .orderBy("source")
+    }, Some("""
+      WITH w AS (SELECT source,
+          (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 7) + 3 AS w_num,
+          CAST(2 AS BIGINT) AS w_den
+        FROM (SELECT DISTINCT source FROM documents)),
+      d AS (SELECT doc_id, source,
+          (doc_id % 1000003) * 427799 % 1000003 AS h FROM documents),
+      c AS (SELECT d.source, d.doc_id,
+          w_num // w_den + CASE WHEN d.h % w_den < w_num % w_den
+                                THEN 1 ELSE 0 END AS n
+        FROM d JOIN w USING (source)),
+      e AS (SELECT source, doc_id,
+          unnest(generate_series(0, n - 1)) AS cp FROM c WHERE n > 0)
+      SELECT source, count(DISTINCT doc_id) AS n_docs,
+        count(*) AS n_copies,
+        CAST(sum(doc_id * (cp + 1)) AS BIGINT) AS checksum
+      FROM e GROUP BY source ORDER BY source""")),
 
     // ---- temperature-scaled mixture: α=1/2 flattening of the
     //      per-source token shares (isqrt weights — bit-exact
