@@ -1125,6 +1125,11 @@ object Dedup {
       .filter(col("n_copies") > 0)
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+      // ready-made shard key: copies of ONE doc must NOT share the
+      // shard writer's key (they would land in one shard at one
+      // shuffle position — repeated epochs back-to-back in training
+      // order); pass key="mix_key" to Sinks.writeTrainingShards
+      .withColumn("mix_key", xxhash64(col("doc_id"), col("copy")))
   }
 
   /** Temperature-scaled mixture weights — the multilingual /

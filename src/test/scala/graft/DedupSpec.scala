@@ -596,6 +596,45 @@ class DedupSpec extends AnyFunSuite {
     assert(bySrc(srcs(0)) > bySrc(srcs(1)))
   }
 
+  test("d24 mixtureUpsample: exact rational epochs, remainder hash slice, copies spread shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = ((0L until 100L).map(i => (i, "a", s"t$i")) ++
+      (100L until 120L).map(i => (i, "b", s"t$i")) ++
+      (200L until 210L).map(i => (i, "c", s"t$i")))
+      .toDF("doc_id", "source", "text")
+    // a at 5/2 epochs, b at 1; c has NO weight row -> not in the mix
+    val w = Seq(("a", 5L, 2L), ("b", 1L, 1L)).toDF("source", "w_num", "w_den")
+    val out = Dedup.mixtureUpsample(docs, w)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // b: exactly one copy each; c absent entirely
+    (100L until 120L).foreach(i => assert(byDoc(i) === Seq(0L)))
+    assert(!out.exists(_._2 == "c"))
+    // a: 2 or 3 copies, the extra copy going EXACTLY to the docs the
+    // hash slice selects (knuth(id) mod 2 < 1), copy indices 0..n-1
+    def knuth(id: Long) = id % 1000003L * 427799L % 1000003L
+    (0L until 100L).foreach { i =>
+      val expected = if (knuth(i) % 2 < 1) 3 else 2
+      assert(byDoc(i) === (0L until expected.toLong),
+        s"doc $i: ${byDoc(i)} (knuth ${knuth(i)})")
+    }
+    // the built-in mix_key must SPREAD one doc's copies across shards
+    // (keying the shard writer on doc_id would put repeated epochs
+    // back-to-back at one shuffle position)
+    val path = java.nio.file.Files.createTempDirectory("graft-upsh").toString + "/sh"
+    graft.sources.Sinks.writeTrainingShards(
+      Dedup.mixtureUpsample(docs, w), path, 4, key = "mix_key")
+    // shard identity = the physical file (read-partition fusion would
+    // alias spark_partition_id across files)
+    val shards = spark.read.parquet(path)
+      .withColumn("shard", input_file_name())
+    val spread = shards.groupBy(col("doc_id"))
+      .agg(countDistinct(col("shard")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(spread > 50, s"copies of the same doc should span shards, spread=$spread")
+  }
+
   test("d23 temperatureWeights: exact isqrt of source token mass, flattening lifts the tail share") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
