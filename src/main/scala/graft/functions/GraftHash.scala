@@ -380,4 +380,145 @@ object GraftHash {
     }
     math.min(prev(m), inf).toLong
   }
+
+  /** Textbook Jaro-Winkler similarity (match window ⌊max/2⌋−1,
+    * half-transpositions, Winkler prefix boost: scale 0.1 over the
+    * common prefix ≤ 4, applied only above the 0.7 boost threshold) —
+    * the standard name-linkage scorer next to edit distance in every
+    * record-linkage stack.
+    *
+    * Operates on UTF-8 BYTES, not code points: that is what DuckDB's
+    * `jaro_winkler_similarity` does (verified — "é-aé" vs "e-ae"
+    * scores 0.6111 = the byte-level value, not the 0.6667 char-level
+    * one), so this kernel is bit-identical to the oracle on ALL
+    * input, and the hot path never decodes the string (no String
+    * allocation per row — cheaper than the char-level form inside the
+    * blocked candidate join). On pure-ASCII text byte == code point
+    * and the distinction vanishes. O(len·window), window ≤ len/2.
+    */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.getBytes
+    val s2 = b.getBytes
+    val l1 = s1.length
+    val l2 = s2.length
+    // DuckDB scores ANY empty side 0 — including "" vs "" — so the
+    // empty check must precede the equality shortcut.
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (java.util.Arrays.equals(s1, s2)) return 1.0
+    val md = math.max(l1, l2) / 2 - 1
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val c = s1(i)
+      var j = math.max(0, i - md)
+      val hi = math.min(l2, i + md + 1)
+      var done = false
+      while (j < hi && !done) {
+        if (!m2(j) && s2(j) == c) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j)) j += 1
+        if (s1(i) != s2(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    t /= 2
+    var jv = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3
+    if (jv > 0.7) {
+      var p = 0
+      val pm = math.min(4, math.min(l1, l2))
+      while (p < pm && s1(p) == s2(p)) p += 1
+      jv = jv + p * 0.1 * (1 - jv)
+    }
+    jv
+  }
+
+  /** Hard cap on input length for [[damerauLevenshtein]]: the full
+    * O(n·m) lattice is (n+2)·(m+2) ints, so 64Ki×64Ki would be 16 GiB
+    * — a name/title scorer has no business past a few KiB anyway.
+    * Matches DuckDB's behaviour on realistic input without its
+    * unbounded allocation risk.
+    */
+  val DamerauLenMax: Int = 1 << 12
+
+  /** TRUE (unrestricted) Damerau-Levenshtein distance — edit distance
+    * whose fourth operation is transposition of adjacent characters,
+    * the single most common human typo. "True" as opposed to the
+    * restricted OSA variant: verified against DuckDB's
+    * `damerau_levenshtein` which is also the true form
+    * ('CA'→'ABC' = 2, where OSA says 3), so the er07 oracle compares
+    * exactly. Like [[jaroWinkler]] it operates on UTF-8 BYTES — what
+    * DuckDB does ('aé'→'éa' = 2 there, not the code-point 1) — which
+    * also makes the last-occurrence table a flat 256-int array
+    * instead of a hash map. Full O(n·m) lattice (the transposition
+    * recurrence d[k-1][l-1] + gap reaches OUTSIDE any band, so the
+    * boundedLevenshtein banding doesn't apply); inputs capped at
+    * [[DamerauLenMax]] bytes.
+    */
+  def damerauLevenshtein(a: UTF8String, b: UTF8String): Long = {
+    val s1 = a.getBytes
+    val s2 = b.getBytes
+    val l1 = s1.length
+    val l2 = s2.length
+    require(l1 <= DamerauLenMax && l2 <= DamerauLenMax,
+      s"damerauLevenshtein input exceeds $DamerauLenMax bytes ($l1, $l2)")
+    if (l1 == 0) return l2.toLong
+    if (l2 == 0) return l1.toLong
+    // last row index (1-based) where each byte value occurred in s1
+    val da = new Array[Int](256)
+    val w = l2 + 2
+    val d = new Array[Int]((l1 + 2) * w)
+    val maxDist = l1 + l2
+    d(0) = maxDist
+    var i = 0
+    while (i <= l1) {
+      d((i + 1) * w) = maxDist
+      d((i + 1) * w + 1) = i
+      i += 1
+    }
+    var j = 0
+    while (j <= l2) {
+      d(j + 1) = maxDist
+      d(w + j + 1) = j
+      j += 1
+    }
+    i = 1
+    while (i <= l1) {
+      var db = 0
+      val c1 = s1(i - 1) & 0xff
+      j = 1
+      while (j <= l2) {
+        val c2 = s2(j - 1) & 0xff
+        val k = da(c2)
+        val l = db
+        var cost = 1
+        if (c1 == c2) { cost = 0; db = j }
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val trn = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        var m = if (sub < ins) sub else ins
+        if (del < m) m = del
+        if (trn < m) m = trn
+        d((i + 1) * w + j + 1) = m
+        j += 1
+      }
+      da(c1) = i
+      i += 1
+    }
+    d((l1 + 1) * w + l2 + 1).toLong
+  }
 }

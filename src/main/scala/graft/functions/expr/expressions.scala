@@ -261,6 +261,40 @@ case class BoundedLevenshtein(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Textbook Jaro-Winkler similarity — the standard record-linkage
+  * name scorer (see GraftHash.jaroWinkler: UTF-8 byte-level like
+  * DuckDB's jaro_winkler_similarity, bit-identical to it on all
+  * input, zero per-row String allocation). */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.GraftHash.jaroWinkler(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GraftHash.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+    copy(left = l, right = r)
+}
+
+/** TRUE (unrestricted) Damerau-Levenshtein distance — see
+  * GraftHash.damerauLevenshtein: UTF-8 byte-level like DuckDB's
+  * damerau_levenshtein, bit-identical to it; transposition-aware
+  * edit distance for the most common human typo class. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.GraftHash.damerauLevenshtein(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GraftHash.damerauLevenshtein($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DamerauLevenshtein =
+    copy(left = l, right = r)
+}
+
 /** First index where two long-array columns agree (-1 if none) — the
   * per-row dedup predicate of multi-table LSH candidate generation.
   */

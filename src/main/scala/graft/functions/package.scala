@@ -29,6 +29,17 @@ package object functions {
   def boundedLevenshtein(a: Column, b: Column, bound: Int): Column =
     col(expr.BoundedLevenshtein(ex(a), ex(b), bound))
 
+  /** Textbook Jaro-Winkler similarity of two string columns (double,
+    * bit-identical to DuckDB's jaro_winkler_similarity). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    col(expr.JaroWinkler(ex(a), ex(b)))
+
+  /** True (unrestricted) Damerau-Levenshtein distance of two string
+    * columns (bigint, bit-identical to DuckDB's
+    * damerau_levenshtein). */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    col(expr.DamerauLevenshtein(ex(a), ex(b)))
+
   /** Morton/Z-order code of two long columns (low 32 bits each). */
   def zorder(a: Column, b: Column): Column =
     col(expr.ZOrder(ex(a.cast("bigint")), ex(b.cast("bigint"))))

@@ -50,7 +50,17 @@ object Er {
       features: Seq[(String, (String => Column, String => Column) => Column)],
       keep: Column): DataFrame = {
     val cols = records.columns.toSeq
-    val a = records.select(col(keyCol).as("_ak") +:
+    // Round-robin repartition of the PROBE side: the record table is
+    // typically one small parquet file locally (1 scan split), and the
+    // downstream broadcast block-join carries all the O(pairs·len²)
+    // match scoring — serial without this. The shuffle is O(records),
+    // noise next to the scoring; round-robin (not block-key) because
+    // the broadcast join needs no co-location and hash-spreading rows
+    // also levels hot blocks across tasks. Same discipline as the
+    // documents.parquet CPU-bound map stages (CLAUDE.md).
+    val spread = records.repartition(
+      records.sparkSession.sparkContext.defaultParallelism)
+    val a = spread.select(col(keyCol).as("_ak") +:
       cols.map(c => col(c).as(s"_a_$c")): _*)
       .withColumn("_blk", blockKey((c: String) => col(s"_a_$c")))
     val b = records.select(col(keyCol).as("_bk") +:
@@ -572,6 +582,66 @@ object Er {
       FROM part p JOIN flag f ON f.p_partkey = p.p_partkey AND f.isb
       LEFT JOIN attach a ON a.b_key = p.p_partkey
       LEFT JOIN mcomp mc ON mc.id = a.aroot
-      ORDER BY p_partkey"""))
+      ORDER BY p_partkey""")),
+
+    // ---- Jaro-Winkler scoring inside the blocked join: the standard
+    //      record-linkage name scorer next to edit distance (prefix
+    //      typos score higher than suffix ones — the property a
+    //      catalog's brand-prefixed names need). The codegen kernel's
+    //      operation sequence matches DuckDB's jaro_winkler_similarity
+    //      bit-for-bit; both sides round at 6dp and threshold on the
+    //      ROUNDED value so the gate can never straddle a boundary ----
+    ("er06_jaro_winkler", (s: SparkSession, d: String) => {
+      candidatePairs(Tables.part(s, d), "p_partkey",
+        ac => partBlockKey(ac("p_name"), ac("p_type")),
+        Seq(
+          "jw" -> ((ac, bc) =>
+            round(graft.functions.jaroWinkler(ac("p_name"), bc("p_name")), 6)),
+          "same_brand" -> ((ac, bc) =>
+            when(ac("p_brand") === bc("p_brand"), 1L).otherwise(0L))),
+        keep = col("jw") >= 0.88)
+        .orderBy("a_key", "b_key")
+    }, Some("""
+      SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw,
+             CASE WHEN a.p_brand = b.p_brand THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS same_brand
+      FROM part a JOIN part b
+        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+       AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+      WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88
+      ORDER BY a_key, b_key""")),
+
+    // ---- TRUE Damerau-Levenshtein inside the blocked join:
+    //      transposition-aware edit distance (adjacent-swap = 1 op,
+    //      the most common human typo), reported NEXT TO plain
+    //      Levenshtein so transposed = lev - dl surfaces which pairs
+    //      a transposition-blind matcher over-penalizes. The codegen
+    //      kernel is the UNRESTRICTED variant on UTF-8 bytes —
+    //      exactly DuckDB's damerau_levenshtein ('CA'->'ABC' = 2
+    //      where restricted OSA says 3) ----
+    ("er07_damerau", (s: SparkSession, d: String) => {
+      candidatePairs(Tables.part(s, d), "p_partkey",
+        ac => partBlockKey(ac("p_name"), ac("p_type")),
+        Seq(
+          "dl" -> ((ac, bc) =>
+            graft.functions.damerauLevenshtein(ac("p_name"), bc("p_name"))),
+          "lev" -> ((ac, bc) =>
+            levenshtein(ac("p_name"), bc("p_name")).cast("long"))),
+        keep = col("dl") <= 4L)
+        .withColumn("transposed", col("lev") - col("dl"))
+        .orderBy("a_key", "b_key")
+    }, Some("""
+      SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+             CAST(levenshtein(a.p_name, b.p_name)
+                  - damerau_levenshtein(a.p_name, b.p_name) AS BIGINT)
+               AS transposed
+      FROM part a JOIN part b
+        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+       AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+      WHERE damerau_levenshtein(a.p_name, b.p_name) <= 4
+      ORDER BY a_key, b_key"""))
   )
 }

@@ -199,4 +199,98 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(GraftHash.boundedLevenshtein(
       UTF8String.fromString("abcdefgh"), UTF8String.fromString("a"), 3) === 4L)
   }
+
+  test("jaroWinkler matches DuckDB jaro_winkler_similarity goldens bit-for-bit") {
+    // golden values queried from duckdb 1.x `jaro_winkler_similarity`
+    val goldens = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("CRANE", "TRACE", 0.7333333333333334),
+      ("forest green Metallic", "forest metallic green", 0.9209523809523809),
+      ("é-aé", "e-ae", 0.611111111111111),
+      ("abc", "", 0.0),
+      ("", "", 0.0), // DuckDB scores any empty side 0, even "" vs ""
+      ("a", "a", 1.0))
+    goldens.foreach { case (a, b, want) =>
+      val got = GraftHash.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(got === want, s"a=$a b=$b")
+    }
+  }
+
+  test("jaroWinkler invariants: symmetric, [0,1], identity, disjoint-alphabet zero") {
+    val sGen = Gen.listOfN(10, Gen.oneOf('a', 'b', 'c', 'é')).map(_.mkString)
+      .flatMap(s => Gen.choose(0, s.length).map(s.take))
+    forAll2(sGen, sGen) { (s, t) =>
+      val st = GraftHash.jaroWinkler(
+        UTF8String.fromString(s), UTF8String.fromString(t))
+      val ts = GraftHash.jaroWinkler(
+        UTF8String.fromString(t), UTF8String.fromString(s))
+      assert(st === ts, s"symmetry s=$s t=$t")
+      assert(st >= 0.0 && st <= 1.0, s"range s=$s t=$t got=$st")
+      if (s.nonEmpty)
+        assert(GraftHash.jaroWinkler(
+          UTF8String.fromString(s), UTF8String.fromString(s)) === 1.0)
+    }
+    // no common BYTES -> no matches -> 0 (ASCII alphabets so the
+    // byte-disjointness is by construction; 'é' would share its UTF-8
+    // lead byte with other Latin-1 letters)
+    val aGen = Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      .suchThat(_.nonEmpty)
+    val bGen = Gen.listOfN(8, Gen.oneOf('x', 'y', 'z')).map(_.mkString)
+      .suchThat(_.nonEmpty)
+    forAll2(aGen, bGen) { (s, t) =>
+      assert(GraftHash.jaroWinkler(
+        UTF8String.fromString(s), UTF8String.fromString(t)) === 0.0)
+    }
+  }
+
+  test("damerauLevenshtein matches DuckDB damerau_levenshtein goldens (TRUE variant)") {
+    // golden values queried from duckdb 1.x `damerau_levenshtein`;
+    // ("CA","ABC",2) pins the TRUE/unrestricted variant (OSA = 3),
+    // ("aé","éa",2) pins the UTF-8 byte domain (code-point DL = 1)
+    val goldens = Seq(
+      ("CA", "ABC", 2L), ("ab", "ba", 1L), ("abcdef", "abdcfe", 2L),
+      ("kitten", "sitting", 3L), ("MARTHA", "MARHTA", 1L),
+      ("", "ab", 2L), ("aé", "éa", 2L), ("a cat", "an act", 2L),
+      ("xyxyxy", "yxyxyx", 2L), ("bdaaa", "abaad", 3L),
+      ("abadaa", "ada", 3L), ("abc", "bacbab", 4L),
+      ("aaabd", "dcddccbb", 7L), ("acd", "dcaad", 3L),
+      ("cb", "daacccd", 6L), ("daacdaacd", "dcad", 5L),
+      ("badab", "bbdd", 3L))
+    goldens.foreach { case (a, b, want) =>
+      assert(GraftHash.damerauLevenshtein(
+        UTF8String.fromString(a), UTF8String.fromString(b)) === want,
+        s"a=$a b=$b")
+      assert(GraftHash.damerauLevenshtein(
+        UTF8String.fromString(b), UTF8String.fromString(a)) === want,
+        s"swapped a=$a b=$b")
+    }
+  }
+
+  test("damerauLevenshtein invariants: identity, length gap, <= levenshtein, swap=1") {
+    val sGen = Gen.listOfN(10, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+      .flatMap(s => Gen.choose(0, s.length).map(s.take))
+    forAll2(sGen, sGen) { (s, t) =>
+      val dl = GraftHash.damerauLevenshtein(
+        UTF8String.fromString(s), UTF8String.fromString(t))
+      assert(GraftHash.damerauLevenshtein(
+        UTF8String.fromString(s), UTF8String.fromString(s)) === 0L)
+      assert(dl >= math.abs(s.length - t.length).toLong)
+      assert(dl <= math.max(s.length, t.length).toLong)
+      // DL can only be cheaper than plain Levenshtein (ASCII input so
+      // the byte/char domains coincide with boundedLevenshtein's)
+      val lev = GraftHash.boundedLevenshtein(
+        UTF8String.fromString(s), UTF8String.fromString(t), 64)
+      assert(dl <= lev, s"s=$s t=$t dl=$dl lev=$lev")
+      // one adjacent swap costs exactly 1 (on distinct neighbors)
+      if (s.length >= 2 && s(0) != s(1)) {
+        val sw = s"${s(1)}${s(0)}" + s.drop(2)
+        assert(GraftHash.damerauLevenshtein(
+          UTF8String.fromString(s), UTF8String.fromString(sw)) === 1L)
+      }
+    }
+  }
 }
