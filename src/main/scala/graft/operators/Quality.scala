@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -134,6 +135,72 @@ object Quality {
             col("sum_x").cast("double") * col("sum_x").cast("double")) *
           sqrt(col("n").cast("double") * col("sum_yy").cast("double") -
             col("sum_y").cast("double") * col("sum_y").cast("double"))), 9))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov drift statistic, INTEGER-EXACT:
+    * values (already integral — cents, counts, ids) are split into
+    * cohorts by boolean `grpCol`; D·n1·n2 = max over distinct values
+    * of |count₁(≤v)·n2 − count₂(≤v)·n1| — cross-multiplied BIGINTs,
+    * so the statistic replays bit-identically on any engine (the
+    * float `ks` is ONE division off the exact integers at the end).
+    * Output is one row: (n1, n2, d_num, ks, at_c = the smallest
+    * value attaining the max — deterministic tiebreak).
+    *
+    * SCALE — the distributed prefix sum, with DETERMINISTIC
+    * partitioning: the one event-volume pass is the groupBy(value);
+    * everything after runs on distinct-value-sized data. The global
+    * cumulative count is NOT a single-partition window (the classic
+    * KS-at-scale trap) and NOT repartitionByRange (whose sampled
+    * boundaries can differ between the two jobs that would need
+    * them): values are assigned to `buckets` fixed-width slices of
+    * [min, max] — pure arithmetic off a broadcast 1-row min/max
+    * frame, so every pass derives the SAME partitioning — then the
+    * running sum is a per-bucket parallel window plus broadcast
+    * exclusive bucket offsets (a bucket-count-sized window).
+    * Fixed-width slices skew only if the value distribution is
+    * pathologically concentrated — then raise `buckets`; each slice
+    * is still distinct-value-bounded.
+    */
+  def ksDrift(values: DataFrame, valCol: String, grpCol: String,
+      buckets: Int = 256): DataFrame = {
+    val d = values
+      .groupBy(col(valCol).as("c"))
+      .agg(sum(when(col(grpCol), 1L).otherwise(0L)).as("na"),
+        sum(when(col(grpCol), 0L).otherwise(1L)).as("nb"))
+    val mm = d.agg(min("c").as("cmin"), max("c").as("cmax"),
+      sum("na").cast("long").as("n1"), sum("nb").cast("long").as("n2"))
+    val bucketed = d.crossJoin(broadcast(mm))
+      .withColumn("pid",
+        ((col("c") - col("cmin")) * buckets /
+          (col("cmax") - col("cmin") + 1)).cast("long"))
+    val wIn = Window.partitionBy("pid").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = bucketed
+      .withColumn("ia", sum("na").over(wIn))
+      .withColumn("ib", sum("nb").over(wIn))
+    // exclusive per-bucket offsets: a window over BUCKET-COUNT rows
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy("pid")
+      .agg(sum("na").as("ba"), sum("nb").as("bb"))
+      .select(col("pid"),
+        coalesce(sum("ba").over(wOff), lit(0L)).as("oa"),
+        coalesce(sum("bb").over(wOff), lit(0L)).as("ob"))
+    val cum = inBucket.join(broadcast(offs), Seq("pid"))
+      .withColumn("dd",
+        abs((col("ia") + col("oa")) * col("n2") -
+          (col("ib") + col("ob")) * col("n1")))
+    val m = cum.groupBy().agg(max("dd").as("d_num"))
+    cum.join(broadcast(m), col("dd") === col("d_num"))
+      .groupBy()
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        max("d_num").as("d_num"), min("c").as("at_c"))
+      // empty cohort -> KS undefined -> null (NOT an unguarded
+      // division: ANSI mode throws DIVIDE_BY_ZERO even for doubles)
+      .withColumn("ks",
+        when(col("n1") > 0L && col("n2") > 0L,
+          col("d_num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double"))))
   }
 
   private val fmtLong: Column => Column = _.cast("string")
@@ -292,6 +359,47 @@ object Quality {
         leg("l_quantity", "l_discount"),
         leg("l_extendedprice", "l_discount"))
         .mkString("", " UNION ALL ", " ORDER BY col_x, col_y")
-    })
+    }),
+
+    // ---- two-sample KS drift: did order value DISTRIBUTION shift
+    //      between the pre-/post-1998 cohorts (not just its mean —
+    //      dq03's profile deltas can't see a variance or shape
+    //      change)? Integer-exact: D·n1·n2 in BIGINTs over exact
+    //      cents, the float ks one division at the end; the smallest
+    //      attaining value is the deterministic tiebreak ----
+    ("dq04_ks_drift", (s: SparkSession, d: String) => {
+      ksDrift(
+        Tables.orders(s, d).select(
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"),
+          (col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .as("pre98")),
+        "cents", "pre98")
+    }, Some("""
+      WITH v AS (SELECT
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+          o_orderdate < TIMESTAMP '1998-01-01' AS g
+        FROM orders),
+      d AS (SELECT c,
+          CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM v GROUP BY c),
+      t AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+                   CAST(sum(nb) AS BIGINT) AS n2 FROM d),
+      cum AS (SELECT c,
+          CAST(sum(na) OVER (ORDER BY c) AS BIGINT) AS ca,
+          CAST(sum(nb) OVER (ORDER BY c) AS BIGINT) AS cb
+        FROM d),
+      diff AS (SELECT c,
+          abs(ca * (SELECT n2 FROM t) - cb * (SELECT n1 FROM t)) AS dd
+        FROM cum),
+      m AS (SELECT max(dd) AS d_num FROM diff)
+      SELECT (SELECT n1 FROM t) AS n1, (SELECT n2 FROM t) AS n2,
+        m.d_num AS d_num,
+        (SELECT min(c) FROM diff WHERE dd = m.d_num) AS at_c,
+        CAST(m.d_num AS DOUBLE)
+          / (CAST((SELECT n1 FROM t) AS DOUBLE)
+             * CAST((SELECT n2 FROM t) AS DOUBLE)) AS ks
+      FROM m"""))
   )
 }

@@ -231,6 +231,60 @@ object Timeseries {
     * both keys pivoted in the same pass, a bucket-sized spine join,
     * one global agg. Output is a single row.
     */
+  /** Per-key EWMA over the bucketed series, in INTEGER FIXED-POINT:
+    * cents_t = bucket total in cents (exact — the decimal sum has
+    * scale 2, so ×100 is integral), and
+    *   ewma_0 = cents_0
+    *   ewma_t = (cents_t + (alphaDen−1)·ewma_{t−1}) floorDiv alphaDen
+    * i.e. α = 1/alphaDen with the division floored each step. A
+    * float EWMA is fine in production, but this entry's contract is
+    * ENGINE-EXACT replay (the gate compares bit-for-bit), and a
+    * float recursion is at the mercy of FMA contraction / evaluation
+    * order; integer fixed-point replays identically everywhere.
+    * Gaps are skipped (irregular-series EWMA over OBSERVED buckets —
+    * feed [[resample]]'s filled spine instead for grid semantics).
+    *
+    * SCALE: the only event-volume pass is the partial-aggregable
+    * (key, bucket) groupBy. The fold itself is inherently sequential
+    * per key — so it runs as ONE repartition(key) +
+    * sortWithinPartitions + mapPartitions state machine over
+    * BUCKET-sized data (rows per key = time-range/grid, ~10²–10³, not
+    * event volume; keys spread across tasks, state = 2 longs). The
+    * same shape scales to 100 TB of events because the events never
+    * reach the fold — only their bucket totals do.
+    */
+  def ewmaFixedPoint(events: DataFrame, bucketNs: Long, alphaDen: Long,
+      keyCol: String = "event_type", tsCol: String = "ts_ns",
+      valCol: String = "value"): DataFrame = {
+    require(alphaDen >= 2, s"alphaDen must be >= 2, got $alphaDen")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        expr(s"$tsCol div ${bucketNs}L").as("bucket"), col(valCol))
+      .groupBy(col("k"), col("bucket"))
+      .agg((sum(col(valCol).cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("bucket"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curKey: String = null
+        var prev = 0L
+        it.map { case (k, b, c) =>
+          val e =
+            if (k != curKey) c
+            else Math.floorDiv(c + (alphaDen - 1) * prev, alphaDen)
+          curKey = k
+          prev = e
+          (k, b, c, e)
+        }
+      }
+      .toDF(keyCol, "bucket", "cents", "ewma_cents")
+      // one deterministic double op off the exact integer
+      .withColumn("ewma", col("ewma_cents") / 100.0)
+  }
+
   def seriesCorr(events: DataFrame, bucketNs: Long, keyA: String,
       keyB: String, keyCol: String = "event_type",
       tsCol: String = "ts_ns"): DataFrame = {
@@ -407,6 +461,41 @@ object Timeseries {
              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
           AS corr
-      FROM m"""))
+      FROM m""")),
+
+    // ---- daily EWMA per event type, integer fixed-point (α = 1/5):
+    //      the trend-smoothing dial of every metrics dashboard, made
+    //      ENGINE-EXACT by folding in floored cents instead of a
+    //      float recursion (which FMA contraction could skew). The
+    //      oracle replays the identical fold as a recursive CTE over
+    //      the per-key row_number chain (~92 rounds at daily grain —
+    //      the recursion is bucket-count-deep, never event-deep) ----
+    ("ts08_ewma", (s: SparkSession, d: String) => {
+      ewmaFixedPoint(eventsUs(s, d), DayNs, alphaDen = 5L)
+        .withColumnRenamed("bucket", "day_idx")
+        .orderBy("event_type", "day_idx")
+    }, Some("""
+      WITH RECURSIVE e AS (SELECT event_type, event_id,
+                   (epoch_ns(ts) // 1000) * 1000 AS tns, value
+                 FROM events),
+      a AS (SELECT event_type, tns // 86400000000000 AS day_idx,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                AS cents
+            FROM e GROUP BY 1, 2),
+      b AS (SELECT event_type, day_idx, cents,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY day_idx) AS rn
+            FROM a),
+      r AS (
+        SELECT event_type, day_idx, cents, rn, cents AS ewma_cents
+        FROM b WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.day_idx, b.cents, b.rn,
+               (b.cents + 4 * r.ewma_cents) // 5
+        FROM r JOIN b ON b.event_type = r.event_type
+                     AND b.rn = r.rn + 1)
+      SELECT event_type, day_idx, cents, ewma_cents,
+             ewma_cents / 100.0 AS ewma
+      FROM r ORDER BY event_type, day_idx"""))
   )
 }

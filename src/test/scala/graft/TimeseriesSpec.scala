@@ -59,6 +59,26 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("a", 2L, 5L)))
   }
 
+
+  test("ewmaFixedPoint: floored-cents fold, init = first bucket, key reset") {
+    // key a buckets 0,1,3 -> cents 3000, 3000, 4000:
+    //   e0 = 3000; e1 = (3000 + 4*3000)/5 = 3000; e3 = (4000+4*3000)/5 = 3200
+    // key b single bucket -> its own init (state reset across keys)
+    val out = Timeseries.ewmaFixedPoint(toy, bucketNs = 10L, alphaDen = 5L)
+      .orderBy("event_type", "bucket")
+      .select("event_type", "bucket", "cents", "ewma_cents")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", 0L, 3000L, 3000L), ("a", 1L, 3000L, 3000L),
+      ("a", 3L, 4000L, 3200L), ("b", 2L, 700L, 700L)))
+    // flooring: cents 0 after prev 1 -> (0 + 4*1)/5 floors to 0
+    val f = Seq(("k", 1L, 1L, 0.01), ("k", 11L, 2L, 0.0))
+      .toDF("event_type", "ts_ns", "event_id", "value")
+    val got = Timeseries.ewmaFixedPoint(f, bucketNs = 10L, alphaDen = 5L)
+      .orderBy("bucket").select("ewma_cents").as[Long].collect().toSeq
+    assert(got === Seq(1L, 0L))
+  }
+
   test("resample heavy pass partial-aggregates before the exchange") {
     val events = graft.sources.Tables.events(spark, GraftTestSession.sf)
       .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))

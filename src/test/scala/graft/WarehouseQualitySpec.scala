@@ -115,6 +115,34 @@ class WarehouseQualitySpec extends AnyFunSuite {
     assert(!plan.contains("ntile"), plan)
   }
 
+
+  test("ksDrift: exact cross-multiplied statistic, smallest-attaining tiebreak, empty cohort -> null ks") {
+    // cohort A = {1, 2}, cohort B = {3, 4}: fully separated, so the
+    // max gap is at v=2: |2*2 - 0*2| = 4 -> KS = 4/(2*2) = 1.0
+    val sep = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("v", "g")
+    val r1 = Quality.ksDrift(sep, "v", "g").collect().head
+    assert(r1.getAs[Long]("n1") === 2L)
+    assert(r1.getAs[Long]("n2") === 2L)
+    assert(r1.getAs[Long]("d_num") === 4L)
+    assert(r1.getAs[Long]("at_c") === 2L)
+    assert(r1.getAs[Double]("ks") === 1.0)
+    // identical cohorts: every prefix balances, d_num = 0, at_c = the
+    // smallest value (deterministic tiebreak over ALL-attaining rows)
+    val same = Seq((5L, true), (7L, true), (5L, false), (7L, false))
+      .toDF("v", "g")
+    val r2 = Quality.ksDrift(same, "v", "g").collect().head
+    assert(r2.getAs[Long]("d_num") === 0L)
+    assert(r2.getAs[Long]("at_c") === 5L)
+    assert(r2.getAs[Double]("ks") === 0.0)
+    // one empty cohort: the statistic is undefined -> null ks, no
+    // ANSI divide-by-zero throw
+    val empty = Seq((1L, true), (2L, true)).toDF("v", "g")
+    val r3 = Quality.ksDrift(empty, "v", "g").collect().head
+    assert(r3.getAs[Long]("n2") === 0L)
+    assert(r3.isNullAt(r3.fieldIndex("ks")))
+  }
+
   test("snapshotDiff classifies I/U/D, drops unchanged, compares null-safely") {
     val old = Seq((1L, Some("A")), (2L, Some("B")), (3L, Some("C")),
       (5L, None: Option[String])).toDF("k", "v")
