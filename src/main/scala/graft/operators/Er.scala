@@ -75,6 +75,42 @@ object Er {
       .filter(keep)
   }
 
+  /** CROSS-CATALOG record linkage: blocked candidate generation
+    * between two DIFFERENT tables (A×B, not the self-join dedup
+    * case) — match a vendor feed against the part catalog, an import
+    * against the customer base. Each side brings its OWN block-key
+    * extractor (the same entity can sit in structurally different
+    * fields across catalogs), features see both sides' columns, and
+    * there is no `a < b` dedup (every A×B pair is a distinct
+    * hypothesis; A's row can match many B rows and vice versa).
+    *
+    * SCALE: identical economics to [[candidatePairs]] — the only
+    * quadratic stage is within a block (Σ|blockA|·|blockB|, never
+    * |A|·|B|); both sides hash on the block key, AQE broadcasts
+    * whichever side is dim-sized. The A side round-robin-spreads for
+    * the same single-scan-split reason.
+    */
+  def linkCatalogs(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      blockA: (String => Column) => Column,
+      blockB: (String => Column) => Column,
+      features: Seq[(String, (String => Column, String => Column) => Column)],
+      keep: Column): DataFrame = {
+    val aCols = a.columns.toSeq
+    val bCols = b.columns.toSeq
+    val av = a.repartition(a.sparkSession.sparkContext.defaultParallelism)
+      .select(col(aKey).as("_ak") +: aCols.map(c => col(c).as(s"_a_$c")): _*)
+      .withColumn("_blk", blockA((c: String) => col(s"_a_$c")))
+    val bv = b
+      .select(col(bKey).as("_bk") +: bCols.map(c => col(c).as(s"_b_$c")): _*)
+      .withColumn("_blk", blockB((c: String) => col(s"_b_$c")))
+    val feats = features.map { case (n, f) =>
+      f((c: String) => col(s"_a_$c"), (c: String) => col(s"_b_$c")).as(n)
+    }
+    av.join(bv, Seq("_blk"))
+      .select(col("_ak").as("a_key") +: col("_bk").as("b_key") +: feats: _*)
+      .filter(keep)
+  }
+
   /** Multi-pass blocking: the union of [[candidatePairs]] over
     * several block keys, deduped on the pair. The standard ER recall
     * lever — one key's misses (a typo in the blocked field itself)
@@ -642,6 +678,45 @@ object Er {
         ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
        AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
       WHERE damerau_levenshtein(a.p_name, b.p_name) <= 4
+      ORDER BY a_key, b_key""")),
+
+    // ---- cross-catalog linkage: the part catalog against a "vendor
+    //      feed" whose names carry a deterministic typo (3rd byte
+    //      deleted) — the A×B record-linkage case, NOT self-dedup: a
+    //      per-side block-key extractor (the noun survives the typo
+    //      on both sides), no a<b dedup, every A×B pair a distinct
+    //      hypothesis. The vendor frame is DERIVED (this container
+    //      has one string-rich catalog), but the operator is the
+    //      general two-table path ----
+    ("er08_catalog_link", (s: SparkSession, d: String) => {
+      val part = Tables.part(s, d)
+      val vendor = part.select(col("p_partkey").as("v_id"),
+        concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)"))
+          .as("v_name"),
+        col("p_type").as("v_type"))
+      linkCatalogs(part, "p_partkey", vendor, "v_id",
+        ac => partBlockKey(ac("p_name"), ac("p_type")),
+        bc => partBlockKey(bc("v_name"), bc("v_type")),
+        Seq(
+          "jw" -> ((ac, bc) =>
+            round(graft.functions.jaroWinkler(ac("p_name"), bc("v_name")), 6)),
+          "hit" -> ((ac, bc) =>
+            when(ac("p_partkey") === bc("v_id"), 1L).otherwise(0L))),
+        keep = col("jw") >= 0.94)
+        .orderBy("a_key", "b_key")
+    }, Some("""
+      WITH v AS (SELECT p_partkey AS v_id,
+          substr(p_name, 1, 2) || substr(p_name, 4) AS v_name,
+          p_type AS v_type
+        FROM part)
+      SELECT a.p_partkey AS a_key, v.v_id AS b_key,
+             round(jaro_winkler_similarity(a.p_name, v.v_name), 6) AS jw,
+             CASE WHEN a.p_partkey = v.v_id THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS hit
+      FROM part a JOIN v
+        ON split_part(a.p_name, ' ', 2) = split_part(v.v_name, ' ', 2)
+       AND a.p_type = v.v_type
+      WHERE round(jaro_winkler_similarity(a.p_name, v.v_name), 6) >= 0.94
       ORDER BY a_key, b_key"""))
   )
 }

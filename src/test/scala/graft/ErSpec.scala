@@ -41,6 +41,29 @@ class ErSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+
+  test("linkCatalogs: A-by-B pairs via per-side block keys, no a<b dedup, block isolation") {
+    val a = Seq((1L, "acme corp", "x"), (2L, "beta inc", "y"))
+      .toDF("id", "name", "blk")
+    // B carries the block in a DIFFERENT field shape (prefixed) and
+    // its own key space overlapping A's ids
+    val b = Seq((1L, "acme corpe", "blk:x"), (7L, "acme co", "blk:x"),
+        (8L, "gamma", "blk:z"))
+      .toDF("vid", "vname", "vblk")
+    val got = Er.linkCatalogs(a, "id", b, "vid",
+      ac => ac("blk"),
+      bc => regexp_replace(bc("vblk"), "^blk:", ""),
+      Seq("d" -> ((ac, bc) =>
+        levenshtein(ac("name"), bc("vname")).cast("long"))),
+      keep = col("d") <= 2L)
+      .orderBy("a_key", "b_key")
+      .as[(Long, Long, Long)].collect().toSeq
+    // a1 links BOTH x-block vendor rows (dist 1 and 2); b-key 1 here
+    // is vendor id 1, not "self" — cross-catalog keys are unrelated.
+    // beta/gamma blocks are isolated.
+    assert(got === Seq((1L, 1L, 1L), (1L, 7L, 2L)))
+  }
+
   test("entityClusters: transitive closure labels with component min; singletons keep own id") {
     val edges = pairs.filter(col("name_dist") <= 1L) // 1-2, 2-3 (chain)
     val got = Er.entityClusters(recs, "id", edges)
