@@ -255,16 +255,32 @@ object Timeseries {
     */
   def ewmaFixedPoint(events: DataFrame, bucketNs: Long, alphaDen: Long,
       keyCol: String = "event_type", tsCol: String = "ts_ns",
-      valCol: String = "value"): DataFrame = {
+      valCol: String = "value"): DataFrame =
+    ewmaFromCents(
+      events
+        .select(col(keyCol).cast("string").as("k"),
+          expr(s"$tsCol div ${bucketNs}L").as("bucket"), col(valCol))
+        .groupBy(col("k"), col("bucket"))
+        .agg((sum(col(valCol).cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("cents")),
+      alphaDen, keyCol)
+
+  /** The fold half of [[ewmaFixedPoint]], over PRE-AGGREGATED
+    * (k STRING, bucket, cents) rows (unique per (k, bucket)) — shared
+    * with the streaming twin ([[graft.streaming.EwmaStream]]), whose
+    * partial store already holds merged bucket totals. Re-running the
+    * whole fold per publish is the stream's correctness lever: a late
+    * event shifts every LATER bucket's ewma, and the fold is
+    * bucket-sized, so recomputing it is cheaper than any incremental
+    * patching would be safe.
+    */
+  def ewmaFromCents(cents: DataFrame, alphaDen: Long,
+      keyCol: String = "event_type"): DataFrame = {
     require(alphaDen >= 2, s"alphaDen must be >= 2, got $alphaDen")
-    val spark = events.sparkSession
+    val spark = cents.sparkSession
     import spark.implicits._
-    events
-      .select(col(keyCol).cast("string").as("k"),
-        expr(s"$tsCol div ${bucketNs}L").as("bucket"), col(valCol))
-      .groupBy(col("k"), col("bucket"))
-      .agg((sum(col(valCol).cast(DecimalType(18, 2))) * 100)
-        .cast("long").as("cents"))
+    cents
+      .select(col("k"), col("bucket"), col("cents"))
       .repartition(col("k"))
       .sortWithinPartitions(col("k"), col("bucket"))
       .as[(String, Long, Long)]

@@ -725,6 +725,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.size <= 3, s"store partitions unbounded: $parts")
   }
 
+
+  test("streaming EWMA equals batch ts08 over the whole stream; late event shifts later buckets") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, String, Long, Double)]): Unit = {
+      val stage = Files.createTempDirectory("graft-ewstage")
+      rows.toDF("event_id", "event_type", "ts_ns", "value").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-ew-src")
+    val store = Files.createTempDirectory("graft-ew-store").toString + "/ew"
+    val out = Files.createTempDirectory("graft-ew-out").toString
+    val ckpt = Files.createTempDirectory("graft-ew-ckpt").toString
+    // bucketNs=10; b3's late event lands in bucket 0 and must shift
+    // bucket 1's and 3's ewma (the whole downstream fold re-runs)
+    val b1 = Seq((1L, "a", 5L, 30.0), (2L, "a", 15L, 30.0))
+    val b2 = Seq((3L, "a", 35L, 40.0), (4L, "b", 25L, 5.0))
+    val b3 = Seq((5L, "a", 7L, 20.0))
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("event_id LONG, event_type STRING, ts_ns LONG, value DOUBLE")
+      .parquet(src.toString)
+    val q = graft.streaming.EwmaStream.start(store, stream,
+      "event_type", bucketNs = 10L, alphaDen = 5L, out, ckpt,
+      maxStoreParts = Some(2))
+    def published() = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    def batchTruth(rows: Seq[(Long, String, Long, Double)]) =
+      graft.operators.Timeseries.ewmaFixedPoint(
+        rows.toDF("event_id", "event_type", "ts_ns", "value"),
+        bucketNs = 10L, alphaDen = 5L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTruth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2))
+      val before = published()(("a", 3L))._2
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+      // bucket 0 grew 3000 -> 5000 cents, so bucket 1's ewma moved
+      // ((3000+4*5000)/5 = 4600 vs 3000) and bucket 3's with it
+      assert(published()(("a", 1L))._2 === 4600L)
+      assert(published()(("a", 3L))._2 !== before)
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+  }
+
   test("streaming percentile thresholds equal batch t20 election over the whole stream; fold bounds the store") {
     import spark.implicits._
     def addFile(src: java.nio.file.Path, name: String,
