@@ -1560,6 +1560,51 @@ object Relational {
             AND l3.l_suppkey <> l1.l_suppkey
             AND l3.l_shipdate > TIMESTAMP '1997-06-30 00:00:00')
       GROUP BY s_name
-      ORDER BY numwait DESC, s_name"""))
+      ORDER BY numwait DESC, s_name""")),
+
+    // ---- IGNORE NULLS window matrix: lag/lead/nth_value/last_value
+    //      skipping nulls — the gap-bridging semantics every
+    //      sparse-measurement series needs (and a corner engines get
+    //      wrong: the skipped row still OCCUPIES its position).
+    //      Prices are masked null on URGENT orders to plant
+    //      deterministic gaps; (o_orderdate, o_orderkey) is the
+    //      unique in-partition order ----
+    ("q72_ignore_nulls", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val masked = when(col("o_orderpriority") =!= "1-URGENT",
+        col("o_totalprice").cast(DecimalType(18, 2)))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        masked.cast("double").as("price"),
+        lag(masked, 1, null, ignoreNulls = true).over(w)
+          .cast("double").as("prev_price"),
+        lead(masked, 1, null, ignoreNulls = true).over(w)
+          .cast("double").as("next_price"),
+        last(masked, ignoreNulls = true).over(wRun)
+          .cast("double").as("carried"),
+        nth_value(masked, 2, ignoreNulls = true).over(wRun)
+          .cast("double").as("second_seen"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+          CASE WHEN o_orderpriority <> '1-URGENT'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END AS mp
+        FROM orders)
+      SELECT o_custkey, o_orderkey,
+        CAST(mp AS DOUBLE) AS price,
+        CAST(lag(mp IGNORE NULLS) OVER w AS DOUBLE) AS prev_price,
+        CAST(lead(mp IGNORE NULLS) OVER w AS DOUBLE) AS next_price,
+        CAST(last_value(mp IGNORE NULLS) OVER wr AS DOUBLE) AS carried,
+        CAST(nth_value(mp, 2 IGNORE NULLS) OVER wr AS DOUBLE)
+          AS second_seen
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey),
+             wr AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""))
   )
 }

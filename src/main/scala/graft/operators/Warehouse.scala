@@ -55,6 +55,34 @@ object Warehouse {
     history.filter(col("eff_from") <= lit(at) &&
       (col("eff_to").isNull || col("eff_to") > lit(at)))
 
+  /** Temporal (point-in-time) join: each fact row joined to the ONE
+    * dimension version valid at its event time — eff_from ≤ ts <
+    * eff_to, the open current row catching everything after the last
+    * change. "Which status/tier/price-list did this order see?" is
+    * THE reproducibility question for training on warehouse facts;
+    * joining facts to the CURRENT dimension silently leaks the
+    * future.
+    *
+    * SCALE: an EQUI-join on the dimension key with the interval test
+    * as a residual — one key-hashed exchange, never an unbounded
+    * range join, because the version intervals already partition
+    * per key (each fact passes the residual for exactly one of its
+    * key's handful of versions). History side is version-sized, not
+    * fact-sized — broadcast when dim-sized.
+    */
+  def temporalJoin(facts: DataFrame, history: DataFrame,
+      keyCol: String, tsCol: String): DataFrame = {
+    val hCols = col(keyCol).as("_hk") +: col("eff_from") +:
+      col("eff_to") +: history.columns.filter(c =>
+        c != keyCol && c != "eff_from" && c != "eff_to").toSeq.map(col)
+    val h = history.select(hCols: _*)
+    facts.join(h,
+      facts(keyCol) === h("_hk") &&
+        col("eff_from") <= facts(tsCol) &&
+        (col("eff_to").isNull || facts(tsCol) < col("eff_to")))
+      .drop("_hk")
+  }
+
   /** CDC snapshot diff: classify every key of two keyed snapshots as
     * inserted ('I': key only in `cur`), deleted ('D': key only in
     * `old`), or updated ('U': key in both with ANY `cmpCols` value
@@ -216,6 +244,29 @@ object Warehouse {
               s1.version AS old_version, s2.version AS new_version
             FROM s1 FULL JOIN s2 ON s1.o_custkey = s2.o_custkey)
       SELECT * FROM j WHERE change_type IS NOT NULL ORDER BY o_custkey""")),
+
+    // ---- temporal join: every order matched to the customer-status
+    //      VERSION valid at its own order date (not the current one —
+    //      joining facts to the live dimension leaks the future).
+    //      Equi-join on the key, interval test as residual ----
+    ("wh03_temporal_join", (s: SparkSession, d: String) => {
+      val facts = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      temporalJoin(facts, ordersHistory(s, d), "o_custkey", "o_orderdate")
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), TsFmt).as("order_ts"),
+          col("o_orderstatus").as("status_then"), col("version"))
+        .orderBy("o_orderkey")
+    }, Some(s"""
+      WITH $historySql
+      SELECT o.o_orderkey, o.o_custkey,
+        strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+        v.o_orderstatus AS status_then, v.version
+      FROM orders o JOIN v
+        ON o.o_custkey = v.o_custkey
+       AND v.eff_from <= o.o_orderdate
+       AND (v.eff_to IS NULL OR o.o_orderdate < v.eff_to)
+      ORDER BY o.o_orderkey""")),
 
     // ---- RFM segments: per-customer recency/frequency/monetary,
     //      each quintile-binned by t22's histogram ranks. Oracle

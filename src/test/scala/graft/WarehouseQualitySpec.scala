@@ -143,6 +143,31 @@ class WarehouseQualitySpec extends AnyFunSuite {
     assert(r3.isNullAt(r3.fieldIndex("ks")))
   }
 
+
+  test("temporalJoin: boundary lands on the NEW version, open row catches the tail, equi-join plan") {
+    val changes = Seq(
+      (1L, "A", 10L, 1L), (1L, "B", 20L, 2L),  // key 1: A@[10,20), B@[20,)
+      (2L, "X", 15L, 3L)
+    ).toDF("k", "attr", "ts", "tie")
+    val hist = Warehouse.scd2History(changes, "k", "attr", "ts", "tie")
+    val facts = Seq((100L, 1L, 10L), (101L, 1L, 19L), (102L, 1L, 20L),
+      (103L, 1L, 99L), (104L, 2L, 14L))
+      .toDF("fid", "k", "ts")
+    val j = Warehouse.temporalJoin(facts, hist, "k", "ts")
+      .select("fid", "attr", "version")
+    val got = j.as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    // fid 102 sits ON the change instant -> the NEW version (B);
+    // fid 103 is after the last change -> the open row;
+    // fid 104 predates key 2's first version -> no match (honest:
+    // the dimension did not exist yet)
+    assert(got === Seq((100L, "A", 1L), (101L, "A", 1L),
+      (102L, "B", 2L), (103L, "B", 2L)))
+    // the join must key-hash on k, not plan a cartesian/BNLJ
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"temporal join degenerated:\n$plan")
+  }
+
   test("snapshotDiff classifies I/U/D, drops unchanged, compares null-safely") {
     val old = Seq((1L, Some("A")), (2L, Some("B")), (3L, Some("C")),
       (5L, None: Option[String])).toDF("k", "v")
