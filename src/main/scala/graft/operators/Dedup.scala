@@ -1419,6 +1419,80 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** EXACT set-similarity self-join by PREFIX FILTERING (the
+    * PPJoin family's candidate rule): all document pairs whose
+    * 3-gram-shingle sets have Jaccard ≥ num/den, with NO false
+    * negatives — the exact complement to [[minhashPairs]]'
+    * probabilistic LSH (d02). The theorem: order every doc's
+    * shingles by global rarity (frequency asc, shingle asc — a TOTAL
+    * order, so both engines pick identical prefixes); if J(A,B) ≥ t,
+    * the first |A| − ⌈t·|A|⌉ + 1 shingles of A and the corresponding
+    * prefix of B must share one. So only prefix shingles generate
+    * candidates, and prefixes are the RAREST shingles — the join key
+    * frequency is driven down exactly where the quadratic blowup
+    * would live. Shingles, not words, deliberately: this corpus has
+    * a ~31-word vocabulary, where word-level prefixes degenerate to
+    * all-pairs (measured: 12.5M word candidates vs 119k shingle
+    * candidates at sf0.1 — word order is the identity here, which is
+    * precisely what shingles encode). ⌈t·n⌉ in exact integers
+    * ((num·n + den − 1) div den); the verify gate
+    * den·|A∩B| ≥ num·(|A|+|B|−|A∩B|) is cross-multiplied BIGINTs —
+    * the float jaccard column is one rounded division at the end.
+    * Docs under 3 words have no shingles and sit out (documented
+    * contract, mirrored by the oracle).
+    *
+    * SCALE: shingle explode ∝ corpus; freq + per-doc rank windows
+    * are (doc)-partitioned (doc-sized, not corpus-sized); the
+    * candidate self-join touches only prefix shingles (≈ (1−t)·|doc|
+    * rarest each); intersection counting is candidate×doc-size
+    * bounded via joining candidates back to the shingle lists, never
+    * all-pairs.
+    */
+  def setSimilarityJoin(documents: DataFrame, num: Long, den: Long)
+      : DataFrame = {
+    require(num > 0 && den >= num, s"need 0 < num/den <= 1, got $num/$den")
+    val spark = documents.sparkSession
+    val toks = documents
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), ' '), x -> x <> '')").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), " +
+          "i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))")).as("word"))
+      .distinct()
+    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("f"))
+    val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"), col("word"))
+    val pre = toks.join(freq, "word")
+      .withColumn("rn", row_number().over(w))
+      .join(sz, "doc_id")
+      // prefix length L = n - ceil(t*n) + 1, ceil in exact integers
+      .filter(col("rn") <=
+        col("n") - expr(s"(n * ${num}L + ${den}L - 1) div ${den}L") + 1)
+      .select(col("doc_id"), col("word"))
+    val cand = pre.select(col("doc_id").as("id_a"), col("word"))
+      .join(pre.select(col("doc_id").as("id_b"), col("word")), "word")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("doc_id").as("id_a"), col("word")), Seq("id_a"))
+      .join(toks.select(col("doc_id").as("id_b"), col("word")),
+        Seq("id_b", "word"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- exact dedup: hash groupBy on content ----
@@ -2110,6 +2184,51 @@ object Dedup {
       FROM c, tot, wsum
       WHERE cum <= w * tok_total // (4 * w_total)
       ORDER BY doc_id""")),
+
+    // ---- EXACT set-similarity self-join via prefix filtering: every
+    //      pair with 3-gram-shingle Jaccard >= 0.6, NO false
+    //      negatives (the exact complement to d02's probabilistic
+    //      MinHash-LSH). Candidates only where the docs'
+    //      rarest-shingle prefixes collide; verify gate
+    //      cross-multiplied BIGINTs. Oracle replays the identical
+    //      prefix rule — same total shingle order, same integer
+    //      ceil ----
+    ("d25_setsim_join", (s: SparkSession, d: String) => {
+      setSimilarityJoin(Tables.documents(s, d), num = 3L, den = 5L)
+        .orderBy("id_a", "id_b")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+        FROM documents),
+      tri0 AS (SELECT doc_id, ws,
+          unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3),
+      toks AS (SELECT DISTINCT doc_id,
+          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS word
+        FROM tri0),
+      freq AS (SELECT word, count(*) AS f FROM toks GROUP BY 1),
+      sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+      r AS (SELECT t.doc_id, t.word, s.n,
+              row_number() OVER (PARTITION BY t.doc_id
+                ORDER BY f.f, t.word) AS rn
+            FROM toks t JOIN freq f USING (word) JOIN sz s USING (doc_id)),
+      pre AS (SELECT doc_id, word FROM r
+              WHERE rn <= n - ((n * 3 + 4) // 5) + 1),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM pre a JOIN pre b
+                 ON a.word = b.word AND a.doc_id < b.doc_id),
+      i AS (SELECT c.id_a, c.id_b, count(*) AS inter
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.id_a
+            JOIN toks tb ON tb.doc_id = c.id_b AND tb.word = ta.word
+            GROUP BY 1, 2)
+      SELECT i.id_a, i.id_b, i.inter, sa.n AS na, sb.n AS nb,
+        round(CAST(i.inter AS DOUBLE)
+              / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6) AS jaccard
+      FROM i JOIN sz sa ON sa.doc_id = i.id_a
+             JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE i.inter * 5 >= (sa.n + sb.n - i.inter) * 3
+      ORDER BY id_a, id_b""")),
 
     // ---- canonical selection: the KEEP decision after clustering —
     //      d05's near-dup graph → d07's components → one

@@ -91,6 +91,41 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked === brute)
   }
 
+
+  test("setSimilarityJoin equals brute-force shingle Jaccard (no false negatives, exact values)") {
+    import spark.implicits._
+    // deterministic corpus: pair-programmed near-dups, a disjoint
+    // doc, and a <3-word doc that must sit out entirely
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    def sentence(seed: Int, n: Int): String =
+      (0 until n).map(i => words((seed * 7 + i * 3) % words.length)).mkString(" ")
+    val rows = (0L until 12L).map { id =>
+      val mutated =
+        if (id % 3 == 2) sentence(id.toInt, 14) + " omega"  // near-dup of base(id)
+        else sentence(id.toInt, 14)
+      (id, if (id % 3 == 1) sentence(id.toInt, 14) else mutated)
+    } :+ (100L, "tiny doc")
+    val df = rows.toDF("doc_id", "text")
+    def shingles(t: String): Set[String] = {
+      val ws = t.trim.split(" +").filter(_.nonEmpty)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> shingles(t) }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys
+      if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+      inter = (sets(a) & sets(b)).size
+      if inter * 2L >= (sets(a).size + sets(b).size - inter) * 1L
+    } yield (a, b, inter.toLong, sets(a).size.toLong, sets(b).size.toLong))
+      .toSeq.sorted
+    val got = Dedup.setSimilarityJoin(df, num = 1L, den = 2L)
+      .select("id_a", "id_b", "inter", "na", "nb")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === want)
+    assert(want.nonEmpty, "constructed corpus must produce matches")
+  }
+
   test("subdocUnits: fixed word windows with packed uids") {
     val units = Dedup.subdocUnits(docs(3L -> ("w " * 40).trim), 16)
       .collect().map(r => (r.getLong(1), r.getString(2)))
