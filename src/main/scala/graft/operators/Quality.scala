@@ -203,6 +203,47 @@ object Quality {
             (col("n1").cast("double") * col("n2").cast("double"))))
   }
 
+  /** Chi-squared two-sample drift over a CATEGORICAL column — the
+    * companion to [[ksDrift]] (continuous): did the category mix
+    * shift between cohorts? One row per category with the exact
+    * integer contingency moments (observed counts, expected-count
+    * NUMERATORS e_i·N = row_total·cohort_total — kept as exact
+    * BIGINT products so no float expectation ever materializes) and
+    * the cell's chi-squared contribution as ONE fixed-order double
+    * expression off those exact integers (each op correctly rounded
+    * → engine-identical; round 9 on top). No total emitted: a SUM of
+    * float cells is evaluation-order-dependent — consumers sum the
+    * (category-count) cells themselves, or read the exact integers.
+    *
+    * SCALE: one partial-aggregable groupBy(category) over the data;
+    * totals ride a broadcast 1-row frame; output is category-sized.
+    */
+  def chiSquaredDrift(values: DataFrame, catCol: String, grpCol: String)
+      : DataFrame = {
+    val cells = values
+      .groupBy(col(catCol).as("cat"))
+      .agg(sum(when(col(grpCol), 1L).otherwise(0L)).as("o1"),
+        sum(when(col(grpCol), 0L).otherwise(1L)).as("o2"))
+    val tot = cells.agg(sum("o1").cast("long").as("n1"),
+      sum("o2").cast("long").as("n2"))
+    def term(o: Column, nCohort: Column, r: Column, n: Column): Column = {
+      val diff = (o * n - r * nCohort).cast("double")
+      val den = (n * r * nCohort).cast("double")
+      // cohort empty or category absent -> contribution undefined
+      when(den > 0.0, diff * diff / den)
+    }
+    cells.crossJoin(broadcast(tot))
+      .withColumn("r", col("o1") + col("o2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .select(col("cat"), col("o1"), col("o2"),
+        (col("r") * col("n1")).as("e1_num"),
+        (col("r") * col("n2")).as("e2_num"),
+        col("n").as("n_total"),
+        round(term(col("o1"), col("n1"), col("r"), col("n")) +
+          term(col("o2"), col("n2"), col("r"), col("n")), 9)
+          .as("cell_chi2"))
+  }
+
   private val fmtLong: Column => Column = _.cast("string")
   private val fmtStr: Column => Column = identity
   private val fmtMoney: Column => Column =
@@ -400,6 +441,45 @@ object Quality {
         CAST(m.d_num AS DOUBLE)
           / (CAST((SELECT n1 FROM t) AS DOUBLE)
              * CAST((SELECT n2 FROM t) AS DOUBLE)) AS ks
-      FROM m"""))
+      FROM m""")),
+
+    // ---- chi-squared categorical drift: did the PRIORITY MIX shift
+    //      between the same cohorts dq04 compares on value? Exact
+    //      integer contingency moments; each cell's chi2 one
+    //      fixed-order double expression (no float total — a float
+    //      sum is evaluation-order-dependent) ----
+    ("dq05_chi2_drift", (s: SparkSession, d: String) => {
+      chiSquaredDrift(
+        Tables.orders(s, d).select(col("o_orderpriority").as("cat"),
+          (col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .as("pre98")),
+        "cat", "pre98")
+        .orderBy("cat")
+    }, Some("""
+      WITH v AS (SELECT o_orderpriority AS cat,
+          o_orderdate < TIMESTAMP '1998-01-01' AS g
+        FROM orders),
+      c AS (SELECT cat,
+          CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+          CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS o2
+        FROM v GROUP BY cat),
+      t AS (SELECT CAST(sum(o1) AS BIGINT) AS n1,
+                   CAST(sum(o2) AS BIGINT) AS n2 FROM c)
+      SELECT cat, o1, o2,
+        (o1 + o2) * t.n1 AS e1_num,
+        (o1 + o2) * t.n2 AS e2_num,
+        t.n1 + t.n2 AS n_total,
+        round(
+          CASE WHEN CAST((t.n1 + t.n2) * (o1 + o2) * t.n1 AS DOUBLE) > 0
+            THEN CAST(o1 * (t.n1 + t.n2) - (o1 + o2) * t.n1 AS DOUBLE)
+               * CAST(o1 * (t.n1 + t.n2) - (o1 + o2) * t.n1 AS DOUBLE)
+               / CAST((t.n1 + t.n2) * (o1 + o2) * t.n1 AS DOUBLE)
+          END +
+          CASE WHEN CAST((t.n1 + t.n2) * (o1 + o2) * t.n2 AS DOUBLE) > 0
+            THEN CAST(o2 * (t.n1 + t.n2) - (o1 + o2) * t.n2 AS DOUBLE)
+               * CAST(o2 * (t.n1 + t.n2) - (o1 + o2) * t.n2 AS DOUBLE)
+               / CAST((t.n1 + t.n2) * (o1 + o2) * t.n2 AS DOUBLE)
+          END, 9) AS cell_chi2
+      FROM c, t ORDER BY cat"""))
   )
 }

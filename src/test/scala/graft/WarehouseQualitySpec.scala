@@ -168,6 +168,29 @@ class WarehouseQualitySpec extends AnyFunSuite {
       s"temporal join degenerated:\n$plan")
   }
 
+
+  test("chiSquaredDrift: exact contingency moments, hand-checked 2x2, one-cohort null") {
+    // cohort1 = 3A+1B, cohort2 = 1A+3B: each cell contributes
+    // diff^2/den twice -> (3*8-4*4)^2/(8*4*4) * 2 = 64/128 * 2 = 1.0
+    val v = (Seq.fill(3)(("A", true)) ++ Seq(("B", true)) ++
+      Seq(("A", false)) ++ Seq.fill(3)(("B", false)))
+      .toDF("cat", "g")
+    val got = Quality.chiSquaredDrift(v, "cat", "g")
+      .orderBy("cat").collect()
+    assert(got.map(_.getAs[String]("cat")).toSeq === Seq("A", "B"))
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_total") === 8L)
+      assert(r.getAs[Long]("e1_num") === 16L)  // R*N1 = 4*4
+      assert(r.getAs[Double]("cell_chi2") === 1.0)
+    }
+    // one empty cohort -> every cell's chi2 undefined (null), moments
+    // still exact
+    val one = Seq(("A", true), ("B", true)).toDF("cat", "g")
+    val r2 = Quality.chiSquaredDrift(one, "cat", "g").orderBy("cat").collect()
+    assert(r2.forall(_.isNullAt(r2.head.fieldIndex("cell_chi2"))))
+    assert(r2.head.getAs[Long]("o1") === 1L)
+  }
+
   test("snapshotDiff classifies I/U/D, drops unchanged, compares null-safely") {
     val old = Seq((1L, Some("A")), (2L, Some("B")), (3L, Some("C")),
       (5L, None: Option[String])).toDF("k", "v")
