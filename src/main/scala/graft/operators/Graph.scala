@@ -295,6 +295,32 @@ object Graph {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Local clustering coefficient per vertex: cc_v =
+    * 2·tri_v / (deg_v·(deg_v − 1)) — how close each node's
+    * neighborhood is to a clique, THE per-node cohesion metric next
+    * to the raw triangle count. Exact integers (tri_v from
+    * [[trianglesPerVertex]], deg_v one groupBy) with the float cc a
+    * single fixed-order rounded division; deg 1 nodes have no
+    * defined coefficient → null; triangle-free nodes are an honest
+    * 0, NOT absent (left join from the degree table, which covers
+    * every vertex).
+    *
+    * SCALE: the triangle budget (degree-ordered wedge join) + one
+    * edge-sized degree groupBy + a vertex-sized left join.
+    */
+  def clusteringCoefficient(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    deg.join(trianglesPerVertex(pairs), Seq("id"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .select(col("id"), col("deg"), col("n_tri"),
+        when(col("deg") >= 2L,
+          round((col("n_tri") * 2L).cast("double") /
+            (col("deg") * (col("deg") - 1L)).cast("double"), 6))
+          .as("cc"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // ---- PageRank over the embedding near-dup graph (d05's verified
     //      LSH edge generator, symmetrized): influence of each doc in
@@ -427,6 +453,40 @@ object Graph {
         UNION ALL SELECT v FROM tri
         UNION ALL SELECT w FROM tri)
       GROUP BY id ORDER BY id""")),
+
+    // ---- local clustering coefficient on the same co-purchase
+    //      graph: every vertex (triangle-free ones an honest 0,
+    //      degree-1 ones null), cc one rounded division off exact
+    //      integers ----
+    ("tr02_clustering_coeff", (s: SparkSession, d: String) => {
+      clusteringCoefficient(copurchaseEdges(Tables.lineitem(s, d), 2L))
+        .orderBy("id")
+    }, Some("""
+      WITH e AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT id, count(*) AS deg FROM (
+          SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
+        GROUP BY id),
+      tri AS (
+        SELECT e1.id_a AS u, e1.id_b AS v, e2.id_b AS w
+        FROM e e1
+        JOIN e e2 ON e2.id_a = e1.id_a AND e1.id_b < e2.id_b
+        JOIN e e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b),
+      nt AS (SELECT id, count(*) AS n_tri FROM (
+          SELECT u AS id FROM tri
+          UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri)
+        GROUP BY id)
+      SELECT d.id, d.deg, coalesce(nt.n_tri, 0) AS n_tri,
+        CASE WHEN d.deg >= 2
+          THEN round(CAST(coalesce(nt.n_tri, 0) * 2 AS DOUBLE)
+                     / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+        END AS cc
+      FROM deg d LEFT JOIN nt USING (id)
+      ORDER BY d.id""")),
 
     // ---- communities on the same co-purchase graph: 6 synchronous
     //      LPA rounds, ties to the smallest label; oracle unrolls the
