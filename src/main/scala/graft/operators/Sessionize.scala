@@ -135,6 +135,36 @@ object Sessionize {
     }
   }
 
+  /** First-order Markov transition matrix over each user's
+    * chronological event stream: counts and row-normalized
+    * probabilities of (prev event type → next event type) — the
+    * "what do users do after X" table behind next-action models and
+    * bot heuristics. Counts exact; each probability ONE rounded
+    * division off the exact integers.
+    *
+    * SCALE: one (user)-keyed lag window over per-user event counts —
+    * the ss01 shape with the same hot-user caveat (bound via
+    * [[sessionizedBounded]]'s slice discipline if a bot dominates);
+    * everything after the pair groupBy is category²-sized.
+    */
+  def transitionMatrix(events: DataFrame,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts_ns", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy(col("prev_type"))
+      .agg(sum("n").cast("long").as("row_n"))
+    pairs.join(rowTot, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"), col("row_n"),
+        round(col("n").cast("double") / col("row_n").cast("double"), 6)
+          .as("p"))
+  }
+
   /** events with ts_ns µs-floored: DuckDB reads parquet NANOS as µs
     * timestamps, so all gap/duration arithmetic must happen at µs
     * resolution for oracle parity. */
@@ -483,7 +513,31 @@ object Sessionize {
         round(CAST(n_users AS DOUBLE) /
           max(CASE WHEN week_k = 0 THEN n_users END)
             OVER (PARTITION BY cohort_week), 6) AS retention
-      FROM m ORDER BY cohort_week, week_k"""))
+      FROM m ORDER BY cohort_week, week_k""")),
+
+    // ---- first-order Markov transitions: what users do after X —
+    //      exact pair counts per user-chronological lag, probability
+    //      one rounded division; the oracle replays the identical
+    //      (ts, event_id)-ordered lag ----
+    ("ss09_transitions", (s: SparkSession, d: String) => {
+      transitionMatrix(eventsUs(s, d))
+        .orderBy("prev_type", "next_type")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                   (epoch_ns(ts) // 1000) * 1000 AS tns FROM events),
+      l AS (SELECT user_id, event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY tns, event_id) AS prev
+            FROM e),
+      p AS (SELECT prev AS prev_type, event_type AS next_type,
+              count(*) AS n
+            FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
+            FROM p GROUP BY 1)
+      SELECT p.prev_type, p.next_type, p.n, t.row_n,
+        round(CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE), 6) AS p
+      FROM p JOIN t USING (prev_type)
+      ORDER BY prev_type, next_type"""))
   )
 
   private lazy val ss01OracleSql = Some("""
