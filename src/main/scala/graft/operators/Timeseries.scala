@@ -231,6 +231,42 @@ object Timeseries {
     * both keys pivoted in the same pass, a bucket-sized spine join,
     * one global agg. Output is a single row.
     */
+  /** Rolling (sliding-window) aggregates over the DENSE resampled
+    * grid: for every (key, bucket) of [[resample]]'s spine, the
+    * trailing `width`-bucket sum/avg of the per-bucket totals and
+    * event-count extremes — the moving-average family every
+    * dashboard layers on the raw grid. Gap buckets sit in the frame
+    * with NULL totals (excluded from sum/avg via the non-null count
+    * — the honest "average of observed hours"), and their n=0 DOES
+    * count toward the min (a gap is a real zero-traffic hour).
+    * Decimal-exact sums; avg is ONE rounded division of the exact
+    * sum by the frame's observed count.
+    *
+    * SCALE: inherits resample's budget (one event-volume groupBy,
+    * everything after bucket-sized); the rolling frames add
+    * partition-LOCAL window passes over the same (key, bucket) sort
+    * — no new exchange (same-key windows reuse the partitioning).
+    */
+  def rollingAgg(events: DataFrame, bucketNs: Long, width: Int,
+      keyCol: String = "event_type", tsCol: String = "ts_ns",
+      valCol: String = "value"): DataFrame = {
+    require(width >= 1, s"need width >= 1, got $width")
+    val base = resample(events, bucketNs, keyCol, tsCol, valCol)
+      // re-derive the EXACT decimal per-bucket total (resample emits
+      // the §4 double rendering; rolling sums must accumulate decimal)
+      .withColumn("td", col("total").cast(DecimalType(18, 2)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(-(width - 1), Window.currentRow)
+    base.select(col(keyCol), col("bucket"), col("n"), col("total"),
+      sum(col("td")).over(w).cast("double").as("roll_sum"),
+      count(col("td")).over(w).as("roll_obs"),
+      min(col("n")).over(w).as("roll_min_n"),
+      max(col("n")).over(w).as("roll_max_n"),
+      when(count(col("td")).over(w) > 0L,
+        round(sum(col("td")).over(w).cast("double") /
+          count(col("td")).over(w).cast("double"), 6)).as("roll_avg"))
+  }
+
   /** Per-key EWMA over the bucketed series, in INTEGER FIXED-POINT:
     * cents_t = bucket total in cents (exact — the decimal sum has
     * scale 2, so ×100 is integral), and
@@ -512,6 +548,42 @@ object Timeseries {
                      AND b.rn = r.rn + 1)
       SELECT event_type, day_idx, cents, ewma_cents,
              ewma_cents / 100.0 AS ewma
-      FROM r ORDER BY event_type, day_idx"""))
+      FROM r ORDER BY event_type, day_idx""")),
+
+    // ---- 24-hour rolling window over the dense hourly grid: moving
+    //      sum/avg of totals (decimal-exact, avg one rounded
+    //      division by the OBSERVED count) + count extremes where a
+    //      gap hour is a real zero ----
+    ("ts09_rolling", (s: SparkSession, d: String) => {
+      rollingAgg(eventsUs(s, d), HourNs, width = 24)
+        .withColumnRenamed("bucket", "hour_idx")
+        .orderBy("event_type", "hour_idx")
+    }, Some(tsPrefix + """,
+      a AS (SELECT event_type, tns // 3600000000000 AS hour_idx,
+              count(*) AS n,
+              sum(CAST(value AS DECIMAL(18,2))) AS td
+            FROM e GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(hour_idx) AS b0, max(hour_idx) AS b1
+                 FROM a GROUP BY 1),
+      spine AS (SELECT event_type, unnest(range(b0, b1 + 1)) AS hour_idx
+                FROM bounds),
+      j AS (SELECT s.event_type, s.hour_idx,
+              coalesce(a.n, 0) AS n,
+              CAST(a.td AS DECIMAL(18,2)) AS td
+            FROM spine s LEFT JOIN a
+              ON a.event_type = s.event_type AND a.hour_idx = s.hour_idx)
+      SELECT event_type, hour_idx, n, CAST(td AS DOUBLE) AS total,
+        CAST(sum(td) OVER w AS DOUBLE) AS roll_sum,
+        CAST(count(td) OVER w AS BIGINT) AS roll_obs,
+        min(n) OVER w AS roll_min_n,
+        max(n) OVER w AS roll_max_n,
+        CASE WHEN count(td) OVER w > 0 THEN
+          round(CAST(sum(td) OVER w AS DOUBLE)
+                / CAST(count(td) OVER w AS DOUBLE), 6)
+        END AS roll_avg
+      FROM j
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+      ORDER BY event_type, hour_idx"""))
   )
 }
