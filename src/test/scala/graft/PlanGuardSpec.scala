@@ -29,7 +29,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "t21_dsir_weights", // broadcast 1-row (nr, nt) token totals
     "ar01_assoc_rules", // broadcast 1-row basket total (lift's N)
     "rfm01_segments", // broadcast 1-row dataset max date (recency's anchor)
-    "ss08_conversion_lag") // broadcast 1-row p50/p90 threshold singletons
+    "ss08_conversion_lag", // broadcast 1-row p50/p90 threshold singletons
+    "dq04_ks_drift", // broadcast 1-row global min/max (fixed-width slices)
+    "dq05_chi2_drift") // broadcast 1-row grand total (expected counts)
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
