@@ -46,6 +46,14 @@ object Search {
       .filter(col("word") =!= "")
       .select(col("word"), col("doc_id"), col("pos").cast("long").as("pos"))
 
+  /** Token count of the raw text — MUST equal the postings row count
+    * of the doc (same split + empty-token drop), so tf/dl come from
+    * one consistent tokenization. Column-local, no extra pass.
+    */
+  private def docLen =
+    size(filter(split(trim(col("text")), " "),
+      w => w =!= "")).cast("bigint").as("dl")
+
   /** Postings landed bucketed+sorted by word: bucket pruning makes a
     * term lookup read only the buckets its words hash to, and the
     * in-bucket sort keeps a word's posting list contiguous. One
@@ -64,11 +72,14 @@ object Search {
       .write.mode("overwrite")
       .bucketBy(nBuckets, "word").sortBy("word", "doc_id", "pos")
       .option("path", path).saveAsTable(table)
-    // the store's doc-id registry, bucketed by doc_id: appends
-    // anti-join against it with zero store-side exchange (the
+    // the store's doc registry (doc_id, dl), bucketed by doc_id:
+    // appends anti-join against it with zero store-side exchange (the
     // postings table buckets on WORD, so it cannot answer "is this
-    // doc already indexed" without a full scan — the registry can)
-    graft.sources.Sinks.writeBucketed(docs.select(col("doc_id")),
+    // doc already indexed" without a full scan — the registry can),
+    // and dl (token count, computed from the text column so a
+    // zero-token doc still registers) is the document-length sidecar
+    // ranked retrieval needs without a corpus-wide postings groupBy
+    graft.sources.Sinks.writeBucketed(docs.select(col("doc_id"), docLen),
       s"${table}_docs", nBuckets, "doc_id")
     // a full rebuild is a NEW store generation: prior tombstones
     // applied to content this build no longer carries
@@ -110,11 +121,66 @@ object Search {
       .bucketBy(Dedup.bucketsOf(spark, table), "word")
       .sortBy("word", "doc_id", "pos")
       .format("parquet").saveAsTable(table)
-    fresh.select(col("doc_id"))
+    fresh.select(col("doc_id"), docLen)
       .write.mode(SaveMode.Append)
       .bucketBy(Dedup.bucketsOf(spark, s"${table}_docs"), "doc_id")
       .sortBy("doc_id")
       .format("parquet").saveAsTable(s"${table}_docs")
+  }
+
+  /** BM25 (k1=1.2, b=0.75) top-k over a postings relation: rank the
+    * documents matching ANY of `terms` by summed term score. Within-
+    * corpus statistics only — tf = posting rows per (word, doc), df =
+    * docs per word (both from the TERM-FILTERED postings: map-only
+    * over a scan, bucket-pruned on a stored index), N/avgdl from the
+    * (doc_id, dl) relation (the store registry — a slim sidecar whose
+    * one-row aggregate is the only full relation pass; a production
+    * store folds it into compact-time stats). Exchanges after the
+    * term filter are candidate-sized: (word, doc) tf groupBy, word df
+    * groupBy, doc-keyed score sum, then a k-row TakeOrdered. Score
+    * discipline = t07's (TextOps.scala:781): idf rounded to 6, term
+    * scores to 10, summed as decimal(28,10) so addition order cannot
+    * move low bits, final score rounded to 6 (§4 money rule).
+    */
+  def bm25Rank(postings: DataFrame, doclens: DataFrame,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k >= 1, "need terms and k >= 1")
+    val stats = doclens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = postings.filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = round(log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))), 6)
+    val tfFac = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfreq), "word")
+      .join(doclens.select(col("doc_id"), col("dl")), "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * tfFac, 10).cast("decimal(28,10)").as("ts"))
+      .groupBy(col("doc_id")).agg(sum(col("ts")).as("sdec"))
+      .select(col("doc_id"), round(col("sdec").cast("double"), 6).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id")).limit(k)
+  }
+
+  /** Ranked retrieval SERVED FROM the maintained store: the postings
+    * side bucket-prunes to the query terms' buckets, the registry
+    * supplies dl (and N/avgdl), and both read through the tombstone
+    * filter — so append/delete/compact all reflect in the ranking
+    * with no rebuild. Query cost ∝ the query terms' posting lists +
+    * one slim registry pass, never corpus postings size.
+    */
+  def rankedSearch(spark: SparkSession, table: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    spark.catalog.refreshTable(s"${table}_docs")
+    bm25Rank(readPostings(spark, table),
+      Dedup.dropTombstoned(spark, table,
+        spark.table(s"${table}_docs"), "doc_id"),
+      terms, k)
   }
 
   /** RETIRE documents (takedown / TTL): append their ids to the KB
@@ -267,6 +333,40 @@ object Search {
         GROUP BY 1, 2 HAVING count(DISTINCT ph.i) = 3)
       SELECT doc_id, count(*) AS n_hits FROM anchors
       GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- ranked retrieval: BM25 top-k over the postings relation —
+    //      the serving path of the stored index (rankedSearch reads
+    //      the same scorer through bucket pruning + tombstones) ----
+    ("ix04_ranked_search", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      bm25Rank(postings(docs),
+        docs.select(col("doc_id"), docLen),
+        Seq("spark", "merge", "fast"), 15)
+    }, Some(s"""
+      WITH t AS (SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+           FROM documents),
+      dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM t),
+      stats AS (SELECT count(*) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      words AS (SELECT doc_id, unnest(ws) AS word FROM t),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+             WHERE word IN ('spark', 'merge', 'fast') GROUP BY 1, 2),
+      dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      term AS (SELECT tf.doc_id,
+        CAST(round(
+          round(ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+                         / (CAST(f.df AS DOUBLE) + 0.5)), 6)
+          * (CAST(tf.tf AS DOUBLE) * 2.2)
+          / (CAST(tf.tf AS DOUBLE)
+             + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE)
+                             / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))),
+          10) AS DECIMAL(28,10)) AS ts
+        FROM tf JOIN dfreq f USING (word)
+        JOIN dl d ON d.doc_id = tf.doc_id CROSS JOIN stats s)
+      SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS bm25
+      FROM term GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 15""")),
 
     // ---- contamination audit: K benchmark phrases screened against
     //      the corpus in ONE postings pass, reported per source — the

@@ -78,6 +78,39 @@ class SearchSpec extends AnyFunSuite {
     fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  test("rankedSearch: store-served BM25 equals the direct scorer and tracks maintenance") {
+    val path = Files.createTempDirectory("graft-postings").toString + "/rk"
+    try {
+      Search.writePostingsStore(docs.filter(col("doc_id") <= 2L),
+        path, "r_postings", nBuckets = 4)
+      // registry carries dl = token count of the SAME tokenization
+      assert(spark.table("r_postings_docs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap === Map(1L -> 5L, 2L -> 3L))
+      Search.appendToPostingsStore(docs.filter(col("doc_id") > 2L), "r_postings")
+      def served = Search.rankedSearch(spark, "r_postings", Seq("a", "c"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // equals bm25Rank over the live corpus computed directly
+      val direct = Search.bm25Rank(Search.postings(docs),
+        docs.select(col("doc_id"),
+          size(split(trim(col("text")), " +")).cast("bigint").as("dl")),
+        Seq("a", "c"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(served.toSeq === direct.toSeq)
+      // doc 3 is all-c: top hit for 'c'; retire it and the ranking,
+      // df AND corpus stats all shift — N drops, so scores move too
+      assert(served.head._1 === 3L)
+      Search.deleteFromPostingsStore(spark, "r_postings", Seq(3L).toDF("doc_id"))
+      val after = Search.rankedSearch(spark, "r_postings", Seq("a", "c"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(!after.map(_._1).contains(3L))
+      val expectAfter = Search.bm25Rank(
+        Search.postings(docs.filter(col("doc_id") =!= 3L)),
+        docs.filter(col("doc_id") =!= 3L).select(col("doc_id"),
+          size(split(trim(col("text")), " +")).cast("bigint").as("dl")),
+        Seq("a", "c"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(after.toSeq === expectAfter.toSeq)
+    } finally dropStore("r_postings")
+  }
+
   test("postings store maintenance: append / tombstone / compact keep queries exact") {
     val path = Files.createTempDirectory("graft-postings").toString + "/mx"
     try {
