@@ -321,6 +321,53 @@ object Graph {
           .as("cc"))
   }
 
+  /** Common-neighbor link recommendation ("customers who bought X's
+    * neighbors also bought…"): for every vertex, the top-k NON-adjacent
+    * vertices ranked by shared-neighbor count — the classic
+    * link-prediction score (Liben-Nowell & Kleinberg 2003), and the
+    * friend-of-friend recommender production graphs actually serve.
+    *
+    * Plan: symmetrize once, self-join on the wedge CENTER (one
+    * center-keyed shuffle — Σ deg(v)² wedge rows, the honest cost of
+    * common-neighbor counting), canonicalize endpoints u<w so each
+    * unordered pair aggregates once, one (u,w) groupBy, then drop
+    * already-adjacent pairs with a left anti join against the edge
+    * list (same canonical order — equi keys, no inequality join) and
+    * mirror to both directions for per-vertex top-k (rank by count
+    * desc, partner id tiebreak).
+    *
+    * SCALE: Σ deg(v)² is inherent to the score; the remedies are the
+    * support threshold already applied by [[copurchaseEdges]] and a
+    * degree cap on centers (drop celebrity hubs — they recommend
+    * everything to everyone and are noise in this score anyway);
+    * `maxCenterDeg` applies it. All joins equi-keyed; the wedge
+    * groupBy is partial-aggregable (count).
+    */
+  def commonNeighborRecs(pairs: DataFrame, k: Int,
+      maxCenterDeg: Long = Long.MaxValue): DataFrame = {
+    val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    val centerDeg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("dv"))
+      .filter(col("dv") <= maxCenterDeg).select(col("v"))
+    val viaCenter = sym.select(col("b").as("v"), col("a").as("u"))
+      .join(centerDeg, Seq("v"), "left_semi")
+    val cn = viaCenter
+      .join(viaCenter.select(col("v"), col("u").as("w")), Seq("v"))
+      .filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
+      .join(pairs.select(col("id_a").as("u"), col("id_b").as("w")),
+        Seq("u", "w"), "left_anti")
+    val directed = cn.select(col("u").as("id"), col("w").as("rec"), col("cn"))
+      .unionAll(cn.select(col("w").as("id"), col("u").as("rec"), col("cn")))
+    directed
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("id"))
+        .orderBy(col("cn").desc, col("rec"))))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("bigint").as("rank"),
+        col("rec"), col("cn"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // ---- PageRank over the embedding near-dup graph (d05's verified
     //      LSH edge generator, symmetrized): influence of each doc in
@@ -487,6 +534,37 @@ object Graph {
         END AS cc
       FROM deg d LEFT JOIN nt USING (id)
       ORDER BY d.id""")),
+
+    // ---- friend-of-friend recommendations on the co-purchase graph:
+    //      top-3 non-adjacent partners by common-neighbor count ----
+    ("tr03_common_neighbors", (s: SparkSession, d: String) => {
+      commonNeighborRecs(copurchaseEdges(Tables.lineitem(s, d), 2L), 3)
+        .orderBy("id", "rank")
+    }, Some("""
+      WITH e AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT id_a AS a, id_b AS b FROM e
+              UNION ALL SELECT id_b, id_a FROM e),
+      cn AS (
+        SELECT s1.a AS u, s2.a AS w, count(*) AS cn
+        FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a
+        GROUP BY 1, 2),
+      nonadj AS (
+        SELECT u, w, cn FROM cn
+        WHERE NOT EXISTS (SELECT 1 FROM e
+          WHERE e.id_a = cn.u AND e.id_b = cn.w)),
+      directed AS (
+        SELECT u AS id, w AS rec, cn FROM nonadj
+        UNION ALL SELECT w, u, cn FROM nonadj),
+      ranked AS (
+        SELECT id, rec, cn, CAST(row_number() OVER (
+          PARTITION BY id ORDER BY cn DESC, rec) AS BIGINT) AS rank
+        FROM directed)
+      SELECT id, rank, rec, cn FROM ranked WHERE rank <= 3
+      ORDER BY id, rank""")),
 
     // ---- communities on the same co-purchase graph: 6 synchronous
     //      LPA rounds, ties to the smallest label; oracle unrolls the

@@ -576,6 +576,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res.contains(10L) && res(10L)._2 === 0L)
   }
 
+  test("tr03 commonNeighborRecs: adjacency excluded, both directions served, celebrity cap") {
+    import spark.implicits._
+    // path 1-2-3 + 3-4: (1,3) adjacent via nothing? 1-3 NOT an edge,
+    // share {2} -> cn 1; (2,4) share {3} -> cn 1; (1,4) share none
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val res = graft.operators.Graph.commonNeighborRecs(edges, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(res.toSet === Set((1L, 3L, 1L), (3L, 1L, 1L),
+      (2L, 4L, 1L), (4L, 2L, 1L)))
+    // adjacent pairs never recommended: K3 has no candidates at all
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    assert(graft.operators.Graph.commonNeighborRecs(k3, 5).isEmpty)
+    // celebrity cap: star center 9 (deg 3) is the only shared
+    // neighbor; capping centers below 3 kills every wedge through it
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("id_a", "id_b")
+    assert(graft.operators.Graph.commonNeighborRecs(star, 5)
+      .count() === 6L) // 3 unordered pairs x 2 directions
+    assert(graft.operators.Graph
+      .commonNeighborRecs(star, 5, maxCenterDeg = 2L).isEmpty)
+  }
+
   test("lp01 labelPropagation: two cliques converge to their min labels; deterministic ties") {
     import spark.implicits._
     // K4 {1..4} — bridge 4—5 — K4 {5..8}: communities must keep the
