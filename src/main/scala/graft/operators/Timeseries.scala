@@ -364,6 +364,52 @@ object Timeseries {
           col("sy").cast("double") * col("sy").cast("double"))), 9))
   }
 
+  /** Sample autocorrelation of each key's bucket-count series at lags
+    * 1..`maxLag` — THE seasonality/memory diagnostic (a daily cycle
+    * shows as a peak at lag 24 on hourly buckets). Uses the full-series
+    * mean and variance (textbook ACF):
+    * ρ(h) = Σ_{t>h}(x_t−x̄)(x_{t−h}−x̄) / Σ(x_t−x̄)².
+    *
+    * DETERMINISM: every aggregate is an exact BIGINT sum over the
+    * dense [[resample]] grid (counts, their squares, lagged cross
+    * products — expanded so the mean never enters a distributed sum);
+    * doubles appear only in the final per-(key,lag) scalar, so
+    * addition order cannot move bits (§4). Constant series (zero
+    * variance) yield null, not NaN.
+    *
+    * SCALE: the grid is bucket-sized (time-range, not event-count);
+    * lag pairs come from a generator explode (grid×maxLag rows, no
+    * join against a lag table) and one partial-aggregable
+    * (key, lag) groupBy; the only event-volume pass is resample's.
+    */
+  def acf(events: DataFrame, bucketNs: Long, maxLag: Int,
+      keyCol: String = "event_type", tsCol: String = "ts_ns"): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val grid = resample(events, bucketNs, keyCol, tsCol)
+      .select(col(keyCol), col("bucket"), col("n").as("x"))
+    val stats = grid.groupBy(col(keyCol)).agg(count(lit(1)).as("nb"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+    val pairs = grid
+      .select(col(keyCol), col("bucket"), col("x"),
+        explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+      .select(col(keyCol), col("lag"), (col("bucket") + col("lag")).as("bucket"),
+        col("x").as("xl"))
+      .join(grid, Seq(keyCol, "bucket"))
+    val agg = pairs.groupBy(col(keyCol), col("lag"))
+      .agg(sum(col("x") * col("xl")).as("p"), sum(col("x")).as("a"),
+        sum(col("xl")).as("b"), count(lit(1)).as("m"))
+    val n = col("nb").cast("double")
+    val num = col("p").cast("double") -
+      col("sx").cast("double") * (col("a") + col("b")).cast("double") / n +
+      col("m").cast("double") * col("sx").cast("double") *
+        col("sx").cast("double") / (n * n)
+    val den = col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / n
+    agg.join(broadcast(stats), Seq(keyCol))
+      .select(col(keyCol), col("lag"),
+        when(den > 0.0, round(num / den, 9)).as("acf"))
+  }
+
   private val tsPrefix = """
       WITH e AS (SELECT event_type, event_id,
                    (epoch_ns(ts) // 1000) * 1000 AS tns, value
@@ -584,6 +630,52 @@ object Timeseries {
       FROM j
       WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
                    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
-      ORDER BY event_type, hour_idx"""))
+      ORDER BY event_type, hour_idx""")),
+
+    // ---- autocorrelation of the hourly count series, lags 1..6:
+    //      exact-integer moments, doubles only in the final scalar ----
+    ("ts10_acf", (s: SparkSession, d: String) => {
+      acf(eventsUs(s, d), HourNs, 6)
+        .orderBy("event_type", "lag")
+    }, Some(tsPrefix + """,
+      a AS (SELECT event_type, tns // 3600000000000 AS b, count(*) AS x
+            FROM e GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(b) AS b0, max(b) AS b1
+                 FROM a GROUP BY 1),
+      g AS (SELECT s.event_type, s.b, coalesce(a.x, 0) AS x
+            FROM (SELECT event_type, unnest(range(b0, b1 + 1)) AS b
+                  FROM bounds) s
+            LEFT JOIN a ON a.event_type = s.event_type AND a.b = s.b),
+      stats AS (SELECT event_type, count(*) AS nb,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(x * x) AS BIGINT) AS sxx
+                FROM g GROUP BY 1),
+      pairs AS (SELECT gl.event_type, l.lag, gt.x AS x, gl.x AS xl
+                FROM g gl
+                CROSS JOIN (SELECT unnest(range(1, 7)) AS lag) l
+                JOIN g gt ON gt.event_type = gl.event_type
+                         AND gt.b = gl.b + l.lag),
+      agg AS (SELECT event_type, lag,
+                CAST(sum(x * xl) AS BIGINT) AS p,
+                CAST(sum(x) AS BIGINT) AS a2,
+                CAST(sum(xl) AS BIGINT) AS b2,
+                count(*) AS m
+              FROM pairs GROUP BY 1, 2)
+      SELECT g.event_type, g.lag,
+        CASE WHEN CAST(s.sxx AS DOUBLE)
+                  - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                    / CAST(s.nb AS DOUBLE) > 0 THEN
+          round((CAST(g.p AS DOUBLE)
+                 - CAST(s.sx AS DOUBLE) * CAST(g.a2 + g.b2 AS DOUBLE)
+                   / CAST(s.nb AS DOUBLE)
+                 + CAST(g.m AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                   * CAST(s.sx AS DOUBLE)
+                   / (CAST(s.nb AS DOUBLE) * CAST(s.nb AS DOUBLE)))
+                / (CAST(s.sxx AS DOUBLE)
+                   - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                     / CAST(s.nb AS DOUBLE)), 9)
+        END AS acf
+      FROM agg g JOIN stats s USING (event_type)
+      ORDER BY event_type, lag"""))
   )
 }

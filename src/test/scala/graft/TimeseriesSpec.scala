@@ -79,6 +79,29 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(got === Seq(1L, 0L))
   }
 
+  test("acf matches a driver-side fold; constant series yields null") {
+    // key "a": counts over dense grid = [2,1,0,1]; key "c": constant 1s
+    val ev = toy.unionAll(Seq(
+      ("c", 5L, 9L, 1.0), ("c", 15L, 10L, 1.0), ("c", 25L, 11L, 1.0)
+    ).toDF("event_type", "ts_ns", "event_id", "value"))
+    val got = Timeseries.acf(ev, bucketNs = 10L, maxLag = 2)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    def ref(xs: Seq[Double], h: Int): Double = {
+      val m = xs.sum / xs.length
+      val num = (h until xs.length).map(t => (xs(t) - m) * (xs(t - h) - m)).sum
+      val den = xs.map(x => (x - m) * (x - m)).sum
+      math.rint(num / den * 1e9) / 1e9
+    }
+    val xs = Seq(2.0, 1.0, 0.0, 1.0)
+    assert(got(("a", 1L)) === Some(ref(xs, 1)))
+    assert(got(("a", 2L)) === Some(ref(xs, 2)))
+    // constant series: zero variance -> null, never NaN
+    assert(got(("c", 1L)) === None && got(("c", 2L)) === None)
+    // single-bucket key: no lag pairs exist at all
+    assert(!got.contains(("b", 1L)))
+  }
+
   test("resample heavy pass partial-aggregates before the exchange") {
     val events = graft.sources.Tables.events(spark, GraftTestSession.sf)
       .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
