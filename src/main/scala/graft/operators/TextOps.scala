@@ -594,6 +594,57 @@ object TextOps {
         "n_chunk_words", "n_chunk_tokens")
   }
 
+  /** Systematic (stochastic-universal) weighted sampling of k docs:
+    * lay each doc's weight end-to-end along a cumulative axis in
+    * deterministic hash order, then select every doc whose interval
+    * ((cum−w)·k, cum·k] crosses a multiple of the total weight W —
+    * i.e. copies = (cum·k) div W − ((cum−w)·k) div W ≥ 1. Inclusion
+    * probability is EXACTLY ∝ weight, Σ copies = k exactly, and the
+    * whole decision is integer arithmetic — the reason this is the
+    * engine's weighted sampler instead of A-ES (u^(1/w) priorities):
+    * a transcendental key's last ulp can flip a rank between engines,
+    * an integer floor-div cannot. Input: (doc_id, w) with w ≥ 0
+    * (zero-weight docs have an empty interval and are never picked).
+    *
+    * SCALE SHAPE: the textbook form is ONE global hash-ordered
+    * cum-sum window = one serial task at 100 TB. Same remedy as
+    * [[Dedup.mixtureSample]]: (A) per-hash-bucket weight histogram
+    * (KB-sized, collected like sidecar metadata), driver prefix-scan
+    * → per-bucket offsets; (B) bucket-parallel windows add the
+    * offset, so the global cumulative axis is computed with
+    * parallelism = buckets and no serial stage.
+    */
+  def systematicWeightedSample(weighted: DataFrame, k: Long): DataFrame = {
+    val spark = weighted.sparkSession
+    import spark.implicits._
+    val hx = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L),
+      lit(1000003L))
+    // RANGE buckets (not mod): bucket i must hold a contiguous h
+    // slice so "all of bucket i precedes bucket i+1" makes the
+    // offset+in-bucket-cum sum equal the global hash-order cum-sum
+    val base = weighted.select(col("doc_id"), col("w"), hx.as("h"))
+      .withColumn("b", expr("(h * 128L) div 1000003L").cast("int"))
+    val hist = base.groupBy(col("b")).agg(sum(col("w")).as("bw"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val totalW = hist.map(_._2).sum
+    require(totalW > 0, "corpus has zero total weight")
+    require(k >= 1 && k <= Long.MaxValue / totalW,
+      s"k*W must fit a long: k=$k, W=$totalW")
+    var off = 0L
+    val offs = hist.sortBy(_._1).map { case (b, bw) =>
+      val row = (b, off); off += bw; row
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.join(broadcast(offs.toSeq.toDF("b", "off")), Seq("b"))
+      .withColumn("cum", sum(col("w")).over(win) + col("off"))
+      .withColumn("copies",
+        expr(s"(cum * ${k}L) div ${totalW}L - ((cum - w) * ${k}L) div ${totalW}L"))
+      .filter(col("copies") >= 1L)
+      .select(col("doc_id"), col("w").as("n_tokens"), col("copies"), col("cum"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- language ID: per-language marker-word counts, argmax ----
@@ -1083,6 +1134,33 @@ object TextOps {
             ORDER BY n_chars, doc_id) AS r,
           count(*) OVER (PARTITION BY lang) AS c
         FROM documents)
+      ORDER BY doc_id""")),
+
+    // ---- systematic weighted sample: 40 docs, inclusion exactly ∝
+    //      token count, all integer floor-div arithmetic; the oracle
+    //      replays the hash walk with a single global window ----
+    ("t23_weighted_sample", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      systematicWeightedSample(docs.select(col("doc_id"),
+        size(filter(split(trim(col("text")), " "),
+          w => w =!= "")).cast("bigint").as("w")), 40L)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH wdoc AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(trim(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS w
+           FROM documents),
+      c AS (SELECT doc_id, w,
+              CAST(sum(w) OVER (ORDER BY (doc_id % 1000003) * 427799 % 1000003,
+                                         doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM wdoc),
+      t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wdoc)
+      SELECT doc_id, w AS n_tokens,
+        (cum * 40) // tw - ((cum - w) * 40) // tw AS copies, cum
+      FROM c CROSS JOIN t
+      WHERE (cum * 40) // tw - ((cum - w) * 40) // tw >= 1
       ORDER BY doc_id""")),
 
     // ---- DSIR importance weights: avg log2 ratio of target-vs-raw

@@ -583,6 +583,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size === 2)
   }
 
+  test("t23 systematic sample: sum of copies is exactly k, zero weights never picked, matches one-window walk") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    val w = Seq((1L, 5L), (2L, 0L), (3L, 50L), (4L, 1L), (5L, 25L),
+      (6L, 19L), (7L, 0L), (8L, 100L)).toDF("doc_id", "w")
+    val got = graft.operators.TextOps.systematicWeightedSample(w, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got.map(_._3).sum === 10L, "sum(copies) must be exactly k")
+    assert(!got.exists(g => g._1 == 2L || g._1 == 7L), "zero-weight doc picked")
+    // heavy doc (half the mass) must carry multiple copies
+    assert(got.find(_._1 == 8L).exists(_._3 >= 4L))
+    // two-phase bucket plan == the textbook single global window
+    val tw = 200L
+    val naive = w.withColumn("h",
+        expr("(doc_id % 1000003) * 427799 % 1000003"))
+      .withColumn("cum", sum(col("w")).over(Window.orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("copies",
+        expr(s"(cum * 10L) div ${tw}L - ((cum - w) * 10L) div ${tw}L"))
+      .filter(col("copies") >= 1L)
+      .select(col("doc_id"), col("w"), col("copies"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet === naive, "bucketed walk diverged from the global window")
+  }
+
   test("d17 mixture: two-phase histogram plan selects exactly the naive window's rows") {
     val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
     val fast = Dedup.mixtureSample(docs).collect()
