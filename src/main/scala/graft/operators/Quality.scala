@@ -244,6 +244,60 @@ object Quality {
           .as("cell_chi2"))
   }
 
+  /** Population-stability-index drift over a continuous column — the
+    * monitoring-dashboard companion to [[ksDrift]] (KS answers "did
+    * the distribution move?", PSI answers "by how much, and in which
+    * bins"). Fixed-width integer bins over the global [min, max]
+    * (dq04's deterministic-slices discipline — the input is integer
+    * cents, so bin assignment is exact floor-div, never a float
+    * boundary), a DENSE bin spine so add-one (Laplace) smoothing is
+    * well-defined on empty bins, and per-bin contribution
+    * (p−q)·ln(p/q) computed as ONE fixed-order double expression off
+    * exact BIGINT smoothed-share numerators. psi_total is the
+    * decimal sum of the rounded cells (order-independent), repeated
+    * per row.
+    *
+    * SCALE: one partial-aggregable groupBy(value) + a bin groupBy;
+    * everything after is bins-sized (the over-() window runs on B
+    * rows, not data).
+    */
+  def psiDrift(values: DataFrame, valCol: String, grpCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val spark = values.sparkSession
+    val d = values.groupBy(col(valCol).as("c"))
+      .agg(sum(when(col(grpCol), 1L).otherwise(0L)).as("na"),
+        sum(when(col(grpCol), 0L).otherwise(1L)).as("nb"))
+    val mm = d.agg(min("c").as("cmin"), max("c").as("cmax"))
+    val occ = d.crossJoin(broadcast(mm))
+      .withColumn("bin", expr(s"((c - cmin) * ${bins}L) div (cmax - cmin + 1)"))
+      .groupBy("bin").agg(sum("na").as("o1"), sum("nb").as("o2"))
+    val spine = spark.range(bins).select(col("id").as("bin"))
+    val cells = spine.join(occ, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("o1"), lit(0L)).as("o1"),
+        coalesce(col("o2"), lit(0L)).as("o2"))
+    val tot = cells.agg(sum("o1").cast("long").as("n1"),
+      sum("o2").cast("long").as("n2"))
+    val b = lit(bins.toLong)
+    val pnum = col("o1") + 1L
+    val qnum = col("o2") + 1L
+    val pden = col("n1") + b
+    val qden = col("n2") + b
+    val psiBin = round(
+      ((pnum * qden - qnum * pden).cast("double") /
+        (pden.cast("double") * qden.cast("double"))) *
+      log((pnum * qden).cast("double") / (qnum * pden).cast("double")), 9)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells.crossJoin(broadcast(tot))
+      .withColumn("psi_bin", psiBin)
+      .withColumn("psi_total", round(
+        sum(col("psi_bin").cast(DecimalType(28, 10))).over(wAll)
+          .cast("double"), 9))
+      .select(col("bin"), col("o1"), col("o2"),
+        col("psi_bin"), col("psi_total"))
+  }
+
   private val fmtLong: Column => Column = _.cast("string")
   private val fmtStr: Column => Column = identity
   private val fmtMoney: Column => Column =
@@ -480,6 +534,47 @@ object Quality {
                * CAST(o2 * (t.n1 + t.n2) - (o1 + o2) * t.n2 AS DOUBLE)
                / CAST((t.n1 + t.n2) * (o1 + o2) * t.n2 AS DOUBLE)
           END, 9) AS cell_chi2
-      FROM c, t ORDER BY cat"""))
+      FROM c, t ORDER BY cat""")),
+
+    // ---- PSI over the same cents/cohort pair dq04 KS-tests: 10
+    //      fixed-width bins, add-one smoothing on a dense spine,
+    //      per-bin (p−q)·ln(p/q) off exact integers, decimal total ----
+    ("dq06_psi_drift", (s: SparkSession, d: String) => {
+      psiDrift(
+        Tables.orders(s, d).select(
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"),
+          (col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .as("pre98")),
+        "cents", "pre98")
+        .orderBy("bin")
+    }, Some("""
+      WITH v AS (SELECT
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+          o_orderdate < TIMESTAMP '1998-01-01' AS g
+        FROM orders),
+      d AS (SELECT c,
+          CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM v GROUP BY c),
+      mm AS (SELECT min(c) AS cmin, max(c) AS cmax FROM d),
+      occ AS (SELECT ((c - cmin) * 10) // (cmax - cmin + 1) AS bin,
+          CAST(sum(na) AS BIGINT) AS o1, CAST(sum(nb) AS BIGINT) AS o2
+        FROM d CROSS JOIN mm GROUP BY 1),
+      cells AS (SELECT s.bin, coalesce(o1, 0) AS o1, coalesce(o2, 0) AS o2
+        FROM (SELECT unnest(range(0, 10)) AS bin) s
+        LEFT JOIN occ USING (bin)),
+      t AS (SELECT CAST(sum(o1) AS BIGINT) AS n1,
+                   CAST(sum(o2) AS BIGINT) AS n2 FROM cells),
+      pb AS (SELECT bin, o1, o2,
+          round((CAST((o1 + 1) * (n2 + 10) - (o2 + 1) * (n1 + 10) AS DOUBLE)
+                 / (CAST(n1 + 10 AS DOUBLE) * CAST(n2 + 10 AS DOUBLE)))
+              * ln(CAST((o1 + 1) * (n2 + 10) AS DOUBLE)
+                   / CAST((o2 + 1) * (n1 + 10) AS DOUBLE)), 9) AS psi_bin
+        FROM cells CROSS JOIN t)
+      SELECT bin, o1, o2, psi_bin,
+        round(CAST(sum(CAST(psi_bin AS DECIMAL(28,10))) OVER () AS DOUBLE), 9)
+          AS psi_total
+      FROM pb ORDER BY bin"""))
   )
 }

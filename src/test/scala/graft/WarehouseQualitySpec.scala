@@ -191,6 +191,32 @@ class WarehouseQualitySpec extends AnyFunSuite {
     assert(r2.head.getAs[Long]("o1") === 1L)
   }
 
+  test("psiDrift: identical cohorts are exactly zero, dense spine, hand-checked shift, decimal total") {
+    // identical cohorts: smoothed p == q in every bin -> psi_bin 0.0
+    val same = (1L to 20L).flatMap(i => Seq((i, true), (i, false)))
+      .toDF("c", "g")
+    val s = Quality.psiDrift(same, "c", "g", bins = 4).orderBy("bin").collect()
+    assert(s.length === 4)
+    assert(s.forall(_.getAs[Double]("psi_bin") === 0.0))
+    assert(s.forall(_.getAs[Double]("psi_total") === 0.0))
+    // mass moved to the top bin; spine keeps all 4 bins present even
+    // though cohort rows only occupy two of them
+    val shifted = (Seq.fill(8)((1L, true)) ++ Seq.fill(8)((8L, false)))
+      .toDF("c", "g")
+    val g = Quality.psiDrift(shifted, "c", "g", bins = 4).orderBy("bin").collect()
+    assert(g.length === 4)
+    assert(g.map(r => (r.getAs[Long]("o1"), r.getAs[Long]("o2"))).toSeq ===
+      Seq((8L, 0L), (0L, 0L), (0L, 0L), (0L, 8L)))
+    // bin 0: p=(9)/12, q=1/12 -> (8/12)·ln(9) ; bin 3 symmetric; empty
+    // middle bins contribute exactly 0 (p == q == 1/12)
+    val exp = math.rint(8.0 / 12.0 * math.log(9.0) * 1e9) / 1e9
+    assert(g(0).getAs[Double]("psi_bin") === exp)
+    assert(g(3).getAs[Double]("psi_bin") === exp) // symmetric, PSI >= 0
+    assert(g(1).getAs[Double]("psi_bin") === 0.0)
+    val tot = math.rint(2 * exp * 1e9) / 1e9
+    assert(g.forall(r => (r.getAs[Double]("psi_total") - tot).abs < 1e-9))
+  }
+
   test("snapshotDiff classifies I/U/D, drops unchanged, compares null-safely") {
     val old = Seq((1L, Some("A")), (2L, Some("B")), (3L, Some("C")),
       (5L, None: Option[String])).toDF("k", "v")
