@@ -165,6 +165,35 @@ object Sessionize {
           .as("p"))
   }
 
+  /** Top session paths: the ordered event-type sequence of each
+    * session's first `prefixLen` events, counted across sessions —
+    * "what do users actually do" as a ranked path table (the
+    * clickstream Sankey's input). Prefix cap FIRST (row_number ≤
+    * prefixLen), so the per-session collect is bounded at prefixLen
+    * structs even for a bot session — the aggregate's state is O(P),
+    * never O(session). The (user, session) window runs under
+    * [[sessionized]]'s existing user hash partitioning
+    * (ClusteredDistribution is satisfied by a subset key — no second
+    * exchange); path assembly is array_sort over the ≤P collected
+    * (ts, id, type) structs, deterministic by the unique id tiebreak.
+    */
+  def sessionPaths(events: DataFrame, prefixLen: Int = 5,
+      topK: Int = 20, gapNs: Long = GapNs): DataFrame = {
+    require(prefixLen >= 1 && topK >= 1, "need prefixLen/topK >= 1")
+    val ev = events.withColumn("eid", col("event_id"))
+    val s = sessionized(ev, gapNs, keepCols = Seq("event_type", "eid"))
+    val w2 = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_ns"), col("eid"))
+    s.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= prefixLen)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("ts_ns"), col("eid"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path")).limit(topK)
+  }
+
   /** events with ts_ns µs-floored: DuckDB reads parquet NANOS as µs
     * timestamps, so all gap/duration arithmetic must happen at µs
     * resolution for oracle parity. */
@@ -537,7 +566,35 @@ object Sessionize {
       SELECT p.prev_type, p.next_type, p.n, t.row_n,
         round(CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE), 6) AS p
       FROM p JOIN t USING (prev_type)
-      ORDER BY prev_type, next_type"""))
+      ORDER BY prev_type, next_type""")),
+
+    // ---- top-20 session-prefix paths (first 5 events per session):
+    //      the oracle replays ss01's sessionization, ranks within
+    //      session, and string_aggs the ordered prefix ----
+    ("ss10_session_paths", (s: SparkSession, d: String) => {
+      sessionPaths(eventsUs(s, d))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                   (epoch_ns(ts) // 1000) * 1000 AS tns FROM events),
+      l AS (SELECT user_id, event_id, event_type, tns,
+              lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS p
+            FROM e),
+      f AS (SELECT user_id, event_id, event_type, tns,
+              CASE WHEN p IS NULL OR tns - p > 1800000000000
+                THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sess AS (SELECT user_id, event_id, event_type, tns,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM f),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+              ORDER BY tns, event_id) AS rn
+            FROM sess),
+      p AS (SELECT user_id, session_id,
+              string_agg(event_type, '>' ORDER BY tns, event_id) AS path
+            FROM r WHERE rn <= 5 GROUP BY 1, 2)
+      SELECT path, count(*) AS n_sessions FROM p
+      GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"""))
   )
 
   private lazy val ss01OracleSql = Some("""

@@ -108,6 +108,26 @@ class SessionizeSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionPaths: prefix cap, path order by (ts, id), session shuffle is the only wide exchange") {
+    val got = Sessionize.sessionPaths(tinyEvents, prefixLen = 2,
+        topK = 10, gapNs = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // u1: click>view (prefix 2 of 4); u2: click; u3: view>purchase;
+    // u4 session 1: view>click, session 2: view
+    assert(got === Map("click>view" -> 1L, "click" -> 1L,
+      "view>purchase" -> 1L, "view>click" -> 1L, "view" -> 1L))
+    // plan: one user-keyed exchange feeds sessionize, the session
+    // window, the prefix filter AND the per-session aggregate; the
+    // only other exchange is the path-count rollup + the final top-k
+    val df = Sessionize.sessionPaths(graft.sources.Tables.events(spark, sf)
+      .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected user shuffle + path rollup only:\n$plan")
+  }
+
   test("d18 election: partial-agg groupBy, no per-cluster window") {
     // verdict r7 ask: pin that the canonical election is map-side
     // combinable — a Window over cluster would serialize each cluster
