@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -174,6 +175,39 @@ object Warehouse {
                 ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
             FROM ch)"""
 
+  /** Pro-rata money allocation with largest-remainder (Hamilton)
+    * rounding — spread each parent's integer-cents `totalCol` across
+    * its children ∝ `weightCol` so the allocated cents sum EXACTLY to
+    * the parent total (the invariant every finance/billing pipeline
+    * must hold; naive per-row rounding leaks ±cents per parent).
+    * base_i = (T·w_i) div W; the residual R = T − Σ base (0 ≤ R <
+    * children) goes +1 cent to the R largest remainders (T·w_i mod W),
+    * `tieCol` breaking remainder ties. ALL integer arithmetic.
+    *
+    * SCALE: one (parent) exchange; the remainder rank and the
+    * residual sum are two window functions over the SAME (parent)
+    * partitioning — child groups are order-sized (tiny), parent
+    * cardinality carries the parallelism. Requires T·w to fit a long
+    * (cents × quantity — ceilings above any real invoice).
+    */
+  def allocateProRata(children: DataFrame, parentCol: String,
+      tieCol: String, weightCol: String, totalCol: String): DataFrame = {
+    val grp = Window.partitionBy(col(parentCol))
+    val byRem = Window.partitionBy(col(parentCol))
+      .orderBy(col("rem").desc, col(tieCol))
+    children
+      .withColumn("w_sum", sum(col(weightCol)).over(grp))
+      .withColumn("base",
+        expr(s"($totalCol * $weightCol) div w_sum"))
+      .withColumn("rem",
+        expr(s"($totalCol * $weightCol) % w_sum"))
+      .withColumn("residual", col(totalCol) - sum(col("base")).over(grp))
+      .withColumn("extra",
+        when(row_number().over(byRem) <= col("residual"), 1L).otherwise(0L))
+      .withColumn("alloc", col("base") + col("extra"))
+      .drop("w_sum", "base", "rem", "residual", "extra")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // ---- SCD2 history of each customer's order-status attribute ----
     ("wh01_scd2_history", (s: SparkSession, d: String) => {
@@ -267,6 +301,49 @@ object Warehouse {
        AND v.eff_from <= o.o_orderdate
        AND (v.eff_to IS NULL OR o.o_orderdate < v.eff_to)
       ORDER BY o.o_orderkey""")),
+
+    // ---- largest-remainder allocation: order totals spread across
+    //      line items ∝ quantity, cents-exact per order; the oracle
+    //      replays the floor-div/remainder-rank arithmetic ----
+    ("wh04_allocation", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("l_linenumber"),
+        col("l_quantity").cast("bigint").as("qty"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("total_cents"))
+      allocateProRata(
+        li.join(o, col("l_orderkey") === col("o_orderkey")).drop("o_orderkey"),
+        "l_orderkey", "l_linenumber", "qty", "total_cents")
+        .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+          col("total_cents"), col("alloc").as("alloc_cents"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some("""
+      WITH li AS (
+        SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+          CAST(l.l_quantity AS BIGINT) AS qty,
+          CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS total_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      base AS (
+        SELECT *, CAST(sum(qty) OVER (PARTITION BY l_orderkey) AS BIGINT)
+            AS w_sum
+        FROM li),
+      calc AS (
+        SELECT l_orderkey, l_linenumber, qty, total_cents,
+          (total_cents * qty) // w_sum AS b,
+          (total_cents * qty) % w_sum AS rem
+        FROM base),
+      ranked AS (
+        SELECT *,
+          CAST(total_cents - sum(b) OVER (PARTITION BY l_orderkey)
+            AS BIGINT) AS residual,
+          row_number() OVER (PARTITION BY l_orderkey
+            ORDER BY rem DESC, l_linenumber) AS rn
+        FROM calc)
+      SELECT l_orderkey, l_linenumber, qty, total_cents,
+        b + CASE WHEN rn <= residual THEN 1 ELSE 0 END AS alloc_cents
+      FROM ranked ORDER BY l_orderkey, l_linenumber""")),
 
     // ---- RFM segments: per-customer recency/frequency/monetary,
     //      each quintile-binned by t22's histogram ranks. Oracle

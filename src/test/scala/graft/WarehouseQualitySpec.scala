@@ -191,6 +191,35 @@ class WarehouseQualitySpec extends AnyFunSuite {
     assert(r2.head.getAs[Long]("o1") === 1L)
   }
 
+  test("allocateProRata: cents-exact per parent, largest remainder wins, deterministic ties") {
+    // parent 1: T=100 over weights 1,1,1 -> base 33x3, residual 1 to
+    // the smallest tie (all remainders equal) = line 1
+    // parent 2: T=10 over weights 3,1 -> 7.5/2.5 -> base 7,2, residual
+    // 1 to the larger remainder (line 1: rem 30%40=30 > line 2: 10)
+    val kids = Seq(
+      (1L, 1L, 1L, 100L), (1L, 2L, 1L, 100L), (1L, 3L, 1L, 100L),
+      (2L, 1L, 3L, 10L), (2L, 2L, 1L, 10L)
+    ).toDF("pk", "line", "w", "t")
+    val got = graft.operators.Warehouse
+      .allocateProRata(kids, "pk", "line", "w", "t")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(got === Map((1L, 1L) -> 34L, (1L, 2L) -> 33L, (1L, 3L) -> 33L,
+      (2L, 1L) -> 8L, (2L, 2L) -> 2L))
+    // invariant on sf data: every order's allocation sums to its total
+    val li = graft.sources.Tables.lineitem(spark, GraftTestSession.sf)
+      .selectExpr("l_orderkey", "CAST(l_linenumber AS BIGINT) AS line",
+        "CAST(l_quantity AS BIGINT) AS w")
+    val o = graft.sources.Tables.orders(spark, GraftTestSession.sf)
+      .selectExpr("o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t")
+    val leaks = graft.operators.Warehouse
+      .allocateProRata(li.join(o, col("l_orderkey") === col("o_orderkey")),
+        "l_orderkey", "line", "w", "t")
+      .groupBy("l_orderkey", "t").agg(sum("alloc").as("s"))
+      .filter(col("s") =!= col("t")).count()
+    assert(leaks === 0L, "an order's allocated cents diverged from its total")
+  }
+
   test("psiDrift: identical cohorts are exactly zero, dense spine, hand-checked shift, decimal total") {
     // identical cohorts: smoothed p == q in every bin -> psi_bin 0.0
     val same = (1L to 20L).flatMap(i => Seq((i, true), (i, false)))
