@@ -298,6 +298,39 @@ object Quality {
         col("psi_bin"), col("psi_total"))
   }
 
+  /** Benford first-significant-digit audit over a positive integer
+    * column — the forensic realness check (fabricated or truncated
+    * money values drift off the log distribution). Digit extraction
+    * is string-exact off the integer (first char of the decimal
+    * rendering — no float log in the bucketing); observed counts and
+    * N are exact BIGINTs on a dense 1..9 spine; the expected share
+    * log10(1+1/d) and the per-digit deviation/chi² contribution are
+    * fixed-order doubles off those integers (dq05's discipline: no
+    * float total, consumers sum the 9 cells).
+    *
+    * SCALE: ONE partial-aggregable groupBy(digit) — 9 groups; spine
+    * join and all downstream math are 9-row.
+    */
+  def benfordDigits(values: DataFrame, valCol: String): DataFrame = {
+    val spark = values.sparkSession
+    val occ = values.filter(col(valCol) > 0L)
+      .select(substring(col(valCol).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spine = spark.range(1, 10).select(col("id").as("digit"))
+    val cells = spine.join(occ, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    val tot = cells.agg(sum("n_obs").cast("long").as("n_total"))
+    val expP = log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    val obsP = col("n_obs").cast("double") / col("n_total").cast("double")
+    val dev = obsP - expP
+    cells.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"), col("n_total"),
+        round(expP, 9).as("exp_p"), round(obsP, 9).as("obs_p"),
+        round(dev * dev * col("n_total").cast("double") / expP, 9)
+          .as("cell_chi2"))
+  }
+
   private val fmtLong: Column => Column = _.cast("string")
   private val fmtStr: Column => Column = identity
   private val fmtMoney: Column => Column =
@@ -575,6 +608,38 @@ object Quality {
       SELECT bin, o1, o2, psi_bin,
         round(CAST(sum(CAST(psi_bin AS DECIMAL(28,10))) OVER () AS DOUBLE), 9)
           AS psi_total
-      FROM pb ORDER BY bin"""))
+      FROM pb ORDER BY bin""")),
+
+    // ---- Benford first-digit audit of order totals (in cents):
+    //      string-exact digit bucketing, dense 1..9 spine, per-digit
+    //      deviation + chi2 cell off exact integers ----
+    ("dq07_benford", (s: SparkSession, d: String) => {
+      benfordDigits(
+        Tables.orders(s, d).select(
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents")),
+        "cents")
+        .orderBy("digit")
+    }, Some("""
+      WITH v AS (SELECT
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders),
+      occ AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+            AS digit, count(*) AS n_obs
+          FROM v WHERE c > 0 GROUP BY 1),
+      cells AS (SELECT s.digit, coalesce(n_obs, 0) AS n_obs
+        FROM (SELECT unnest(range(1, 10)) AS digit) s
+        LEFT JOIN occ USING (digit)),
+      t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM cells)
+      SELECT digit, n_obs, n_total,
+        round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9) AS exp_p,
+        round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS obs_p,
+        round((CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+               - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+            * (CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+               - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+            * CAST(n_total AS DOUBLE)
+            / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9) AS cell_chi2
+      FROM cells CROSS JOIN t ORDER BY digit"""))
   )
 }

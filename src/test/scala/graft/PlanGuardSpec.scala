@@ -32,7 +32,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "ss08_conversion_lag", // broadcast 1-row p50/p90 threshold singletons
     "dq04_ks_drift", // broadcast 1-row global min/max (fixed-width slices)
     "dq05_chi2_drift", // broadcast 1-row grand total (expected counts)
-    "dq06_psi_drift") // broadcast 1-row min/max + 1-row cohort totals
+    "dq06_psi_drift", // broadcast 1-row min/max + 1-row cohort totals
+    "dq07_benford") // broadcast 1-row grand total
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is

@@ -246,6 +246,17 @@ class WarehouseQualitySpec extends AnyFunSuite {
     assert(g.forall(r => (r.getAs[Double]("psi_total") - tot).abs < 1e-9))
   }
 
+  test("benfordDigits: string-exact first digit, non-positives dropped, dense spine") {
+    val v = Seq(1L, 19L, 150L, 2L, 2000L, 9L, 0L, -7L).toDF("x")
+    val got = Quality.benfordDigits(v, "x").orderBy("digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // digits: 1 (from 1,19,150), 2 (from 2,2000), 9 (from 9); 0 and -7
+    // excluded; N = 6; spine keeps digits 3..8 present with zero
+    assert(got.map(_._1).toSeq === (1L to 9L))
+    assert(got.map(_._2).toSeq === Seq(3L, 2L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(got.forall(_._3 === 6L))
+  }
+
   test("snapshotDiff classifies I/U/D, drops unchanged, compares null-safely") {
     val old = Seq((1L, Some("A")), (2L, Some("B")), (3L, Some("C")),
       (5L, None: Option[String])).toDF("k", "v")
