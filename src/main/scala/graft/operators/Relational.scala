@@ -1605,6 +1605,49 @@ object Relational {
              wr AS (PARTITION BY o_custkey
                     ORDER BY o_orderdate, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      ORDER BY o_custkey, o_orderkey"""))
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- schema-evolution union: two generations of the same table,
+    //      different column ORDER and a column only the new one has —
+    //      unionByName(allowMissingColumns) aligns by NAME and
+    //      null-fills (positional UNION would mis-zip); aggregated
+    //      with GROUP BY ALL (the modern shorthand both engines
+    //      support). The null-filled measure makes count(col) vs
+    //      count(*) diverge exactly on the old generation ----
+    ("q73_union_by_name", (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d)
+      val oldGen = o.filter(col("o_orderdate") <
+          lit("1995-01-01").cast("timestamp"))
+        .select(col("o_orderpriority"), col("o_orderstatus"))
+      val newGen = o.filter(col("o_orderdate") >=
+          lit("1995-01-01").cast("timestamp"))
+        .select(col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          col("o_orderpriority"))
+      oldGen.unionByName(newGen, allowMissingColumns = true)
+        .createOrReplaceTempView("v_gens")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          count(*) AS n_rows,
+          count(price) AS n_priced,
+          CAST(sum(price) AS DOUBLE) AS revenue
+        FROM v_gens
+        GROUP BY ALL
+        ORDER BY ALL""")
+    }, Some("""
+      WITH gens AS (
+        SELECT o_orderpriority, o_orderstatus, NULL AS price
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        UNION ALL BY NAME
+        SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               o_orderpriority
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01')
+      SELECT o_orderstatus, o_orderpriority,
+        count(*) AS n_rows,
+        count(price) AS n_priced,
+        CAST(sum(price) AS DOUBLE) AS revenue
+      FROM gens
+      GROUP BY ALL
+      ORDER BY ALL"""))
   )
 }
