@@ -262,12 +262,26 @@ object Quality {
     * rows, not data).
     */
   def psiDrift(values: DataFrame, valCol: String, grpCol: String,
-      bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"need bins >= 2, got $bins")
-    val spark = values.sparkSession
-    val d = values.groupBy(col(valCol).as("c"))
+      bins: Int = 10): DataFrame =
+    psiFromCounts(valueCohortCounts(values, valCol, grpCol), bins)
+
+  /** The (value → cohort counts) histogram both drift tests and the
+    * streaming drift monitor fold over: one partial-aggregable
+    * groupBy, rows = distinct values. The streaming store keeps
+    * exactly these rows per batch partial (counts sum is lossless and
+    * associative — the store-fold merge).
+    */
+  def valueCohortCounts(values: DataFrame, valCol: String,
+      grpCol: String): DataFrame =
+    values.groupBy(col(valCol).as("c"))
       .agg(sum(when(col(grpCol), 1L).otherwise(0L)).as("na"),
         sum(when(col(grpCol), 0L).otherwise(1L)).as("nb"))
+
+  /** [[psiDrift]] off an already-aggregated (c, na, nb) histogram —
+    * the streaming twin publishes this over its folded store. */
+  def psiFromCounts(d: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val spark = d.sparkSession
     val mm = d.agg(min("c").as("cmin"), max("c").as("cmax"))
     val occ = d.crossJoin(broadcast(mm))
       .withColumn("bin", expr(s"((c - cmin) * ${bins}L) div (cmax - cmin + 1)"))

@@ -726,6 +726,55 @@ class StreamingSpec extends AnyFunSuite {
   }
 
 
+  test("streaming PSI drift equals batch dq06 over the whole stream; range extension re-bins") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, Boolean)]): Unit = {
+      val stage = Files.createTempDirectory("graft-drstage")
+      rows.toDF("cents", "pre").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-dr-src")
+    val store = Files.createTempDirectory("graft-dr-store").toString + "/dr"
+    val out = Files.createTempDirectory("graft-dr-out").toString
+    val ckpt = Files.createTempDirectory("graft-dr-ckpt").toString
+    val b1 = Seq((10L, true), (12L, true), (19L, false), (11L, false))
+    val b2 = Seq((10L, true), (19L, false), (15L, false))
+    // b3 stretches the global max: every bin boundary moves — the
+    // published table must re-bin history exactly like the batch twin
+    val b3 = Seq((90L, false), (10L, true))
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream.schema("cents LONG, pre BOOLEAN")
+      .parquet(src.toString)
+    val q = graft.streaming.DriftStream.start(store, stream,
+      "cents", "pre", bins = 4, out, ckpt, maxStoreParts = Some(2))
+    def published() = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def batchTruth(rows: Seq[(Long, Boolean)]) =
+      graft.operators.Quality.psiDrift(rows.toDF("cents", "pre"),
+        "cents", "pre", bins = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTruth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2))
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+      // after the stretch, the old values all collapse into bin 0
+      assert(published()(0L)._1 === 4L && published()(0L)._2 === 4L)
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+  }
+
   test("streaming EWMA equals batch ts08 over the whole stream; late event shifts later buckets") {
     import spark.implicits._
     def addFile(src: java.nio.file.Path, name: String,
