@@ -377,9 +377,24 @@ object Scale {
       timeG("pagerank", n)(graft.operators.Graph.pageRank(raw, 8).count())
       timeG("lpa", n)(graft.operators.Graph.labelPropagation(pairs, 4).count())
       timeG("kcore", n)(graft.operators.Graph.kCore(pairs, 4L, 60).count())
+      // tr03 wedge economics: Σ deg² through every center vs through
+      // cap-surviving centers — the celebrity cap's exact saving,
+      // computed analytically (no quadratic run needed), then the
+      // capped operator timed for real
+      val wedges = deg.agg(
+        sum(expr("deg * (deg - 1)")).as("all"),
+        sum(when(col("deg") <= 64L, expr("deg * (deg - 1)"))
+          .otherwise(0L)).as("capped")).head()
+      println(f"[scale] commonNbr wedges n=$n%,d: all-centers " +
+        f"${wedges.getLong(0)}%,d vs cap<=64 ${wedges.getLong(1)}%,d " +
+        f"(${wedges.getLong(0).toDouble / wedges.getLong(1)}%.1fx cut " +
+        "by dropping celebrity centers)")
+      timeG("commonNbr", n)(graft.operators.Graph
+        .commonNeighborRecs(pairs, 3, maxCenterDeg = 64L).count())
     }
     val edgeFactor = sizes.last.toDouble / sizes.head
-    Seq("triangles", "bfs", "pagerank", "lpa", "kcore").foreach { op =>
+    Seq("triangles", "bfs", "pagerank", "lpa", "kcore", "commonNbr")
+      .foreach { op =>
       val ratio = graphTimes((op, sizes.last)) / graphTimes((op, sizes.head))
       println(f"[scale] graph 20x step: $op%-10s time ${ratio}%5.1fx " +
         f"(edge factor ${edgeFactor}%.0fx — sublinear-in-pairs; " +
