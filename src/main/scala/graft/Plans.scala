@@ -77,7 +77,13 @@ object Plans {
       "er04_multikey_pairs" -> "multi-pass blocking: two block-keyed hash joins unioned + pair dedup — no cartesian in either pass, cost additive in passes",
       "ix03_contamination_audit" -> "contamination audit: ONE postings pass for the whole phrase list — (phrase, slot, word) broadcast, (doc, phrase, anchor) groupBy, source rollup",
       "q71_exists_not_exists" -> "TPC-H Q21 shape: EXISTS + NOT EXISTS on the same table decorrelate to ONE left-semi + ONE left-anti join stacked directly on the filtered l1 scan inside a single codegen span — no exchange on the probe spine between them (PlanSpec-asserted)",
-      "er05_incremental_er" -> "incremental ER ingest: the batch's block rows join the bucketed blocks store with ZERO store-side exchange (the bucketed write IS its shuffle); attach/merge frames are match-edge-sized; the final labels read is one broadcast remap hop over the bucketed labels table")
+      "er05_incremental_er" -> "incremental ER ingest: the batch's block rows join the bucketed blocks store with ZERO store-side exchange (the bucketed write IS its shuffle); attach/merge frames are match-edge-sized; the final labels read is one broadcast remap hop over the bucketed labels table",
+      "ix04_ranked_search" -> "BM25 ranked retrieval: IN-list term filter map-only over the postings scan (bucket-pruned on a stored index), tf/df exchanges candidate-sized, dl joined from the slim registry, 1-row stats broadcast, k-row TakeOrdered",
+      "tr03_common_neighbors" -> "common-neighbor recs: ONE center-keyed wedge self-join (equi, no BNLJ), canonical-pair partial-aggregable count, equi anti-join against the edge list, per-vertex rank window over candidate pairs only",
+      "t23_weighted_sample" -> "systematic weighted sample (corpus entry): KB histogram agg -> driver prefix -> bucket-parallel windows (Exchange hashes the h-range bucket, never one partition); selection a codegen integer floor-div filter",
+      "wh04_allocation" -> "largest-remainder allocation: ONE (order) exchange shared by the weight-sum window, the remainder-rank window and the residual window; all arithmetic integer codegen",
+      "ss10_session_paths" -> "session paths: hashpartitioning(user) from the sessionize shuffle satisfies the (user, session) prefix window AND the per-session collect; the only other exchange is the path-cardinality rollup before top-k",
+      "dq06_psi_drift" -> "PSI drift: one partial-aggregable groupBy(value), broadcast 1-row min/max -> integer bin ids, dense 10-row spine left join, 1-row totals broadcast — everything after the value groupBy is bins-sized")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +
