@@ -645,6 +645,44 @@ object TextOps {
       .select(col("doc_id"), col("w").as("n_tokens"), col("copies"), col("cum"))
   }
 
+  /** TF-IDF keyword extraction: the top-k characteristic words of
+    * every document — tf·ln(N/df) over the corpus's own statistics
+    * (t07's BM25 ranks DOCS for a query; this ranks WORDS for a doc —
+    * the tagging/labeling complement). Exact integer tf/df/N; the
+    * score is one fixed-order double rounded at 6, rank deterministic
+    * by (score desc, word) — a stopword appearing in every doc gets
+    * idf ln(1)=0 and drops out naturally.
+    *
+    * SCALE: one token pass → partial-aggregable (doc, word) tf
+    * groupBy; df another partial-aggregable groupBy over the
+    * DISTINCT-(doc,word) frame tf already is; N a 1-row broadcast.
+    * The rank window partitions per doc (distinct-words-sized groups,
+    * doc-cardinality parallelism — no hot key possible beyond one
+    * doc's vocabulary).
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val words = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val score = round(col("tf").cast("double") *
+      log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(byScore).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w").as("word"),
+        col("tf"), col("df"), col("score"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- language ID: per-language marker-word counts, argmax ----
@@ -1162,6 +1200,36 @@ object TextOps {
       FROM c CROSS JOIN t
       WHERE (cum * 40) // tw - ((cum - w) * 40) // tw >= 1
       ORDER BY doc_id""")),
+
+    // ---- TF-IDF keywords: top-3 characteristic words per doc,
+    //      exact tf/df/N, (score desc, word) rank ----
+    ("t24_tfidf_keywords", (s: SparkSession, d: String) => {
+      tfidfKeywords(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism), 3)
+        .orderBy("doc_id", "rank")
+    }, Some("""
+      WITH words AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+          FROM documents)
+        WHERE w <> ''),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+      dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      scored AS (
+        SELECT tf.doc_id, tf.w, tf.tf, f.df,
+          round(CAST(tf.tf AS DOUBLE)
+                * ln(CAST(n.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE)), 6)
+            AS score
+        FROM tf JOIN dfreq f USING (w) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, w, tf, df, score,
+          CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, w) AS BIGINT) AS rank
+        FROM scored)
+      SELECT doc_id, rank, w AS word, tf, df, score
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank""")),
 
     // ---- DSIR importance weights: avg log2 ratio of target-vs-raw
     //      hashed-unigram models (target = lang 'en'); the oracle
