@@ -487,6 +487,65 @@ object Pipeline {
       FROM asg a JOIN kept k ON k.doc_id = a.vec_id
       LEFT JOIN dup ON dup.ib = a.vec_id
       WHERE dup.ib IS NULL
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- gate → weighted sample → shard, one Catalyst plan: t20's
+    //      per-lang percentile gate keeps the long tail, t23's
+    //      systematic walk samples 40 survivors ∝ tokens, and the
+    //      selected docs pack into ~2000-token shards along the same
+    //      walk order — the "curate a fixed-size eval set" loop. The
+    //      shard window runs over the 40 SELECTED rows (output-sized,
+    //      not corpus-sized); everything upstream is the t20/t23
+    //      machinery with their scale shapes intact ----
+    ("p06_sample_pipeline", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val ws = filter(split(trim(col("text")), " "), w => w =!= "")
+      val scored = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          size(ws).cast("bigint").as("n_words"))
+      val kept = TextOps.percentileGate(scored, "lang", "n_words", 0.2)
+      val sampled = TextOps.systematicWeightedSample(
+        kept.select(col("doc_id"), col("n_words").as("w")), 40L)
+      val wSel = Window.orderBy(col("cum"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      sampled.join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("run", sum(col("n_tokens")).over(wSel))
+        .withColumn("shard_id", expr("(run - n_tokens) div 2000L"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("copies"), col("shard_id"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH s AS (SELECT doc_id, lang,
+          CAST(len(list_filter(string_split(trim(text), ' '), t -> t <> ''))
+            AS BIGINT) AS n_words
+        FROM documents),
+      h AS (SELECT lang, n_words, count(*) AS cnt FROM s GROUP BY 1, 2),
+      c AS (SELECT lang, n_words,
+              sum(cnt) OVER (PARTITION BY lang ORDER BY n_words) AS cum,
+              sum(cnt) OVER (PARTITION BY lang) AS n
+            FROM h),
+      t AS (SELECT lang, CAST(min(n_words) AS BIGINT) AS thr
+            FROM c WHERE cum >= ceil(0.2 * n) GROUP BY lang),
+      kept AS (SELECT s.doc_id, s.lang, s.n_words AS w
+               FROM s JOIN t USING (lang) WHERE s.n_words >= t.thr),
+      walk AS (SELECT doc_id, lang, w,
+          CAST(sum(w) OVER (ORDER BY (doc_id % 1000003) * 427799 % 1000003,
+                                     doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+        FROM kept),
+      tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM kept),
+      sel AS (SELECT doc_id, lang, w AS n_tokens,
+          (cum * 40) // tw - ((cum - w) * 40) // tw AS copies, cum
+        FROM walk CROSS JOIN tw
+        WHERE (cum * 40) // tw - ((cum - w) * 40) // tw >= 1),
+      sh AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY cum
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS run
+        FROM sel)
+      SELECT doc_id, lang, n_tokens, copies,
+        (run - n_tokens) // 2000 AS shard_id
+      FROM sh ORDER BY doc_id"""))
   )
 }
