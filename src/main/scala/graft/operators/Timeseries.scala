@@ -410,6 +410,47 @@ object Timeseries {
         when(den > 0.0, round(num / den, 9)).as("acf"))
   }
 
+  /** Per-key OLS trend line of the bucket-count series: slope,
+    * intercept and R² of count ~ bucket index over the dense
+    * [[resample]] grid — "is traffic growing and how fast", the
+    * one-number trend a dashboard wants next to [[acf]]'s seasonality.
+    * x is re-based to the key's first bucket so Σx/Σx² stay small and
+    * the oracle replays exactly.
+    *
+    * DETERMINISM: all five sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy²) are exact BIGINT sums over the bucket-sized grid;
+    * slope/intercept/R² are fixed-order double expressions off them,
+    * rounded at 9. Zero-variance x (single bucket) or y (constant
+    * counts, for R²) yield nulls, never NaN.
+    *
+    * SCALE: resample's event-volume pass + ONE partial-aggregable
+    * groupBy(key) over the bucket-sized grid.
+    */
+  def trendLine(events: DataFrame, bucketNs: Long,
+      keyCol: String = "event_type", tsCol: String = "ts_ns"): DataFrame = {
+    val grid = resample(events, bucketNs, keyCol, tsCol)
+      .select(col(keyCol), col("bucket"), col("n").as("y"))
+    val based = grid
+      .withColumn("x", col("bucket") -
+        min(col("bucket")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))))
+    val s = based.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("nb"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val covN = d("nb") * d("sxy") - d("sx") * d("sy")
+    val varXN = d("nb") * d("sxx") - d("sx") * d("sx")
+    val varYN = d("nb") * d("syy") - d("sy") * d("sy")
+    s.select(col(keyCol), col("nb"),
+      when(varXN > 0.0, round(covN / varXN, 9)).as("slope"),
+      when(varXN > 0.0,
+        round((d("sy") - covN / varXN * d("sx")) / d("nb"), 9))
+        .as("intercept"),
+      when(varXN > 0.0 && varYN > 0.0,
+        round(covN * covN / (varXN * varYN), 9)).as("r2"))
+  }
+
   private val tsPrefix = """
       WITH e AS (SELECT event_type, event_id,
                    (epoch_ns(ts) // 1000) * 1000 AS tns, value
@@ -676,6 +717,48 @@ object Timeseries {
                      / CAST(s.nb AS DOUBLE)), 9)
         END AS acf
       FROM agg g JOIN stats s USING (event_type)
-      ORDER BY event_type, lag"""))
+      ORDER BY event_type, lag""")),
+
+    // ---- OLS trend of the hourly count series: slope/intercept/R²
+    //      off exact integer sufficient statistics ----
+    ("ts11_trend", (s: SparkSession, d: String) => {
+      trendLine(eventsUs(s, d), HourNs)
+        .orderBy("event_type")
+    }, Some(tsPrefix + """,
+      a AS (SELECT event_type, tns // 3600000000000 AS b, count(*) AS y
+            FROM e GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(b) AS b0, max(b) AS b1
+                 FROM a GROUP BY 1),
+      g AS (SELECT s.event_type, s.b - s.b0 AS x, coalesce(a.y, 0) AS y
+            FROM (SELECT event_type, b0, unnest(range(b0, b1 + 1)) AS b
+                  FROM bounds) s
+            LEFT JOIN a ON a.event_type = s.event_type AND a.b = s.b),
+      st AS (SELECT event_type, count(*) AS nb,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+             FROM g GROUP BY 1)
+      SELECT event_type, nb,
+        CASE WHEN CAST(nb AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+          THEN round((CAST(nb AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(nb AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 9)
+        END AS slope,
+        CASE WHEN CAST(nb AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+          THEN round((CAST(sy AS DOUBLE)
+                      - (CAST(nb AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(nb AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * CAST(sx AS DOUBLE))
+                     / CAST(nb AS DOUBLE), 9)
+        END AS intercept,
+        CASE WHEN CAST(nb AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+              AND CAST(nb AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+          THEN round((CAST(nb AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     * (CAST(nb AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / ((CAST(nb AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(nb AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                     9)
+        END AS r2
+      FROM st ORDER BY event_type"""))
   )
 }

@@ -102,6 +102,28 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(!got.contains(("b", 1L)))
   }
 
+  test("trendLine: exact slope on a planted line, constant series r2 null, single bucket all null") {
+    // key "L": counts 1,2,3,4 per bucket (perfect line slope 1)
+    val line = (0 until 4).flatMap(b => (0 to b).map(i =>
+      ("L", b * 10L + i, (b * 10 + i).toLong, 1.0)))
+    // key "C": constant 2 per bucket -> slope 0, r2 undefined
+    val const = (0 until 3).flatMap(b => Seq(
+      ("C", b * 10L + 1, 100L + b * 10 + 1, 1.0),
+      ("C", b * 10L + 2, 100L + b * 10 + 2, 1.0)))
+    // key "S": one bucket -> no x variance at all
+    val single = Seq(("S", 5L, 999L, 1.0))
+    val ev = (line ++ const ++ single)
+      .toDF("event_type", "ts_ns", "event_id", "value")
+    val got = Timeseries.trendLine(ev, bucketNs = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("L") === ((4L, Some(1.0), Some(1.0), Some(1.0))))
+    assert(got("C") === ((3L, Some(0.0), Some(2.0), None)))
+    assert(got("S") === ((1L, None, None, None)))
+  }
+
   test("resample heavy pass partial-aggregates before the exchange") {
     val events = graft.sources.Tables.events(spark, GraftTestSession.sf)
       .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
