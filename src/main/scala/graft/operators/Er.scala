@@ -407,6 +407,30 @@ object Er {
   private def partPairs(s: SparkSession, d: String): DataFrame =
     partPairsOf(Tables.part(s, d))
 
+  /** Blocking-quality report — the numbers an ER engineer tunes the
+    * block key BY, before any scoring runs: block count, hottest
+    * block, in-block candidate pairs Σ b·(b−1)/2, the all-pairs
+    * baseline n·(n−1)/2, and the reduction ratio 1 − cand/allpairs
+    * (Christen's blocking metric). All exact integers off ONE
+    * block-keyed count (partial-aggregable); the ratio one fixed-order
+    * rounded division. One output row — the report that decides
+    * whether a hot block needs a refined key BEFORE paying Σ|block|².
+    */
+  def blockingMetrics(records: DataFrame, idCol: String,
+      blockOf: (String => Column) => Column): DataFrame = {
+    val ac: String => Column = col
+    val sizes = records.select(col(idCol), blockOf(ac).as("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("b"))
+    sizes.agg(sum(col("b")).as("n_records"),
+        count(lit(1)).as("n_blocks"), max(col("b")).as("max_block"),
+        sum(expr("b * (b - 1) div 2")).as("candidates"))
+      .withColumn("all_pairs", expr("n_records * (n_records - 1) div 2"))
+      .withColumn("reduction_ratio",
+        when(col("all_pairs") > 0L, round(lit(1.0) -
+          col("candidates").cast("double") / col("all_pairs").cast("double"),
+          9)))
+  }
+
   /** The er01/er05 linkage as a store contract: same block key, same
     * integer features, same keep gate; the link decision is
     * [[partMatches]]' (dist ≤ 2, size gap ≤ 1). */
@@ -460,6 +484,28 @@ object Er {
     ("er01_candidate_pairs", (s: SparkSession, d: String) => {
       partPairs(s, d).orderBy("a_key", "b_key")
     }, Some(s"$erPairsSql ORDER BY a_key, b_key")),
+
+    // ---- blocking-quality report for er01's block key: exact
+    //      candidate count, hottest block, reduction ratio ----
+    ("er09_blocking_metrics", (s: SparkSession, d: String) => {
+      blockingMetrics(Tables.part(s, d), "p_partkey",
+        ac => partBlockKey(ac("p_name"), ac("p_type")))
+    }, Some("""
+      WITH b AS (
+        SELECT concat_ws(' ', string_split(p_name, ' ')[2], p_type) AS bk,
+               count(*) AS b
+        FROM part GROUP BY 1)
+      SELECT CAST(sum(b) AS BIGINT) AS n_records,
+        count(*) AS n_blocks,
+        CAST(max(b) AS BIGINT) AS max_block,
+        CAST(sum(b * (b - 1) // 2) AS BIGINT) AS candidates,
+        CAST(sum(b) AS BIGINT) * (CAST(sum(b) AS BIGINT) - 1) // 2
+          AS all_pairs,
+        round(1.0 - CAST(sum(b * (b - 1) // 2) AS DOUBLE)
+                    / CAST(CAST(sum(b) AS BIGINT)
+                           * (CAST(sum(b) AS BIGINT) - 1) // 2 AS DOUBLE), 9)
+          AS reduction_ratio
+      FROM b""")),
 
     // ---- transitive closure of the match decision into entity ids:
     //      every part labeled, singletons included. Oracle = DuckDB
