@@ -1648,6 +1648,77 @@ object Relational {
         CAST(sum(price) AS DOUBLE) AS revenue
       FROM gens
       GROUP BY ALL
-      ORDER BY ALL"""))
+      ORDER BY ALL""")),
+
+    // ---- TPC-H Q17 shape: small-quantity revenue loss — the
+    //      classic correlated-aggregate decorrelation (l_quantity <
+    //      0.2·avg per part). The 0.2·avg compare is cross-multiplied
+    //      to 5·q·cnt < sum so the correlated threshold never touches
+    //      a float; brand semi-join broadcasts before the per-part
+    //      aggregate so the subquery only aggregates brand parts ----
+    ("q74_tpch_q17", (s: SparkSession, d: String) => {
+      val pk = Tables.part(s, d).filter(col("p_brand") === "Brand#4")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("q"),
+          col("l_extendedprice"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cq"))
+      li.join(perPart, Seq("l_partkey"))
+        .filter(col("q") * 5L * col("cq") < col("sq"))
+        .agg(round(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double") / 7.0, 6).as("avg_yearly"))
+    }, Some("""
+      WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+      li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+               l_extendedprice
+             FROM lineitem JOIN pk ON p_partkey = l_partkey),
+      pp AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq,
+               count(*) AS cq
+             FROM li GROUP BY 1)
+      SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   AS DOUBLE) / 7.0, 6) AS avg_yearly
+      FROM li JOIN pp USING (l_partkey) WHERE q * 5 * cq < sq""")),
+
+    // ---- TPC-H Q20 shape: dominant suppliers of red parts in 1996 —
+    //      nested aggregate HAVING against a correlated total,
+    //      cross-multiplied (2·supplier_qty > part_total) so the
+    //      half-share threshold stays integer; distinct supplier set
+    //      semi-joins back into the supplier dimension ----
+    ("q75_tpch_q20", (s: SparkSession, d: String) => {
+      val red = Tables.part(s, d).filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1996)
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("q"))
+      val totals = li.groupBy(col("l_partkey")).agg(sum(col("q")).as("tot"))
+      val hot = li.groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("q")).as("sq"))
+        .join(totals, Seq("l_partkey"))
+        .filter(col("sq") * 2L > col("tot"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }, Some("""
+      WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+      li AS (SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+             FROM lineitem JOIN red ON p_partkey = l_partkey
+             WHERE date_part('year', l_shipdate) = 1996),
+      tot AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tot
+              FROM li GROUP BY 1),
+      hot AS (SELECT DISTINCT l_suppkey
+              FROM (SELECT l_suppkey, l_partkey, CAST(sum(q) AS BIGINT) AS sq
+                    FROM li GROUP BY 1, 2) ps
+              JOIN tot USING (l_partkey)
+              WHERE sq * 2 > tot)
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey IN (SELECT l_suppkey FROM hot)
+      ORDER BY s_suppkey"""))
   )
 }
