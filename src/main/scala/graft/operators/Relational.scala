@@ -1719,6 +1719,37 @@ object Relational {
               WHERE sq * 2 > tot)
       SELECT s_suppkey, s_name FROM supplier
       WHERE s_suppkey IN (SELECT l_suppkey FROM hot)
-      ORDER BY s_suppkey"""))
+      ORDER BY s_suppkey""")),
+
+    // ---- SQL UNIQUE table-subquery predicate (reference
+    //      expr.rs:147's LAST unimplemented subquery operator —
+    //      ALL/ANY/SOME landed as q46): UNIQUE(<subquery>) is true
+    //      iff the subquery has no duplicate non-null row. Neither
+    //      engine ships the predicate, so both sides decorrelate it
+    //      the same way the reference's builder would: a per-(key,
+    //      value) count>1 dup set, anti-semantics via a left join
+    //      null test. Per customer: are all their order totals
+    //      distinct? ----
+    ("q76_unique_pred", (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("tp"))
+      val dups = o.groupBy(col("o_custkey"), col("tp"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1L)
+        .select(col("o_custkey").as("dk")).distinct()
+      Tables.customer(s, d)
+        .join(dups, col("c_custkey") === col("dk"), "left")
+        .select(col("c_custkey"), col("dk").isNull.as("totals_unique"))
+        .orderBy("c_custkey")
+    }, Some("""
+      WITH dups AS (
+        SELECT DISTINCT o_custkey AS dk
+        FROM (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+                count(*) AS n
+              FROM orders GROUP BY 1, 2) g
+        WHERE n > 1)
+      SELECT c_custkey, dk IS NULL AS totals_unique
+      FROM customer LEFT JOIN dups ON c_custkey = dk
+      ORDER BY c_custkey"""))
   )
 }
