@@ -14,6 +14,15 @@ case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 /** Per-user open-session state. */
 case class SessionState(start_us: Long, last_us: Long, n: Long)
 
+/** Open-session state for [[Events.sessionizePaths]]: the bounded
+  * event-type prefix rides along with the gap bookkeeping. */
+case class PathState(start_us: Long, last_us: Long, n: Long,
+  prefix: List[String])
+
+/** A closed session's path emission. */
+case class SessionPath(user_id: Long, start_us: Long, path: String,
+  n_events: Long)
+
 /** Structured Streaming pipelines over the events table.
   *
   * The batch-parity forms of these live in operators (q32 hourly
@@ -115,6 +124,45 @@ object Events {
             cur = Some(SessionState(e.ts_us, e.ts_us, 1))
           case None =>
             cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming twin of ss10's session paths: gap sessionization that
+    * also carries each OPEN session's first-`prefixLen` event-type
+    * prefix in state (O(P) strings + 3 longs per user — the ss10
+    * bound, bot-proof by construction) and emits the finished path
+    * when the session closes. A session spanning micro-batches emits
+    * ONE path whose prefix crosses the batch boundary — state is the
+    * bridge, exactly like [[sessionize]]'s open-session counts.
+    */
+  def sessionizePaths(events: Dataset[Event], gapUs: Long,
+      prefixLen: Int): Dataset[SessionPath] = {
+    import events.sparkSession.implicits._
+    require(prefixLen >= 1, s"need prefixLen >= 1, got $prefixLen")
+    def close(userId: Long, st: PathState): SessionPath =
+      SessionPath(userId, st.start_us, st.prefix.mkString(">"), st.n)
+    def fn(userId: Long, it: Iterator[Event],
+        state: GroupState[PathState]): Iterator[SessionPath] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = state.getOption
+      val out = Seq.newBuilder[SessionPath]
+      sorted.foreach { e =>
+        cur match {
+          case Some(st) if e.ts_us - st.last_us <= gapUs =>
+            cur = Some(st.copy(last_us = e.ts_us, n = st.n + 1,
+              prefix = if (st.prefix.length < prefixLen)
+                st.prefix :+ e.event_type else st.prefix))
+          case Some(st) =>
+            out += close(userId, st)
+            cur = Some(PathState(e.ts_us, e.ts_us, 1, List(e.event_type)))
+          case None =>
+            cur = Some(PathState(e.ts_us, e.ts_us, 1, List(e.event_type)))
         }
       }
       cur.foreach(state.update)

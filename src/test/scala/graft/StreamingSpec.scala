@@ -125,6 +125,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted === batchSessions - nUsers)
   }
 
+  test("stateful session paths: prefix bridges batches, cap holds, emitted == batch closed sessions") {
+    import spark.implicits._
+    import graft.streaming.Event
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event](spark)
+    val paths = Events.sessionizePaths(mem.toDS(), gapUs = 100L, prefixLen = 3)
+    val q = paths.writeStream.format("memory").queryName("path_out")
+      .outputMode("append").start()
+    try {
+      // u1 session starts in batch 1 (view, click)...
+      mem.addData(Event(1L, 10L, 1L, "view", 0), Event(2L, 20L, 1L, "click", 0))
+      q.processAllAvailable()
+      assert(spark.table("path_out").isEmpty) // still open
+      // ...continues in batch 2 within the gap (buy, extra beyond the
+      // cap), then a far event closes it — ONE path spanning batches,
+      // capped at 3 types
+      mem.addData(Event(3L, 90L, 1L, "buy", 0), Event(4L, 110L, 1L, "view", 0),
+        Event(5L, 500L, 1L, "view", 0))
+      q.processAllAvailable()
+      val got = spark.table("path_out").as[graft.streaming.SessionPath]
+        .collect()
+      assert(got.toSeq === Seq(
+        graft.streaming.SessionPath(1L, 10L, "view>click>buy", 4L)))
+    } finally q.stop()
+
+    // sf-data parity: emitted closed paths == batch ss10 machinery
+    // minus each user's final (still-open) session
+    val gapUs = 30L * 60 * 1000 * 1000
+    val streamed = Events.sessionizePaths(
+      Events.readStream(spark, streamDir)
+        .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value")).as[Event],
+      gapUs, prefixLen = 5)
+    val q2 = streamed.writeStream.format("memory").queryName("path_sf")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val emitted = spark.table("path_sf")
+      .groupBy("path").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch truth: per-session prefix paths, excluding each user's
+    // LAST session (open in stream state)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
+      .withColumn("eid", col("event_id"))
+    val sess = graft.operators.Sessionize.sessionized(ev,
+      keepCols = Seq("event_type", "eid"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_ns"), col("eid"))
+    val perSession = sess
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w2))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.array_sort(
+            org.apache.spark.sql.functions.collect_list(
+              org.apache.spark.sql.functions.struct(
+                col("ts_ns"), col("eid"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+    val lastSess = perSession.groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.functions.max(col("session_id")).as("last_sid"))
+    val closed = perSession.join(lastSess, Seq("user_id"))
+      .filter(col("session_id") =!= col("last_sid"))
+      .groupBy("path").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(emitted === closed, "streamed closed paths diverged from batch")
+  }
+
   test("streaming decontamination: one persisted bloom sidecar serves every micro-batch, exact counts") {
     import spark.implicits._
     val evalDoc = "the capital of france is paris and the capital of italy is rome always"
