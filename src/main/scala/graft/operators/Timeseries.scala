@@ -451,6 +451,48 @@ object Timeseries {
         round(covN * covN / (varXN * varYN), 9)).as("r2"))
   }
 
+  /** Additive seasonal decomposition of the bucket-count series:
+    * y = trend + seasonal + residual per (key, bucket) — [[trendLine]]'s
+    * OLS line as the trend, the hour-of-day mean of the detrended
+    * series as the seasonal component (classical decomposition with a
+    * linear trend), and what's left as the residual an anomaly rule
+    * can threshold.
+    *
+    * DETERMINISM: fitted/detrended values are fixed-order doubles off
+    * the 9dp-rounded slope/intercept, rounded at 6; the seasonal MEAN
+    * is sum(decimal(18,6))/count — the decimal sum is exact, so the
+    * mean is one fixed-order division, never a float accumulation.
+    * Keys with no trend (single bucket) carry nulls through.
+    *
+    * SCALE: resample's event pass + bucket-sized frames throughout;
+    * the seasonal groupBy is (key × 24)-sized.
+    */
+  def decompose(events: DataFrame, bucketNs: Long,
+      keyCol: String = "event_type", tsCol: String = "ts_ns"): DataFrame = {
+    val grid = resample(events, bucketNs, keyCol, tsCol)
+      .select(col(keyCol), col("bucket"), col("n").as("y"))
+    val based = grid.withColumn("x", col("bucket") -
+      min(col("bucket")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol))))
+    val tl = trendLine(events, bucketNs, keyCol, tsCol)
+      .select(col(keyCol), col("slope"), col("intercept"))
+    val fitted = based.join(tl, Seq(keyCol))
+      .withColumn("trend",
+        round(col("intercept") + col("slope") * col("x").cast("double"), 6))
+      .withColumn("r", round(col("y").cast("double") - col("trend"), 6))
+      .withColumn("hod", pmod(col("bucket"), lit(24L)))
+      .withColumn("rd", col("r").cast(DecimalType(18, 6)))
+    val seasonal = fitted.groupBy(col(keyCol), col("hod"))
+      .agg(sum(col("rd")).as("srd"), count(col("rd")).as("crd"))
+      .select(col(keyCol), col("hod"),
+        when(col("crd") > 0L, round(col("srd").cast("double") /
+          col("crd").cast("double"), 6)).as("seasonal"))
+    fitted.join(seasonal, Seq(keyCol, "hod"))
+      .select(col(keyCol), col("bucket"), col("y"), col("trend"),
+        col("seasonal"),
+        round(col("r") - col("seasonal"), 6).as("resid"))
+  }
+
   private val tsPrefix = """
       WITH e AS (SELECT event_type, event_id,
                    (epoch_ns(ts) // 1000) * 1000 AS tns, value
@@ -759,6 +801,59 @@ object Timeseries {
                         * (CAST(nb AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
                      9)
         END AS r2
-      FROM st ORDER BY event_type"""))
+      FROM st ORDER BY event_type""")),
+
+    // ---- seasonal decomposition: y = OLS trend + hour-of-day mean of
+    //      the detrended series + residual; seasonal mean via exact
+    //      decimal sum / count ----
+    ("ts12_decompose", (s: SparkSession, d: String) => {
+      decompose(eventsUs(s, d), HourNs)
+        .withColumnRenamed("bucket", "hour_idx")
+        .orderBy("event_type", "hour_idx")
+    }, Some(tsPrefix + """,
+      a AS (SELECT event_type, tns // 3600000000000 AS b, count(*) AS y
+            FROM e GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(b) AS b0, max(b) AS b1
+                 FROM a GROUP BY 1),
+      g AS (SELECT s.event_type, s.b, s.b - s.b0 AS x, coalesce(a.y, 0) AS y
+            FROM (SELECT event_type, b0, unnest(range(b0, b1 + 1)) AS b
+                  FROM bounds) s
+            LEFT JOIN a ON a.event_type = s.event_type AND a.b = s.b),
+      st AS (SELECT event_type, count(*) AS nb,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+             FROM g GROUP BY 1),
+      tl AS (SELECT event_type,
+        CASE WHEN CAST(nb AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+          THEN round((CAST(nb AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(nb AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 9)
+        END AS slope,
+        CASE WHEN CAST(nb AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+          THEN round((CAST(sy AS DOUBLE)
+                      - (CAST(nb AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(nb AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * CAST(sx AS DOUBLE))
+                     / CAST(nb AS DOUBLE), 9)
+        END AS intercept
+        FROM st),
+      f AS (SELECT g.event_type, g.b, g.y,
+              round(tl.intercept + tl.slope * CAST(g.x AS DOUBLE), 6)
+                AS trend,
+              round(CAST(g.y AS DOUBLE)
+                    - round(tl.intercept + tl.slope * CAST(g.x AS DOUBLE), 6),
+                    6) AS r,
+              g.b % 24 AS hod
+            FROM g JOIN tl USING (event_type)),
+      se AS (SELECT event_type, hod,
+               CASE WHEN count(CAST(r AS DECIMAL(18,6))) > 0
+                 THEN round(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE)
+                            / count(CAST(r AS DECIMAL(18,6))), 6)
+               END AS seasonal
+             FROM f GROUP BY 1, 2)
+      SELECT f.event_type, f.b AS hour_idx, f.y, f.trend, se.seasonal,
+        round(f.r - se.seasonal, 6) AS resid
+      FROM f JOIN se USING (event_type, hod)
+      ORDER BY f.event_type, hour_idx"""))
   )
 }

@@ -124,6 +124,29 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(got("S") === ((1L, None, None, None)))
   }
 
+  test("decompose: components re-sum to y within rounding; seasonal means sum to ~0 per key") {
+    val got = Timeseries.decompose(
+      graft.sources.Tables.events(spark, GraftTestSession.sf)
+        .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000")),
+      bucketNs = 3600L * 1000 * 1000 * 1000)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      if (!r.isNullAt(3) && !r.isNullAt(4)) {
+        val y = r.getLong(2).toDouble
+        val re = y - r.getDouble(3) - r.getDouble(4) - r.getDouble(5)
+        assert(re.abs <= 3e-6, s"decomposition leaked $re at $r")
+      }
+    }
+    // seasonal components average the detrended series, so per key
+    // they must sum to ~0 over a whole number of days
+    val byKey = got.groupBy(_.getString(0))
+    byKey.foreach { case (k, rows) =>
+      val s = rows.filterNot(_.isNullAt(4)).map(_.getDouble(4)).sum
+      assert(s.abs / rows.length <= 1e-3, s"seasonal bias for $k: $s")
+    }
+  }
+
   test("resample heavy pass partial-aggregates before the exchange") {
     val events = graft.sources.Tables.events(spark, GraftTestSession.sf)
       .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
