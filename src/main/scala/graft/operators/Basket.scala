@@ -105,7 +105,105 @@ object Basket {
       .select(col("item"), col("neighbor"), col("jac"))
   }
 
+  /** SEQUENTIAL association rules over event sessions: "sessions
+    * that do A eventually do B" with A strictly BEFORE B — ar01's
+    * support/confidence/lift where order matters (the upsell /
+    * next-step rule a product team acts on, vs ss09's
+    * adjacent-transition matrix). "A before B in the session" ⇔
+    * min over A events < max over B events in the total (ts, id)
+    * order — so one (session, type) aggregate of two endpoint
+    * structs replaces any event-level pair join; the rule join is
+    * quadratic only in DISTINCT TYPES per session (category-bounded).
+    * Exact session counts; confidence = n_ab/n_a and lift =
+    * n_ab·N/(n_a·n_b) one rounded division each.
+    */
+  def sequentialRules(sessions: DataFrame, minSupport: Long): DataFrame = {
+    val spark = sessions.sparkSession
+    val perType = sessions
+      .groupBy(col("user_id"), col("session_id"), col("event_type"))
+      .agg(min(struct(col("ts_ns"), col("eid"))).as("mn"),
+        max(struct(col("ts_ns"), col("eid"))).as("mx"))
+    val nSess = perType.select(col("user_id"), col("session_id")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeSupport = perType
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val a = perType.select(col("user_id"), col("session_id"),
+      col("event_type").as("antecedent"), col("mn"))
+    val b = perType.select(col("user_id"), col("session_id"),
+      col("event_type").as("consequent"), col("mx"))
+    val pairSupport = a.join(b, Seq("user_id", "session_id"))
+      .filter(col("antecedent") =!= col("consequent") &&
+        col("mn") < col("mx"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairSupport
+      .join(typeSupport.select(col("event_type").as("antecedent"),
+        col("n_t").as("n_a")), Seq("antecedent"))
+      .join(typeSupport.select(col("event_type").as("consequent"),
+        col("n_t").as("n_b")), Seq("consequent"))
+      .crossJoin(broadcast(nSess))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_a"), col("n_b"), col("n_sessions"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * col("n_sessions").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
+    // ---- sequential rules over event sessions: A strictly before
+    //      B, session-level counts; the oracle asserts the same
+    //      pairs from an event-level strict-order exists-join (the
+    //      endpoint-struct trick must be equivalent) ----
+    ("ar02_sequential_rules", (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
+        .withColumn("eid", col("event_id"))
+      sequentialRules(Sessionize.sessionized(ev,
+        keepCols = Seq("event_type", "eid")), 5L)
+        .orderBy("antecedent", "consequent")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                   (epoch_ns(ts) // 1000) * 1000 AS tns FROM events),
+      l AS (SELECT user_id, event_id, event_type, tns,
+              lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS p
+            FROM e),
+      f AS (SELECT user_id, event_id, event_type, tns,
+              CASE WHEN p IS NULL OR tns - p > 1800000000000
+                THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sess AS (SELECT user_id, event_id, event_type, tns,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM f),
+      st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+      ns AS (SELECT count(*) AS n_sessions FROM
+               (SELECT DISTINCT user_id, session_id FROM sess)),
+      ts AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY 1),
+      ab AS (SELECT antecedent, consequent, count(*) AS n_ab FROM (
+               SELECT DISTINCT a.user_id, a.session_id,
+                 a.event_type AS antecedent, b.event_type AS consequent
+               FROM sess a JOIN sess b
+                 ON a.user_id = b.user_id AND a.session_id = b.session_id
+                AND a.event_type <> b.event_type
+                AND (a.tns < b.tns
+                     OR (a.tns = b.tns AND a.event_id < b.event_id)))
+             GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT ab.antecedent, ab.consequent, ab.n_ab,
+        ta.n_t AS n_a, tb.n_t AS n_b, ns.n_sessions,
+        round(CAST(ab.n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE), 6)
+          AS confidence,
+        round(CAST(ab.n_ab AS DOUBLE) * CAST(ns.n_sessions AS DOUBLE)
+              / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)), 6)
+          AS lift
+      FROM ab
+      JOIN ts ta ON ta.event_type = ab.antecedent
+      JOIN ts tb ON tb.event_type = ab.consequent
+      CROSS JOIN ns
+      ORDER BY antecedent, consequent""")),
+
     // ---- association rules at support >= 3 on the order/part
     //      baskets ----
     ("ar01_assoc_rules", (s: SparkSession, d: String) => {

@@ -35,7 +35,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "dq06_psi_drift", // broadcast 1-row min/max + 1-row cohort totals
     "dq07_benford", // broadcast 1-row grand total
     "ix04_ranked_search", // broadcast 1-row corpus stats (t07's shape)
-    "t24_tfidf_keywords") // broadcast 1-row doc count
+    "t24_tfidf_keywords", // broadcast 1-row doc count
+    "ar02_sequential_rules") // broadcast 1-row session total (lift's N)
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
