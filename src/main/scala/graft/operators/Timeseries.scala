@@ -493,6 +493,42 @@ object Timeseries {
         round(col("r") - col("seasonal"), 6).as("resid"))
   }
 
+  /** CUSUM changepoint detection: per key, the bucket where the
+    * cumulative deviation from the series mean peaks — the classic
+    * "where did the level shift" estimator (the argmax of |Σ_{i≤t}
+    * (y_i − ȳ)| is the max-likelihood single changepoint for a mean
+    * shift). The mean never materializes: the statistic is scaled by
+    * n to d_t = n·Σ_{i≤t} y_i − t·S — EXACT BIGINTs (one cum-sum
+    * window over the bucket-sized grid), so the argmax is an integer
+    * comparison with the earliest-bucket tiebreak; the reported
+    * statistic d_max/n is one rounded division at the end.
+    *
+    * SCALE: resample's event pass; the cum-sum window and argmax are
+    * per-key bucket-sized; output one row per key.
+    */
+  def changepoint(events: DataFrame, bucketNs: Long,
+      keyCol: String = "event_type", tsCol: String = "ts_ns"): DataFrame = {
+    val grid = resample(events, bucketNs, keyCol, tsCol)
+      .select(col(keyCol), col("bucket"), col("n").as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAllK = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val cum = grid
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("cy", sum(col("y")).over(w))
+      .withColumn("nb", count(lit(1)).over(wAllK))
+      .withColumn("s", sum(col("y")).over(wAllK))
+      .withColumn("d", abs(col("nb") * col("cy") - col("t") * col("s")))
+    cum.groupBy(col(keyCol))
+      .agg(max(col("nb")).as("nb"),
+        max(struct(col("d"), (-col("bucket")).as("negb"))).as("best"))
+      .select(col(keyCol), col("nb"),
+        (-col("best.negb")).as("change_bucket"),
+        round(col("best.d").cast("double") / col("nb").cast("double"), 6)
+          .as("cusum_max"))
+  }
+
   private val tsPrefix = """
       WITH e AS (SELECT event_type, event_id,
                    (epoch_ns(ts) // 1000) * 1000 AS tns, value
@@ -854,6 +890,37 @@ object Timeseries {
       SELECT f.event_type, f.b AS hour_idx, f.y, f.trend, se.seasonal,
         round(f.r - se.seasonal, 6) AS resid
       FROM f JOIN se USING (event_type, hod)
-      ORDER BY f.event_type, hour_idx"""))
+      ORDER BY f.event_type, hour_idx""")),
+
+    // ---- CUSUM changepoint per key: exact scaled deviations, argmax
+    //      with earliest-bucket tiebreak ----
+    ("ts13_changepoint", (s: SparkSession, d: String) => {
+      changepoint(eventsUs(s, d), HourNs)
+        .orderBy("event_type")
+    }, Some(tsPrefix + """,
+      a AS (SELECT event_type, tns // 3600000000000 AS b, count(*) AS y
+            FROM e GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(b) AS b0, max(b) AS b1
+                 FROM a GROUP BY 1),
+      g AS (SELECT s.event_type, s.b, coalesce(a.y, 0) AS y
+            FROM (SELECT event_type, unnest(range(b0, b1 + 1)) AS b
+                  FROM bounds) s
+            LEFT JOIN a ON a.event_type = s.event_type AND a.b = s.b),
+      c AS (SELECT event_type, b,
+              CAST(row_number() OVER wk AS BIGINT) AS t,
+              CAST(sum(y) OVER wk AS BIGINT) AS cy,
+              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nb,
+              CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS s
+            FROM g
+            WINDOW wk AS (PARTITION BY event_type ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      d AS (SELECT event_type, b, nb, abs(nb * cy - t * s) AS dv FROM c),
+      m AS (SELECT event_type, max(dv) AS dmax FROM d GROUP BY 1)
+      SELECT d.event_type, d.nb,
+        min(d.b) AS change_bucket,
+        round(CAST(m.dmax AS DOUBLE) / CAST(d.nb AS DOUBLE), 6) AS cusum_max
+      FROM d JOIN m ON m.event_type = d.event_type AND d.dv = m.dmax
+      GROUP BY d.event_type, d.nb, m.dmax
+      ORDER BY d.event_type"""))
   )
 }

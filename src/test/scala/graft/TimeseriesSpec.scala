@@ -147,6 +147,21 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("changepoint: planted level shift found at the boundary, earliest-bucket tie") {
+    // key "p": 3 buckets of 1 event then 3 buckets of 5 events —
+    // CUSUM peaks at the last low bucket (bucket 2)
+    val rows = (0 until 3).map(b => ("p", b * 10L, b * 100L + 1L, 1.0)) ++
+      (3 until 6).flatMap(b => (0 until 5).map(i =>
+        ("p", b * 10L + i, b * 100L + i, 1.0)))
+    val got = Timeseries.changepoint(
+      rows.toDF("event_type", "ts_ns", "event_id", "value"), bucketNs = 10L)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // deviations d_t = |6*cy - t*18|: t=1..6 cy=1,2,3,8,13,18 ->
+    // |6-18|=12, |12-36|=24, |18-54|=36, |48-72|=24, |78-90|=12, 0
+    assert(got("p") === ((6L, 2L, 6.0))) // dmax 36 / n 6
+  }
+
   test("resample heavy pass partial-aggregates before the exchange") {
     val events = graft.sources.Tables.events(spark, GraftTestSession.sf)
       .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
