@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -368,6 +369,48 @@ object Graph {
         col("rec"), col("cn"))
   }
 
+  /** Adamic–Adar link prediction: [[commonNeighborRecs]] with each
+    * shared neighbor weighted 1/ln(deg) — a rare mutual friend says
+    * more than a hub everyone knows. Each wedge's weight is the
+    * center's round(1/ln(deg_v), 9) cast to DECIMAL(18,9) so the
+    * per-pair SUM is exact regardless of merge order (a raw double
+    * sum would be order-dependent — the §4 rule applied to a graph
+    * score); the final score is the decimal rounded back to 6. deg-1
+    * centers produce no wedges, so ln(1)=0 never divides.
+    * Same wedge economics and celebrity cap as tr03.
+    */
+  def adamicAdarRecs(pairs: DataFrame, k: Int,
+      maxCenterDeg: Long = Long.MaxValue): DataFrame = {
+    val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    // dv >= 2: a degree-1 center can't host a wedge anyway, and
+    // filtering BEFORE the weight keeps 1/ln(1) = Infinity out of the
+    // decimal cast (ANSI would surface it even though the u<w join
+    // discards those rows)
+    val centerDeg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("dv"))
+      .filter(col("dv") <= maxCenterDeg && col("dv") >= 2L)
+    val viaCenter = sym.select(col("b").as("v"), col("a").as("u"))
+      .join(centerDeg, Seq("v"))
+      .withColumn("wv", round(lit(1.0) /
+        log(col("dv").cast("double")), 9).cast(DecimalType(18, 9)))
+    val aa = viaCenter
+      .join(viaCenter.select(col("v"), col("u").as("w")), Seq("v"))
+      .filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w")).agg(sum(col("wv")).as("aad"))
+      .join(pairs.select(col("id_a").as("u"), col("id_b").as("w")),
+        Seq("u", "w"), "left_anti")
+      .withColumn("aa", round(col("aad").cast("double"), 6))
+    val directed = aa.select(col("u").as("id"), col("w").as("rec"), col("aa"))
+      .unionAll(aa.select(col("w").as("id"), col("u").as("rec"), col("aa")))
+    directed
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("id"))
+        .orderBy(col("aa").desc, col("rec"))))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("bigint").as("rank"),
+        col("rec"), col("aa"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // ---- PageRank over the embedding near-dup graph (d05's verified
     //      LSH edge generator, symmetrized): influence of each doc in
@@ -564,6 +607,43 @@ object Graph {
           PARTITION BY id ORDER BY cn DESC, rec) AS BIGINT) AS rank
         FROM directed)
       SELECT id, rank, rec, cn FROM ranked WHERE rank <= 3
+      ORDER BY id, rank""")),
+
+    // ---- Adamic-Adar variant of tr03: rare shared neighbors count
+    //      more; per-wedge 1/ln(deg) weights decimal-summed exact ----
+    ("tr04_adamic_adar", (s: SparkSession, d: String) => {
+      adamicAdarRecs(copurchaseEdges(Tables.lineitem(s, d), 2L), 3)
+        .orderBy("id", "rank")
+    }, Some("""
+      WITH e AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT id_a AS a, id_b AS b FROM e
+              UNION ALL SELECT id_b, id_a FROM e),
+      deg AS (SELECT a AS v, count(*) AS dv FROM sym GROUP BY 1),
+      via AS (SELECT s.b AS v, s.a AS u,
+                CAST(round(1.0 / ln(CAST(d.dv AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS wv
+              FROM sym s JOIN deg d ON d.v = s.b),
+      aa AS (
+        SELECT v1.u AS u, v2.u AS w,
+          round(CAST(sum(v1.wv) AS DOUBLE), 6) AS aa
+        FROM via v1 JOIN via v2 ON v1.v = v2.v AND v1.u < v2.u
+        GROUP BY 1, 2),
+      nonadj AS (
+        SELECT u, w, aa FROM aa
+        WHERE NOT EXISTS (SELECT 1 FROM e
+          WHERE e.id_a = aa.u AND e.id_b = aa.w)),
+      directed AS (
+        SELECT u AS id, w AS rec, aa FROM nonadj
+        UNION ALL SELECT w, u, aa FROM nonadj),
+      ranked AS (
+        SELECT id, rec, aa, CAST(row_number() OVER (
+          PARTITION BY id ORDER BY aa DESC, rec) AS BIGINT) AS rank
+        FROM directed)
+      SELECT id, rank, rec, aa FROM ranked WHERE rank <= 3
       ORDER BY id, rank""")),
 
     // ---- communities on the same co-purchase graph: 6 synchronous

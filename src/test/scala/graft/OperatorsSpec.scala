@@ -597,6 +597,27 @@ class OperatorsSpec extends AnyFunSuite {
       .commonNeighborRecs(star, 5, maxCenterDeg = 2L).isEmpty)
   }
 
+  test("tr04 adamicAdarRecs: rare shared neighbor outranks the hub; deg-1 centers safe") {
+    import spark.implicits._
+    // 1 and 2 share BOTH a hub h (deg 4: 1,2,3,4) and a rare mutual
+    // friend r (deg 2: 1,2); 3 and 4 share only the hub. AA(1,2) =
+    // 1/ln(2) + 1/ln(4) > AA(3,4) = 1/ln(4) — under plain counting
+    // (tr03) the pairs would tie at cn 1 vs 2; AA separates by rarity
+    val edges = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L),
+      (7L, 1L), (7L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = graft.operators.Graph.adamicAdarRecs(edges, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    val aa12 = math.rint((r9(1 / math.log(2)) + r9(1 / math.log(4))) * 1e6) / 1e6
+    val aa34 = math.rint(r9(1 / math.log(4)) * 1e6) / 1e6
+    assert(got((1L, 2L)) === aa12 && got((2L, 1L)) === aa12)
+    assert(got((3L, 4L)) === aa34)
+    assert(aa12 > aa34)
+    // the deg-1 pendant pair (5,6) is adjacent — never recommended —
+    // and its deg-1 endpoints as centers must not blow up 1/ln(1)
+    assert(!got.keys.exists(k => k._1 == 5L || k._1 == 6L))
+  }
+
   test("lp01 labelPropagation: two cliques converge to their min labels; deterministic ties") {
     import spark.implicits._
     // K4 {1..4} — bridge 4—5 — K4 {5..8}: communities must keep the
