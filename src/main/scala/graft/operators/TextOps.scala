@@ -718,6 +718,85 @@ object TextOps {
         FROM sc)
       SELECT doc_id, pred_lang, pred_lang = lang AS hit FROM p ORDER BY doc_id""")),
 
+    // ---- classifier evaluation: t01's lang-ID against the labeled
+    //      lang column — per-class precision/recall/F1, the metric
+    //      table every gate model ships with. Exact confusion counts
+    //      (one groupBy over predictions); each metric ONE rounded
+    //      division off integers (F1 from the rounded p/r, fixed
+    //      order); a class never predicted gets null precision,
+    //      never F1 NaN ----
+    ("t25_langid_eval", (s: SparkSession, d: String) => {
+      val ws = words
+      val en = nIn(ws, Seq("the", "a", "of", "in", "is"))
+      val de = nIn(ws, Seq("der", "die", "das", "und", "ist"))
+      val fr = nIn(ws, Seq("le", "la", "les", "et", "est"))
+      val es = nIn(ws, Seq("el", "los", "las", "y", "es"))
+      val zh = nIn(ws, Seq("de", "shi", "bu", "wo", "zai"))
+      val top = greatest(en, de, fr, es, zh)
+      val pred = when(en === top, "en").when(de === top, "de")
+        .when(fr === top, "fr").when(es === top, "es").otherwise("zh")
+      val scored = Tables.documents(s, d)
+        .select(col("lang"), pred.as("pred"))
+      val byTrue = scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_hit"))
+      val byPred = scored.groupBy(col("pred").as("lang"))
+        .agg(count(lit(1)).as("n_pred"))
+      val p = when(col("n_pred") > 0L,
+        round(col("n_hit").cast("double") / col("n_pred").cast("double"), 6))
+      val r = when(col("n_true") > 0L,
+        round(col("n_hit").cast("double") / col("n_true").cast("double"), 6))
+      byTrue.join(byPred, Seq("lang"), "full")
+        .select(col("lang"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("precision", p)
+        .withColumn("recall", r)
+        .withColumn("f1", when(p.isNotNull && r.isNotNull && (p + r) > 0.0,
+          round(lit(2.0) * p * r / (p + r), 6)))
+        .orderBy("lang")
+    }, Some("""
+      WITH sc AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split(trim(text), ' '), w -> w IN ('the','a','of','in','is'))) AS en,
+          len(list_filter(string_split(trim(text), ' '), w -> w IN ('der','die','das','und','ist'))) AS de,
+          len(list_filter(string_split(trim(text), ' '), w -> w IN ('le','la','les','et','est'))) AS fr,
+          len(list_filter(string_split(trim(text), ' '), w -> w IN ('el','los','las','y','es'))) AS es,
+          len(list_filter(string_split(trim(text), ' '), w -> w IN ('de','shi','bu','wo','zai'))) AS zh
+        FROM documents),
+      pr AS (
+        SELECT lang,
+          CASE WHEN en >= greatest(en,de,fr,es,zh) THEN 'en'
+               WHEN de >= greatest(en,de,fr,es,zh) THEN 'de'
+               WHEN fr >= greatest(en,de,fr,es,zh) THEN 'fr'
+               WHEN es >= greatest(en,de,fr,es,zh) THEN 'es'
+               ELSE 'zh' END AS pred
+        FROM sc),
+      bt AS (SELECT lang, count(*) AS n_true,
+               CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hit
+             FROM pr GROUP BY 1),
+      bp AS (SELECT pred AS lang, count(*) AS n_pred FROM pr GROUP BY 1),
+      j AS (SELECT coalesce(bt.lang, bp.lang) AS lang,
+              coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+              coalesce(n_hit, 0) AS n_hit
+            FROM bt FULL JOIN bp ON bt.lang = bp.lang),
+      m AS (SELECT lang, n_true, n_pred, n_hit,
+              CASE WHEN n_pred > 0
+                THEN round(CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+              END AS precision,
+              CASE WHEN n_true > 0
+                THEN round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+              END AS recall
+            FROM j)
+      SELECT lang, n_true, n_pred, n_hit, precision, recall,
+        CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+              AND precision + recall > 0
+          THEN round(2.0 * precision * recall / (precision + recall), 6)
+        END AS f1
+      FROM m ORDER BY lang""")),
+
     // ---- quality scoring: length/stopword/word-shape ratios ----
     ("t02_quality", (s: SparkSession, d: String) => {
       val ws = words
