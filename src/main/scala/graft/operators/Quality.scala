@@ -345,6 +345,30 @@ object Quality {
           .as("cell_chi2"))
   }
 
+  /** Functional-dependency audit: for each claimed `det → dep`, how
+    * many determinant groups carry MORE than one distinct dependent
+    * value — the profiling check behind "is this column derivable",
+    * key discovery, and denormalization safety. One exact
+    * (det, fd)-keyed distinct count per dependency; violations and
+    * the worst group's distinct count reported as exact integers.
+    *
+    * SCALE: per FD one partial-aggregable groupBy(det) over a
+    * two-column projection; the union of FD reports is FD-count rows.
+    */
+  def fdAudit(df: DataFrame, fds: Seq[(String, String, String)]): DataFrame = {
+    require(fds.nonEmpty, "need at least one det -> dep pair")
+    fds.map { case (name, det, dep) =>
+      df.select(col(det).as("d"), col(dep).as("v"))
+        .groupBy(col("d")).agg(countDistinct(col("v")).as("nv"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nv") > 1L, 1L).otherwise(0L)).as("n_violating"),
+          max(col("nv")).as("max_distinct"))
+        .select(lit(name).as("fd"), col("n_groups"),
+          col("n_violating").cast("bigint").as("n_violating"),
+          col("max_distinct"))
+    }.reduce(_ unionAll _)
+  }
+
   private val fmtLong: Column => Column = _.cast("string")
   private val fmtStr: Column => Column = identity
   private val fmtMoney: Column => Column =
@@ -654,6 +678,36 @@ object Quality {
                - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
             * CAST(n_total AS DOUBLE)
             / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9) AS cell_chi2
-      FROM cells CROSS JOIN t ORDER BY digit"""))
+      FROM cells CROSS JOIN t ORDER BY digit""")),
+
+    // ---- FD audit on orders: the true key holds (0 violations),
+    //      the false dependency is quantified exactly ----
+    ("dq08_fd_audit", (s: SparkSession, d: String) => {
+      fdAudit(Tables.orders(s, d), Seq(
+        ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+        ("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+        ("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus")))
+        .orderBy("fd")
+    }, Some("""
+      WITH f1 AS (SELECT o_orderkey AS d, count(DISTINCT o_custkey) AS nv
+                  FROM orders GROUP BY 1),
+      f2 AS (SELECT o_custkey AS d, count(DISTINCT o_orderpriority) AS nv
+             FROM orders GROUP BY 1),
+      f3 AS (SELECT o_custkey AS d, count(DISTINCT o_orderstatus) AS nv
+             FROM orders GROUP BY 1),
+      u AS (
+        SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS n_groups,
+          CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating,
+          CAST(max(nv) AS BIGINT) AS max_distinct FROM f1
+        UNION ALL
+        SELECT 'o_custkey->o_orderpriority', count(*),
+          CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(max(nv) AS BIGINT) FROM f2
+        UNION ALL
+        SELECT 'o_custkey->o_orderstatus', count(*),
+          CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(max(nv) AS BIGINT) FROM f3)
+      SELECT fd, n_groups, n_violating, max_distinct FROM u ORDER BY fd"""))
   )
 }
