@@ -83,7 +83,10 @@ object Plans {
       "t23_weighted_sample" -> "systematic weighted sample (corpus entry): KB histogram agg -> driver prefix -> bucket-parallel windows (Exchange hashes the h-range bucket, never one partition); selection a codegen integer floor-div filter",
       "wh04_allocation" -> "largest-remainder allocation: ONE (order) exchange shared by the weight-sum window, the remainder-rank window and the residual window; all arithmetic integer codegen",
       "ss10_session_paths" -> "session paths: hashpartitioning(user) from the sessionize shuffle satisfies the (user, session) prefix window AND the per-session collect; the only other exchange is the path-cardinality rollup before top-k",
-      "dq06_psi_drift" -> "PSI drift: one partial-aggregable groupBy(value), broadcast 1-row min/max -> integer bin ids, dense 10-row spine left join, 1-row totals broadcast — everything after the value groupBy is bins-sized")
+      "dq06_psi_drift" -> "PSI drift: one partial-aggregable groupBy(value), broadcast 1-row min/max -> integer bin ids, dense 10-row spine left join, 1-row totals broadcast — everything after the value groupBy is bins-sized",
+      "ar02_sequential_rules" -> "sequential rules: ONE (session, type) endpoint-struct aggregate replaces any event-level pair join — the rule join is quadratic in TYPES per session; supports partial-agg, N a 1-row broadcast",
+      "tr04_adamic_adar" -> "Adamic-Adar: wedge self-join on the center with 1/ln(deg) weights riding the rows as DECIMAL — the pair score partial-aggregates map-side exactly; anti-join + per-vertex rank on candidate pairs only",
+      "ts13_changepoint" -> "CUSUM changepoint: one per-key cum-sum window over the BUCKET-sized grid, argmax one partial-aggregable max(struct) — no event-volume stage after resample's groupBy")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +
