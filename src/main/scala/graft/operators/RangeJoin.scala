@@ -73,6 +73,46 @@ object RangeJoin {
       .agg(min(col("tus")).as("s_start"), max(col("tus")).as("s_end"))
   }
 
+  /** Peak concurrency over an interval set — "how many sessions were
+    * open at once, and when" (capacity planning / occupancy). Classic
+    * sweep-line: +1 at each start, −1 just past each closed end,
+    * running sum, max. The −1 sorts BEFORE the +1 at an equal
+    * timestamp (delta asc), so intermediate sums within an instant
+    * never overshoot and the max is attained exactly at each
+    * instant's last +1 — making max and its earliest timestamp
+    * order-independent.
+    *
+    * SCALE: a single global ordered window would serialize; instead
+    * the t23 two-phase shape on UTC days — per-day net deltas
+    * (days-sized), exclusive day-offset prefix (window over the
+    * days-sized frame), then day-partitioned in-day windows + offset
+    * = the exact global running sum with day-level parallelism.
+    */
+  def maxConcurrency(intervals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = intervals.select(col("s_start").as("ts"), lit(1L).as("delta"),
+        col("user_id"), col("sid"))
+      .unionAll(intervals.select((col("s_end") + 1L).as("ts"),
+        lit(-1L).as("delta"), col("user_id"), col("sid")))
+      .withColumn("day", expr("ts div 86400000000L"))
+    val perDay = b.groupBy(col("day")).agg(sum(col("delta")).as("net"))
+    val wDays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perDay.select(col("day"),
+      coalesce(sum(col("net")).over(wDays), lit(0L)).as("off"))
+    val wIn = Window.partitionBy(col("day"))
+      .orderBy(col("ts"), col("delta"), col("user_id"), col("sid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = b.join(broadcast(offs), Seq("day"))
+      .withColumn("conc", sum(col("delta")).over(wIn) + col("off"))
+    val mx = cum.agg(max(col("conc")).as("mc"))
+    val n = intervals.agg(count(lit(1)).as("n_sessions"))
+    cum.join(broadcast(mx), col("conc") === col("mc"))
+      .agg(max(col("conc")).as("max_concurrent"), min(col("ts")).as("at_us"))
+      .crossJoin(broadcast(n))
+      .select(col("n_sessions"), col("max_concurrent"), col("at_us"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // events joined back to their user's session intervals (sessions
     // derived as in ss01), counting events per session interval
@@ -160,6 +200,39 @@ object RangeJoin {
       FROM a JOIN sessions b
         ON a.a_start <= b.s_end AND b.s_start <= a.a_end
        AND b.user_id <> a.a_user
-      GROUP BY a_user, a_sid ORDER BY a_user, a_sid"""))
+      GROUP BY a_user, a_sid ORDER BY a_user, a_sid""")),
+
+    // ---- peak concurrency over the same session intervals: global
+    //      sweep-line, the oracle a single ordered window ----
+    ("rj03_max_concurrency", (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .withColumn("tus", expr("ts_ns div 1000"))
+      maxConcurrency(userSessions(ev))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id,
+                   epoch_ns(ts) // 1000 AS tus FROM events),
+      l AS (SELECT user_id, event_id, tus,
+              lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS p
+            FROM e),
+      f AS (SELECT user_id, event_id, tus,
+              CASE WHEN p IS NULL OR tus - p > 1800000000 THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sess0 AS (SELECT user_id, tus,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f),
+      sessions AS (SELECT user_id, sid, min(tus) AS s_start, max(tus) AS s_end
+                   FROM sess0 GROUP BY user_id, sid),
+      b AS (SELECT s_start AS ts, 1 AS delta FROM sessions
+            UNION ALL SELECT s_end + 1, -1 FROM sessions),
+      c AS (SELECT ts, CAST(sum(delta) OVER (ORDER BY ts, delta
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS conc
+            FROM b),
+      m AS (SELECT max(conc) AS mc FROM c)
+      SELECT (SELECT count(*) FROM sessions) AS n_sessions,
+        m.mc AS max_concurrent,
+        (SELECT min(ts) FROM c WHERE conc = m.mc) AS at_us
+      FROM m"""))
   )
 }

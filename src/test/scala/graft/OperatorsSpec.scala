@@ -597,6 +597,27 @@ class OperatorsSpec extends AnyFunSuite {
       .commonNeighborRecs(star, 5, maxCenterDeg = 2L).isEmpty)
   }
 
+  test("rj03 maxConcurrency: day-offset carry-in exact across midnight; closed-interval touch counts") {
+    import spark.implicits._
+    val day = 86400000000L
+    // two sessions open across midnight (start day 0, end day 1) plus
+    // one on day 1 whose start EQUALS another's end (closed intervals
+    // overlap at the shared instant) -> peak 3 on day 1
+    val ivs = Seq(
+      (1L, 1L, day - 1000L, day + 5000L),
+      (2L, 1L, day - 500L, day + 2000L),
+      (3L, 1L, day + 2000L, day + 9000L) // starts AT 2's end
+    ).toDF("user_id", "sid", "s_start", "s_end")
+    val r = graft.operators.RangeJoin.maxConcurrency(ivs).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((3L, 3L, day + 2000L)))
+    // disjoint control: never more than 1
+    val solo = Seq((1L, 1L, 0L, 10L), (1L, 2L, 100L, 110L))
+      .toDF("user_id", "sid", "s_start", "s_end")
+    val r2 = graft.operators.RangeJoin.maxConcurrency(solo).collect()(0)
+    assert(r2.getLong(1) === 1L && r2.getLong(2) === 0L)
+  }
+
   test("tr04 adamicAdarRecs: rare shared neighbor outranks the hub; deg-1 centers safe") {
     import spark.implicits._
     // 1 and 2 share BOTH a hub h (deg 4: 1,2,3,4) and a rare mutual

@@ -36,7 +36,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "dq07_benford", // broadcast 1-row grand total
     "ix04_ranked_search", // broadcast 1-row corpus stats (t07's shape)
     "t24_tfidf_keywords", // broadcast 1-row doc count
-    "ar02_sequential_rules") // broadcast 1-row session total (lift's N)
+    "ar02_sequential_rules", // broadcast 1-row session total (lift's N)
+    "rj03_max_concurrency") // broadcast 1-row session count + 1-row max
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
