@@ -1493,6 +1493,72 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** EXACT containment self-join: ordered pairs (A, B) with
+    * |A∩B| / |A| ≥ num/den over 3-gram-shingle sets — the ASYMMETRIC
+    * complement to [[setSimilarityJoin]]'s Jaccard (d25). Jaccard
+    * misses subsumption: a short quote inside a long document scores
+    * near 0 Jaccard but containment 1.0, and quote/excerpt detection
+    * is exactly what a training-data pipeline needs next to near-dup
+    * (a doc 90%-contained in another is redundant even when the
+    * lengths differ 10×).
+    *
+    * Prefix filtering adapts one-sided: if |A∩B| ≥ ⌈t·|A|⌉ then A's
+    * |A| − ⌈t·|A|⌉ + 1 rarest shingles must hit B's FULL set (B's
+    * prefix can't be bounded — containment puts no lower bound on
+    * |B|'s share), so candidates = A-prefix ⋈ all-tokens. Join keys
+    * are A's rarest shingles, so B rows with common shingles never
+    * match — the candidate count stays prefix-driven. Verify is
+    * cross-multiplied BIGINTs (den·inter ≥ num·na); the float
+    * containment is one rounded division at the end. Self-pairs
+    * excluded; both directions can appear (A⊂B and B⊂A both real).
+    *
+    * SCALE: same budget as d25 plus one corpus-token-sized shuffle
+    * for the B side of the candidate join; everything else is
+    * candidate-bounded.
+    */
+  def containmentJoin(documents: DataFrame, num: Long, den: Long)
+      : DataFrame = {
+    require(num > 0 && den >= num, s"need 0 < num/den <= 1, got $num/$den")
+    val spark = documents.sparkSession
+    val toks = documents
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), ' '), x -> x <> '')").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), " +
+          "i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))")).as("word"))
+      .distinct()
+    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("f"))
+    val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"), col("word"))
+    val pre = toks.join(freq, "word")
+      .withColumn("rn", row_number().over(w))
+      .join(sz, "doc_id")
+      .filter(col("rn") <=
+        col("n") - expr(s"(n * ${num}L + ${den}L - 1) div ${den}L") + 1)
+      .select(col("doc_id"), col("word"))
+    val cand = pre.select(col("doc_id").as("id_a"), col("word"))
+      .join(toks.select(col("doc_id").as("id_b"), col("word")), "word")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("doc_id").as("id_a"), col("word")), Seq("id_a"))
+      .join(toks.select(col("doc_id").as("id_b"), col("word")),
+        Seq("id_b", "word"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("inter") * den >= col("na") * num)
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+        round(col("inter").cast("double") / col("na").cast("double"), 6)
+          .as("containment"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- exact dedup: hash groupBy on content ----
@@ -2228,6 +2294,47 @@ object Dedup {
       FROM i JOIN sz sa ON sa.doc_id = i.id_a
              JOIN sz sb ON sb.doc_id = i.id_b
       WHERE i.inter * 5 >= (sa.n + sb.n - i.inter) * 3
+      ORDER BY id_a, id_b""")),
+
+    // ---- asymmetric containment join: ordered pairs where ≥ 4/5 of
+    //      A's shingles appear in B (quote/excerpt detection — the
+    //      subsumption case Jaccard scores near 0). One-sided prefix
+    //      filter: A's rarest shingles probe B's full set ----
+    ("d26_containment_join", (s: SparkSession, d: String) => {
+      containmentJoin(Tables.documents(s, d), num = 4L, den = 5L)
+        .orderBy("id_a", "id_b")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+        FROM documents),
+      tri0 AS (SELECT doc_id, ws,
+          unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3),
+      toks AS (SELECT DISTINCT doc_id,
+          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS word
+        FROM tri0),
+      freq AS (SELECT word, count(*) AS f FROM toks GROUP BY 1),
+      sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+      r AS (SELECT t.doc_id, t.word, s.n,
+              row_number() OVER (PARTITION BY t.doc_id
+                ORDER BY f.f, t.word) AS rn
+            FROM toks t JOIN freq f USING (word) JOIN sz s USING (doc_id)),
+      pre AS (SELECT doc_id, word FROM r
+              WHERE rn <= n - ((n * 4 + 4) // 5) + 1),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM pre a JOIN toks b
+                 ON a.word = b.word AND a.doc_id <> b.doc_id),
+      i AS (SELECT c.id_a, c.id_b, count(*) AS inter
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.id_a
+            JOIN toks tb ON tb.doc_id = c.id_b AND tb.word = ta.word
+            GROUP BY 1, 2)
+      SELECT i.id_a, i.id_b, i.inter, sa.n AS na, sb.n AS nb,
+        round(CAST(i.inter AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+          AS containment
+      FROM i JOIN sz sa ON sa.doc_id = i.id_a
+             JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE i.inter * 5 >= sa.n * 4
       ORDER BY id_a, id_b""")),
 
     // ---- canonical selection: the KEEP decision after clustering —

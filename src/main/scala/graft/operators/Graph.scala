@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -320,6 +320,50 @@ object Graph {
           round((col("n_tri") * 2L).cast("double") /
             (col("deg") * (col("deg") - 1L)).cast("double"), 6))
           .as("cc"))
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint
+    * degrees over the symmetrized edge list (Newman 2002) — positive
+    * when hubs attach to hubs, negative for hub-and-spoke topologies.
+    * THE one-number summary a graph pipeline gates on before running
+    * hub-sensitive algorithms (tr03's celebrity cap, pr01's skew).
+    *
+    * All five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are sums
+    * of exact integers accumulated as DECIMAL(38,0), so the final r
+    * is one fixed-order double expression off exact inputs — the
+    * cor01 discipline.
+    *
+    * SCALE: one edge-sized degree groupBy + two equi joins to land
+    * degrees on endpoints + ONE partial-aggregable global aggregate.
+    * Nothing is vertex-quadratic; the output is a single row.
+    */
+  def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dx = deg.select(col("src").as("x"), col("deg").as("dx"))
+    val dy = deg.select(col("src").as("y"), col("deg").as("dy"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    sym.join(dx, col("src") === col("x"))
+      .join(dy, col("dst") === col("y"))
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("dx"))).as("sx"), sum(dec(col("dy"))).as("sy"),
+        sum(dec(col("dx") * col("dy"))).as("sxy"),
+        sum(dec(col("dx") * col("dx"))).as("sxx"),
+        sum(dec(col("dy") * col("dy"))).as("syy"),
+        max(col("dx")).as("md"))
+      .select((col("m") / lit(2)).cast("long").as("n_edges"),
+        col("md").cast("long").as("max_deg"),
+        // A regular graph has zero degree variance — the denominator
+        // is 0 and r is undefined. Spark 4 ANSI throws DIVIDE_BY_ZERO
+        // even for doubles, so the degenerate case is gated to NULL.
+        round(try_divide(
+          (dec(col("m")) * col("sxy") - col("sx") * col("sy"))
+            .cast("double"),
+          sqrt((dec(col("m")) * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+            (dec(col("m")) * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 6).as("assortativity"))
   }
 
   /** Common-neighbor link recommendation ("customers who bought X's
@@ -645,6 +689,37 @@ object Graph {
         FROM directed)
       SELECT id, rank, rec, aa FROM ranked WHERE rank <= 3
       ORDER BY id, rank""")),
+
+    // ---- degree assortativity of the co-purchase graph: Pearson r
+    //      of endpoint degrees, five exact-integer sufficient stats,
+    //      one fixed-order double at the end ----
+    ("tr05_assortativity", (s: SparkSession, d: String) => {
+      degreeAssortativity(copurchaseEdges(Tables.lineitem(s, d), 2L))
+    }, Some("""
+      WITH e AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT id_a AS a, id_b AS b FROM e
+              UNION ALL SELECT id_b, id_a FROM e),
+      deg AS (SELECT a AS v, count(*) AS deg FROM sym GROUP BY 1),
+      j AS (SELECT dx.deg AS dx, dy.deg AS dy
+            FROM sym s JOIN deg dx ON dx.v = s.a
+            JOIN deg dy ON dy.v = s.b),
+      agg AS (SELECT count(*) AS m,
+        CAST(sum(dx) AS DECIMAL(38,0)) AS sx,
+        CAST(sum(dy) AS DECIMAL(38,0)) AS sy,
+        CAST(sum(dx * dy) AS DECIMAL(38,0)) AS sxy,
+        CAST(sum(dx * dx) AS DECIMAL(38,0)) AS sxx,
+        CAST(sum(dy * dy) AS DECIMAL(38,0)) AS syy,
+        max(dx) AS md FROM j)
+      SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+        CAST(md AS BIGINT) AS max_deg,
+        round(CAST(m * sxy - sx * sy AS DOUBLE) /
+          sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+               CAST(m * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+      FROM agg""")),
 
     // ---- communities on the same co-purchase graph: 6 synchronous
     //      LPA rounds, ties to the smallest label; oracle unrolls the

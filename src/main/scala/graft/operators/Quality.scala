@@ -708,6 +708,94 @@ object Quality {
         SELECT 'o_custkey->o_orderstatus', count(*),
           CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
           CAST(max(nv) AS BIGINT) FROM f3)
-      SELECT fd, n_groups, n_violating, max_distinct FROM u ORDER BY fd"""))
+      SELECT fd, n_groups, n_violating, max_distinct FROM u ORDER BY fd""")),
+
+    // ---- referential-integrity audit: orphan rates for every FK
+    //      edge of the star schema in one constraint-sized report.
+    //      Each edge is a LEFT join against the DISTINCT parent key —
+    //      dims broadcast, the two fact-sized edges shuffle on the
+    //      key, and the output is one row per edge regardless of
+    //      data volume (the ingest-gate shape: alert when orphans
+    //      appear, never materialize them) ----
+    ("dq09_ref_integrity", (s: SparkSession, d: String) => {
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck))
+          .join(parent.select(col(pk)).distinct(),
+            col(ck) === col(pk), "left")
+          .agg(lit(name).as("fk"), count(lit(1)).as("n_rows"),
+            count(when(col(pk).isNull && col(ck).isNotNull, 1))
+              .as("n_orphans"),
+            count(when(col(ck).isNull, 1)).as("n_null_fk"))
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          o, "o_orderkey")
+        .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionAll(edge("orders.o_custkey->customer", o, "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .unionAll(edge("customer.c_nationkey->nation",
+          Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"))
+        .unionAll(edge("supplier.s_nationkey->nation",
+          Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey"))
+        .unionAll(edge("nation.n_regionkey->region",
+          Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey"))
+        .orderBy("fk")
+    }, Some("""
+      WITH u AS (
+        SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_rows,
+          count(CASE WHEN o_orderkey IS NULL AND l_orderkey IS NOT NULL
+                THEN 1 END) AS n_orphans,
+          count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_null_fk
+        FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders)
+          p ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', count(*),
+          count(CASE WHEN p_partkey IS NULL AND l_partkey IS NOT NULL
+                THEN 1 END),
+          count(CASE WHEN l_partkey IS NULL THEN 1 END)
+        FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part)
+          p ON l_partkey = p_partkey
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier', count(*),
+          count(CASE WHEN s_suppkey IS NULL AND l_suppkey IS NOT NULL
+                THEN 1 END),
+          count(CASE WHEN l_suppkey IS NULL THEN 1 END)
+        FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier)
+          p ON l_suppkey = s_suppkey
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', count(*),
+          count(CASE WHEN c_custkey IS NULL AND o_custkey IS NOT NULL
+                THEN 1 END),
+          count(CASE WHEN o_custkey IS NULL THEN 1 END)
+        FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer)
+          p ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation', count(*),
+          count(CASE WHEN n_nationkey IS NULL AND c_nationkey IS NOT NULL
+                THEN 1 END),
+          count(CASE WHEN c_nationkey IS NULL THEN 1 END)
+        FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation)
+          p ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'supplier.s_nationkey->nation', count(*),
+          count(CASE WHEN n_nationkey IS NULL AND s_nationkey IS NOT NULL
+                THEN 1 END),
+          count(CASE WHEN s_nationkey IS NULL THEN 1 END)
+        FROM supplier LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation)
+          p ON s_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'nation.n_regionkey->region', count(*),
+          count(CASE WHEN r_regionkey IS NULL AND n_regionkey IS NOT NULL
+                THEN 1 END),
+          count(CASE WHEN n_regionkey IS NULL THEN 1 END)
+        FROM nation LEFT JOIN (SELECT DISTINCT r_regionkey FROM region)
+          p ON n_regionkey = r_regionkey)
+      SELECT fk, n_rows, n_orphans, n_null_fk FROM u ORDER BY fk"""))
   )
 }

@@ -1750,6 +1750,268 @@ object Relational {
         WHERE n > 1)
       SELECT c_custkey, dk IS NULL AS totals_unique
       FROM customer LEFT JOIN dups ON c_custkey = dk
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---- TPC-H Q2 shape: minimum-cost supplier per part — the
+    //      correlated-MIN subquery (`s_acctbal = (SELECT min ...)`),
+    //      decorrelated as a per-part min aggregate joined back.
+    //      The supplied-pairs set comes from DISTINCT lineitem
+    //      (l_partkey, l_suppkey) — the stand-in for partsupp. The
+    //      min is an untouched double element (no arithmetic), so
+    //      equality against it is bit-exact on both engines ----
+    ("q77_tpch_q2", (s: SparkSession, d: String) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val cand = pairs.join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), col("s_suppkey"),
+          col("s_acctbal"), col("s_name"))
+      val mb = cand.groupBy(col("l_partkey"))
+        .agg(min(col("s_acctbal")).as("mb"))
+      cand.join(mb, Seq("l_partkey"))
+        .filter(col("s_acctbal") === col("mb"))
+        .join(Tables.part(s, d).filter(col("p_size") < 15),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("s_acctbal"))
+        .orderBy("p_partkey", "s_suppkey")
+    }, Some("""
+      WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      cand AS (SELECT l_partkey, s_suppkey, s_acctbal, s_name
+               FROM pairs JOIN supplier ON l_suppkey = s_suppkey),
+      mb AS (SELECT l_partkey, min(s_acctbal) AS mb FROM cand GROUP BY 1)
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+      FROM cand JOIN mb USING (l_partkey)
+      JOIN part ON p_partkey = l_partkey
+      WHERE s_acctbal = mb AND p_size < 15
+      ORDER BY p_partkey, s_suppkey""")),
+
+    // ---- TPC-H Q13 shape: customer order-count distribution — the
+    //      classic outer-join-then-double-aggregate. The LEFT join
+    //      keeps zero-order customers (count(o_orderkey) skips the
+    //      null-extended rows, so they land in the c_count=0 bucket),
+    //      and the second aggregate is over the first's output —
+    //      customer-sized, not order-sized ----
+    ("q78_tpch_q13", (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      val cnt = Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      cnt.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }, Some("""
+      WITH cnt AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY 1)
+      SELECT c_count, count(*) AS custdist
+      FROM cnt GROUP BY 1
+      ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---- TPC-H Q22 shape: positive-balance customers above the
+    //      segment average with no RECENT orders (lapsed since
+    //      2001) — scalar-average subquery + NOT EXISTS in one query.
+    //      The average threshold is cross-multiplied (bal·n > total,
+    //      both decimal-exact) so no float division decides
+    //      membership; the anti join IS the NOT EXISTS; the 1-row
+    //      threshold frame broadcasts ----
+    ("q79_tpch_q22", (s: SparkSession, d: String) => {
+      val seg = Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY",
+          "AUTOMOBILE"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      val thr = seg.filter(col("bal") > 0)
+        .agg(sum(col("bal")).as("tot"), count(lit(1)).as("n"))
+      seg.crossJoin(broadcast(thr))
+        .filter(col("bal") * col("n") > col("tot"))
+        .join(Tables.orders(s, d).filter(col("o_orderdate") >=
+            lit("2001-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal")).cast("double").as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }, Some("""
+      WITH seg AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING','MACHINERY','AUTOMOBILE')),
+      thr AS (SELECT sum(bal) AS tot, count(*) AS n
+              FROM seg WHERE bal > 0)
+      SELECT c_mktsegment, count(*) AS numcust,
+             CAST(sum(bal) AS DOUBLE) AS totacctbal
+      FROM seg, thr
+      WHERE bal * n > tot
+        AND NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2001-01-01')
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- TPC-H Q19 shape: disjunction of brand×size×quantity
+    //      envelopes (OR-of-ANDs). The planner point: each side's
+    //      ENVELOPE is pushed below the join — part keeps only rows
+    //      satisfying SOME branch's (brand, size) conjunct, lineitem
+    //      only quantities inside the union range — so the join sees
+    //      pre-shrunk inputs and the full cross-side predicate only
+    //      re-checks matched rows. Part side broadcasts ----
+    ("q80_tpch_q19", (s: SparkSession, d: String) => {
+      val branch = (brand: String, smax: Int, qlo: Int, qhi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(1, smax) &&
+          col("l_quantity").between(qlo, qhi)
+      val p = Tables.part(s, d)
+        .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(1, 30))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(branch("Brand#12", 5, 1, 11) ||
+          branch("Brand#23", 10, 10, 20) ||
+          branch("Brand#34", 15, 20, 30))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"))
+    }, Some("""
+      SELECT count(*) AS n_items,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // ---- TPC-H Q15 shape: top supplier by quarterly revenue WITH
+    //      TIES — the revenue view consumed twice (per-supplier rows
+    //      + its global max), ties kept by exact DECIMAL equality
+    //      (the revenue never becomes a float until output, so
+    //      "equals the max" is well-defined on both engines). The
+    //      1-row max frame broadcasts ----
+    ("q81_tpch_q15", (s: SparkSession, d: String) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1996-04-01 00:00:00"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }, Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+          sum(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,6))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      WHERE total_rev = (SELECT max(total_rev) FROM rev)
+      ORDER BY s_suppkey""")),
+
+    // ---- TPC-H Q14 shape: promo revenue share — conditional
+    //      aggregate over one join month. Both the promo and total
+    //      sums stay DECIMAL through the aggregate; the share is ONE
+    //      rounded double division (never a float accumulation) ----
+    ("q82_tpch_q14", (s: SparkSession, d: String) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 6))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-09-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-10-01 00:00:00"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).as("promo"),
+          sum(rev).as("total"))
+        .select(col("n_items"),
+          col("promo").cast("double").as("promo_revenue"),
+          round(lit(100.0) * col("promo").cast("double") /
+            col("total").cast("double"), 6).as("promo_share"))
+    }, Some("""
+      SELECT count(*) AS n_items,
+        CAST(sum(CASE WHEN p_type = 'PROMO'
+          THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+        round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_share
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l_shipdate < TIMESTAMP '1997-10-01'""")),
+
+    // ---- TPC-H Q8 shape: market share per order year — the
+    //      5-table join (customer region gates demand, supplier
+    //      nation is the share numerator) feeding a conditional
+    //      aggregate. Numerator and denominator are both DECIMAL
+    //      partial-aggregable sums per year; the share is one rounded
+    //      double division per year row. Dims broadcast; only the
+    //      lineitem⋈orders edge shuffles ----
+    ("q83_tpch_q8", (s: SparkSession, d: String) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 6))
+      val asiaNations = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nat"))
+      val supNation = Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("sup_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("c_nat"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("sup_nation") === "NATION_3", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).as("nat"),
+          sum(rev).as("total"))
+        .select(col("o_year"),
+          round(col("nat").cast("double") / col("total").cast("double"), 6)
+            .as("mkt_share"),
+          col("total").cast("double").as("total_revenue"))
+        .orderBy("o_year")
+    }, Some("""
+      WITH j AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+          CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS rev,
+          sn.n_name AS sup_nation
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA')
+      SELECT o_year,
+        round(CAST(sum(CASE WHEN sup_nation = 'NATION_3' THEN rev
+            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+          CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+        CAST(sum(rev) AS DOUBLE) AS total_revenue
+      FROM j GROUP BY 1 ORDER BY 1"""))
   )
 }

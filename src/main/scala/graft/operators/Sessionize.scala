@@ -314,6 +314,76 @@ object Sessionize {
       .orderBy("cohort_week", "week_k")
   }
 
+  /** DAU / trailing-`windowDays` MAU per day ("stickiness" — the
+    * DAU/MAU engagement ratio every growth dashboard carries).
+    *
+    * Distinct-users-per-sliding-window without re-counting: each
+    * user's presence day d covers grid days [d, min(next_d − 1,
+    * d + W − 1)] — the span where d is that user's LATEST presence
+    * inside the trailing window. Per user the spans are disjoint, so
+    * "users covered at day g" IS the distinct trailing count. Spans
+    * become ±1 deltas, deltas fold per DAY (partial-aggregable
+    * groupBy — this is where user-volume rows disappear), and one
+    * running sum over the calendar-sized day table reads MAU at each
+    * grid day. SCALE: the only serial stage is the day-table window
+    * (thousands of rows for years of data); everything user-sized is
+    * hash-parallel. The ss05 bot-proofing applies: activity drops to
+    * distinct (user, day) first.
+    */
+  def stickiness(events: DataFrame, windowDays: Int): DataFrame = {
+    val pres = events.select(col("user_id"),
+      col("ts").cast("date").as("day")).distinct()
+    val dau = pres.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val uw = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val cap = date_add(col("day"), windowDays - 1)
+    val iv = pres.select(col("day").as("s"),
+      least(coalesce(date_sub(lead(col("day"), 1).over(uw), 1), cap),
+        cap).as("e"))
+    val deltas = iv.select(col("s").as("day"), lit(1L).as("dt"))
+      .unionAll(iv.select(date_add(col("e"), 1).as("day"),
+        lit(-1L).as("dt")))
+      .groupBy(col("day")).agg(sum(col("dt")).as("delta"))
+    val merged = deltas.select(col("day"), col("delta"),
+        lit(0).as("is_grid"), lit(0L).as("dau"))
+      .unionAll(dau.select(col("day"), lit(0L).as("delta"),
+        lit(1).as("is_grid"), col("dau")))
+    val w = Window.orderBy(col("day"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged.withColumn("mau", sum(col("delta")).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("day").cast("string").as("day"), col("dau"),
+        col("mau").cast("long").as("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Engagement-depth (Lness) histogram: for each day, how many of
+    * that day's active users were active on 1, 2, …, `windowDays`
+    * distinct days of the trailing window — the L7/L28 distribution
+    * behind "power-user curve" dashboards (a healthy product shifts
+    * mass rightward; ss11's stickiness is this histogram's mean).
+    *
+    * Per user the trailing count is a RANGE window over the day
+    * number (presence rows only — user-day-sized, partitioned by
+    * user, so no global serial stage and the ss05 bot-proofing
+    * applies: one row per (user, day) no matter the event volume).
+    * The histogram rollup is a partial-aggregable (day, l) groupBy.
+    */
+  def engagementHistogram(events: DataFrame, windowDays: Int): DataFrame = {
+    val pres = events.select(col("user_id"),
+        col("ts").cast("date").as("day")).distinct()
+      .withColumn("dn",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    pres.withColumn("l", count(lit(1)).over(w))
+      .groupBy(col("day").cast("string").as("day"), col("l"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("day", "l")
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     ("ss01_sessionize", (s: SparkSession, d: String) => {
       sessionized(eventsUs(s, d), keepCols = Seq.empty)
@@ -594,7 +664,66 @@ object Sessionize {
               string_agg(event_type, '>' ORDER BY tns, event_id) AS path
             FROM r WHERE rn <= 5 GROUP BY 1, 2)
       SELECT path, count(*) AS n_sessions FROM p
-      GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"""))
+      GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""")),
+
+    // ---- DAU / trailing-28-day MAU stickiness per day. The naive
+    //      plan (distinct users per 28-day window) re-counts every
+    //      user 28×; instead each user's presence days become
+    //      DISJOINT coverage intervals ([day, min(next_day−1,
+    //      day+27)] — "I am the latest presence in the window"), so
+    //      summing interval membership IS the distinct count.
+    //      Intervals fold to per-day ±1 nets (day-sized) BEFORE the
+    //      one running sum over the calendar — the rj03/t23 two-phase
+    //      discipline: no user-volume row ever crosses a global
+    //      window ----
+    ("ss11_stickiness", (s: SparkSession, d: String) => {
+      stickiness(Tables.events(s, d), 28)
+    }, Some("""
+      WITH pres AS (SELECT DISTINCT user_id,
+                      CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                    FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM pres GROUP BY 1),
+      iv AS (SELECT day AS s,
+               least(coalesce(lead(day) OVER (PARTITION BY user_id
+                       ORDER BY day) - 1, day + 27), day + 27) AS e
+             FROM pres),
+      delta AS (SELECT day, CAST(sum(dt) AS BIGINT) AS delta FROM (
+          SELECT s AS day, 1 AS dt FROM iv
+          UNION ALL SELECT e + 1, -1 FROM iv)
+        GROUP BY 1),
+      merged AS (
+        SELECT day, delta, 0 AS is_grid, 0 AS dau FROM delta
+        UNION ALL SELECT day, 0, 1, dau FROM dau),
+      run AS (SELECT day, dau, is_grid,
+               sum(delta) OVER (ORDER BY day, is_grid
+                 ROWS UNBOUNDED PRECEDING) AS mau
+              FROM merged)
+      SELECT CAST(day AS VARCHAR) AS day, CAST(dau AS BIGINT) AS dau,
+        CAST(mau AS BIGINT) AS mau,
+        round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
+      FROM run WHERE is_grid = 1 ORDER BY day""")),
+
+    // ---- L7 engagement histogram: per day, the distribution of
+    //      trailing-7-day active-day counts among that day's active
+    //      users (the power-user curve; ss11's stickiness is this
+    //      histogram's mean). Per-user RANGE window over day numbers
+    //      on presence rows (user-day-sized), then a
+    //      partial-aggregable (day, l) rollup ----
+    ("ss12_engagement_hist", (s: SparkSession, d: String) => {
+      engagementHistogram(Tables.events(s, d), 7)
+    }, Some("""
+      WITH pres AS (SELECT DISTINCT user_id,
+                      CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                    FROM events),
+      dn AS (SELECT user_id, day,
+               CAST(day - DATE '1970-01-01' AS BIGINT) AS dn
+             FROM pres),
+      l AS (SELECT day, count(*) OVER (PARTITION BY user_id ORDER BY dn
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS l
+            FROM dn)
+      SELECT CAST(day AS VARCHAR) AS day, CAST(l AS BIGINT) AS l,
+        count(*) AS n_users
+      FROM l GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   private lazy val ss01OracleSql = Some("""

@@ -645,6 +645,67 @@ object TextOps {
       .select(col("doc_id"), col("w").as("n_tokens"), col("copies"), col("cum"))
   }
 
+  /** Stratified sample with EXACT largest-remainder (Hamilton)
+    * allocation: k rows split across strata exactly proportionally —
+    * stratum s gets ⌊k·n_s/N⌋, and the k − Σ⌊⌋ leftover seats go to
+    * the largest fractional remainders (k·n_s mod N, ties to the
+    * smaller stratum name). Σ alloc = k EXACTLY, every decision is
+    * integer arithmetic, and ⌊k·n_s/N⌋+1 ≤ n_s whenever k ≤ N (a
+    * bumped stratum has a nonzero remainder), so allocation never
+    * exceeds a stratum. The per-lang quota beats global weighted
+    * sampling when the mixture itself is the contract (eval sets,
+    * per-language training quotas).
+    *
+    * Members are picked by deterministic hash order (t23's mod-p
+    * walk — no RNG, both engines replay it bit-exactly). SCALE: the
+    * (stratum, bucket) histogram is a KB sidecar collect; the
+    * allocation is driver arithmetic over stratum count rows; the
+    * per-stratum rank runs bucket-parallel (in-bucket row_number +
+    * broadcast offset over 128 contiguous hash ranges — t23's trick),
+    * so a 90%-English corpus never serializes into one window task.
+    */
+  def stratifiedSample(docs: DataFrame, k: Long,
+      keyCol: String = "lang"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hx = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L),
+      lit(1000003L))
+    val base = docs.select(col("doc_id"), col(keyCol).as("stratum"),
+        hx.as("h"))
+      .withColumn("b", expr("(h * 128L) div 1000003L").cast("int"))
+    val hist = base.groupBy(col("stratum"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val nByS = hist.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val total = nByS.values.sum
+    require(total > 0, "empty corpus")
+    require(k <= total, s"k=$k exceeds corpus size $total")
+    val floors = nByS.view.mapValues(n => k * n / total).toMap
+    val leftover = (k - floors.values.sum).toInt
+    val bumped = nByS.toSeq
+      .map { case (s0, n) => (s0, k * n % total) }
+      .sortBy { case (s0, r) => (-r, s0) }
+      .take(leftover).map(_._1).toSet
+    val alloc = floors.map { case (s0, f) =>
+      (s0, f + (if (bumped(s0)) 1L else 0L))
+    }.toSeq
+    val offs = hist.groupBy(_._1).toSeq.flatMap { case (s0, rows) =>
+      var off = 0L
+      rows.sortBy(_._2).map { case (_, b, c) =>
+        val row = (s0, b, off); off += c; row
+      }
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"), col("b"))
+      .orderBy(col("h"), col("doc_id"))
+    base.join(broadcast(offs.toDF("stratum", "b", "off")),
+        Seq("stratum", "b"))
+      .join(broadcast(alloc.toDF("stratum", "alloc")), Seq("stratum"))
+      .withColumn("rn", row_number().over(win).cast("long") + col("off"))
+      .filter(col("rn") <= col("alloc"))
+      .select(col("doc_id"), col("stratum"), col("rn"))
+  }
+
   /** TF-IDF keyword extraction: the top-k characteristic words of
     * every document — tf·ln(N/df) over the corpus's own statistics
     * (t07's BM25 ranks DOCS for a query; this ranks WORDS for a doc —
@@ -1456,7 +1517,41 @@ object TextOps {
       qualityScore(embedDocuments(Tables.documents(s, d)
           .repartition(s.sparkContext.defaultParallelism)),
           classifierWeights(64))
-        .orderBy("doc_id"), Some(classifierOracleSql(64))))
+        .orderBy("doc_id"), Some(classifierOracleSql(64))),
+
+    // ---- stratified sample with EXACT largest-remainder allocation:
+    //      60 docs split across languages exactly ∝ stratum size
+    //      (floors + the largest fractional remainders get the
+    //      leftovers — Σ alloc = 60 exactly, all integer arithmetic),
+    //      members picked by deterministic hash order. The per-stratum
+    //      rank is bucket-parallel (t23's offset trick), never one
+    //      serial window per language ----
+    ("t26_stratified_sample", (s: SparkSession, d: String) => {
+      stratifiedSample(Tables.documents(s, d), 60L)
+        .orderBy("stratum", "rn")
+    }, Some("""
+      WITH h AS (SELECT doc_id, lang,
+             ((doc_id % 1000003) * 427799) % 1000003 AS h
+           FROM documents),
+      sz AS (SELECT lang, count(*) AS n FROM h GROUP BY 1),
+      tot AS (SELECT sum(n) AS nn FROM sz),
+      al AS (SELECT lang, n, (60 * n) // nn AS fl, (60 * n) % nn AS r
+             FROM sz, tot),
+      lo AS (SELECT 60 - sum(fl) AS rr FROM al),
+      bump AS (SELECT lang, fl,
+                 row_number() OVER (ORDER BY r DESC, lang) AS rk
+               FROM al),
+      alloc AS (SELECT lang, fl + CASE WHEN rk <= (SELECT rr FROM lo)
+                  THEN 1 ELSE 0 END AS alloc
+                FROM bump),
+      rn AS (SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY h, doc_id) AS rn
+             FROM h)
+      SELECT doc_id, lang AS stratum, CAST(rn AS BIGINT) AS rn
+      FROM rn JOIN alloc USING (lang)
+      WHERE rn <= alloc
+      ORDER BY stratum, rn""")))
 
   /** e01's oracle: the HashedBowEmbedder kernel as SQL — per-word
     * FNV-1a-64 (OracleSql.fnvU64, bit-exact vs the JVM fold on the

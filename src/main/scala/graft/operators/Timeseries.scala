@@ -534,6 +534,37 @@ object Timeseries {
                    (epoch_ns(ts) // 1000) * 1000 AS tns, value
                  FROM events)"""
 
+  /** Time-weighted average per key: value_i held over [t_i, t_{i+1});
+    * TWA = Σ v_i·(t_{i+1}−t_i) / (t_n−t_0). The irregular-sampling
+    * mean — count-weighted avg over-weights bursts; TWA weights by
+    * how LONG each value was in force. Exact arithmetic: cents
+    * (DECIMAL 18,2) × integer ns durations, decimal-summed; the only
+    * float is the final division. The last observation per key
+    * carries no duration (no successor) and is excluded — the
+    * standard left-closed convention.
+    *
+    * SCALE: one per-key lead window (parallelism = series count, the
+    * ts-family discipline) + one partial-aggregable groupBy.
+    */
+  def timeWeightedAvg(events: DataFrame,
+      keyCol: String = "event_type"): DataFrame = {
+    val uw = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_ns"), col("event_id"))
+    events.select(col(keyCol), col("ts_ns"), col("event_id"),
+        col("value"))
+      .withColumn("nxt", lead(col("ts_ns"), 1).over(uw))
+      .filter(col("nxt").isNotNull)
+      .select(col(keyCol), (col("nxt") - col("ts_ns")).as("dur"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dur")).as("total_ns"),
+        sum(col("v") * col("dur")).as("wsum"))
+      .select(col(keyCol), col("n_segments"), col("total_ns"),
+        round(col("wsum").cast("double") /
+          col("total_ns").cast("double"), 6).as("twa"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // ---- hourly resample + gap fill + forward fill per event type:
     //      the dashboard/feature grid shape ----
@@ -921,6 +952,27 @@ object Timeseries {
         round(CAST(m.dmax AS DOUBLE) / CAST(d.nb AS DOUBLE), 6) AS cusum_max
       FROM d JOIN m ON m.event_type = d.event_type AND d.dv = m.dmax
       GROUP BY d.event_type, d.nb, m.dmax
-      ORDER BY d.event_type"""))
+      ORDER BY d.event_type""")),
+
+    // ---- time-weighted average per key: each observation holds its
+    //      value until the next one, so irregular sampling can't bias
+    //      the mean toward burst periods (the sensor/price-series
+    //      average that count-weighted avg gets wrong). Weights are
+    //      exact: cents × integer-ns durations decimal-summed; ONE
+    //      double division at the end ----
+    ("ts14_time_weighted_avg", (s: SparkSession, d: String) => {
+      timeWeightedAvg(eventsUs(s, d)).orderBy("event_type")
+    }, Some(tsPrefix + """,
+      l AS (SELECT event_type, tns, CAST(value AS DECIMAL(18,2)) AS v,
+              lead(tns) OVER (PARTITION BY event_type
+                ORDER BY tns, event_id) AS nxt
+            FROM e),
+      seg AS (SELECT event_type, nxt - tns AS dur, v
+              FROM l WHERE nxt IS NOT NULL)
+      SELECT event_type, count(*) AS n_segments,
+        CAST(sum(dur) AS BIGINT) AS total_ns,
+        round(CAST(sum(v * dur) AS DOUBLE) /
+              CAST(CAST(sum(dur) AS BIGINT) AS DOUBLE), 6) AS twa
+      FROM seg GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -738,4 +738,118 @@ class OperatorsSpec extends AnyFunSuite {
       "2024-01-02" -> ((2L, 1L, 1L, 3L)),
       "2024-01-04" -> ((1L, 0L, 1L, 3L))))
   }
+
+  test("ss11 stickiness: trailing-28d MAU expires lapsed users; dup days collapse") {
+    import spark.implicits._
+    // u1 day 0 only; u2 days 0 and 30 (gap > 28 -> u1 out of the
+    // day-30 window, u2's own day-0 coverage also expired)
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"),
+      (2L, "2024-01-01 11:00:00"), (2L, "2024-01-31 09:00:00")
+    ).toDF("user_id", "s").select(col("user_id"),
+      col("s").cast("timestamp").as("ts"))
+    val got = graft.operators.Sessionize.stickiness(ev, 28)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      "2024-01-01" -> ((2L, 2L, 1.0)),
+      "2024-01-31" -> ((1L, 1L, 1.0))))
+    // overlap case: u3 on days 0 and 10 — at day 10 MAU must count
+    // u3 ONCE (disjoint-interval property), u4 still covered from day 0
+    val ev2 = Seq(
+      (3L, "2024-01-01 10:00:00"), (4L, "2024-01-01 11:00:00"),
+      (3L, "2024-01-11 09:00:00")
+    ).toDF("user_id", "s").select(col("user_id"),
+      col("s").cast("timestamp").as("ts"))
+    val got2 = graft.operators.Sessionize.stickiness(ev2, 28)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got2 === Map(
+      "2024-01-01" -> ((2L, 2L)),
+      "2024-01-11" -> ((1L, 2L))))
+  }
+
+  test("tr05 degreeAssortativity: star graph is exactly -1; regular graph is NULL") {
+    import spark.implicits._
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("id_a", "id_b")
+    val r = graft.operators.Graph.degreeAssortativity(star).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((3L, 3L, -1.0)))
+    // triangle: every endpoint degree 2 -> zero variance -> NULL (the
+    // documented degenerate case: 0/0 gated by try_divide under ANSI)
+    val ring = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val r2 = graft.operators.Graph.degreeAssortativity(ring).collect()(0)
+    assert(r2.getLong(0) === 3L && r2.isNullAt(2))
+  }
+
+  test("ts14 timeWeightedAvg: duration-weighted, last point excluded, burst-proof") {
+    import spark.implicits._
+    // key a: v=10 for 1000ns then terminal 99 (no duration -> excluded)
+    // key b: v=1 for 100ns, v=3 for 300ns -> (100 + 900)/400 = 2.5;
+    //        a count-weighted avg would say 2.0
+    val ev = Seq(
+      ("a", 0L, 1L, 10.0), ("a", 1000L, 2L, 99.0),
+      ("b", 0L, 3L, 1.0), ("b", 100L, 4L, 3.0), ("b", 400L, 5L, 7.0)
+    ).toDF("event_type", "ts_ns", "event_id", "value")
+    val got = graft.operators.Timeseries.timeWeightedAvg(ev)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map("a" -> ((1L, 1000L, 10.0)),
+      "b" -> ((2L, 400L, 2.5))))
+  }
+
+  test("d26 containmentJoin: one-directional subsumption; jaccard-low pair still caught") {
+    import spark.implicits._
+    // B extends A by two words: every A-shingle is in B (C(A->B)=1)
+    // but C(B->A)=6/8 < 4/5 — only the (A,B) direction qualifies.
+    // Jaccard(A,B) = 6/8 = 0.75 < 0.8 would MISS this pair in d25.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "x1 x2 x3 x4 x5")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentJoin(docs, 4L, 5L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got === Map((1L, 2L) -> ((6L, 6L, 8L, 1.0))))
+  }
+
+  test("ss12 engagementHistogram: trailing-7d active-day counts bucket correctly") {
+    import spark.implicits._
+    // u1 active days 1,2,3 -> l=1,2,3; u2 active day 1 and day 9
+    // (gap > 6 -> day-9 window holds only day 9 -> l=1)
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 10:00:00"),
+      (1L, "2024-01-03 10:00:00"), (1L, "2024-01-03 12:00:00"),
+      (2L, "2024-01-01 11:00:00"), (2L, "2024-01-09 09:00:00")
+    ).toDF("user_id", "s").select(col("user_id"),
+      col("s").cast("timestamp").as("ts"))
+    val got = graft.operators.Sessionize.engagementHistogram(ev, 7)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(got === Map(
+      ("2024-01-01", 1L) -> 2L,   // u1 and u2 both first-day
+      ("2024-01-02", 2L) -> 1L,
+      ("2024-01-03", 3L) -> 1L,
+      ("2024-01-09", 1L) -> 1L))  // u2's day-1 presence expired
+  }
+
+  test("t26 stratifiedSample: largest-remainder allocation is exact and capped") {
+    import spark.implicits._
+    // strata: a=5 docs, b=3, c=2 (N=10), k=6 -> exact shares 3.0/1.8/1.2
+    // floors 3/1/1 (sum 5), one leftover -> largest remainder is b (.8)
+    // -> alloc a=3, b=2, c=1; sum = 6 exactly
+    val docs = (1L to 5L).map(i => (i, "a")) ++
+      (6L to 8L).map(i => (i, "b")) ++ (9L to 10L).map(i => (i, "c"))
+    val df = docs.toDF("doc_id", "lang")
+    val got = graft.operators.TextOps.stratifiedSample(df, 6L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val byStratum = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byStratum === Map("a" -> 3, "b" -> 2, "c" -> 1))
+    assert(got.length === 6)
+    // ranks within each stratum are exactly 1..alloc (offset math holds)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
 }

@@ -37,7 +37,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "ix04_ranked_search", // broadcast 1-row corpus stats (t07's shape)
     "t24_tfidf_keywords", // broadcast 1-row doc count
     "ar02_sequential_rules", // broadcast 1-row session total (lift's N)
-    "rj03_max_concurrency") // broadcast 1-row session count + 1-row max
+    "rj03_max_concurrency", // broadcast 1-row session count + 1-row max
+    "q79_tpch_q22", // broadcast 1-row (tot, n) average threshold
+    "q81_tpch_q15") // broadcast 1-row max-revenue frame (ties filter)
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
