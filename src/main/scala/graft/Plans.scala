@@ -86,7 +86,13 @@ object Plans {
       "dq06_psi_drift" -> "PSI drift: one partial-aggregable groupBy(value), broadcast 1-row min/max -> integer bin ids, dense 10-row spine left join, 1-row totals broadcast — everything after the value groupBy is bins-sized",
       "ar02_sequential_rules" -> "sequential rules: ONE (session, type) endpoint-struct aggregate replaces any event-level pair join — the rule join is quadratic in TYPES per session; supports partial-agg, N a 1-row broadcast",
       "tr04_adamic_adar" -> "Adamic-Adar: wedge self-join on the center with 1/ln(deg) weights riding the rows as DECIMAL — the pair score partial-aggregates map-side exactly; anti-join + per-vertex rank on candidate pairs only",
-      "ts13_changepoint" -> "CUSUM changepoint: one per-key cum-sum window over the BUCKET-sized grid, argmax one partial-aggregable max(struct) — no event-volume stage after resample's groupBy")
+      "ts13_changepoint" -> "CUSUM changepoint: one per-key cum-sum window over the BUCKET-sized grid, argmax one partial-aggregable max(struct) — no event-volume stage after resample's groupBy",
+      "q80_tpch_q19" -> "TPC-H Q19 shape: both OR-of-ANDs envelopes reach the scans (PushedFilters shows the brand/size disjunction on part and the quantity range on lineitem), part broadcasts, full predicate re-checked post-join only",
+      "q83_tpch_q8" -> "TPC-H Q8 shape: every dim broadcasts (customer/nation/region/supplier) — lineitem⋈orders is the only shuffled join; per-year conditional DECIMAL sums partial-aggregate map-side",
+      "d26_containment_join" -> "containment join: one-sided prefix filter — candidates from A-prefix ⋈ full-token equi join (no all-pairs), intersection counted by joining candidates back to token lists, verify a codegen integer filter",
+      "tr05_assortativity" -> "assortativity: edge-sized degree groupBy + two equi joins land degrees on endpoints, then ONE partial-aggregable global Aggregate carries all five sufficient stats — single-row output, no vertex-quadratic stage",
+      "ss11_stickiness" -> "DAU/MAU stickiness: distinct (user,day) collapse, per-user lead window on presence rows, per-day ±1 delta groupBy — the ONLY unpartitioned window runs over the calendar-day spine, never user-volume rows",
+      "t26_stratified_sample" -> "stratified sample: KB (stratum, bucket) histogram collect, driver largest-remainder allocation, bucket-parallel rank windows (Exchange hashes (stratum, b)) — no per-language serial window")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +
