@@ -330,9 +330,19 @@ object Sessionize {
     * hash-parallel. The ss05 bot-proofing applies: activity drops to
     * distinct (user, day) first.
     */
-  def stickiness(events: DataFrame, windowDays: Int): DataFrame = {
-    val pres = events.select(col("user_id"),
-      col("ts").cast("date").as("day")).distinct()
+  def stickiness(events: DataFrame, windowDays: Int): DataFrame =
+    stickinessFromPresence(events.select(col("user_id"),
+      col("ts").cast("date").as("day")).distinct(), windowDays)
+
+  /** The interval machinery of [[stickiness]] over a PRE-DISTINCT
+    * (user_id, day) presence frame — the shared back half of the
+    * batch entry and the streaming twin
+    * ([[graft.streaming.EngagementStream]]), whose store already
+    * holds distinct presence rows. `pres` must be unique per
+    * (user_id, day). */
+  def stickinessFromPresence(pres0: DataFrame, windowDays: Int)
+      : DataFrame = {
+    val pres = pres0.select(col("user_id"), col("day"))
     val dau = pres.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val uw = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val cap = date_add(col("day"), windowDays - 1)

@@ -1264,4 +1264,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
     assert(parts.size <= 3, s"store partitions unbounded: $parts")
   }
+
+  test("streaming stickiness equals batch ss11 after every batch; fold cadence invariant") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-engstage")
+      rows.toDF("user_id", "s")
+        .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-eng-src")
+    val store = Files.createTempDirectory("graft-eng-store").toString + "/pres"
+    val out = Files.createTempDirectory("graft-eng-out").toString
+    val ckpt = Files.createTempDirectory("graft-eng-ckpt").toString
+    // b1: two users day 1; b2 brings a lapse-window case (u1 returns
+    // day 31 — u2's day-1 coverage expired) and a duplicate presence
+    // row for u1 day 1 (store DISTINCT must collapse it)
+    val b1 = Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"))
+    val b2 = Seq((1L, "2024-01-31 09:00:00"), (1L, "2024-01-01 12:00:00"),
+      (2L, "2024-01-20 08:00:00"))
+    val b3 = Seq((1L, "2024-01-01 13:00:00")) // pure replay-overlap batch
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP").parquet(src.toString)
+    val q = graft.streaming.EngagementStream.start(store, stream, 28,
+      out, ckpt, maxStoreParts = Some(2))
+    def published() = spark.read.parquet(out)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    def batchTwin(rows: Seq[(Long, String)]) =
+      graft.operators.Sessionize.stickiness(
+        rows.toDF("user_id", "s").select(col("user_id"),
+          col("s").cast("timestamp").as("ts")), 28)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTwin(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTwin(b1 ++ b2))
+      // day 31: u1 present (dau 1); u2's day-20 still covers -> mau 2
+      assert(published()("2024-01-31") === ((1L, 2L)))
+      val beforeFold = published()
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      // b3 adds no new presence — published table identical, and the
+      // fold b3 triggers must not change it either
+      assert(published() === beforeFold)
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+  }
 }
