@@ -237,6 +237,50 @@ object Graph {
     visited
   }
 
+  /** Sampled harmonic centrality: H(v) = Σ_s 1/d(s,v) over a seed
+    * SAMPLE s (s ≠ v, unreachable contributes 0) — the
+    * closeness-family centrality that stays well-defined on
+    * disconnected graphs, estimated from k sources the way any
+    * 100 TB graph must (exact all-pairs BFS is O(V·E)). Per-source
+    * distances come from a seed-labeled multi-source BFS: ONE
+    * frontier frame carries (seed, id) so all seeds expand in the
+    * same per-round join, not k sequential BFS runs.
+    *
+    * Engine-exact arithmetic: the inverse distance is the INTEGER
+    * ⌊10⁹/d⌋ (floor-div replays bit-identically; no float reciprocal
+    * sum), summed as BIGINT; the output scales back by one double
+    * division by a constant.
+    *
+    * SCALE: per-round cost = frontier out-degree × live seeds, same
+    * budget as [[shortestHops]] with a ≤k fan-out factor; visited
+    * anti-join keyed (seed, id). Lineage cut per round (reliable
+    * checkpoint when a dir is configured — Graph.cut).
+    */
+  def harmonicCentrality(pairs: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    val e = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var visited = cut(sources.select(col("id").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("id"), lit(0L).as("dist")))
+    var frontier = visited
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      frontier = cut(frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("seed"), col("dst").as("id")).distinct()
+        .join(visited, Seq("seed", "id"), "left_anti")
+        .withColumn("dist", lit(h.toLong)))
+      visited = cut(visited.unionAll(frontier))
+    }
+    visited.filter(col("dist") > 0)
+      .select(col("id"), expr("1000000000L div dist").as("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("w")).as("ws"))
+      .select(col("id"), col("n_reached"),
+        round(col("ws").cast("double") / lit(1e9), 9).as("harmonic"))
+  }
+
   /** k-core: the maximal subgraph where every vertex keeps degree ≥ k
     * — the classic cohesion filter (spam/bot rings, dense co-purchase
     * neighborhoods) and the cheap preconditioner before expensive
@@ -784,6 +828,43 @@ object Graph {
         JOIN edges e ON e.src = w.id WHERE w.d < 8),
       sp AS (SELECT id, min(d) AS dist FROM walk GROUP BY id)
       SELECT id, CAST(dist AS BIGINT) AS dist FROM sp ORDER BY id""")),
+
+    // ---- sampled harmonic centrality from bfs01's 5 seeds: ONE
+    //      seed-labeled multi-source BFS (all seeds expand in the
+    //      same per-round join), inverse distances as exact integer
+    //      ⌊10⁹/d⌋ BIGINT sums, one constant double division out ----
+    ("hc01_harmonic_centrality", (s: SparkSession, d: String) => {
+      val pairs = copurchaseEdges(Tables.lineitem(s, d), 2L)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val seeds = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id")))
+        .distinct().orderBy("id").limit(5)
+      harmonicCentrality(pairs, seeds, 8).orderBy("id")
+    }, Some("""
+      WITH RECURSIVE
+      p AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+      nodes AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+      seeds AS (SELECT id FROM (
+        SELECT id, row_number() OVER (ORDER BY id) AS rn FROM nodes)
+        WHERE rn <= 5),
+      walk(seed, id, d) AS (
+        SELECT id, id, 0 FROM seeds
+        UNION
+        SELECT w.seed, e.dst, w.d + 1 FROM walk w
+        JOIN edges e ON e.src = w.id WHERE w.d < 8),
+      sp AS (SELECT seed, id, min(d) AS dist FROM walk GROUP BY 1, 2)
+      SELECT id, count(*) AS n_reached,
+        round(CAST(CAST(sum(1000000000 // dist) AS BIGINT) AS DOUBLE)
+          / 1e9, 9) AS harmonic
+      FROM sp WHERE dist > 0 GROUP BY 1 ORDER BY id""")),
 
     // ---- 3-core of the co-purchase graph: peel-to-fixpoint, peel
     //      depth ≤ 12 (probed: 8 at sf0.01, 2 at sf0.1); maxIter 13 =

@@ -814,6 +814,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map((1L, 2L) -> ((6L, 6L, 8L, 1.0))))
   }
 
+  test("hc01 harmonicCentrality: path-graph inverse-distance sums; hop cap honored") {
+    import spark.implicits._
+    // path 1-2-3-4, seeds {1,4}: H(2)=1/1+1/2=1.5, H(3)=1/2+1/1=1.5,
+    // H(1)=1/3 (from seed 4; own seed contributes 0), H(4) symmetric.
+    // 1/3 is the INTEGER floor(1e9/3)/1e9 = 0.333333333
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 4L).toDF("id")
+    val got = graft.operators.Graph.harmonicCentrality(path, seeds, 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 0.333333333)), 2L -> ((2L, 1.5)),
+      3L -> ((2L, 1.5)), 4L -> ((1L, 0.333333333))))
+    // hop cap: from seed 1 with maxHops=1 only node 2 is scored
+    val capped = graft.operators.Graph
+      .harmonicCentrality(path, Seq(1L).toDF("id"), 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(capped === Map(2L -> 1.0))
+  }
+
   test("ss12 engagementHistogram: trailing-7d active-day counts bucket correctly") {
     import spark.implicits._
     // u1 active days 1,2,3 -> l=1,2,3; u2 active day 1 and day 9
