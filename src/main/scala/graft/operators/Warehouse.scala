@@ -377,6 +377,87 @@ object Warehouse {
         (((CAST(rr - 1 AS BIGINT) * 5) // c) + 1) * 100
           + (((CAST(rf - 1 AS BIGINT) * 5) // c) + 1) * 10
           + (((CAST(rm - 1 AS BIGINT) * 5) // c) + 1) AS rfm_code
-      FROM ranked ORDER BY o_custkey"""))
+      FROM ranked ORDER BY o_custkey""")),
+
+    // ---- clamped running inventory balance per part: restocks (R)
+    //      add, issues subtract, stock can't go negative — the clamp
+    //      max(0, bal+δ) is NON-associative, so no window/prefix-sum
+    //      can express it; it's the ts08 fold discipline on a
+    //      warehouse ledger. All integer; shortfall (unfillable
+    //      demand) accumulates exactly. Oracle replays the identical
+    //      fold as a depth-49 recursive CTE over per-key
+    //      row_number chains ----
+    ("wh05_inventory_balance", (s: SparkSession, d: String) => {
+      val moves = Tables.lineitem(s, d).select(
+        col("l_partkey").as("k"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("o1"),
+        col("l_orderkey").as("o2"),
+        col("l_linenumber").cast("long").as("o3"),
+        when(col("l_returnflag") === "R", col("l_quantity"))
+          .otherwise(-col("l_quantity")).cast("long").as("delta"))
+      clampedRunningBalance(moves)
+        .select(col("k").as("l_partkey"), col("n_moves"),
+          col("final_balance"), col("total_shortfall"))
+        .orderBy("l_partkey")
+    }, Some("""
+      WITH RECURSIVE m AS MATERIALIZED (
+        SELECT l_partkey AS k,
+          CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+               ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+          row_number() OVER (PARTITION BY l_partkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        FROM lineitem),
+      c AS (SELECT k, count(*) AS n FROM m GROUP BY 1),
+      f(k, rn, bal, short) AS (
+        SELECT k, rn, greatest(delta, 0), greatest(-delta, 0)
+        FROM m WHERE rn = 1
+        UNION ALL
+        SELECT m.k, m.rn, greatest(f.bal + m.delta, 0),
+          f.short + greatest(-(f.bal + m.delta), 0)
+        FROM f JOIN m ON m.k = f.k AND m.rn = f.rn + 1)
+      SELECT f.k AS l_partkey, c.n AS n_moves,
+        CAST(f.bal AS BIGINT) AS final_balance,
+        CAST(f.short AS BIGINT) AS total_shortfall
+      FROM f JOIN c ON c.k = f.k AND f.rn = c.n
+      ORDER BY l_partkey"""))
   )
+
+  /** The clamp fold: per key in (o1, o2, o3) order, balance_t =
+    * max(0, balance_{t-1} + delta_t) starting from 0, with the
+    * clamped amount accumulating as shortfall. NON-associative (the
+    * clamp's position matters), so it runs as the ts08 discipline:
+    * repartition(key) + sortWithinPartitions + one mapPartitions
+    * fold whose state is 3 longs, emitting ONE summary row per key.
+    *
+    * SCALE: one (key) exchange; partition length = a part's movement
+    * count (ledger-bounded, not corpus-bounded); output key-sized.
+    * `moves` must carry (k, o1, o2, o3, delta) with (o1,o2,o3)
+    * totally ordering each key's rows.
+    */
+  def clampedRunningBalance(moves: DataFrame): DataFrame = {
+    val spark = moves.sparkSession
+    import spark.implicits._
+    moves.select(col("k"), col("o1"), col("o2"), col("o3"), col("delta"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("o1"), col("o2"), col("o3"))
+      .as[(Long, Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[(Long, Long, Long, Long)] {
+          def hasNext: Boolean = b.hasNext
+          def next(): (Long, Long, Long, Long) = {
+            val k = b.head._1
+            var n = 0L; var bal = 0L; var short = 0L
+            while (b.hasNext && b.head._1 == k) {
+              val d = b.next()._5
+              n += 1
+              val s = bal + d
+              if (s < 0L) { short -= s; bal = 0L } else bal = s
+            }
+            (k, n, bal, short)
+          }
+        }
+      }
+      .toDF("k", "n_moves", "final_balance", "total_shortfall")
+  }
 }

@@ -814,6 +814,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map((1L, 2L) -> ((6L, 6L, 8L, 1.0))))
   }
 
+  test("wh05 clampedRunningBalance: clamp at zero is order-dependent, shortfall exact") {
+    import spark.implicits._
+    // key a: +5, -8 (clamp: short 3, bal 0), +2 -> bal 2 — a plain
+    // prefix sum would report -1; key b starts with unfillable demand
+    val moves = Seq(
+      (1L, 1L, 0L, 0L, 5L), (1L, 2L, 0L, 0L, -8L), (1L, 3L, 0L, 0L, 2L),
+      (2L, 1L, 0L, 0L, -4L), (2L, 2L, 0L, 0L, 1L)
+    ).toDF("k", "o1", "o2", "o3", "delta")
+    val got = graft.operators.Warehouse.clampedRunningBalance(moves)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2L, 3L)),
+      2L -> ((2L, 1L, 4L))))
+  }
+
   test("hc01 harmonicCentrality: path-graph inverse-distance sums; hop cap honored") {
     import spark.implicits._
     // path 1-2-3-4, seeds {1,4}: H(2)=1/1+1/2=1.5, H(3)=1/2+1/1=1.5,
