@@ -2330,6 +2330,128 @@ object Similarity {
                                  ORDER BY cos DESC, nbr) AS rn
             FROM cosym WHERE cos >= 0.35)
       SELECT id, nbr AS nb, cos FROM r WHERE rn <= 5
-      ORDER BY id, cos DESC, nbr"""))
+      ORDER BY id, cos DESC, nbr""")),
+
+    // ---- MMR diversified top-k: greedy maximal marginal relevance
+    //      over a 12-candidate cosine shortlist (λ = 7/10, k = 5) —
+    //      the rerank that stops a result page (or a sampled training
+    //      batch) from being five copies of the same document. Oracle
+    //      unrolls the identical greedy rounds ----
+    ("s17_mmr_rerank", (s: SparkSession, d: String) =>
+      mmrRerank(Tables.embeddings(s, d), 0L, 12, 5),
+      Some(mmrOracleSql(12, 5)))
   )
+
+  /** Greedy MMR (maximal marginal relevance) re-rank: from the top
+    * `shortlistN` cosine candidates for `queryId`, select k items by
+    * repeatedly maximizing (7·sim(q,d) − 3·max_{s∈S} sim(d,s)) / 10 —
+    * relevance minus redundancy against what's already selected
+    * (Carbonell & Goldstein 1998). λ is carried as the integer 7/10
+    * (7.0·x − 3.0·y)/10.0 so both engines evaluate the SAME double
+    * expression ((1 − 0.7) in binary is NOT 0.3 — spelling the
+    * complement as a separate literal would diverge).
+    *
+    * Determinism: every similarity is engine-rounded at 6 BEFORE the
+    * election (the s01 convention), the greedy compares the raw
+    * double scores off those rounded inputs (identical arithmetic →
+    * identical argmax), ties to the smaller vec_id; only the
+    * REPORTED score rounds again at 6.
+    *
+    * SCALE: the corpus pays exactly one s01-shaped scan (shortlist);
+    * the shortlist² pair-sim frame and the greedy election are
+    * KB-bounded sidecars (ceiling ENFORCED at shortlistN ≤ 64 — the
+    * batch-LUT discipline), so the serial k·N² loop never touches
+    * data-volume rows.
+    */
+  def mmrRerank(embeddings: DataFrame, queryId: Long, shortlistN: Int,
+      k: Int): DataFrame = {
+    require(shortlistN >= 1 && shortlistN <= 64,
+      s"MMR election collects N + N^2 sidecar rows: shortlistN " +
+        s"$shortlistN > 64")
+    require(k >= 1 && k <= shortlistN, s"need 1 <= k <= N, got k=$k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cand = cosineTopK(embeddings, queryId, shortlistN)
+    val ce = cand.join(embeddings, Seq("vec_id"))
+      .select(col("vec_id"), col("cos").as("simq"), col("embedding"))
+    val pairs = ce.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .join(ce.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+        col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        round(vectorCosine(col("ea"), col("eb")), 6).as("s"))
+    val simq = ce.select(col("vec_id"), col("simq")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim = scala.collection.mutable.HashMap[(Long, Long), Double]()
+    pairs.collect().foreach { r =>
+      val (a, b, s0) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      sim((a, b)) = s0; sim((b, a)) = s0
+    }
+    var remaining = simq.keySet.toSeq.sorted
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    while (picked.size < k && remaining.nonEmpty) {
+      val best = remaining.map { id =>
+        val ms = picked.map(p => sim((id, p._2)))
+          .maxOption.getOrElse(0.0)
+        (id, (7.0 * simq(id) - 3.0 * ms) / 10.0)
+      }.minBy { case (id, sc) => (-sc, id) }
+      picked += ((picked.size + 1L, best._1,
+        java.math.BigDecimal.valueOf(best._2)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+      remaining = remaining.filterNot(_ == best._1)
+    }
+    picked.toSeq.toDF("rank", "vec_id", "score")
+  }
+
+  /** s17's oracle: the identical shortlist + pairwise sims + k
+    * unrolled greedy rounds (each round an argmax over the not-yet-
+    * selected candidates with max-sim-to-selected redundancy). */
+  private def mmrOracleSql(n: Int, k: Int): String = {
+    val rounds = (2 to k).map { i =>
+      val sel = (1 until i).map(j => s"SELECT vec_id FROM r$j")
+        .mkString(" UNION ALL ")
+      s"""r$i AS MATERIALIZED (
+        SELECT vec_id, score FROM (
+          SELECT c.vec_id,
+            (7.0 * c.simq - 3.0 * coalesce(max(CASE WHEN y.ib IN ($sel)
+               THEN y.s END), 0.0)) / 10.0 AS score
+          FROM cand c LEFT JOIN sym y ON y.ia = c.vec_id
+          WHERE c.vec_id NOT IN ($sel)
+          GROUP BY c.vec_id, c.simq)
+        ORDER BY score DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, vec_id, round(score, 6) AS score FROM r$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      zq AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b
+             FROM embeddings, q),
+      s0 AS (SELECT vec_id,
+               round(sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) /
+                 (sqrt(sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE))) *
+                  sqrt(sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))), 6)
+                 AS simq
+             FROM zq GROUP BY vec_id),
+      cand AS MATERIALIZED (SELECT vec_id, simq FROM s0 WHERE vec_id <> 0
+              ORDER BY simq DESC, vec_id LIMIT $n),
+      ce AS (SELECT c.vec_id, e.embedding
+             FROM cand c JOIN embeddings e USING (vec_id)),
+      zp AS (SELECT x.vec_id AS ia, y.vec_id AS ib,
+               unnest(x.embedding) AS a, unnest(y.embedding) AS b
+             FROM ce x JOIN ce y ON x.vec_id < y.vec_id),
+      ps AS (SELECT ia, ib,
+               round(sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) /
+                 (sqrt(sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE))) *
+                  sqrt(sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))), 6)
+                 AS s
+             FROM zp GROUP BY 1, 2),
+      sym AS MATERIALIZED (SELECT ia, ib, s FROM ps
+             UNION ALL SELECT ib, ia, s FROM ps),
+      r1 AS MATERIALIZED (
+        SELECT vec_id, (7.0 * simq - 3.0 * 0.0) / 10.0 AS score
+        FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+      $rounds
+      $out
+      ORDER BY rank"""
+  }
 }

@@ -814,6 +814,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map((1L, 2L) -> ((6L, 6L, 8L, 1.0))))
   }
 
+  test("s17 mmrRerank: redundancy penalty evicts the duplicate a plain top-k keeps") {
+    import spark.implicits._
+    // vec 1 and vec 2 are IDENTICAL (sim 1.0, both simq 0.8); vec 3
+    // is orthogonal to them with simq 0.6. Plain top-2 = {1, 2};
+    // MMR round 2 scores the duplicate (7*0.8 - 3*1.0)/10 = 0.26 vs
+    // the diverse (7*0.6 - 3*0.0)/10 = 0.42 -> {1, 3}
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f, 0.0f)),
+      (2L, Array(0.8f, 0.6f, 0.0f)),
+      (3L, Array(0.6f, -0.8f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.mmrRerank(emb, 0L, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 1L, 0.56), (2L, 3L, 0.42)))
+  }
+
   test("wh05 clampedRunningBalance: clamp at zero is order-dependent, shortfall exact") {
     import spark.implicits._
     // key a: +5, -8 (clamp: short 3, bal 0), +2 -> bal 2 — a plain

@@ -44,7 +44,10 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
     * all-pairs by definition (gate-corpus-sized; sampled at scale). */
-  private val intendedAllPairs = Set("s05_lsh_recall")
+  private val intendedAllPairs = Set("s05_lsh_recall",
+    // s17's pair-sim stage is pairwise BY CONTRACT over the
+    // ceiling-enforced <=64-row shortlist, never the corpus
+    "s17_mmr_rerank")
 
   /** Batch-serving queries that broadcast the QUERY TABLE (Q rows, a
     * serving batch bounded by contract — see Similarity.cosineTopKBatch)
