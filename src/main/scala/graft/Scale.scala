@@ -41,6 +41,19 @@ object Scale {
     // cross-doc duplicated runs — worst-case pressure on the
     // positioned-hash + window stages
     time("substringDup")(graft.operators.Dedup.substringDupSpans(docs, 8, 16).count())
+    // replicas of one base doc share ~all shingles — every family is a
+    // 20-clique of mutual near-containments, the worst case for the
+    // one-sided prefix filter: candidate volume must track family
+    // structure (docs x prefix-collisions), never n^2/2
+    time("containment@0.9")(
+      graft.operators.Dedup.containmentJoin(docs, 9L, 10L).count())
+    // stratified allocation at 20x: the (stratum, bucket) histogram
+    // stays KB, the rank windows stay bucket-parallel — time should
+    // track the one corpus scan
+    time("stratifiedSample")(graft.operators.TextOps.stratifiedSample(
+      docs.select(col("doc_id"),
+        concat(lit("l"), pmod(col("doc_id"), lit(7))).as("lang")),
+      n / 10).count())
     // end-to-end manifest (gate → dedup keep-set → pack): one scan +
     // two shuffles, so docs/s here should track the corpus size — the
     // replicas all collapse onto the base docs' normalized forms, so

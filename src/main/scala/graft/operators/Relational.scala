@@ -2012,6 +2012,41 @@ object Relational {
             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
           CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
         CAST(sum(rev) AS DOUBLE) AS total_revenue
-      FROM j GROUP BY 1 ORDER BY 1"""))
+      FROM j GROUP BY 1 ORDER BY 1""")),
+
+    // ---- TPC-H Q11 shape: important stock — keep parts whose value
+    //      (from a 3-nation supplier set) exceeds 1/1000 of the
+    //      GLOBAL total: per-group aggregate vs a scalar-subquery
+    //      threshold. The compare is pv·1000 > total on exact
+    //      DECIMALs (no float fraction decides membership); the
+    //      1-row total broadcasts; the supplier set is a broadcast
+    //      semi-join before either aggregate ----
+    ("q84_tpch_q11", (s: SparkSession, d: String) => {
+      val supN = Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select(col("s_suppkey"))
+      val v = Tables.lineitem(s, d)
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("val"))
+      val per = v.groupBy(col("l_partkey")).agg(sum(col("val")).as("pv"))
+      val tot = v.agg(sum(col("val")).as("tot"))
+      per.crossJoin(broadcast(tot))
+        .filter(col("pv") * 1000 > col("tot"))
+        .select(col("l_partkey"), col("pv").cast("double").as("part_value"))
+        .orderBy(desc("part_value"), col("l_partkey"))
+    }, Some("""
+      WITH sn AS (SELECT s_suppkey FROM supplier
+                  JOIN nation ON s_nationkey = n_nationkey
+                  WHERE n_name IN ('NATION_1','NATION_2','NATION_3')),
+      v AS (SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS val
+            FROM lineitem JOIN sn ON l_suppkey = s_suppkey),
+      per AS (SELECT l_partkey, sum(val) AS pv FROM v GROUP BY 1),
+      tot AS (SELECT sum(val) AS tot FROM v)
+      SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
+      FROM per, tot WHERE pv * 1000 > tot
+      ORDER BY part_value DESC, l_partkey"""))
   )
 }

@@ -337,6 +337,66 @@ object Timeseries {
       .withColumn("ewma", col("ewma_cents") / 100.0)
   }
 
+  /** Holt double-exponential smoothing (level + linear trend) per key
+    * over the bucketed series, in INTEGER FIXED-POINT — the
+    * one-step-ahead forecaster a metrics pipeline runs where ts08's
+    * single EWMA lags every ramp. α = β = 1/den as floored-cents
+    * recurrences:
+    *   l_t = ⌊(c_t + (αden−1)·(l_{t−1}+b_{t−1})) / αden⌋
+    *   b_t = ⌊((l_t − l_{t−1}) + (βden−1)·b_{t−1}) / βden⌋
+    * (l_1 = c_1, b_1 = 0). Float recursions are at the mercy of FMA
+    * contraction/eval order — integer division replays
+    * bit-identically. GOTCHA measured here: the trend register goes
+    * NEGATIVE, and DuckDB's `//` TRUNCATES toward zero ((-7)//5 = -1)
+    * while Math.floorDiv floors (-2) — ts08 never sees the
+    * difference because EWMA stays positive. Both recurrences
+    * therefore use TRUNCATING division (JVM `/`, DuckDB `//` — each
+    * engine's native integer division), so the oracle replays the
+    * EXACT fold as a recursive CTE over per-key row_number chains
+    * (bucket-count-deep, never event-deep — the ts08 discipline,
+    * now with two state registers).
+    *
+    * SCALE: the only event-volume pass is the (key, bucket) groupBy;
+    * the fold runs repartition(key) + sortWithinPartitions +
+    * mapPartitions over BUCKET-sized series, state = 2 longs.
+    */
+  def holtFixedPoint(events: DataFrame, bucketNs: Long, alphaDen: Long,
+      betaDen: Long, keyCol: String = "event_type",
+      tsCol: String = "ts_ns", valCol: String = "value"): DataFrame = {
+    require(alphaDen >= 2 && betaDen >= 2,
+      s"need alphaDen/betaDen >= 2, got $alphaDen/$betaDen")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        expr(s"$tsCol div ${bucketNs}L").as("bucket"), col(valCol))
+      .groupBy(col("k"), col("bucket"))
+      .agg((sum(col(valCol).cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("bucket"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curKey: String = null
+        var l = 0L
+        var b = 0L
+        it.map { case (k, bk, c) =>
+          if (k != curKey) { curKey = k; l = c; b = 0L }
+          else {
+            val lPrev = l
+            // truncating division (see docstring: DuckDB // truncates)
+            l = (c + (alphaDen - 1) * (l + b)) / alphaDen
+            b = ((l - lPrev) + (betaDen - 1) * b) / betaDen
+          }
+          (k, bk, c, l, b)
+        }
+      }
+      .toDF(keyCol, "bucket", "cents", "level_cents", "trend_cents")
+      // one deterministic double op off the exact integers
+      .withColumn("forecast_next",
+        (col("level_cents") + col("trend_cents")) / 100.0)
+  }
+
   def seriesCorr(events: DataFrame, bucketNs: Long, keyA: String,
       keyB: String, keyCol: String = "event_type",
       tsCol: String = "ts_ns"): DataFrame = {
@@ -973,6 +1033,42 @@ object Timeseries {
         CAST(sum(dur) AS BIGINT) AS total_ns,
         round(CAST(sum(v * dur) AS DOUBLE) /
               CAST(CAST(sum(dur) AS BIGINT) AS DOUBLE), 6) AS twa
-      FROM seg GROUP BY 1 ORDER BY 1"""))
+      FROM seg GROUP BY 1 ORDER BY 1""")),
+
+    // ---- daily Holt level+trend per event type (α = β = 1/5),
+    //      integer fixed-point: the one-step forecaster where a lone
+    //      EWMA lags every ramp. Oracle replays the identical
+    //      two-register fold as a recursive CTE over per-key
+    //      row_number chains (ts08's shape) ----
+    ("ts15_holt", (s: SparkSession, d: String) => {
+      holtFixedPoint(eventsUs(s, d), DayNs, alphaDen = 5L, betaDen = 5L)
+        .withColumnRenamed("bucket", "day_idx")
+        .orderBy("event_type", "day_idx")
+    }, Some("""
+      WITH RECURSIVE e AS (SELECT event_type, event_id,
+                   (epoch_ns(ts) // 1000) * 1000 AS tns, value
+                 FROM events),
+      a AS (SELECT event_type, tns // 86400000000000 AS day_idx,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                AS cents
+            FROM e GROUP BY 1, 2),
+      b AS (SELECT event_type, day_idx, cents,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY day_idx) AS rn
+            FROM a),
+      r AS (
+        SELECT event_type, day_idx, cents, rn,
+               cents AS level_cents, CAST(0 AS BIGINT) AS trend_cents
+        FROM b WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.day_idx, b.cents, b.rn,
+          (b.cents + 4 * (r.level_cents + r.trend_cents)) // 5,
+          (((b.cents + 4 * (r.level_cents + r.trend_cents)) // 5
+              - r.level_cents) + 4 * r.trend_cents) // 5
+        FROM r JOIN b ON b.event_type = r.event_type
+                     AND b.rn = r.rn + 1)
+      SELECT event_type, day_idx, cents, level_cents, trend_cents,
+             (level_cents + trend_cents) / 100.0 AS forecast_next
+      FROM r ORDER BY event_type, day_idx"""))
   )
 }

@@ -814,6 +814,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map((1L, 2L) -> ((6L, 6L, 8L, 1.0))))
   }
 
+  test("ts15 holtFixedPoint: hand-folded level/trend registers on a linear ramp") {
+    import spark.implicits._
+    val day = 86400L * 1000L * 1000L * 1000L
+    // cents 100, 200, 300:
+    //   rn1: l=100, b=0
+    //   rn2: l=(200+4*100)/5=120, b=((120-100)+0)/5=4
+    //   rn3: l=(300+4*124)/5=159, b=((159-120)+16)/5=11 -> forecast 1.7
+    val ev = Seq(("x", 0L, 1.0), ("x", day, 2.0), ("x", 2 * day, 3.0))
+      .toDF("event_type", "ts_ns", "value")
+    val got = graft.operators.Timeseries.holtFixedPoint(ev, day, 5L, 5L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      0L -> ((100L, 100L, 0L, 1.0)),
+      1L -> ((200L, 120L, 4L, 1.24)),
+      2L -> ((300L, 159L, 11L, 1.7))))
+  }
+
   test("s17 mmrRerank: redundancy penalty evicts the duplicate a plain top-k keeps") {
     import spark.implicits._
     // vec 1 and vec 2 are IDENTICAL (sim 1.0, both simq 0.8); vec 3

@@ -39,7 +39,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "ar02_sequential_rules", // broadcast 1-row session total (lift's N)
     "rj03_max_concurrency", // broadcast 1-row session count + 1-row max
     "q79_tpch_q22", // broadcast 1-row (tot, n) average threshold
-    "q81_tpch_q15") // broadcast 1-row max-revenue frame (ties filter)
+    "q81_tpch_q15", // broadcast 1-row max-revenue frame (ties filter)
+    "q84_tpch_q11") // broadcast 1-row global-total threshold
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
