@@ -400,6 +400,52 @@ object Search {
              CAST(sum(h.n_hits) AS BIGINT) AS n_hits
       FROM hits h JOIN documents d USING (doc_id)
       GROUP BY 1, 2 ORDER BY 1, 2"""
-    })
+    }),
+
+    // ---- proximity search: docs where 'hash' and 'merge' co-occur
+    //      within 4 positions — the NEAR operator between exact
+    //      phrase (adjacency) and conjunctive AND (anywhere). Join
+    //      keyed on doc over TERM-FILTERED postings ----
+    ("ix05_proximity_search", (s: SparkSession, d: String) => {
+      proximitySearch(postings(Tables.documents(s, d)),
+        "hash", "merge", 4L).orderBy("doc_id")
+    }, Some(s"""
+      WITH $wordsSql,
+      a AS (SELECT doc_id, pos AS pa FROM words WHERE word = 'hash'),
+      b AS (SELECT doc_id, pos AS pb FROM words WHERE word = 'merge')
+      SELECT a.doc_id, count(*) AS n_pairs,
+        CAST(min(abs(pa - pb)) AS BIGINT) AS min_gap
+      FROM a JOIN b ON a.doc_id = b.doc_id
+      WHERE abs(pa - pb) <= 4
+      GROUP BY 1 ORDER BY 1"""))
   )
+
+  /** NEAR-operator proximity search: documents where `termA` and
+    * `termB` co-occur within `window` token positions, with the pair
+    * count and the closest gap — the retrieval mode between exact
+    * phrase (adjacency, ix02) and conjunctive AND (anywhere in the
+    * doc, ix01). Classic relevance signal: "hash ... merge" eight
+    * words apart usually IS about hash merges; in the same doc three
+    * paragraphs apart usually isn't.
+    *
+    * SCALE: both sides are TERM-FILTERED postings (posting-list-
+    * sized — bucket-pruned when read from the store), the join is
+    * keyed on doc_id with the window test as residual, and per-doc
+    * fan-out is tf_A × tf_B (term frequencies, not doc length). All
+    * integer arithmetic.
+    */
+  def proximitySearch(postings: DataFrame, termA: String, termB: String,
+      window: Long): DataFrame = {
+    require(termA != termB, "proximity terms must differ")
+    require(window >= 1, s"need window >= 1, got $window")
+    val a = postings.filter(col("word") === termA)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = postings.filter(col("word") === termB)
+      .select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= window)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).as("min_gap"))
+  }
 }

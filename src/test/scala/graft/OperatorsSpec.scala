@@ -814,6 +814,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map((1L, 2L) -> ((6L, 6L, 8L, 1.0))))
   }
 
+  test("ix05 proximitySearch: window boundary inclusive, pair fan-out is tf x tf") {
+    import spark.implicits._
+    // doc 1: gap exactly 4 (inclusive hit); doc 2: gap 5 (miss at
+    // w=4); doc 3: two 'hash' near one 'merge' -> 2 pairs, min_gap 1
+    val docs = Seq(
+      (1L, "hash a b c merge"),
+      (2L, "hash a b c d merge"),
+      (3L, "hash merge hash z")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Search.proximitySearch(
+      graft.operators.Search.postings(docs), "hash", "merge", 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((1L, 4L)), 3L -> ((2L, 1L))))
+  }
+
   test("ts15 holtFixedPoint: hand-folded level/trend registers on a linear ramp") {
     import spark.implicits._
     val day = 86400L * 1000L * 1000L * 1000L
