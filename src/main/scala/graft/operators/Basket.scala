@@ -258,6 +258,60 @@ object Basket {
                  ORDER BY jac DESC, neighbor) AS rn
              FROM sym)
       SELECT item, neighbor, jac FROM rk WHERE rn <= 3
-      ORDER BY item, jac DESC, neighbor"""))
+      ORDER BY item, jac DESC, neighbor""")),
+
+    // ---- first-order Markov transition matrix over user event
+    //      streams: P(next = b | current = a) from consecutive-pair
+    //      counts — the next-event model behind session simulation,
+    //      anomalous-flow detection and "users who did A go on to B"
+    //      product analytics. One per-user lag window (ss01's
+    //      exchange; ss05 bot caveat applies to a pathological user's
+    //      single sort task) + a partial-aggregable (src, dst)
+    //      groupBy; probabilities one rounded division off exact
+    //      counts ----
+    ("ar03_transitions", (s: SparkSession, d: String) => {
+      transitionMatrix(Tables.events(s, d)
+        .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000")))
+        .orderBy("src", "dst")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                   (epoch_ns(ts) // 1000) * 1000 AS tns FROM events),
+      l AS (SELECT user_id, event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY tns, event_id) AS prev
+            FROM e),
+      p AS (SELECT prev AS src, event_type AS dst, count(*) AS n
+            FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+      o AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_out FROM p GROUP BY 1)
+      SELECT p.src, p.dst, p.n, o.n_out,
+        round(CAST(p.n AS DOUBLE) / CAST(o.n_out AS DOUBLE), 6) AS prob
+      FROM p JOIN o USING (src)
+      ORDER BY src, dst"""))
   )
+
+  /** First-order Markov transitions: consecutive (prev → cur) pairs
+    * per user in exact (ts, id) order, rolled to (src, dst) counts
+    * and row-normalized — P(next | current) with every probability
+    * ONE rounded division off exact BIGINT counts (each src row sums
+    * to ~1 up to rounding; the counts themselves are the exact
+    * artifact). SCALE: the lag window rides the user exchange
+    * (event-sized, same budget as ss01); everything after is
+    * type-cardinality² rows.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val outs = pairs.groupBy(col("src")).agg(sum(col("n")).as("n_out"))
+    pairs.join(outs, Seq("src"))
+      .select(col("src"), col("dst"), col("n"), col("n_out"),
+        round(col("n").cast("double") / col("n_out").cast("double"), 6)
+          .as("prob"))
+  }
 }

@@ -796,6 +796,69 @@ object Quality {
           count(CASE WHEN n_regionkey IS NULL THEN 1 END)
         FROM nation LEFT JOIN (SELECT DISTINCT r_regionkey FROM region)
           p ON n_regionkey = r_regionkey)
-      SELECT fk, n_rows, n_orphans, n_null_fk FROM u ORDER BY fk"""))
+      SELECT fk, n_rows, n_orphans, n_null_fk FROM u ORDER BY fk""")),
+
+    // ---- Shannon-entropy profile of the categorical columns: how
+    //      informative/skewed each dimension is (entropy ~0 = one
+    //      value dominates; normalized ~1 = uniform) — the profiling
+    //      number behind "is this column worth stratifying on".
+    //      Per-value terms c·ln(c) are rounded at 9 and
+    //      DECIMAL-summed (order-insensitive — dq05's no-float-total
+    //      rule); H = ln(N) − S/N is ONE fixed-order double per
+    //      column row ----
+    ("dq10_entropy", (s: SparkSession, d: String) => {
+      columnEntropy(Tables.orders(s, d), "o_orderstatus",
+          "orders.o_orderstatus")
+        .unionAll(columnEntropy(Tables.orders(s, d), "o_orderpriority",
+          "orders.o_orderpriority"))
+        .unionAll(columnEntropy(Tables.lineitem(s, d), "l_returnflag",
+          "lineitem.l_returnflag"))
+        .unionAll(columnEntropy(Tables.lineitem(s, d), "l_linestatus",
+          "lineitem.l_linestatus"))
+        .orderBy("col_name")
+    }, Some {
+      def one(table: String, c: String) = s"""
+        SELECT '$table.$c' AS col_name, n_rows, n_distinct,
+          round(ln(CAST(n_rows AS DOUBLE))
+                - CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+            AS entropy_nats,
+          round((ln(CAST(n_rows AS DOUBLE))
+                 - CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                / ln(CAST(n_distinct AS DOUBLE)), 6) AS normalized
+        FROM (
+          SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+            sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                AS DECIMAL(28,9))) AS s
+          FROM (SELECT $c AS v, count(*) AS c FROM $table GROUP BY 1))"""
+      Seq(one("orders", "o_orderstatus"),
+        one("orders", "o_orderpriority"),
+        one("lineitem", "l_returnflag"),
+        one("lineitem", "l_linestatus"))
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
   )
+
+  /** One column's Shannon entropy off its exact value histogram:
+    * H = ln(N) − (Σ c·ln c)/N in nats, plus H/ln(k) normalized to
+    * [0,1]. The only value-sized stage is the partial-aggregable
+    * histogram groupBy; the entropy itself aggregates histogram rows
+    * with per-term rounding + decimal sums so no float total depends
+    * on merge order. Assumes k ≥ 2 (a constant column's normalized
+    * entropy is undefined — profile it with dq01 instead).
+    */
+  def columnEntropy(df: DataFrame, colName: String,
+      label: String): DataFrame =
+    df.select(col(colName).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_distinct"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
+          .cast(DecimalType(28, 9))).as("s"))
+      .select(lit(label).as("col_name"),
+        col("n_rows").cast("long").as("n_rows"), col("n_distinct"),
+        round(log(col("n_rows").cast("double")) -
+          col("s").cast("double") / col("n_rows").cast("double"), 6)
+          .as("entropy_nats"),
+        round((log(col("n_rows").cast("double")) -
+          col("s").cast("double") / col("n_rows").cast("double")) /
+          log(col("n_distinct").cast("double")), 6).as("normalized"))
 }

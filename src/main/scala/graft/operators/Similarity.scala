@@ -2338,7 +2338,7 @@ object Similarity {
     //      batch) from being five copies of the same document. Oracle
     //      unrolls the identical greedy rounds ----
     ("s17_mmr_rerank", (s: SparkSession, d: String) =>
-      mmrRerank(Tables.embeddings(s, d), 0L, 12, 5),
+      mmrRerank(Tables.embeddings(s, d), 0L, 12, 5).orderBy("rank"),
       Some(mmrOracleSql(12, 5)))
   )
 
