@@ -233,6 +233,60 @@ object RangeJoin {
       SELECT (SELECT count(*) FROM sessions) AS n_sessions,
         m.mc AS max_concurrent,
         (SELECT min(ts) FROM c WHERE conc = m.mc) AS at_us
-      FROM m"""))
+      FROM m""")),
+
+    // ---- per-user coverage/gap report over the same session
+    //      intervals: time-in-app vs lifetime span, gap count, and
+    //      the longest absence — the engagement-shape complement to
+    //      rj03's global occupancy. A user's sessions are DISJOINT by
+    //      construction (a >30 min gap is what splits them), so
+    //      covered time is a plain sum and gaps come from ONE lag
+    //      over session-count rows; everything integer µs, the
+    //      coverage ratio one gated division ----
+    ("rj04_coverage_gaps", (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .withColumn("tus", expr("ts_ns div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("s_start"))
+      userSessions(ev)
+        .withColumn("pend", lag(col("s_end"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("s_end") - col("s_start")).as("covered_us"),
+          (max(col("s_end")) - min(col("s_start"))).as("span_us"),
+          max(col("s_start") - col("pend")).as("max_gap_us"))
+        .select(col("user_id"), col("n_sessions"),
+          col("covered_us").cast("long").as("covered_us"), col("span_us"),
+          (col("n_sessions") - 1).as("n_gaps"), col("max_gap_us"),
+          round(try_divide(col("covered_us").cast("double"),
+            col("span_us").cast("double")), 6).as("coverage"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id,
+                   epoch_ns(ts) // 1000 AS tus FROM events),
+      l AS (SELECT user_id, event_id, tus,
+              lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS p
+            FROM e),
+      f AS (SELECT user_id, event_id, tus,
+              CASE WHEN p IS NULL OR tus - p > 1800000000 THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sess0 AS (SELECT user_id, tus,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f),
+      sessions AS (SELECT user_id, sid, min(tus) AS s_start, max(tus) AS s_end
+                   FROM sess0 GROUP BY user_id, sid),
+      g AS (SELECT user_id, s_start, s_end,
+              lag(s_end) OVER (PARTITION BY user_id ORDER BY s_start) AS pend
+            FROM sessions)
+      SELECT user_id, count(*) AS n_sessions,
+        CAST(sum(s_end - s_start) AS BIGINT) AS covered_us,
+        max(s_end) - min(s_start) AS span_us,
+        count(*) - 1 AS n_gaps,
+        max(s_start - pend) AS max_gap_us,
+        CASE WHEN max(s_end) - min(s_start) = 0 THEN NULL
+          ELSE round(CAST(CAST(sum(s_end - s_start) AS BIGINT) AS DOUBLE)
+            / CAST(max(s_end) - min(s_start) AS DOUBLE), 6) END AS coverage
+      FROM g GROUP BY user_id ORDER BY user_id"""))
   )
 }

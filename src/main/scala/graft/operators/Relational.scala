@@ -2047,6 +2047,52 @@ object Relational {
       tot AS (SELECT sum(val) AS tot FROM v)
       SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
       FROM per, tot WHERE pv * 1000 > tot
-      ORDER BY part_value DESC, l_partkey"""))
+      ORDER BY part_value DESC, l_partkey""")),
+
+    // ---- NULL placement matrix: the four ASC/DESC ×
+    //      NULLS FIRST/LAST combinations over a nullable sort key,
+    //      each slice's top-5 by rank (unique o_orderkey tiebreak
+    //      inside the null group and between equal values). The
+    //      surface q28 (multi-key asc/desc) and q42 (null semantics)
+    //      leave untested: where the nulls LAND ----
+    ("q85_null_order", (s: SparkSession, d: String) => {
+      val t = Tables.orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderstatus") === "P", lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("v"))
+      def slice(name: String, ord: Column) = t
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(ord, col("o_orderkey"))))
+        .filter(col("rn") <= 5)
+        .select(lit(name).as("ord"), col("o_orderkey"),
+          col("rn").cast("long").as("rn"))
+      slice("asc_nulls_first", col("v").asc_nulls_first)
+        .unionAll(slice("asc_nulls_last", col("v").asc_nulls_last))
+        .unionAll(slice("desc_nulls_first", col("v").desc_nulls_first))
+        .unionAll(slice("desc_nulls_last", col("v").desc_nulls_last))
+        .orderBy("ord", "rn")
+    }, Some("""
+      WITH t AS (SELECT o_orderkey,
+          CASE WHEN o_orderstatus = 'P' THEN NULL
+               ELSE o_totalprice END AS v
+        FROM orders),
+      a AS (SELECT 'asc_nulls_first' AS ord, o_orderkey,
+              row_number() OVER (ORDER BY v ASC NULLS FIRST, o_orderkey)
+                AS rn FROM t),
+      b AS (SELECT 'asc_nulls_last' AS ord, o_orderkey,
+              row_number() OVER (ORDER BY v ASC NULLS LAST, o_orderkey)
+                AS rn FROM t),
+      c AS (SELECT 'desc_nulls_first' AS ord, o_orderkey,
+              row_number() OVER (ORDER BY v DESC NULLS FIRST, o_orderkey)
+                AS rn FROM t),
+      dd AS (SELECT 'desc_nulls_last' AS ord, o_orderkey,
+              row_number() OVER (ORDER BY v DESC NULLS LAST, o_orderkey)
+                AS rn FROM t)
+      SELECT ord, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT * FROM a WHERE rn <= 5
+        UNION ALL SELECT * FROM b WHERE rn <= 5
+        UNION ALL SELECT * FROM c WHERE rn <= 5
+        UNION ALL SELECT * FROM dd WHERE rn <= 5)
+      ORDER BY ord, rn"""))
   )
 }
