@@ -301,13 +301,22 @@ object Basket {
   def transitionMatrix(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-    val pairs = events
+    transitionsFromCounts(events
       .select(col("user_id"), col("ts_ns"), col("event_id"),
         col("event_type"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("src"), col("event_type").as("dst"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The normalization half of [[transitionMatrix]] over
+    * PRE-AGGREGATED (src, dst, n) pair counts (unique per (src,
+    * dst)) — shared with the streaming twin
+    * ([[graft.streaming.TransitionStream]]), whose store already
+    * holds merged pair counts. */
+  def transitionsFromCounts(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select(col("src"), col("dst"), col("n"))
     val outs = pairs.groupBy(col("src")).agg(sum(col("n")).as("n_out"))
     pairs.join(outs, Seq("src"))
       .select(col("src"), col("dst"), col("n"), col("n_out"),

@@ -1265,6 +1265,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.size <= 3, s"store partitions unbounded: $parts")
   }
 
+  test("streaming transitions equal batch ar03 after every batch; cross-batch pair bridged") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-trstage")
+      rows.toDF("user_id", "ts_ns", "event_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-tr-src")
+    val store = Files.createTempDirectory("graft-tr-store").toString + "/tm"
+    val out = Files.createTempDirectory("graft-tr-out").toString
+    val ckpt = Files.createTempDirectory("graft-tr-ckpt").toString
+    val b1 = Seq((1L, 10L, 1L, "login"), (1L, 20L, 2L, "browse"),
+      (2L, 15L, 3L, "login"))
+    // u1's purchase bridges to b1's last event (browse -> purchase);
+    // u2's browse bridges login -> browse
+    val b2 = Seq((1L, 30L, 4L, "purchase"), (2L, 25L, 5L, "browse"))
+    val b3 = Seq((2L, 40L, 6L, "purchase")) // triggers the fold too
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_ns LONG, event_id LONG, event_type STRING")
+      .parquet(src.toString)
+    val q = graft.streaming.TransitionStream.start(store, stream, out,
+      ckpt, maxStoreParts = Some(2))
+    def published() = spark.read.parquet(out)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def batchTwin(rows: Seq[(Long, Long, Long, String)]) =
+      graft.operators.Basket.transitionMatrix(
+        rows.toDF("user_id", "ts_ns", "event_id", "event_type"))
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTwin(b1))
+      assert(published() === Map(("login", "browse") -> ((1L, 1L, 1.0))))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTwin(b1 ++ b2))
+      // the bridged pair exists even though its events span batches
+      assert(published()(("browse", "purchase")) === ((1L, 1L, 1.0)))
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      assert(published() === batchTwin(b1 ++ b2 ++ b3))
+    } finally q.stop()
+    val parts = new java.io.File(store + "/pairs").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+  }
+
   test("streaming stickiness equals batch ss11 after every batch; fold cadence invariant") {
     import spark.implicits._
     def addFile(src: java.nio.file.Path, name: String,
