@@ -2120,6 +2120,55 @@ object Dedup {
         count(DISTINCT text) AS n_forms
       FROM n GROUP BY ntext ORDER BY keep_id""")),
 
+    // ---- corpus duplication report: the summary a dedup run
+    //      publishes BEFORE anyone deletes anything — how many
+    //      normalized-identical groups exist at each multiplicity,
+    //      and how many chars a keep-one policy would shed (keeping
+    //      each group's shortest copy). Two partial-aggregable
+    //      groupBys (content hash groups → size histogram); output
+    //      is multiplicity-cardinality rows ----
+    ("d27_dup_report", (s: SparkSession, d: String) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      // the sf corpus is exact-dup-free, so the report's multiplicity
+      // histogram would be one degenerate row; re-ingest every 7th
+      // doc (the double-ingest accident the report exists to catch)
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        col("n_chars"), col("text"))
+      base.unionAll(base.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id") + 1000000L, col("n_chars"), col("text")))
+        .select(col("n_chars"), norm.as("ntext"))
+        .groupBy(col("ntext"))
+        .agg(count(lit(1)).as("sz"), sum(col("n_chars")).as("chars"),
+          min(col("n_chars")).as("keep_chars"))
+        .groupBy(col("sz").as("group_size"))
+        .agg(count(lit(1)).as("n_groups"),
+          (sum(col("chars")) - sum(col("keep_chars"))).cast("long")
+            .as("chars_redundant"))
+        .select(col("group_size"), col("n_groups"),
+          (col("group_size") * col("n_groups")).as("n_docs"),
+          col("chars_redundant"))
+        .orderBy("group_size")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, n_chars, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, n_chars, text FROM documents
+        WHERE doc_id % 7 = 0),
+      n AS (
+        SELECT doc_id, n_chars,
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS ntext
+        FROM c),
+      g AS (SELECT ntext, count(*) AS sz,
+              CAST(sum(n_chars) AS BIGINT) AS chars,
+              min(n_chars) AS keep_chars
+            FROM n GROUP BY 1)
+      SELECT sz AS group_size, count(*) AS n_groups,
+        CAST(sz * count(*) AS BIGINT) AS n_docs,
+        CAST(sum(chars) - sum(keep_chars) AS BIGINT) AS chars_redundant
+      FROM g GROUP BY sz ORDER BY group_size""")),
+
     // ---- source-mix rebalancing: per-source keep rates toward a
     //      UNIFORM target share, applied with the deterministic Knuth
     //      hash (no RNG — the same docs are kept on every engine and
