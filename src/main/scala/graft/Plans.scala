@@ -92,7 +92,15 @@ object Plans {
       "d26_containment_join" -> "containment join: one-sided prefix filter — candidates from A-prefix ⋈ full-token equi join (no all-pairs), intersection counted by joining candidates back to token lists, verify a codegen integer filter",
       "tr05_assortativity" -> "assortativity: edge-sized degree groupBy + two equi joins land degrees on endpoints, then ONE partial-aggregable global Aggregate carries all five sufficient stats — single-row output, no vertex-quadratic stage",
       "ss11_stickiness" -> "DAU/MAU stickiness: distinct (user,day) collapse, per-user lead window on presence rows, per-day ±1 delta groupBy — the ONLY unpartitioned window runs over the calendar-day spine, never user-volume rows",
-      "t26_stratified_sample" -> "stratified sample: KB (stratum, bucket) histogram collect, driver largest-remainder allocation, bucket-parallel rank windows (Exchange hashes (stratum, b)) — no per-language serial window")
+      "t26_stratified_sample" -> "stratified sample: KB (stratum, bucket) histogram collect, driver largest-remainder allocation, bucket-parallel rank windows (Exchange hashes (stratum, b)) — no per-language serial window",
+      "hc01_harmonic_centrality" -> "harmonic centrality (final round): seed-labeled multi-source BFS — ONE frontier join serves all seeds, visited anti-join keyed (seed,id); inverse distances integer floor-div, partial-aggregable rollup",
+      "wh05_inventory_balance" -> "clamped balance: ONE (key) Exchange (the repartition), per-key mapPartitions fold with 3 longs of state — no window, no second shuffle; the groupBy feeding it is the only other exchange",
+      "ts15_holt" -> "Holt fold: one partial-aggregable (key, bucket) cents groupBy + one (key) Exchange into the mapPartitions two-register fold — bucket-sized partitions, event volume never crosses after the first agg",
+      "ix05_proximity_search" -> "proximity search: both sides term-filtered postings (map-only filters on the scan), equi join on doc with the |pa-pb|<=w test residual — no range-join product, exchanges posting-list-sized",
+      "ar03_transitions" -> "transitions: per-user lag window on the user exchange, then a partial-aggregable (src,dst) groupBy — everything after the window is type-cardinality^2 rows",
+      "rj04_coverage_gaps" -> "coverage/gaps: session build's user exchange satisfies the per-user session lag window AND the final groupBy — one data exchange end to end",
+      "dq10_entropy" -> "entropy profile: per-column value histogram groupBy (partial-agg), per-term rounded decimal sums — the entropy row is scalar arithmetic on a 1-row aggregate",
+      "q84_tpch_q11" -> "TPC-H Q11 shape: broadcast supplier semi-join BEFORE both aggregates, per-part decimal agg + 1-row global total broadcast, integer-cross-multiplied HAVING")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +
