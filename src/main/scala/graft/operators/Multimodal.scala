@@ -797,6 +797,86 @@ object Multimodal {
         CAST(sum((v >> 16) & 255) AS BIGINT) AS sum_r,
         CAST(sum((v >> 8) & 255) AS BIGINT) AS sum_g,
         CAST(sum(v & 255) AS BIGINT) AS sum_b
-      FROM ch GROUP BY doc_id, w2, h2 ORDER BY doc_id"""))
+      FROM ch GROUP BY doc_id, w2, h2 ORDER BY doc_id""")),
+
+    // ---- image near-dup: pairs of decoded images within hamming 6
+    //      on the 64-bit dHash — d03's simhash discipline applied to
+    //      the multimodal column (re-encoded screenshots, resized
+    //      copies). 8×8-bit chunk blocking is COMPLETE for hamming
+    //      ≤ 7 (pigeonhole: 6 flipped bits leave ≥ 2 chunks intact,
+    //      one is enough), and the oracle is the EXHAUSTIVE all-pairs
+    //      truth, so a hash match also proves candidate recall 1.0
+    //      (s16's convention) ----
+    ("m09_image_neardup", (s: SparkSession, d: String) =>
+      imageNearDup(s, d, 6).orderBy("id_a", "id_b"), Some("""
+      WITH img AS (
+        SELECT doc_id, 8 + doc_id % 57 AS w, 8 + (doc_id * 31) % 41 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      g AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS k FROM img),
+      c AS (SELECT doc_id, k, (k % 8) AS x, (k // 8) AS y, w, h FROM g),
+      pix AS (SELECT doc_id, k,
+        ((((x * w) // 9) * 31 + ((y * h) // 8) * 7
+          + (doc_id % 251) * 13) & 16777215) AS v0,
+        (((((x + 1) * w) // 9) * 31 + ((y * h) // 8) * 7
+          + (doc_id % 251) * 13) & 16777215) AS v1
+        FROM c),
+      bits AS (SELECT doc_id, k,
+        CASE WHEN (((v1 >> 16) & 255) + ((v1 >> 8) & 255) + (v1 & 255)) >
+                  (((v0 >> 16) & 255) + ((v0 >> 8) & 255) + (v0 & 255))
+             THEN 1 ELSE 0 END AS b
+        FROM pix),
+      hs AS (SELECT doc_id,
+        CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                      ELSE 0 END) AS BIGINT) AS hi,
+        CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
+                      ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+          AS BIGINT) AS hamming
+      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+      ORDER BY id_a, id_b"""))
   )
+
+  /** Perceptual near-dup pairs over the decoded images' dHashes:
+    * exact hamming ≤ `maxHamming` with single-chunk Manku blocking —
+    * each 64-bit hash splits into eight 8-bit chunks, candidates are
+    * pairs agreeing on SOME chunk at the same index (complete for
+    * maxHamming ≤ 7 by pigeonhole), verification is an exact
+    * bit_count(xor) filter. The multimodal face of d03: catches the
+    * re-encoded/resized copies byte-level dedup can't.
+    *
+    * SCALE: the decode pass is m08's (one codec init per partition);
+    * blocking is one (chunk-index, chunk-value) equi join — per-bucket
+    * pair work is bounded by how many images share an 8-bit chunk at
+    * one index, never all-pairs. The oracle IS all-pairs (gate-corpus
+    * truth), so a green row also certifies recall 1.0.
+    */
+  def imageNearDup(s: SparkSession, d: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"single-chunk blocking is complete only for maxHamming <= 7, " +
+        s"got $maxHamming")
+    val h = imageDHash(s, d)
+    val chunks = h.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        explode(sequence(lit(0), lit(7))).as("j"))
+      .withColumn("chunk", expr(
+        "CASE WHEN j < 4 THEN shiftright(hash_lo, 8 * j) & 255 " +
+          "ELSE shiftright(hash_hi, 8 * (j - 4)) & 255 END"))
+    val a = chunks.select(col("doc_id").as("id_a"),
+      col("hash_hi").as("ha"), col("hash_lo").as("la"),
+      col("j"), col("chunk"))
+    val b = chunks.select(col("doc_id").as("id_b"),
+      col("hash_hi").as("hb"), col("hash_lo").as("lb"),
+      col("j"), col("chunk"))
+    a.join(b, Seq("j", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("la"),
+        col("hb"), col("lb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }
