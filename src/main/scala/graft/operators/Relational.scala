@@ -2093,6 +2093,60 @@ object Relational {
         UNION ALL SELECT * FROM b WHERE rn <= 5
         UNION ALL SELECT * FROM c WHERE rn <= 5
         UNION ALL SELECT * FROM dd WHERE rn <= 5)
-      ORDER BY ord, rn"""))
+      ORDER BY ord, rn""")),
+
+    // ---- JSONL source roundtrip: write the documents table as
+    //      JSON-lines, read it back through an explicit schema, and
+    //      checksum content (count, char mass, an FNV-1a text
+    //      checksum, lang cardinality). The ORACLE reads the
+    //      ORIGINAL parquet — a green row proves the JSON write/read
+    //      path preserved every text byte through escaping (the
+    //      sources family's first oracle-gated row; the write paths
+    //      themselves are SinksSpec-gated) ----
+    ("src01_jsonl_roundtrip", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-src-jsonl").toString
+      docs.write.mode("overwrite").json(out)
+      val back = s.read.schema(docs.schema).json(out)
+      back.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(pmod(graft.functions.fnv64(col("text")), lit(2000003L)))
+          .as("text_checksum"),
+        countDistinct(col("lang")).as("n_langs"))
+    }, Some(s"""
+      SELECT count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(sum(((${OracleSql.signed(OracleSql.fnvU64("text"))} % 2000003)
+          + 2000003) % 2000003) AS BIGINT) AS text_checksum,
+        count(DISTINCT lang) AS n_langs
+      FROM documents""")),
+
+    // ---- CSV source roundtrip with FORCED quoting: every row's
+    //      text gets a `x,"y" ` prefix (embedded comma + quote), so
+    //      the write MUST quote and escape and the read MUST undo
+    //      both; the oracle computes the same checksum off the
+    //      original parquet. A green row proves the CSV quote/escape
+    //      path byte-exact — the classic silent-corruption trap of
+    //      text corpora in CSV ----
+    ("src02_csv_roundtrip", (s: SparkSession, d: String) => {
+      val der = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("x,\"y\" "), col("text")).as("t2"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-src-csv").toString
+      der.write.mode("overwrite").option("header", "true").csv(out)
+      val back = s.read.schema(der.schema).option("header", "true")
+        .csv(out)
+      back.agg(count(lit(1)).as("n_docs"),
+        sum(length(col("t2")).cast("long")).as("sum_len"),
+        sum(pmod(graft.functions.fnv64(col("t2")), lit(2000003L)))
+          .as("text_checksum"))
+    }, Some(s"""
+      WITH t AS (SELECT 'x,"y" ' || text AS t2 FROM documents)
+      SELECT count(*) AS n_docs,
+        CAST(sum(length(t2)) AS BIGINT) AS sum_len,
+        CAST(sum(((${OracleSql.signed(OracleSql.fnvU64("t2"))} % 2000003)
+          + 2000003) % 2000003) AS BIGINT) AS text_checksum
+      FROM t"""))
   )
 }
