@@ -733,7 +733,42 @@ object Sessionize {
             FROM dn)
       SELECT CAST(day AS VARCHAR) AS day, CAST(l AS BIGINT) AS l,
         count(*) AS n_users
-      FROM l GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM l GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- new-vs-returning DAU split: each day's actives partitioned
+    //      by whether it's the user's FIRST day ever (ss07's
+    //      first-seen min against ss11's presence set) — the growth
+    //      headline "how much of today is acquisition vs retention".
+    //      Presence distinct first (bot-proof), first-seen one
+    //      partial-aggregable min, split one rounded division ----
+    ("ss13_dau_split", (s: SparkSession, d: String) => {
+      val pres = Tables.events(s, d).select(col("user_id"),
+        col("ts").cast("date").as("day")).distinct()
+      val first = pres.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      pres.join(first, Seq("user_id"))
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("dau"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(col("day"), col("dau"), col("n_new"),
+          (col("dau") - col("n_new")).as("n_returning"),
+          round(col("n_new").cast("double") / col("dau").cast("double"), 6)
+            .as("new_share"))
+        .orderBy("day")
+    }, Some("""
+      WITH pres AS (SELECT DISTINCT user_id,
+                      CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                    FROM events),
+      f AS (SELECT user_id, min(day) AS first_day FROM pres GROUP BY 1),
+      a AS (SELECT day, count(*) AS dau,
+              CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new
+            FROM pres JOIN f USING (user_id) GROUP BY 1)
+      SELECT CAST(day AS VARCHAR) AS day, dau, n_new,
+        dau - n_new AS n_returning,
+        round(CAST(n_new AS DOUBLE) / CAST(dau AS DOUBLE), 6) AS new_share
+      FROM a ORDER BY day"""))
   )
 
   private lazy val ss01OracleSql = Some("""
