@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 import graft.functions.polyFingerprint
@@ -1083,6 +1084,65 @@ object TextOps {
         round(CAST(count(*) AS DOUBLE) / (SELECT total FROM tot), 6) AS share
       FROM nz GROUP BY w
       ORDER BY n DESC, token LIMIT 100""")),
+
+    // ---- Zipf slope of the vocabulary: OLS fit of ln(freq) on
+    //      ln(rank) — natural text sits near −1; a corpus drifting
+    //      toward 0 (flat) or −2 (dominated) flags template spam or
+    //      vocabulary collapse, so it's a corpus-health gate next to
+    //      t08's raw vocab. Per-rank terms rounded at 9 and
+    //      DECIMAL-summed (dq10's no-float-total rule); slope ONE
+    //      fixed-order double off the exact sums. The rank window is
+    //      vocab-sized (distinct words), never token-volume ----
+    ("t27_zipf_slope", (s: SparkSession, d: String) => {
+      val words = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(split(trim(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val ranked = words.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("f"), col("w"))))
+      val dec9 = (c: Column) => round(c, 9).cast(DecimalType(28, 9))
+      val x = log(col("r").cast("double"))
+      val y = log(col("f").cast("double"))
+      ranked
+        .select(dec9(x).as("x"), dec9(y).as("y"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(dec9(col("x").cast("double") * col("y").cast("double")))
+            .as("sxy"),
+          sum(dec9(col("x").cast("double") * col("x").cast("double")))
+            .as("sxx"))
+        .select(col("n_words"),
+          round((col("n_words").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n_words").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("zipf_slope"))
+    }, Some("""
+      WITH nz AS (
+        SELECT w FROM (
+          SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        WHERE w <> ''),
+      fr AS (SELECT w, count(*) AS f FROM nz GROUP BY 1),
+      rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM fr),
+      t AS (SELECT
+          CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(28,9)) AS x,
+          CAST(round(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y
+        FROM rk),
+      a AS (SELECT count(*) AS n_words,
+          sum(x) AS sx, sum(y) AS sy,
+          sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
+              AS DECIMAL(28,9))) AS sxy,
+          sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+              AS DECIMAL(28,9))) AS sxx
+        FROM t)
+      SELECT n_words,
+        round((CAST(n_words AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n_words AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+      FROM a""")),
 
     // ---- real BPE token counting through the Tokenizer seam: the
     //      committed merge table (trained by graft.tools.TrainBpe over
