@@ -2169,6 +2169,54 @@ object Dedup {
         CAST(sum(chars) - sum(keep_chars) AS BIGINT) AS chars_redundant
       FROM g GROUP BY sz ORDER BY group_size""")),
 
+    // ---- marginal novelty per document: how many of a doc's
+    //      trigram shingles appear in NO earlier doc (doc_id order =
+    //      ingest order) — the diminishing-returns curve behind "is
+    //      more of this source still adding content". First-occurrence
+    //      attribution is one partial-aggregable min per shingle;
+    //      everything is shingle- or doc-sized, no window at all ----
+    ("d28_novelty", (s: SparkSession, d: String) => {
+      val toks = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          expr("filter(split(trim(text), ' '), x -> x <> '')").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 2), " +
+            "i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))")).as("word"))
+        .distinct()
+      val per = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val nov = toks.groupBy(col("word"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      per.join(nov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double"), 6).as("novelty"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), t -> t <> '') AS ws
+        FROM documents),
+      tri0 AS (SELECT doc_id, ws,
+          unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3),
+      toks AS (SELECT DISTINCT doc_id,
+          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS word
+        FROM tri0),
+      per AS (SELECT doc_id, count(*) AS n_shingles FROM toks GROUP BY 1),
+      nov AS (SELECT doc_id, count(*) AS n_novel FROM (
+                SELECT word, min(doc_id) AS doc_id FROM toks GROUP BY 1)
+              GROUP BY 1)
+      SELECT p.doc_id, p.n_shingles,
+        coalesce(n.n_novel, 0) AS n_novel,
+        round(CAST(coalesce(n.n_novel, 0) AS DOUBLE)
+          / CAST(p.n_shingles AS DOUBLE), 6) AS novelty
+      FROM per p LEFT JOIN nov n USING (doc_id)
+      ORDER BY doc_id""")),
+
     // ---- source-mix rebalancing: per-source keep rates toward a
     //      UNIFORM target share, applied with the deterministic Knuth
     //      hash (no RNG — the same docs are kept on every engine and
