@@ -287,6 +287,58 @@ object RangeJoin {
         CASE WHEN max(s_end) - min(s_start) = 0 THEN NULL
           ELSE round(CAST(CAST(sum(s_end - s_start) AS BIGINT) AS DOUBLE)
             / CAST(max(s_end) - min(s_start) AS DOUBLE), 6) END AS coverage
-      FROM g GROUP BY user_id ORDER BY user_id"""))
+      FROM g GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- inter-session gap spectrum: rj04's gaps rolled into exact
+    //      power-of-two MINUTE buckets — "do users come back in
+    //      minutes, hours, or days". The bucket id is the BINARY
+    //      DIGIT COUNT of the gap in whole minutes (length(bin(g)) =
+    //      ⌊log₂ g⌋ + 1, pure integer — a float log2 could misbucket
+    //      at an exact power of two); one partial-aggregable rollup
+    //      over gap rows ----
+    ("rj05_gap_spectrum", (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .withColumn("tus", expr("ts_ns div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("s_start"))
+      userSessions(ev)
+        .withColumn("pend", lag(col("s_end"), 1).over(w))
+        .filter(col("pend").isNotNull)
+        .select(expr("(s_start - pend) div 60000000L").as("gap_min"))
+        .filter(col("gap_min") >= 1)
+        .select(length(expr("bin(gap_min)")).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"))
+        .select(col("bucket"),
+          expr("CAST(shiftleft(1L, CAST(bucket - 1 AS INT)) AS BIGINT)")
+            .as("lo_minutes"),
+          col("n_gaps"))
+        .orderBy("bucket")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id,
+                   epoch_ns(ts) // 1000 AS tus FROM events),
+      l AS (SELECT user_id, event_id, tus,
+              lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS p
+            FROM e),
+      f AS (SELECT user_id, event_id, tus,
+              CASE WHEN p IS NULL OR tus - p > 1800000000 THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sess0 AS (SELECT user_id, tus,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f),
+      sessions AS (SELECT user_id, sid, min(tus) AS s_start, max(tus) AS s_end
+                   FROM sess0 GROUP BY user_id, sid),
+      g AS (SELECT user_id, s_start,
+              lag(s_end) OVER (PARTITION BY user_id ORDER BY s_start) AS pend
+            FROM sessions),
+      gm AS (SELECT (s_start - pend) // 60000000 AS gap_min
+             FROM g WHERE pend IS NOT NULL),
+      b AS (SELECT CAST(length(printf('%b', gap_min)) AS BIGINT) AS bucket
+            FROM gm WHERE gap_min >= 1)
+      SELECT bucket,
+        CAST(1 << CAST(bucket - 1 AS INT) AS BIGINT) AS lo_minutes,
+        count(*) AS n_gaps
+      FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }

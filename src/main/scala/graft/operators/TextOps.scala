@@ -1092,7 +1092,10 @@ object TextOps {
     //      t08's raw vocab. Per-rank terms rounded at 9 and
     //      DECIMAL-summed (dq10's no-float-total rule); slope ONE
     //      fixed-order double off the exact sums. The rank window is
-    //      vocab-sized (distinct words), never token-volume ----
+    //      vocab-sized (distinct words), never token-volume — the one
+    //      serial stage; at web scale (vocab ~1e8) the remedy is
+    //      histogram ranks (cum-count of higher frequencies, the
+    //      t20/t22 shape) with ties bucketed, not a bigger sort ----
     ("t27_zipf_slope", (s: SparkSession, d: String) => {
       val words = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
