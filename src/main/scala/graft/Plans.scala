@@ -100,7 +100,11 @@ object Plans {
       "ar03_transitions" -> "transitions: per-user lag window on the user exchange, then a partial-aggregable (src,dst) groupBy — everything after the window is type-cardinality^2 rows",
       "rj04_coverage_gaps" -> "coverage/gaps: session build's user exchange satisfies the per-user session lag window AND the final groupBy — one data exchange end to end",
       "dq10_entropy" -> "entropy profile: per-column value histogram groupBy (partial-agg), per-term rounded decimal sums — the entropy row is scalar arithmetic on a 1-row aggregate",
-      "q84_tpch_q11" -> "TPC-H Q11 shape: broadcast supplier semi-join BEFORE both aggregates, per-part decimal agg + 1-row global total broadcast, integer-cross-multiplied HAVING")
+      "q84_tpch_q11" -> "TPC-H Q11 shape: broadcast supplier semi-join BEFORE both aggregates, per-part decimal agg + 1-row global total broadcast, integer-cross-multiplied HAVING",
+      "m09_image_neardup" -> "image near-dup: decode mapPartitions -> chunk explode -> ONE (chunk-index, value) equi join (no BNLJ, no all-pairs) -> exact bit_count(xor) filter",
+      "d28_novelty" -> "novelty curve: shingle explode -> per-shingle min (partial-agg) -> two doc-sized rollups; NO window anywhere",
+      "t27_zipf_slope" -> "Zipf slope: vocab-sized rank window (the one serial stage, documented), per-term rounded decimal sums, 1-row output",
+      "src01_jsonl_roundtrip" -> "JSONL roundtrip: write + schema'd read + single Aggregate checksum — the read scan must show the explicit schema, no inference pass")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +
