@@ -419,8 +419,92 @@ object Warehouse {
         CAST(f.bal AS BIGINT) AS final_balance,
         CAST(f.short AS BIGINT) AS total_shortfall
       FROM f JOIN c ON c.k = f.k AND f.rn = c.n
-      ORDER BY l_partkey"""))
+      ORDER BY l_partkey""")),
+
+    // ---- FIFO cost of goods: issues consume restock layers oldest-
+    //      first. The textbook implementation is a per-key queue fold
+    //      — but FIFO has a CLOSED FORM: layer l (cumulative restock
+    //      interval (cum−qty, cum]) is consumed exactly
+    //      clamp(issued − (cum−qty), 0, qty) units, so one running
+    //      sum over restock rows + a per-part issue total replaces
+    //      the queue entirely. Layer cost pro-rated by integer
+    //      floor-div (cents·consumed div qty) — deterministic on both
+    //      engines. Parts with ≥1 restock layer reported ----
+    ("wh06_fifo_cogs", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+      val issues = li.filter(col("l_returnflag") =!= "R")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("issued"))
+      val layers = li.filter(col("l_returnflag") === "R")
+        .select(col("l_partkey"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("o1"),
+          col("l_orderkey").as("o2"),
+          col("l_linenumber").cast("long").as("o3"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+      fifoCogs(layers, issues).orderBy("l_partkey")
+    }, Some("""
+      WITH iss AS (SELECT l_partkey,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS issued
+            FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1),
+      lay AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                AS BIGINT) AS cents,
+              sum(CAST(l_quantity AS BIGINT)) OVER (
+                PARTITION BY l_partkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM lineitem WHERE l_returnflag = 'R'),
+      c AS (SELECT l.l_partkey, l.qty, l.cents,
+              coalesce(i.issued, 0) AS issued,
+              greatest(0, least(l.qty,
+                coalesce(i.issued, 0) - (l.cum - l.qty))) AS consumed
+            FROM lay l LEFT JOIN iss i USING (l_partkey))
+      SELECT l_partkey, count(*) AS n_layers,
+        CAST(sum(qty) AS BIGINT) AS restocked,
+        CAST(max(issued) AS BIGINT) AS issued,
+        CAST(sum(consumed) AS BIGINT) AS consumed,
+        CAST(sum((cents * consumed) // qty) AS BIGINT) AS cogs_cents,
+        round(CAST(CAST(sum((cents * consumed) // qty) AS BIGINT)
+          AS DOUBLE) / 100.0, 2) AS cogs,
+        CAST(greatest(0, max(issued) - CAST(sum(qty) AS BIGINT))
+          AS BIGINT) AS unfilled
+      FROM c GROUP BY 1 ORDER BY 1"""))
   )
+
+  /** FIFO closed form: layer l (cumulative-restock interval
+    * (cum−qty, cum]) is consumed exactly clamp(issued − (cum−qty),
+    * 0, qty) units — one running sum over restock rows + the per-key
+    * issue total replaces the per-key queue fold a naive FIFO would
+    * need (OperatorsSpec proves queue parity on a hand ledger).
+    * `layers` must carry (l_partkey, o1, o2, o3, qty, cents) with
+    * (o1,o2,o3) totally ordering each key's layers; `issues`
+    * (l_partkey, issued). Cost pro-rates by integer floor-div —
+    * deterministic on both engines. */
+  def fifoCogs(layers: DataFrame, issues: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("o1"), col("o2"), col("o3"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    layers
+      .withColumn("cum", sum(col("qty")).over(w))
+      .join(issues, Seq("l_partkey"), "left")
+      .withColumn("issued", coalesce(col("issued"), lit(0L)))
+      .withColumn("consumed", greatest(lit(0L),
+        least(col("qty"), col("issued") - (col("cum") - col("qty")))))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_layers"),
+        sum(col("qty")).as("restocked"),
+        max(col("issued")).as("issued"),
+        sum(col("consumed")).as("consumed"),
+        sum(expr("(cents * consumed) div qty")).as("cogs_cents"))
+      .select(col("l_partkey"), col("n_layers"), col("restocked"),
+        col("issued"), col("consumed"), col("cogs_cents"),
+        round(col("cogs_cents").cast("double") / lit(100.0), 2)
+          .as("cogs"),
+        greatest(lit(0L), col("issued") - col("restocked"))
+          .as("unfilled"))
+  }
 
   /** The clamp fold: per key in (o1, o2, o3) order, balance_t =
     * max(0, balance_{t-1} + delta_t) starting from 0, with the

@@ -814,6 +814,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map((1L, 2L) -> ((6L, 6L, 8L, 1.0))))
   }
 
+  test("wh06 fifoCogs: closed form equals the explicit layer-queue fold") {
+    import spark.implicits._
+    // part 1: layers (10 @ 1000c) then (5 @ 600c); issues 12 ->
+    // queue fold consumes 10 (full 1000c) + 2 of 5 (600*2/5 = 240c)
+    // part 2: layers (4 @ 400c); issues 9 -> consumed 4, unfilled 5
+    // part 3: layer (7 @ 700c); no issues -> consumed 0, cogs 0
+    val layers = Seq(
+      (1L, 1L, 0L, 0L, 10L, 1000L), (1L, 2L, 0L, 0L, 5L, 600L),
+      (2L, 1L, 0L, 0L, 4L, 400L), (3L, 1L, 0L, 0L, 7L, 700L)
+    ).toDF("l_partkey", "o1", "o2", "o3", "qty", "cents")
+    val issues = Seq((1L, 12L), (2L, 9L)).toDF("l_partkey", "issued")
+    val got = graft.operators.Warehouse.fifoCogs(layers, issues)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(7)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 15L, 12L, 12L, 1240L, 0L)),
+      2L -> ((1L, 4L, 9L, 4L, 400L, 5L)),
+      3L -> ((1L, 7L, 0L, 0L, 0L, 0L))))
+  }
+
   test("ix05 proximitySearch: window boundary inclusive, pair fan-out is tf x tf") {
     import spark.implicits._
     // doc 1: gap exactly 4 (inclusive hit); doc 2: gap 5 (miss at
