@@ -1069,6 +1069,48 @@ object Timeseries {
                      AND b.rn = r.rn + 1)
       SELECT event_type, day_idx, cents, level_cents, trend_cents,
              (level_cents + trend_cents) / 100.0 AS forecast_next
-      FROM r ORDER BY event_type, day_idx"""))
+      FROM r ORDER BY event_type, day_idx""")),
+
+    // ---- peak detection on the dense hourly grid: strict local
+    //      maxima with integer prominence (count minus the larger
+    //      neighbor) ≥ 3 — "which hours actually spiked", the alert
+    //      primitive ts03's mean-threshold misses when the baseline
+    //      drifts. Gaps are REAL zeros (dense spine), edges excluded
+    //      (no one-sided peaks); everything integer over the
+    //      bucket-sized grid ----
+    ("ts16_peaks", (s: SparkSession, d: String) => {
+      val grid = resample(eventsUs(s, d), HourNs)
+        .select(col("event_type"), col("bucket"), col("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      grid
+        .withColumn("pn", lag(col("n"), 1).over(w))
+        .withColumn("nn", lead(col("n"), 1).over(w))
+        .filter(col("pn").isNotNull && col("nn").isNotNull &&
+          col("n") > col("pn") && col("n") > col("nn") &&
+          col("n") - greatest(col("pn"), col("nn")) >= 3)
+        .select(col("event_type"), col("bucket").as("hour_idx"),
+          col("n"), (col("n") - greatest(col("pn"), col("nn")))
+            .as("prominence"))
+        .orderBy("event_type", "hour_idx")
+    }, Some(tsPrefix + """,
+      a AS (SELECT event_type, tns // 3600000000000 AS b,
+              count(*) AS n
+            FROM e GROUP BY 1, 2),
+      sp AS (SELECT event_type, unnest(generate_series(b0, b1)) AS b
+             FROM (SELECT event_type, min(b) AS b0, max(b) AS b1
+                   FROM a GROUP BY 1)),
+      g AS (SELECT sp.event_type, sp.b, coalesce(a.n, 0) AS n
+            FROM sp LEFT JOIN a ON a.event_type = sp.event_type
+                               AND a.b = sp.b),
+      l AS (SELECT event_type, b, n,
+              lag(n) OVER (PARTITION BY event_type ORDER BY b) AS pn,
+              lead(n) OVER (PARTITION BY event_type ORDER BY b) AS nn
+            FROM g)
+      SELECT event_type, b AS hour_idx, n,
+        CAST(n - greatest(pn, nn) AS BIGINT) AS prominence
+      FROM l
+      WHERE pn IS NOT NULL AND nn IS NOT NULL
+        AND n > pn AND n > nn AND n - greatest(pn, nn) >= 3
+      ORDER BY event_type, hour_idx"""))
   )
 }
