@@ -485,6 +485,30 @@ object Er {
       partPairs(s, d).orderBy("a_key", "b_key")
     }, Some(s"$erPairsSql ORDER BY a_key, b_key")),
 
+    // ---- score calibration: candidate pairs bucketed by feature
+    //      distance, with brand agreement as the proxy label — the
+    //      threshold-tuning table behind er01's keep/isMatch gates
+    //      ("at name_dist 3, do pairs still look like matches?").
+    //      One partial-aggregable rollup over the candidate frame;
+    //      output feature-grid-sized ----
+    ("er10_score_calibration", (s: SparkSession, d: String) => {
+      partPairs(s, d)
+        .groupBy(col("name_dist"), col("size_diff"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("same_brand")).as("n_same_brand"))
+        .select(col("name_dist"), col("size_diff"), col("n_pairs"),
+          col("n_same_brand"),
+          round(col("n_same_brand").cast("double") /
+            col("n_pairs").cast("double"), 6).as("brand_agreement"))
+        .orderBy("name_dist", "size_diff")
+    }, Some(s"""
+      WITH cand AS ($erPairsSql)
+      SELECT name_dist, size_diff, count(*) AS n_pairs,
+        CAST(sum(same_brand) AS BIGINT) AS n_same_brand,
+        round(CAST(sum(same_brand) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+          6) AS brand_agreement
+      FROM cand GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- blocking-quality report for er01's block key: exact
     //      candidate count, hottest block, reduction ratio ----
     ("er09_blocking_metrics", (s: SparkSession, d: String) => {
