@@ -2147,6 +2147,40 @@ object Relational {
         CAST(sum(length(t2)) AS BIGINT) AS sum_len,
         CAST(sum(((${OracleSql.signed(OracleSql.fnvU64("t2"))} % 2000003)
           + 2000003) % 2000003) AS BIGINT) AS text_checksum
-      FROM t"""))
+      FROM t""")),
+
+    // ---- explode vs explode_outer on empty arrays: the generator
+    //      null-preservation corner (q29 covers element access, q48
+    //      lambdas — neither tests what happens to a row whose array
+    //      is EMPTY). inner drops the 106 empty-array docs, outer
+    //      keeps them as one null row each; the counts prove both
+    //      semantics exactly ----
+    ("q86_explode_outer", (s: SparkSession, d: String) => {
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        expr("filter(split(trim(text), ' '), x -> length(x) >= 8)")
+          .as("arr"))
+      def agg(mode: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(when(col("w").isNull, 1)).as("n_null"))
+        .select(lit(mode).as("mode"), col("n_rows"), col("n_docs"),
+          col("n_null"))
+      agg("inner", t.select(col("doc_id"), explode(col("arr")).as("w")))
+        .unionAll(agg("outer",
+          t.select(col("doc_id"), explode_outer(col("arr")).as("w"))))
+        .orderBy("mode")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '),
+            x -> length(x) >= 8) AS arr
+        FROM documents)
+      SELECT 'inner' AS mode, CAST(sum(len(arr)) AS BIGINT) AS n_rows,
+        count(CASE WHEN len(arr) > 0 THEN 1 END) AS n_docs,
+        CAST(0 AS BIGINT) AS n_null
+      FROM t
+      UNION ALL
+      SELECT 'outer', CAST(sum(greatest(len(arr), 1)) AS BIGINT),
+        count(*), count(CASE WHEN len(arr) = 0 THEN 1 END)
+      FROM t ORDER BY mode"""))
   )
 }
