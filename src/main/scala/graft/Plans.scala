@@ -104,7 +104,9 @@ object Plans {
       "m09_image_neardup" -> "image near-dup: decode mapPartitions -> chunk explode -> ONE (chunk-index, value) equi join (no BNLJ, no all-pairs) -> exact bit_count(xor) filter",
       "d28_novelty" -> "novelty curve: shingle explode -> per-shingle min (partial-agg) -> two doc-sized rollups; NO window anywhere",
       "t27_zipf_slope" -> "Zipf slope: vocab-sized rank window (the one serial stage, documented), per-term rounded decimal sums, 1-row output",
-      "src01_jsonl_roundtrip" -> "JSONL roundtrip: write + schema'd read + single Aggregate checksum — the read scan must show the explicit schema, no inference pass")
+      "src01_jsonl_roundtrip" -> "JSONL roundtrip: write + schema'd read + single Aggregate checksum — the read scan must show the explicit schema, no inference pass",
+      "wh06_fifo_cogs" -> "FIFO COGS: the queue fold's closed form — ONE (part) running-sum window over restock rows + broadcast-able issue totals; consumption a codegen clamp expression",
+      "ts16_peaks" -> "peak detection: resample's (key,bucket) groupBy then lag/lead on the bucket-sized grid — one partition-local sort, prominence an integer filter")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +
