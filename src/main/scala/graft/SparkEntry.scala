@@ -8,6 +8,7 @@ object SparkEntry {
   /** All operator families contribute (name, fn, oracle) triples. */
   private def allEntries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     graft.operators.Relational.entries ++
+      graft.operators.SqlMatrix.entries ++
       graft.operators.Dedup.entries ++
       graft.operators.Similarity.entries ++
       graft.operators.TextOps.entries ++
