@@ -745,6 +745,54 @@ object TextOps {
         col("tf"), col("df"), col("score"))
   }
 
+  /** Parallel rank reconstruction for Zipf-style rank/frequency fits:
+    * given one row per VOCABULARY WORD carrying its corpus frequency
+    * `f`, returns one (f, r) row per word where r is the word's
+    * row_number rank under (f DESC, word) — with NO vocabulary-sized
+    * sort and NO unpartitioned window. Downstream consumers sum
+    * symmetric functions of (r, f); within a frequency tie-class those
+    * are invariant to which word received which rank, so ranks are
+    * rebuilt from the frequency HISTOGRAM (t20/t22's election shape):
+    *   - hist: one row per distinct f with its word count c —
+    *     O(sqrt(tokens)) rows under Zipf, never vocab-sized;
+    *   - cross-bucket offsets: log2(f) buckets (≤64 by construction,
+    *     `length(bin(f))` is integer-exact and monotone), suffix-summed
+    *     with a ≤64×64 triangular self-join — no window, no collect;
+    *   - within-bucket prefix: cumulative count window PARTITIONED BY
+    *     bucket over histogram rows only;
+    *   - the rank block H_f+1 .. H_f+c_f is regenerated by exploding
+    *     64k-wide chunk sequences, repartitioned first so one giant
+    *     tie class (the hapax f=1 class is typically half the
+    *     vocabulary) fans out across executors instead of serializing
+    *     in a single task.
+    */
+  def zipfRankTerms(wordFreqs: DataFrame, chunk: Long = 65536L): DataFrame = {
+    require(chunk >= 1L, s"need chunk >= 1, got $chunk")
+    val sess = wordFreqs.sparkSession
+    val W = org.apache.spark.sql.expressions.Window
+    val hist = wordFreqs.groupBy(col("f")).agg(count(lit(1)).as("c"))
+      .withColumn("bkt", length(bin(col("f"))).cast("long"))
+    val totals = hist.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+    val off = totals.as("x")
+      .join(totals.as("y"), col("y.bkt") > col("x.bkt"), "left")
+      .groupBy(col("x.bkt").as("bkt"))
+      .agg(coalesce(sum(col("y.bc")), lit(0L)).as("off"))
+    val inBkt = W.partitionBy("bkt").orderBy(desc("f"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("prior", coalesce(sum(col("c")).over(inBkt), lit(0L)))
+      .join(broadcast(off), "bkt")
+      .select(col("f"), (col("prior") + col("off")).as("h"), col("c"))
+    val ch = chunk
+    ranked
+      .select(col("f"), col("h"), col("c"),
+        explode(sequence(lit(0L), expr(s"(c - 1L) div ${ch}L"))).as("ci"))
+      .repartition(sess.sparkContext.defaultParallelism)
+      .select(col("f"),
+        explode(sequence(col("h") + col("ci") * ch + lit(1L),
+          col("h") + least((col("ci") + lit(1L)) * ch, col("c")))).as("r"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- language ID: per-language marker-word counts, argmax ----
@@ -1091,24 +1139,22 @@ object TextOps {
     //      vocabulary collapse, so it's a corpus-health gate next to
     //      t08's raw vocab. Per-rank terms rounded at 9 and
     //      DECIMAL-summed (dq10's no-float-total rule); slope ONE
-    //      fixed-order double off the exact sums. The rank window is
-    //      vocab-sized (distinct words), never token-volume — the one
-    //      serial stage; at web scale (vocab ~1e8) the remedy is
-    //      histogram ranks (cum-count of higher frequencies, the
-    //      t20/t22 shape) with ties bucketed, not a bigger sort ----
+    //      fixed-order double off the exact sums. Ranks come from
+    //      zipfRankTerms' histogram election — NO vocab-sized sort or
+    //      unpartitioned window anywhere (the slope only needs sums of
+    //      symmetric (rank, freq) functions, which are tie-class
+    //      invariant, so the oracle's per-word row_number ranks and
+    //      the regenerated rank blocks DECIMAL-sum to identical bits) ----
     ("t27_zipf_slope", (s: SparkSession, d: String) => {
       val words = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(explode(split(trim(col("text")), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      val ranked = words.withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(desc("f"), col("w"))))
       val dec9 = (c: Column) => round(c, 9).cast(DecimalType(28, 9))
       val x = log(col("r").cast("double"))
       val y = log(col("f").cast("double"))
-      ranked
+      zipfRankTerms(words.select(col("f")))
         .select(dec9(x).as("x"), dec9(y).as("y"))
         .agg(count(lit(1)).as("n_words"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),

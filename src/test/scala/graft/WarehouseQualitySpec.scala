@@ -115,6 +115,30 @@ class WarehouseQualitySpec extends AnyFunSuite {
     assert(!plan.contains("ntile"), plan)
   }
 
+  test("zipfRankTerms: histogram-elected rank blocks, chunked explode, no unpartitioned window") {
+    // two tie classes inside one log2 bucket (7, 6, 6, 4 all have
+    // 3-bit frequencies) plus the hapax class in another bucket
+    val freqs = Seq(7L, 6L, 6L, 4L, 1L, 1L, 1L, 1L, 1L).toDF("f")
+    // chunk=2 forces the f=1 class (5 words) through 3 chunk rows
+    val out = graft.operators.TextOps.zipfRankTerms(freqs, chunk = 2L)
+    val got = out.collect()
+      .map(r => (r.getAs[Long]("f"), r.getAs[Long]("r"))).toSet
+    assert(got === Set((7L, 1L), (6L, 2L), (6L, 3L), (4L, 4L),
+      (1L, 5L), (1L, 6L), (1L, 7L), (1L, 8L), (1L, 9L)))
+    // the t27 gate: ranks may NOT come from a vocab-sized
+    // row_number/sort — the only windows allowed are cumulative
+    // counts over histogram rows PARTITIONED BY the log2(f) bucket.
+    // In windowspecdefinition(...) partition columns come first; an
+    // unpartitioned ordered window leads with a sort spec (ASC/DESC).
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("row_number"), plan)
+    val specs = "windowspecdefinition\\(([^,)]*)[,)]".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(specs.nonEmpty, plan)
+    specs.foreach(s => assert(!s.contains(" ASC") && !s.contains(" DESC"),
+      s"unpartitioned window spec: $s\n$plan"))
+  }
+
 
   test("ksDrift: exact cross-multiplied statistic, smallest-attaining tiebreak, empty cohort -> null ks") {
     // cohort A = {1, 2}, cohort B = {3, 4}: fully separated, so the
