@@ -2181,6 +2181,64 @@ object Relational {
       UNION ALL
       SELECT 'outer', CAST(sum(greatest(len(arr), 1)) AS BIGINT),
         count(*), count(CASE WHEN len(arr) = 0 THEN 1 END)
-      FROM t ORDER BY mode"""))
+      FROM t ORDER BY mode""")),
+
+    // ---- array slice with STRIDE (reference expr.rs:93-97, the
+    //      `stride` arm — q70 covers the bound matrix but never a
+    //      step). Spark's slice() has no step, so the walk is a
+    //      transform over sequence(start, stop, step) after DuckDB's
+    //      normalize-then-clamp: negative indices count from the end
+    //      (sz+i+1), positive steps clamp to [1, sz] walking up,
+    //      negative steps clamp to [sz, 1] walking down, and an
+    //      empty walk (start past stop) yields [] not an error.
+    //      Cases: plain stride, stride past the end, negative bounds,
+    //      mixed sign bounds, start>stop empty, negative stride
+    //      (reversal), zero lower clamp ----
+    ("q88_array_slice_stride", (s: SparkSession, d: String) => {
+      def sliceStride(arr: Column, lo: Column, hi: Column,
+          step: Long): Column = {
+        require(step != 0L, "stride must be non-zero")
+        val sz = size(arr).cast("long")
+        def norm(i: Column) =
+          when(i < 0, sz + i.cast("long") + lit(1L))
+            .otherwise(i.cast("long"))
+        val idx = if (step > 0) {
+          val st = greatest(norm(lo), lit(1L))
+          val en = least(norm(hi), sz)
+          when(st <= en, sequence(st, en, lit(step)))
+            .otherwise(array().cast("array<bigint>"))
+        } else {
+          val st = least(norm(lo), sz)
+          val en = greatest(norm(hi), lit(1L))
+          when(st >= en, sequence(st, en, lit(step)))
+            .otherwise(array().cast("array<bigint>"))
+        }
+        transform(idx, i => element_at(arr, i.cast("int")))
+      }
+      val p = Tables.part(s, d).filter(col("p_partkey") <= 500)
+        .withColumn("a", sequence(lit(1L), lit(3L) + col("p_size") % 6))
+      def str(c: Column) = concat_ws(",", c)
+      p.select(col("p_partkey"),
+          str(sliceStride(col("a"), lit(2), lit(6), 2L)).as("s_step2"),
+          str(sliceStride(col("a"), lit(1), lit(100), 3L)).as("s_past"),
+          str(sliceStride(col("a"), lit(-5), lit(-1), 2L)).as("s_negb"),
+          str(sliceStride(col("a"), lit(2), lit(-1), 2L)).as("s_mixed"),
+          str(sliceStride(col("a"), lit(4), lit(2), 1L)).as("s_empty"),
+          str(sliceStride(col("a"), lit(8), lit(3), -2L)).as("s_rev"),
+          str(sliceStride(col("a"), lit(0), lit(4), 2L)).as("s_zlo"))
+        .orderBy("p_partkey")
+    }, Some("""
+      WITH b0 AS (
+        SELECT p_partkey, generate_series(1, 3 + p_size % 6) AS a
+        FROM part WHERE p_partkey <= 500)
+      SELECT p_partkey,
+        coalesce(array_to_string(a[2:6:2], ','), '') AS s_step2,
+        coalesce(array_to_string(a[1:100:3], ','), '') AS s_past,
+        coalesce(array_to_string(a[-5:-1:2], ','), '') AS s_negb,
+        coalesce(array_to_string(a[2:-1:2], ','), '') AS s_mixed,
+        coalesce(array_to_string(a[4:2:1], ','), '') AS s_empty,
+        coalesce(array_to_string(a[8:3:-2], ','), '') AS s_rev,
+        coalesce(array_to_string(a[0:4:2], ','), '') AS s_zlo
+      FROM b0 ORDER BY p_partkey"""))
   )
 }
