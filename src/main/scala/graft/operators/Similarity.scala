@@ -576,8 +576,8 @@ object Similarity {
   /** The query vector as a driver-side double array (one pushed-down
     * point lookup — the query comes from outside the search scan). */
   private def queryVec(embeddings: DataFrame, queryId: Long): Array[Double] =
-    embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    toDoubles(embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Any](0))
 
   /** In-order L2² LUT row block: lut[s*k+j] = ||q_s − cb_{j,s}||²,
     * each accumulated left-to-right in dimension order — the float
@@ -2339,8 +2339,73 @@ object Similarity {
     //      unrolls the identical greedy rounds ----
     ("s17_mmr_rerank", (s: SparkSession, d: String) =>
       mmrRerank(Tables.embeddings(s, d), 0L, 12, 5).orderBy("rank"),
-      Some(mmrOracleSql(12, 5)))
+      Some(mmrOracleSql(12, 5))),
+
+    // ---- OPQ quality CONTRACT (the rotation's reason to exist):
+    //      IVFADC+R recall on a deterministic ANISOTROPIC corpus —
+    //      rank-3 signal on non-axis directions + small noise, the
+    //      shape of real embedding corpora where unrotated PQ wastes
+    //      its grid (the parquet embeddings are near-isotropic BY
+    //      DESIGN, the one place the rotation is a no-op, so the gate
+    //      needs its own corpus — seeded java.util.Random, whose
+    //      nextGaussian algorithm is JVM-spec-pinned, so the corpus
+    //      and every downstream double chain are bit-deterministic).
+    //      The Spark side replays rotation → probe → ADC shortlist →
+    //      exact re-rank TWICE (plain and OPQ-rotated through the
+    //      same ivfPqRerankRecall pipeline as s10; R orthonormal
+    //      preserves exact distances so both measure against the same
+    //      truth) and gates BOTH recall_opq >= recall_plain and
+    //      recall_opq >= 0.9. The eigensolve is driver-side d² work
+    //      DuckDB cannot replay, so the oracle pins the measured
+    //      deterministic integers (q38/t20_approx's contract-check
+    //      pattern) ----
+    ("s18_opq_recall", (s: SparkSession, d: String) => {
+      val corpus = opqGateCorpus(s).cache()
+      val rot = opqParametricRotation(corpus, 8)
+      val rotated = rotateEmbeddings(corpus, rot)
+      def sumFound(c: DataFrame): Long = Seq(100L, 101L, 102L, 103L)
+        .map(q => ivfPqRerankRecall(c, q, 2, 30, 10, 0.0, 8, 16)
+          .head().getAs[Long]("n_found")).sum
+      val (fPlain, fOpq) = (sumFound(corpus), sumFound(rotated))
+      corpus.unpersist()
+      s.range(1).select(
+        lit(4L * 10L).as("n_truth"),
+        lit(fPlain).as("found_plain"),
+        lit(fOpq).as("found_opq"),
+        round(lit(fPlain.toDouble / 40.0), 6).as("recall_plain"),
+        round(lit(fOpq.toDouble / 40.0), 6).as("recall_opq"),
+        lit(fOpq >= fPlain).as("opq_ge_plain"),
+        lit(fOpq.toDouble / 40.0 >= 0.9).as("recall_ok"))
+    }, Some("""
+      SELECT CAST(40 AS BIGINT) AS n_truth,
+        CAST(37 AS BIGINT) AS found_plain,
+        CAST(40 AS BIGINT) AS found_opq,
+        round(CAST(37 AS DOUBLE) / 40, 6) AS recall_plain,
+        round(CAST(40 AS DOUBLE) / 40, 6) AS recall_opq,
+        true AS opq_ge_plain, true AS recall_ok"""))
   )
+
+  /** Deterministic anisotropic gate corpus for the OPQ recall
+    * contract: n vectors of dim d carrying a rank-3 Gaussian signal on
+    * three fixed non-axis directions (scales 3.0/2.0/1.5) plus 0.05
+    * isotropic noise, coarse cells = vec_id % cells. Seeded
+    * java.util.Random — bit-deterministic across JVMs per the spec of
+    * nextGaussian. KB-sized (n·d floats ≈ 128 KB at the defaults):
+    * this is gate input, not a data path.
+    */
+  def opqGateCorpus(s: SparkSession, n: Int = 512, d: Int = 64,
+      cells: Int = 4, seed: Long = 7L): DataFrame = {
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val dirs = Array.fill(3)(Array.fill(d)(rnd.nextGaussian()))
+      .map { v => val nn = math.sqrt(v.map(x => x * x).sum); v.map(_ / nn) }
+    (0 until n).map { id =>
+      val c = Array(3.0, 2.0, 1.5).map(_ * rnd.nextGaussian())
+      (id.toLong, id % cells, Array.tabulate(d)(j =>
+        (c(0) * dirs(0)(j) + c(1) * dirs(1)(j) + c(2) * dirs(2)(j) +
+          0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "label", "embedding")
+  }
 
   /** Greedy MMR (maximal marginal relevance) re-rank: from the top
     * `shortlistN` cosine candidates for `queryId`, select k items by
