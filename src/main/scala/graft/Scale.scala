@@ -276,6 +276,80 @@ object Scale {
       "that flat pass (the 100 TB bot shape): no task ever sorts more than one " +
       "hot day regardless of bot size, while unbounded grows without bound")
 
+    // ---- streaming session-path cap parity (ss10 twin, #8): the same
+    // bot-skewed corpus through flatMapGroupsWithState — per-user
+    // state is <= prefixLen event types + 3 longs REGARDLESS of how
+    // many events the bot contributed, so the measured state-store
+    // rows must track DISTINCT USERS, never event volume (the
+    // streaming mirror of the batch ss06 bound above).
+    def pathProbe(name: String, df: org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+      val dir = s"$work/evstream_$name"
+      df.select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_ns")).write.mode("overwrite").parquet(dir)
+      val schema = spark.read.parquet(dir).schema
+      val src = spark.readStream.schema(schema).parquet(dir)
+        .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), lit(0.0).as("value"))
+        .as[graft.streaming.Event]
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val tp = System.nanoTime()
+      val q = graft.streaming.Events
+        .sessionizePaths(src, gapUs = 30L * 60 * 1000 * 1000, prefixLen = 5)
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.SessionPath],
+           _: Long) => emitted.addAndGet(b.count()); ()
+        }
+        .option("checkpointLocation", s"$work/ckpt_$name")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - tp) / 1e9
+      val stateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      println(f"[scale] pathStream-$name%-7s $sec%8.2f s  " +
+        f"(${emitted.get()}%,d closed paths, state rows $stateRows%,d)")
+      (sec, emitted.get(), stateRows)
+    }
+    val (psBal, _, stBal) = pathProbe("bal", balanced)
+    val (psHot, _, stHot) = pathProbe("hot", skewed)
+    println(f"[scale] pathStream state bound: bot corpus holds $stHot%,d state rows vs " +
+      f"$stBal%,d balanced — the ${nS - nE}%,d-event bot costs ONE state row " +
+      f"(O(users x prefixLen), event-volume-independent); time ${psHot / psBal}%.2fx " +
+      "(per batch the bot's events still sort through one group task — the same " +
+      "single-task bound as the batch side; the CAP is on state, which never grows)")
+
+    // ---- retrieval/postings probe (ix01/ix02/ix04, #6): the store is
+    // built ONCE at Nx docs (the one bucket-aligned shuffle), then each
+    // query family is timed store-served (bucket-pruned scan, sorted
+    // contiguous posting lists, tombstone-aware) vs the unstored path
+    // that re-tokenizes the whole corpus per query — store-served cost
+    // must track the query terms' posting lists, never corpus
+    // tokenization.
+    val tps = System.nanoTime()
+    graft.operators.Search.writePostingsStore(docs, s"$work/postings",
+      "scale_postings", 16)
+    println(f"[scale] postings store build ($n docs): ${(System.nanoTime() - tps) / 1e9}%.2f s (one-time)")
+    def storedPostings() = graft.operators.Search.readPostings(spark, "scale_postings")
+    def freshPostings() = graft.operators.Search.postings(docs)
+    val tIx1S = timeV("ix01Stored")(graft.operators.Search
+      .conjunctiveSearch(storedPostings(), Seq("spark", "window", "merge")).count())
+    val tIx1U = timeV("ix01Unstored")(graft.operators.Search
+      .conjunctiveSearch(freshPostings(), Seq("spark", "window", "merge")).count())
+    val tIx2S = timeV("ix02Stored")(graft.operators.Search
+      .phraseSearch(storedPostings(), Seq("slow", "hash", "batch")).count())
+    val tIx2U = timeV("ix02Unstored")(graft.operators.Search
+      .phraseSearch(freshPostings(), Seq("slow", "hash", "batch")).count())
+    val tIx4S = timeV("ix04Stored")(graft.operators.Search
+      .rankedSearch(spark, "scale_postings", Seq("spark", "merge", "fast"), 15).count())
+    val dls = freshPostings().groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tIx4U = timeV("ix04Unstored")(graft.operators.Search
+      .bm25Rank(freshPostings(), dls, Seq("spark", "merge", "fast"), 15).count())
+    println(f"[scale] postings store: term lookup ${tIx1U / tIx1S}%.1fx, " +
+      f"phrase ${tIx2U / tIx2S}%.1fx, bm25 ${tIx4U / tIx4S}%.1fx faster served " +
+      "from the bucketed store than re-deriving postings from the corpus " +
+      "(build paid once, amortized over every query)")
+
     // ---- bloom-decontamination probe (d20): the reference corpus is
     // the REPLICATED set (reps x the base — the "seen corpus too big
     // to broadcast" shape), the batch is the base corpus. The bloom

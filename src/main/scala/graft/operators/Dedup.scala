@@ -997,14 +997,23 @@ object Dedup {
     * (`sparkContext.setCheckpointDir`) rounds checkpoint to it — an
     * executor loss at 100 TB replays one round, not all — otherwise
     * memory-only `localCheckpoint` (the local-harness default).
-    * Convergence = the contracted graph has no edges left (one
-    * driver isEmpty per round, inherent to iterative fixpoints);
-    * throws instead of silently returning under-merged labels if the
-    * round budget is exhausted. (GraphX has an RDD-based equivalent;
-    * this stays on the DataFrame path so Catalyst/AQE handle
-    * partitioning and skew.)
+    * Convergence = the contracted graph has no edges left (a driver
+    * isEmpty probe, inherent to iterative fixpoints); throws instead
+    * of silently returning under-merged labels if the round budget is
+    * exhausted. `convergenceCheckEvery` batches the probes: probe
+    * only every k-th round, trading at most k−1 no-op rounds after
+    * the true fixpoint (a round over an empty contracted graph moves
+    * nothing) for k× fewer driver job barriers — the right dial when
+    * per-round DATA cost is negligible next to driver job latency
+    * (the local/many-round regime; at 100 TB data cost dominates and
+    * k = 1 is right). (GraphX has an RDD-based equivalent; this stays
+    * on the DataFrame path so Catalyst/AQE handle partitioning and
+    * skew.)
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+      convergenceCheckEvery: Int = 1): DataFrame = {
+    require(convergenceCheckEvery >= 1,
+      s"need convergenceCheckEvery >= 1, got $convergenceCheckEvery")
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
@@ -1021,7 +1030,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      converged = ce.isEmpty
+      converged = iter % convergenceCheckEvery == 0 && ce.isEmpty
       if (!converged) {
         // every label adopts its min contracted neighbor (strictly
         // improving rows only — keeps the remap joins small), then
@@ -1052,6 +1061,9 @@ object Dedup {
       }
       iter += 1
     }
+    // batched probing can exhaust the round budget with the last
+    // probe still pending — settle it before declaring failure
+    if (!converged) converged = ce.isEmpty
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

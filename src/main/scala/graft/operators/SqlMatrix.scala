@@ -245,5 +245,37 @@ object SqlMatrix {
         CAST(sum(CAST(p AS DECIMAL(18,2))) OVER (PARTITION BY a1
           ORDER BY a2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           AS DOUBLE) AS run_sum
-      FROM a ORDER BY a1, a2"""))
+      FROM a ORDER BY a1, a2"""),
+
+    // ---- basic_tests.yaml: case-insensitive column/table resolution
+    //      (SELECT A1 FROM A), literal + star mix, table-alias
+    //      qualified star ----
+    mk("sql16_basic", Seq("nation"), """
+      WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS a1,
+                        CAST(n_regionkey AS BIGINT) AS a2, n_name AS a3
+                 FROM $nation)
+      SELECT CAST(9 AS BIGINT) AS lit9, T.A1 AS a1_ci, t.*
+      FROM a AS t ORDER BY t.a1"""),
+
+    // ---- joins_tests.yaml: qualified star over a join, table
+    //      aliases, multi-join chain, NATURAL JOIN over derived
+    //      tables (the yaml's nested-joins case) ----
+    mk("sql17_joins", Seq("nation", "region", "customer"), """
+      WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                        CAST(n_regionkey AS BIGINT) AS a2, n_name AS a3
+                 FROM $nation),
+           b AS (SELECT CAST(r_regionkey AS BIGINT) AS b1, r_name AS b3
+                 FROM $region),
+           c AS (SELECT c_custkey AS c1, CAST(c_nationkey AS BIGINT) AS c2
+                 FROM $customer),
+           j AS (SELECT x.*, y.b3, z.c1
+                 FROM a x JOIN b y ON x.a2 = y.b1 JOIN c z ON z.c2 = x.k),
+           n AS (SELECT * FROM
+                   (SELECT 1 AS q UNION SELECT 2 AS q) t1
+                 NATURAL JOIN (SELECT 1 AS q) t2)
+      SELECT 'chain' AS leg, k, a2, a3, b3, c1 FROM j
+      UNION ALL
+      SELECT 'natural' AS leg, CAST(q AS BIGINT), NULL, NULL, NULL, NULL
+      FROM n
+      ORDER BY leg, c1 NULLS FIRST, k"""))
 }

@@ -541,6 +541,30 @@ class DedupSpec extends AnyFunSuite {
     assert(comps(10L) === 10L && comps(11L) === 10L)
   }
 
+  test("connectedComponents: batched convergence probes yield identical labels") {
+    import spark.implicits._
+    // 16-node chain + island: several contraction rounds, so the
+    // batched probe (every 4th round) skips real mid-run checks and
+    // may overrun the fixpoint by no-op rounds — labels must match
+    // the per-round-probe run exactly, and a budget that ends between
+    // probes must still settle convergence instead of throwing
+    val edges = ((0L until 15L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("id_a", "id_b")
+    def labelsOf(checkEvery: Int, maxIter: Int = 30) =
+      Dedup.connectedComponents(edges, maxIter, checkEvery)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = labelsOf(1)
+    assert(labelsOf(4) === base)
+    // post-loop settle: a single-edge graph converges after 1 round;
+    // checkEvery=5 never probes again before the maxIter=2 exit, so
+    // convergence must be settled AFTER the loop (no spurious throw)
+    val island = Seq((100L, 101L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(island, maxIter = 2,
+        convergenceCheckEvery = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(100L -> 100L, 101L -> 100L))
+  }
+
   test("connectedComponents: reliable checkpoint path (executor-loss replay shape)") {
     import spark.implicits._
     val sc = spark.sparkContext
