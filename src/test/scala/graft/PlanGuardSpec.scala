@@ -40,7 +40,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "rj03_max_concurrency", // broadcast 1-row session count + 1-row max
     "q79_tpch_q22", // broadcast 1-row (tot, n) average threshold
     "q81_tpch_q15", // broadcast 1-row max-revenue frame (ties filter)
-    "q84_tpch_q11") // broadcast 1-row global-total threshold
+    "q84_tpch_q11", // broadcast 1-row global-total threshold
+    "sql17_joins", // the NATURAL JOIN leg's 1-row derived table
+                   // (joins_tests.yaml's nested-joins case, replayed)
+    "t27_zipf_slope") // zipfRankTerms' suffix-sum theta-join over the
+                      // <=64-row log2(f) bucket totals
 
   /** Queries whose SEMANTICS are an exhaustive pairwise comparison:
     * s05 measures LSH recall against the brute-force truth, which is
@@ -48,7 +52,10 @@ class PlanGuardSpec extends AnyFunSuite {
   private val intendedAllPairs = Set("s05_lsh_recall",
     // s17's pair-sim stage is pairwise BY CONTRACT over the
     // ceiling-enforced <=64-row shortlist, never the corpus
-    "s17_mmr_rerank")
+    "s17_mmr_rerank",
+    // the join_cross yaml family's entry IS a cross join — explicit
+    // CROSS JOIN + implicit comma-list over 25/5/5-row dims
+    "sql05_join_cross")
 
   /** Batch-serving queries that broadcast the QUERY TABLE (Q rows, a
     * serving batch bounded by contract — see Similarity.cosineTopKBatch)
