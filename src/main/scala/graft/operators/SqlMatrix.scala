@@ -277,5 +277,111 @@ object SqlMatrix {
       UNION ALL
       SELECT 'natural' AS leg, CAST(q AS BIGINT), NULL, NULL, NULL, NULL
       FROM n
-      ORDER BY leg, c1 NULLS FIRST, k"""))
+      ORDER BY leg, c1 NULLS FIRST, k"""),
+
+    // ---- second battery: deeper shapes per family ----
+
+    // join_{left,right,full}_tests.yaml USING forms: the coalesced
+    // key column + unmatched rows on each side ----
+    mk("sql18_join_using", Seq("customer", "orders"), """
+      WITH a AS (SELECT c_custkey AS k, c_mktsegment AS a3 FROM $customer),
+           b AS (SELECT o_custkey AS k, count(*) AS b2
+                 FROM $orders GROUP BY o_custkey),
+           af AS (SELECT k, a3 FROM a WHERE a3 = 'BUILDING')
+      SELECT 'left' AS leg, k, a3, b2 FROM a LEFT JOIN b USING (k)
+      UNION ALL
+      SELECT 'right' AS leg, k, a3, b2 FROM b RIGHT JOIN a USING (k)
+      UNION ALL
+      SELECT 'full' AS leg, k, a3, b2 FROM af FULL JOIN b USING (k)
+      ORDER BY leg, k"""),
+
+    // correlated_exists_tests.yaml's OR arm: EXISTS / NOT EXISTS whose
+    // inner predicate is a DISJUNCTION of two correlated conditions —
+    // the decorrelation stress the single-conjunct sql09 doesn't hit ----
+    mk("sql19_exists_or", Seq("customer", "supplier"), """
+      WITH a AS (SELECT c_custkey AS a1, CAST(c_nationkey AS BIGINT) AS a2
+                 FROM $customer),
+           b AS (SELECT CAST(s_nationkey AS BIGINT) AS b1, s_acctbal AS b3
+                 FROM $supplier)
+      SELECT 'exists_or' AS leg, a1 FROM a
+      WHERE EXISTS (SELECT 1 FROM b WHERE b1 = a2 OR b3 > a2 * 400)
+      UNION ALL
+      SELECT 'not_exists_or' AS leg, a1 FROM a
+      WHERE NOT EXISTS (SELECT 1 FROM b WHERE b1 = a2 OR b3 > a2 * 400)
+      ORDER BY leg, a1"""),
+
+    // correlated_in_subquery_tests.yaml variants: IN over a constant
+    // subquery (SELECT 1), IN over a computed column, correlated
+    // NOT IN ----
+    mk("sql20_in_variants", Seq("nation", "supplier"), """
+      WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS a1,
+                        CAST(n_regionkey AS BIGINT) AS a2 FROM $nation),
+           b AS (SELECT CAST(s_nationkey AS BIGINT) AS b1, s_suppkey AS b2
+                 FROM $supplier)
+      SELECT 'in_const' AS leg, a1 FROM a WHERE a1 IN (SELECT 1)
+      UNION ALL
+      SELECT 'in_computed' AS leg, a1 FROM a
+      WHERE a2 IN (SELECT b1 + 1 FROM b)
+      UNION ALL
+      SELECT 'not_in_corr' AS leg, a1 FROM a
+      WHERE a1 NOT IN (SELECT b1 FROM b WHERE b1 = a2 AND b2 % 3 = 0)
+      ORDER BY leg, a1"""),
+
+    // expr_interval_tests.yaml's negative + sub-hour units: quoted
+    // negative YEAR literal (the yaml's INTERVAL '-2' YEAR), MINUTE
+    // and SECOND arithmetic, stacked MONTH+DAY ----
+    mk2("sql21_interval_matrix", Seq("orders"), """
+      SELECT o_orderkey,
+        date_format(o_orderdate + INTERVAL '-2' YEAR,
+          'yyyy-MM-dd HH:mm:ss') AS minus2y,
+        date_format(o_orderdate + INTERVAL 90 MINUTE - INTERVAL 30 SECOND,
+          'yyyy-MM-dd HH:mm:ss') AS plus90m30s,
+        date_format(o_orderdate + INTERVAL 1 MONTH + INTERVAL 10 DAY,
+          'yyyy-MM-dd HH:mm:ss') AS plus1m10d
+      FROM $orders WHERE o_orderkey % 137 = 0 ORDER BY o_orderkey""", """
+      SELECT o_orderkey,
+        strftime(o_orderdate + INTERVAL '-2' YEAR,
+          '%Y-%m-%d %H:%M:%S') AS minus2y,
+        strftime(o_orderdate + INTERVAL 90 MINUTE - INTERVAL 30 SECOND,
+          '%Y-%m-%d %H:%M:%S') AS plus90m30s,
+        strftime(o_orderdate + INTERVAL 1 MONTH + INTERVAL 10 DAY,
+          '%Y-%m-%d %H:%M:%S') AS plus1m10d
+      FROM $orders WHERE o_orderkey % 137 = 0 ORDER BY o_orderkey"""),
+
+    // window_aggregate_tests.yaml's named-spec form: a WINDOW clause
+    // shared by ranking, lag/lead and aggregate functions ----
+    mk("sql22_window_clause", Seq("orders"), """
+      WITH a AS (SELECT o_custkey AS g, o_orderkey AS k, o_totalprice AS p
+                 FROM $orders WHERE o_custkey % 7 = 0)
+      SELECT g, k,
+        CAST(row_number() OVER w AS BIGINT) AS rn,
+        CAST(lag(k) OVER w AS BIGINT) AS prev_k,
+        CAST(lead(k) OVER w AS BIGINT) AS next_k,
+        count(*) OVER w2 AS n_g,
+        CAST(min(p) OVER w2 AS DOUBLE) AS min_p
+      FROM a
+      WINDOW w AS (PARTITION BY g ORDER BY k), w2 AS (PARTITION BY g)
+      ORDER BY g, k"""),
+
+    // set_operator_tests.yaml's literal cases: UNION dedup of equal
+    // literal selects (SELECT 1 UNION SELECT 1) + a no-FROM leg ----
+    mk("sql23_set_literals", Seq(), """
+      SELECT 'lit_union' AS leg, CAST(q AS BIGINT) AS q
+      FROM (SELECT 1 AS q UNION SELECT 1) t
+      UNION ALL
+      SELECT 'lit_union_all' AS leg, CAST(q AS BIGINT)
+      FROM (SELECT 1 AS q UNION ALL SELECT 1) t
+      UNION ALL
+      SELECT 'no_from' AS leg, CAST(42 AS BIGINT)
+      ORDER BY leg, q"""),
+
+    // subqueries_tests.yaml's derived-table scalar forms:
+    // SELECT 1 as a, (SELECT 2 + b1) as b FROM (SELECT 1 as b1) —
+    // a scalar subquery correlated to a derived table, plus the bare
+    // (SELECT 2) constant ----
+    mk("sql24_scalar_derived", Seq(), """
+      SELECT CAST(1 AS BIGINT) AS a,
+             CAST((SELECT 2 + b1) AS BIGINT) AS b,
+             CAST((SELECT 2) AS BIGINT) AS c
+      FROM (SELECT 1 AS b1)"""))
 }
