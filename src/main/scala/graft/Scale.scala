@@ -478,6 +478,25 @@ object Scale {
         "by dropping celebrity centers)")
       timeG("commonNbr", n)(graft.operators.Graph
         .commonNeighborRecs(pairs, 3, maxCenterDeg = 64L).count())
+      // CC probe batching (the convergenceCheckEvery dial): in the
+      // local/many-round regime per-round data is tiny, so the
+      // per-round isEmpty driver barrier is a visible wall-time slice
+      // — measure it by probing every 3rd round (same labels,
+      // DedupSpec-asserted; at 100 TB keep k=1, §5 fixpoint paragraph)
+      if (n == sizes.last) {
+        val tc1 = System.nanoTime()
+        val c1 = graft.operators.Dedup.connectedComponents(raw
+          .select(col("src").as("id_a"), col("dst").as("id_b"))).count()
+        val s1 = (System.nanoTime() - tc1) / 1e9
+        val tc3 = System.nanoTime()
+        val c3 = graft.operators.Dedup.connectedComponents(raw
+          .select(col("src").as("id_a"), col("dst").as("id_b")),
+          30, convergenceCheckEvery = 3).count()
+        val s3 = (System.nanoTime() - tc3) / 1e9
+        println(f"[scale] ccProbeBatch n=$n%,d: checkEvery=1 $s1%.2f s vs " +
+          f"checkEvery=3 $s3%.2f s (${(s1 - s3) / s1 * 100}%.0f%% of wall " +
+          f"was driver probe barriers; $c1 == $c3 labeled nodes)")
+      }
     }
     val edgeFactor = sizes.last.toDouble / sizes.head
     Seq("triangles", "bfs", "pagerank", "lpa", "kcore", "commonNbr")
