@@ -43,6 +43,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "q84_tpch_q11", // broadcast 1-row global-total threshold
     "sql17_joins", // the NATURAL JOIN leg's 1-row derived table
                    // (joins_tests.yaml's nested-joins case, replayed)
+    "sql19_exists_or", // a DISJUNCTIVE correlated EXISTS cannot
+                       // hash-join (no equi-conjunct covers both OR
+                       // arms): the NL semi/anti-join against the
+                       // broadcast 100-row supplier dim IS the plan
+                       // for this semantics
     "t27_zipf_slope") // zipfRankTerms' suffix-sum theta-join over the
                       // <=64-row log2(f) bucket totals
 
