@@ -103,10 +103,14 @@ object Plans {
       "q84_tpch_q11" -> "TPC-H Q11 shape: broadcast supplier semi-join BEFORE both aggregates, per-part decimal agg + 1-row global total broadcast, integer-cross-multiplied HAVING",
       "m09_image_neardup" -> "image near-dup: decode mapPartitions -> chunk explode -> ONE (chunk-index, value) equi join (no BNLJ, no all-pairs) -> exact bit_count(xor) filter",
       "d28_novelty" -> "novelty curve: shingle explode -> per-shingle min (partial-agg) -> two doc-sized rollups; NO window anywhere",
-      "t27_zipf_slope" -> "Zipf slope: vocab-sized rank window (the one serial stage, documented), per-term rounded decimal sums, 1-row output",
+      "t27_zipf_slope" -> "Zipf slope: histogram-elected ranks (no vocab-sized window anywhere) — log2(f)-bucket offsets via a <=64x64 triangular join, bucket-PARTITIONED cum windows over histogram rows, 64k-chunked rank-block explode repartitioned so the hapax class fans out; per-term rounded decimal sums, 1-row output",
       "src01_jsonl_roundtrip" -> "JSONL roundtrip: write + schema'd read + single Aggregate checksum — the read scan must show the explicit schema, no inference pass",
       "wh06_fifo_cogs" -> "FIFO COGS: the queue fold's closed form — ONE (part) running-sum window over restock rows + broadcast-able issue totals; consumption a codegen clamp expression",
-      "ts16_peaks" -> "peak detection: resample's (key,bucket) groupBy then lag/lead on the bucket-sized grid — one partition-local sort, prominence an integer filter")
+      "ts16_peaks" -> "peak detection: resample's (key,bucket) groupBy then lag/lead on the bucket-sized grid — one partition-local sort, prominence an integer filter",
+      "sql19_exists_or" -> "OR-correlated EXISTS (disjunction across arms): no equi-conjunct exists to hash on, so the SEMANTICALLY FORCED plan is a BroadcastNestedLoopJoin left-semi — correct, not an accidental product (PlanGuardSpec allowlists it with this rationale); the probe side stays scan-pruned",
+      "sql05_join_cross" -> "explicit CROSS JOIN + implicit comma list: the INTENDED product — BroadcastNestedLoopJoin/CartesianProduct over two 25/5-row dims is the right plan, and the count shape bounds the output before the sort (PlanGuard-allowlisted as intended)",
+      "q88_array_slice_stride" -> "array-slice STRIDE walk: pure codegen transform(sequence(lo, hi, step)) projection pipelined into the scan — no explode, no join, zero exchanges before the output sort",
+      "s18_opq_recall" -> "OPQ recall CONTRACT row: the exhibited plan is the final 1-row literal projection by design — the measured work (rotation, probe, ADC shortlist, exact re-rank) runs through the SAME ivfPqRerankRecall pipeline twice whose stored-search shape s09/s14 already exhibit (codes-only pruned scans); the gate's eigensolve is documented driver d^2 work on a KB corpus")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. Regenerate: " +

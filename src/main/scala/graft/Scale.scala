@@ -305,8 +305,12 @@ object Scale {
         .start()
       q.awaitTermination()
       val sec = (System.nanoTime() - tp) / 1e9
+      // maxOption: an AvailableNow run with zero input files (or a
+      // progress buffer that never reported state operators) must
+      // degrade to a printed 0, not abort the whole Scale run
       val stateRows = q.recentProgress
-        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .maxOption.getOrElse(0L)
       println(f"[scale] pathStream-$name%-7s $sec%8.2f s  " +
         f"(${emitted.get()}%,d closed paths, state rows $stateRows%,d)")
       (sec, emitted.get(), stateRows)

@@ -2356,9 +2356,10 @@ object Similarity {
     //      preserves exact distances so both measure against the same
     //      truth) and gates BOTH recall_opq >= recall_plain and
     //      recall_opq >= 0.9. The eigensolve is driver-side d² work
-    //      DuckDB cannot replay, so the oracle pins the measured
-    //      deterministic integers (q38/t20_approx's contract-check
-    //      pattern) ----
+    //      DuckDB cannot replay, so the oracle gates contract
+    //      BOOLEANS only (q38/t20_approx's pattern) — never the raw
+    //      found counts, which ride distributed float reduction
+    //      order ----
     ("s18_opq_recall", (s: SparkSession, d: String) => {
       val corpus = opqGateCorpus(s).cache()
       val rot = opqParametricRotation(corpus, 8)
@@ -2368,21 +2369,21 @@ object Similarity {
           .head().getAs[Long]("n_found")).sum
       val (fPlain, fOpq) = (sumFound(corpus), sumFound(rotated))
       corpus.unpersist()
+      // Gate CONTRACT columns only: the raw found counts depend on
+      // distributed float reduction order and shortlist near-ties, so
+      // pinning the measured integers (the old found_plain = 37)
+      // would let a benign parallelism / JVM change flip 37→36 and
+      // fail Verify while the actual contract still holds. plain_sane
+      // is a tolerance band (the unrotated baseline must stay a real
+      // competitor, recall ≥ 0.75), the other two are the contract.
       s.range(1).select(
         lit(4L * 10L).as("n_truth"),
-        lit(fPlain).as("found_plain"),
-        lit(fOpq).as("found_opq"),
-        round(lit(fPlain.toDouble / 40.0), 6).as("recall_plain"),
-        round(lit(fOpq.toDouble / 40.0), 6).as("recall_opq"),
+        lit(fPlain >= 30L).as("plain_sane"),
         lit(fOpq >= fPlain).as("opq_ge_plain"),
         lit(fOpq.toDouble / 40.0 >= 0.9).as("recall_ok"))
     }, Some("""
       SELECT CAST(40 AS BIGINT) AS n_truth,
-        CAST(37 AS BIGINT) AS found_plain,
-        CAST(40 AS BIGINT) AS found_opq,
-        round(CAST(37 AS DOUBLE) / 40, 6) AS recall_plain,
-        round(CAST(40 AS DOUBLE) / 40, 6) AS recall_opq,
-        true AS opq_ge_plain, true AS recall_ok"""))
+        true AS plain_sane, true AS opq_ge_plain, true AS recall_ok"""))
   )
 
   /** Deterministic anisotropic gate corpus for the OPQ recall

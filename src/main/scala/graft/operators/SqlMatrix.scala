@@ -30,14 +30,23 @@ object SqlMatrix {
     * temp view `v_name` on the Spark side and to the raw DuckDB table
     * `name` on the oracle side.
     */
+  /** Substitute `$table` placeholders. Longest names first, so a
+    * prefix-colliding pair (part / partsupp) can never mangle
+    * `$partsupp` into a half-replaced `v_part`-prefixed token.
+    */
+  private def subst(body: String, tables: Seq[String],
+      prefix: String): String =
+    tables.sortBy(-_.length)
+      .foldLeft(body)((b, t) => b.replace("$" + t, prefix + t))
+
   private def mk(name: String, tables: Seq[String], body: String)
       : (String, QFn, Option[String]) = {
     val fn: QFn = (s, d) => {
       tables.foreach(t =>
         Tables.load(s, d, t).createOrReplaceTempView("v_" + t))
-      s.sql(tables.foldLeft(body)((b, t) => b.replace("$" + t, "v_" + t)))
+      s.sql(subst(body, tables, "v_"))
     }
-    (name, fn, Some(tables.foldLeft(body)((b, t) => b.replace("$" + t, t))))
+    (name, fn, Some(subst(body, tables, "")))
   }
 
   /** Same, but with per-side texts (needed when a scalar function is
@@ -48,9 +57,9 @@ object SqlMatrix {
     val fn: QFn = (s, d) => {
       tables.foreach(t =>
         Tables.load(s, d, t).createOrReplaceTempView("v_" + t))
-      s.sql(tables.foldLeft(sparkBody)((b, t) => b.replace("$" + t, "v_" + t)))
+      s.sql(subst(sparkBody, tables, "v_"))
     }
-    (name, fn, Some(tables.foldLeft(duckBody)((b, t) => b.replace("$" + t, t))))
+    (name, fn, Some(subst(duckBody, tables, "")))
   }
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(
@@ -191,7 +200,8 @@ object SqlMatrix {
              a1 <> 2 AS ne2, a1 BETWEEN 5 AND 10 AS btw,
              a1 IN (1, 3, 5) AS inlist, a3 LIKE '%A%' AS lk,
              NOT (a1 > 12) AS ng,
-             (a1 > 5 AND a1 < 20) OR a1 = 0 AS logic
+             (a1 > 5 AND a1 < 20) OR a1 = 0 AS logic,
+             a3 || '_' || CAST(a1 AS STRING) AS cat2
       FROM a ORDER BY a1"""),
 
     // ---- expr_case_tests.yaml: searched CASE, simple CASE, CASE
@@ -383,5 +393,43 @@ object SqlMatrix {
       SELECT CAST(1 AS BIGINT) AS a,
              CAST((SELECT 2 + b1) AS BIGINT) AS b,
              CAST((SELECT 2) AS BIGINT) AS c
-      FROM (SELECT 1 AS b1)"""))
+      FROM (SELECT 1 AS b1)"""),
+
+    // ---- the reference Like expr's remaining arms (expr.rs:103-115;
+    //      SQL front end at sql/mod.rs:846-877): case_insensitive
+    //      (ILIKE / NOT ILIKE) and escape_char (LIKE … ESCAPE, on a
+    //      derived column that embeds literal '%' / '_' so the escape
+    //      actually discriminates). Plus SIMILAR TO, which the
+    //      reference maps onto Like (sql/mod.rs:903-918) but Spark's
+    //      grammar lacks entirely — the documented translation is an
+    //      anchored RLIKE regex on the Spark side vs native SIMILAR
+    //      TO in DuckDB (SIMILAR TO is implicitly ^…$-anchored),
+    //      identical semantics for regex-safe patterns ----
+    mk2("sql25_like_matrix", Seq("nation"), """
+      WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS a1, n_name AS a3
+                 FROM $nation),
+      d AS (SELECT a1, a3,
+              CASE WHEN a1 % 2 = 0 THEN a3 || '%' ELSE a3 || '_x' END
+                AS deco
+            FROM a)
+      SELECT a1, a3 ILIKE '%united%' AS ilk,
+             a3 NOT ILIKE '%a%' AS not_ilk,
+             deco LIKE '%!%' ESCAPE '!' AS esc_pct,
+             deco LIKE '%!_x' ESCAPE '!' AS esc_us,
+             deco NOT LIKE '%!%' ESCAPE '!' AS not_esc,
+             a3 RLIKE '^UNITED (STATES|KINGDOM)$' AS sim_to
+      FROM d ORDER BY a1""", """
+      WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS a1, n_name AS a3
+                 FROM $nation),
+      d AS (SELECT a1, a3,
+              CASE WHEN a1 % 2 = 0 THEN a3 || '%' ELSE a3 || '_x' END
+                AS deco
+            FROM a)
+      SELECT a1, a3 ILIKE '%united%' AS ilk,
+             a3 NOT ILIKE '%a%' AS not_ilk,
+             deco LIKE '%!%' ESCAPE '!' AS esc_pct,
+             deco LIKE '%!_x' ESCAPE '!' AS esc_us,
+             deco NOT LIKE '%!%' ESCAPE '!' AS not_esc,
+             a3 SIMILAR TO 'UNITED (STATES|KINGDOM)' AS sim_to
+      FROM d ORDER BY a1"""))
 }
