@@ -61,6 +61,39 @@ object Scale {
     time("pipelineManifest")(graft.operators.Pipeline.trainingManifest(spark, work).count())
     time("packGreedy")(graft.operators.Pack.packGreedy(spark, work).count())
 
+    // ---- t27 zipfRankTerms probe: a 10^7-word synthetic vocabulary
+    // with a ~50% hapax class (the real-corpus shape — half the vocab
+    // ties at f=1). The histogram-election rewrite's claim: rank
+    // reconstruction has NO vocab-sized serial stage — the hapax
+    // class fans out via 64k chunk blocks. Measured against the old
+    // design it replaced: one unpartitioned row_number window (a
+    // single task sorting the whole vocabulary). Equality is proven
+    // on tie-class-invariant checksums (count + Σ r·f), the same
+    // invariance downstream slope fits rely on.
+    {
+      val vw = 10_000_000L
+      val freqs = spark.range(vw).select(col("id").as("w"),
+        when(col("id") < vw / 2, lit(1L))
+          .otherwise(expr(s"${vw}L div (id - ${vw / 2}L + 1L) + 1L"))
+          .as("f"))
+        .localCheckpoint(true) // materialize: both paths time ranking only
+      val tz1 = System.nanoTime()
+      val hist = graft.operators.TextOps.zipfRankTerms(freqs.select(col("f")))
+        .agg(count(lit(1)).as("n"), sum(expr("r * f")).as("chk")).head()
+      val zNew = (System.nanoTime() - tz1) / 1e9
+      val tz2 = System.nanoTime()
+      val serial = freqs
+        .withColumn("r", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(desc("f"), col("w"))).cast("long"))
+        .agg(count(lit(1)).as("n"), sum(expr("r * f")).as("chk")).head()
+      val zOld = (System.nanoTime() - tz2) / 1e9
+      println(f"[scale] zipfRanks vocab=$vw%,d (50%% hapax): histogram " +
+        f"election $zNew%.2f s vs unpartitioned row_number $zOld%.2f s " +
+        f"(${zOld / zNew}%.1fx; checksums equal: " +
+        s"${hist.getLong(0) == serial.getLong(0) &&
+          hist.getLong(1) == serial.getLong(1)})")
+    }
+
     // ---- embedding near-dup probe: replicas perturbed in one
     // dimension are TRUE near-dups (pairwise cos ~0.99), the base
     // corpus is background noise (max cos ~0.5). At a realistic
@@ -500,6 +533,20 @@ object Scale {
         println(f"[scale] ccProbeBatch n=$n%,d: checkEvery=1 $s1%.2f s vs " +
           f"checkEvery=3 $s3%.2f s (${(s1 - s3) / s1 * 100}%.0f%% of wall " +
           f"was driver probe barriers; $c1 == $c3 labeled nodes)")
+        // same dial on the BFS frontier loop (Graph.shortestHops
+        // probeEvery): a 25-hop cap on a graph whose true diameter is
+        // far smaller makes the per-round isEmpty probes the visible
+        // slice — probe every 3rd round, distances spec-identical
+        val tb1 = System.nanoTime()
+        val b1 = graft.operators.Graph.shortestHops(sym, src1, 25).count()
+        val b1s = (System.nanoTime() - tb1) / 1e9
+        val tb3 = System.nanoTime()
+        val b3 = graft.operators.Graph
+          .shortestHops(sym, src1, 25, probeEvery = 3).count()
+        val b3s = (System.nanoTime() - tb3) / 1e9
+        println(f"[scale] bfsProbeBatch n=$n%,d: probeEvery=1 $b1s%.2f s vs " +
+          f"probeEvery=3 $b3s%.2f s (${(b1s - b3s) / b1s * 100}%.0f%% of wall " +
+          f"was driver probe barriers; $b1 == $b3 reached nodes)")
       }
     }
     val edgeFactor = sizes.last.toDouble / sizes.head

@@ -213,26 +213,38 @@ object Graph {
     * SCALE: frontier-based — round h joins ONLY the current frontier
     * against edges (cost ∝ frontier out-degree, not graph size) and
     * anti-joins the visited set (keyed, visited-sized). O(diameter)
-    * rounds, early exit on an empty frontier (one driver isEmpty per
-    * round — a scalar, inherent to iterative fixpoints, same as
-    * [[Dedup.connectedComponents]]). Lineage cut per round keeps the
-    * plan flat. Integer-only — bit-identical on any engine.
+    * rounds. `probeEvery` batches the early-exit probes the same way
+    * [[Dedup.connectedComponents]]'s convergenceCheckEvery does:
+    * probe the frontier's emptiness only every k-th round, trading at
+    * most k−1 no-op rounds past the true fixpoint (expanding an EMPTY
+    * frontier moves nothing — dists are identical by construction)
+    * for k× fewer driver job barriers. The right dial in the
+    * local/many-round regime where per-round data cost is negligible
+    * next to driver job latency; at 100 TB per-round DATA dominates
+    * and k = 1 (the default) is right. The hop CAP bounds the loop
+    * either way — a blind tail can never spin. Lineage cut per round
+    * keeps the plan flat. Integer-only — bit-identical on any engine.
     */
   def shortestHops(edges: DataFrame, sources: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int, probeEvery: Int = 1): DataFrame = {
+    require(probeEvery >= 1, s"need probeEvery >= 1, got $probeEvery")
     val e = cut(edges.select(col("src"), col("dst")))
     var visited = cut(sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)))
     var frontier = visited
     var h = 0
-    while (h < maxHops && !frontier.isEmpty) {
-      h += 1
-      frontier = cut(frontier
-        .join(e, frontier("id") === e("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
-        .withColumn("dist", lit(h.toLong)))
-      visited = cut(visited.unionAll(frontier))
+    var done = false
+    while (h < maxHops && !done) {
+      done = h % probeEvery == 0 && frontier.isEmpty
+      if (!done) {
+        h += 1
+        frontier = cut(frontier
+          .join(e, frontier("id") === e("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .withColumn("dist", lit(h.toLong)))
+        visited = cut(visited.unionAll(frontier))
+      }
     }
     visited
   }
@@ -253,25 +265,33 @@ object Graph {
     *
     * SCALE: per-round cost = frontier out-degree × live seeds, same
     * budget as [[shortestHops]] with a ≤k fan-out factor; visited
-    * anti-join keyed (seed, id). Lineage cut per round (reliable
-    * checkpoint when a dir is configured — Graph.cut).
+    * anti-join keyed (seed, id). `probeEvery` batches the early-exit
+    * probes exactly as in [[shortestHops]] (empty-frontier rounds are
+    * no-ops, the hop cap bounds any blind tail; default 1 = probe
+    * every round, the 100 TB setting). Lineage cut per round
+    * (reliable checkpoint when a dir is configured — Graph.cut).
     */
   def harmonicCentrality(pairs: DataFrame, sources: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int, probeEvery: Int = 1): DataFrame = {
+    require(probeEvery >= 1, s"need probeEvery >= 1, got $probeEvery")
     val e = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var visited = cut(sources.select(col("id").as("seed")).distinct()
       .select(col("seed"), col("seed").as("id"), lit(0L).as("dist")))
     var frontier = visited
     var h = 0
-    while (h < maxHops && !frontier.isEmpty) {
-      h += 1
-      frontier = cut(frontier
-        .join(e, frontier("id") === e("src"))
-        .select(col("seed"), col("dst").as("id")).distinct()
-        .join(visited, Seq("seed", "id"), "left_anti")
-        .withColumn("dist", lit(h.toLong)))
-      visited = cut(visited.unionAll(frontier))
+    var done = false
+    while (h < maxHops && !done) {
+      done = h % probeEvery == 0 && frontier.isEmpty
+      if (!done) {
+        h += 1
+        frontier = cut(frontier
+          .join(e, frontier("id") === e("src"))
+          .select(col("seed"), col("dst").as("id")).distinct()
+          .join(visited, Seq("seed", "id"), "left_anti")
+          .withColumn("dist", lit(h.toLong)))
+        visited = cut(visited.unionAll(frontier))
+      }
     }
     visited.filter(col("dist") > 0)
       .select(col("id"), expr("1000000000L div dist").as("w"))

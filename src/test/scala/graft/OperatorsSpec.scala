@@ -438,6 +438,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.exists(_.getBoolean(2)) && got.exists(!_.getBoolean(2)))
   }
 
+  test("t18: trained LogisticRegression head drops into the same literal slot") {
+    // the s07/d19 trained-seam parity pattern: fit a REAL MLlib model,
+    // feed its coefficients through the production literal slot, and
+    // assert (a) the kernel path's physical plan is UNCHANGED (no new
+    // shuffle, same node sequence as the dyadic head) and (b) the
+    // trained head actually learned — it reproduces its training
+    // labels with high accuracy on the gate corpus.
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
+    val emb = graft.operators.TextOps.embedDocuments(docs)
+      .localCheckpoint(true) // one embed pass; both heads read the same frame
+    val w0 = graft.operators.TextOps.classifierWeights(64)
+    // deterministic, linearly separable label: the dyadic head's own
+    // keep decision (teacher-student distillation shape — no RNG)
+    val teacher = graft.operators.TextOps.qualityScore(emb, w0)
+      .select(col("doc_id"), col("keep").cast("double").as("label"))
+    // pinned partitioning + no intercept (qualityScore has no bias
+    // slot), the s04/s07 determinism recipe
+    val fv = teacher.join(emb, "doc_id")
+      .repartition(8, col("doc_id")).sortWithinPartitions("doc_id")
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val model = new LogisticRegression().setFeaturesCol("fv")
+      .setLabelCol("label").setFitIntercept(false)
+      .setRegParam(0.0).setMaxIter(50).fit(fv)
+    val trained = model.coefficients.toArray
+    assert(trained.length === 64)
+    val scored = graft.operators.TextOps.qualityScore(emb, trained)
+    // (b) sane accuracy: >= 95% agreement with the training labels
+    val n = emb.count()
+    val agree = scored.select(col("doc_id"), col("keep"))
+      .join(teacher, "doc_id")
+      .filter(col("keep") === (col("label") === 1.0)).count()
+    assert(agree >= (n * 95) / 100,
+      s"trained head agrees on $agree/$n — did not learn the teacher")
+    // (a) plan parity: same node sequence as the dyadic head, zero
+    // exchanges — the trained coefficients are literals exactly like
+    // classifierWeights, so nothing about the plan may move
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head.linesIterator
+        .flatMap("""^[\s+:*()\d-]*([A-Za-z][A-Za-z0-9]+)""".r
+          .findFirstMatchIn(_).map(_.group(1)))
+        .toSeq
+    }
+    val trainedShape = shape(scored)
+    assert(trainedShape === shape(graft.operators.TextOps.qualityScore(emb, w0)))
+    assert(!trainedShape.exists(_.contains("Exchange")),
+      s"trained head introduced a shuffle: $trainedShape")
+  }
+
   test("s15 batch matryoshka agrees with the single-query path per query") {
     val emb = graft.sources.Tables.embeddings(spark, GraftTestSession.sf)
     val qs = emb.filter(col("vec_id") < 3)
@@ -698,6 +750,30 @@ class OperatorsSpec extends AnyFunSuite {
     val ms = graft.operators.Graph.shortestHops(edges, Seq(1L, 5L).toDF("id"), 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ms(3L) === 2L && ms(4L) === 1L && ms(5L) === 0L)
+  }
+
+  test("bfs/hc probeEvery: batched early-exit probes leave results identical") {
+    import spark.implicits._
+    // diameter 4 from seed 1, maxHops 8: the true fixpoint lands at
+    // h=4, so probeEvery=3 runs blind no-op rounds past it — the
+    // CC-dial trade (k-1 empty-frontier rounds for k x fewer driver
+    // barriers). Distances and harmonic sums must be bit-identical.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L))
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    val seeds = Seq(1L).toDF("id")
+    def hops(k: Int) = graft.operators.Graph
+      .shortestHops(edges, seeds, 8, probeEvery = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = hops(1)
+    assert(hops(3) === base)
+    assert(hops(7) === base) // probe never fires again before the cap
+    val und = pairs.toDF("id_a", "id_b")
+    def harm(k: Int) = graft.operators.Graph
+      .harmonicCentrality(und, Seq(1L, 5L).toDF("id"), 8, probeEvery = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(harm(4) === harm(1))
   }
 
   test("kc01 kCore: cascading peel reaches the fixpoint core with in-core degrees") {
