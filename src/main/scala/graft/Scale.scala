@@ -356,6 +356,58 @@ object Scale {
       "(per batch the bot's events still sort through one group task — the same " +
       "single-task bound as the batch side; the CAP is on state, which never grows)")
 
+    // ---- StoreFold read fan-in bound (EwmaStream as the
+    // representative of the 18-stream protocol): 48 micro-batches
+    // through the partials store, fold dial ON (maxParts=4) vs OFF.
+    // The protocol's scale claim is a FILE-COUNT bound: state lives
+    // in parquet batch_id= partials (not the state store), and every
+    // per-batch publish re-reads the whole store — so without the
+    // fold the publish fan-in grows one partial per batch forever
+    // (at 100 TB that is unbounded object-store listing/open cost
+    // per batch), while the fold caps it at maxParts+1. Both the
+    // fan-in and the per-batch wall are printed; locally the wall is
+    // driver-floor dominated, so the wall GAP understates what the
+    // cap is worth on an object store.
+    {
+      val land = s"$work/ewma_land"
+      val evv = ev.select(col("user_id"), col("ts_ns"),
+        pmod(col("event_id"), lit(997L)).cast("double").as("value"))
+      val nb = 48
+      (0 until nb).foreach { i =>
+        evv.filter(pmod(col("event_id"), lit(nb.toLong)) === i.toLong)
+          .coalesce(1).write.mode("append").parquet(land)
+      }
+      val schema = spark.read.parquet(land).schema
+      def runE(maxParts: Option[Int], tag: String): Seq[(Long, Double)] = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(land)
+        val q = graft.streaming.EwmaStream.start(s"$work/ewma_store_$tag",
+          src, "user_id", bucketNs = 3600L * 1000000000L, alphaDen = 10L,
+          s"$work/ewma_out_$tag", s"$work/ewma_ckpt_$tag", maxParts)
+        try q.processAllAvailable() finally q.stop()
+        q.recentProgress.toSeq.filter(_.numInputRows > 0)
+          .map(p => p.batchId -> Option(p.durationMs.get("triggerExecution"))
+            .map(_.toLong).getOrElse(0L) / 1000.0)
+      }
+      def parts(tag: String): Int =
+        new java.io.File(s"$work/ewma_store_$tag").listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      val on = runE(Some(4), "on")
+      val off = runE(None, "off")
+      def leg(xs: Seq[(Long, Double)], last: Boolean): Double = {
+        val s = xs.sortBy(_._1).map(_._2)
+        val h = if (last) s.takeRight(6) else s.take(6)
+        h.sum / h.size
+      }
+      println(f"[scale] ewmaStoreFold ${on.size} batches: publish fan-in " +
+        f"fold-on ${parts("on")} partials (CAPPED at maxParts+1) vs " +
+        f"fold-off ${parts("off")} (grows 1/batch, unbounded); wall " +
+        f"fold-on first6 ${leg(on, false)}%.2f s -> last6 ${leg(on, true)}%.2f s, " +
+        f"fold-off first6 ${leg(off, false)}%.2f s -> last6 ${leg(off, true)}%.2f s " +
+        "(local wall is driver-floor dominated — the capped fan-in is " +
+        "the quantity that matters on an object store)")
+    }
+
     // ---- retrieval/postings probe (ix01/ix02/ix04, #6): the store is
     // built ONCE at Nx docs (the one bucket-aligned shuffle), then each
     // query family is timed store-served (bucket-pruned scan, sorted

@@ -2149,6 +2149,46 @@ object Relational {
           + 2000003) % 2000003) AS BIGINT) AS text_checksum
       FROM t""")),
 
+    // ---- ORC source roundtrip with TYPE-fidelity stress: lineitem's
+    //      mixed types (BIGINT/INT, DOUBLE→DECIMAL(18,2), TIMESTAMP
+    //      µs, strings) written as ORC and read back through the
+    //      explicit schema; checksums = exact aggregates over every
+    //      column class (decimal money sum per §4, timestamp mass as
+    //      epoch-µs mod p). The oracle reads the ORIGINAL parquet —
+    //      a green row proves the ORC writer/reader preserved values
+    //      AND types (a decimal downcast, a timestamp zone shift, or
+    //      an int narrowing would all shift a checksum). Spark's ORC
+    //      datasource is columnar + vectorized like parquet, so the
+    //      read side keeps the same pushdown/pruning path the rest of
+    //      the suite proves on parquet ----
+    ("src03_orc_roundtrip", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price_dec"),
+        col("l_shipdate").cast("timestamp").as("ship_ts"),
+        col("l_returnflag"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-src-orc").toString
+      li.write.mode("overwrite").orc(out)
+      val back = s.read.schema(li.schema).orc(out)
+      back.agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("sum_key"),
+        sum(col("l_linenumber").cast("long")).as("sum_line"),
+        sum(col("price_dec")).cast("double").as("sum_price"),
+        sum(pmod(unix_micros(col("ship_ts")), lit(2000003L)))
+          .as("ts_checksum"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+    }, Some("""
+      SELECT count(*) AS n_rows,
+        CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+        CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(sum(epoch_us(l_shipdate) % 2000003) AS BIGINT)
+          AS ts_checksum,
+        count(DISTINCT l_returnflag) AS n_flags
+      FROM lineitem""")),
+
     // ---- explode vs explode_outer on empty arrays: the generator
     //      null-preservation corner (q29 covers element access, q48
     //      lambdas — neither tests what happens to a row whose array
