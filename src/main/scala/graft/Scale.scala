@@ -389,9 +389,13 @@ object Scale {
           .map(p => p.batchId -> Option(p.durationMs.get("triggerExecution"))
             .map(_.toLong).getOrElse(0L) / 1000.0)
       }
+      // Option: a zero-input run never creates the store dir —
+      // degrade to 0 instead of NPE-ing the harness (pathProbe's
+      // maxOption rule)
       def parts(tag: String): Int =
-        new java.io.File(s"$work/ewma_store_$tag").listFiles()
-          .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        Option(new java.io.File(s"$work/ewma_store_$tag").listFiles())
+          .map(_.count(f => f.isDirectory && f.getName.startsWith("batch_id=")))
+          .getOrElse(0)
       val on = runE(Some(4), "on")
       val off = runE(None, "off")
       def leg(xs: Seq[(Long, Double)], last: Boolean): Double = {
