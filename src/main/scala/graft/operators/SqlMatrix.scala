@@ -25,11 +25,6 @@ import graft.sources.Tables
 object SqlMatrix {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** Build an entry whose Spark SQL and DuckDB oracle are the same text
-    * modulo base-table references: `$name` resolves to a registered
-    * temp view `v_name` on the Spark side and to the raw DuckDB table
-    * `name` on the oracle side.
-    */
   /** Substitute `$table` placeholders. Longest names first, so a
     * prefix-colliding pair (part / partsupp) can never mangle
     * `$partsupp` into a half-replaced `v_part`-prefixed token.
@@ -39,6 +34,11 @@ object SqlMatrix {
     tables.sortBy(-_.length)
       .foldLeft(body)((b, t) => b.replace("$" + t, prefix + t))
 
+  /** Build an entry whose Spark SQL and DuckDB oracle are the same text
+    * modulo base-table references: `$name` resolves to a registered
+    * temp view `v_name` on the Spark side and to the raw DuckDB table
+    * `name` on the oracle side.
+    */
   private def mk(name: String, tables: Seq[String], body: String)
       : (String, QFn, Option[String]) = {
     val fn: QFn = (s, d) => {
