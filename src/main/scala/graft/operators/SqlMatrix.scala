@@ -29,7 +29,7 @@ object SqlMatrix {
     * prefix-colliding pair (part / partsupp) can never mangle
     * `$partsupp` into a half-replaced `v_part`-prefixed token.
     */
-  private def subst(body: String, tables: Seq[String],
+  private[graft] def subst(body: String, tables: Seq[String],
       prefix: String): String =
     tables.sortBy(-_.length)
       .foldLeft(body)((b, t) => b.replace("$" + t, prefix + t))

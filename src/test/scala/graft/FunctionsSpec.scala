@@ -70,6 +70,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sigs(0)._2.length === 32)
   }
 
+  test("SqlMatrix.subst: prefix-colliding table names substitute longest-first") {
+    // part vs partsupp: naive in-order replace would mangle
+    // "$partsupp" into "v_partsupp"-broken text via the "$part" pass
+    val got = graft.operators.SqlMatrix.subst(
+      "SELECT * FROM $partsupp JOIN $part ON $part.k = $partsupp.k",
+      Seq("part", "partsupp"), "v_")
+    assert(got ===
+      "SELECT * FROM v_partsupp JOIN v_part ON v_part.k = v_partsupp.k")
+    // oracle side (empty prefix) is the identity on names
+    assert(graft.operators.SqlMatrix.subst(
+      "$part $partsupp", Seq("part", "partsupp"), "") === "part partsupp")
+  }
+
   test("SQL names are registered via GraftExtensions") {
     val r = spark.sql("SELECT graft_fnv64('abc') AS h, graft_dot(array(cast(1.0 as float), cast(2.0 as float)), array(cast(3.0 as float), cast(4.0 as float))) AS d")
       .collect().head
