@@ -408,8 +408,11 @@ object Scale {
         f"fold-off ${parts("off")} (grows 1/batch, unbounded); wall " +
         f"fold-on first6 ${leg(on, false)}%.2f s -> last6 ${leg(on, true)}%.2f s, " +
         f"fold-off first6 ${leg(off, false)}%.2f s -> last6 ${leg(off, true)}%.2f s " +
-        "(local wall is driver-floor dominated — the capped fan-in is " +
-        "the quantity that matters on an object store)")
+        "(any common rise is the publish pass recomputing the full " +
+        "trend over the buckets seen so far — publish-all semantics, " +
+        "identical in both legs; the FOLD's own win is the capped " +
+        "fan-in, the per-partial listing/open cost that dominates on " +
+        "an object store)")
     }
 
     // ---- retrieval/postings probe (ix01/ix02/ix04, #6): the store is
