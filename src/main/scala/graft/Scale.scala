@@ -401,7 +401,9 @@ object Scale {
       def leg(xs: Seq[(Long, Double)], last: Boolean): Double = {
         val s = xs.sortBy(_._1).map(_._2)
         val h = if (last) s.takeRight(6) else s.take(6)
-        h.sum / h.size
+        // empty guard: a leg with no input-bearing progress must print
+        // 0, not NaN (pathProbe's maxOption rule)
+        if (h.isEmpty) 0.0 else h.sum / h.size
       }
       println(f"[scale] ewmaStoreFold ${on.size} batches: publish fan-in " +
         f"fold-on ${parts("on")} partials (CAPPED at maxParts+1) vs " +

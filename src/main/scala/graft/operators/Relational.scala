@@ -2105,8 +2105,11 @@ object Relational {
     //      themselves are SinksSpec-gated) ----
     ("src01_jsonl_roundtrip", (s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-src-jsonl").toString
+      // fixed per-entry path (mode overwrite): a fresh temp dir per
+      // invocation would leak a docs-sized copy into /tmp on every
+      // warmup+timed bench pass
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-src-jsonl").toString
       docs.write.mode("overwrite").json(out)
       val back = s.read.schema(docs.schema).json(out)
       back.agg(count(lit(1)).as("n_docs"),
@@ -2132,8 +2135,9 @@ object Relational {
     ("src02_csv_roundtrip", (s: SparkSession, d: String) => {
       val der = Tables.documents(s, d).select(col("doc_id"),
         concat(lit("x,\"y\" "), col("text")).as("t2"))
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-src-csv").toString
+      // fixed per-entry path, same rationale as src01
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-src-csv").toString
       der.write.mode("overwrite").option("header", "true").csv(out)
       val back = s.read.schema(der.schema).option("header", "true")
         .csv(out)
@@ -2167,8 +2171,10 @@ object Relational {
         col("l_extendedprice").cast("decimal(18,2)").as("price_dec"),
         col("l_shipdate").cast("timestamp").as("ship_ts"),
         col("l_returnflag"))
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-src-orc").toString
+      // fixed per-entry path, same rationale as src01 (lineitem is
+      // the largest table, so this dir grew fastest as a temp dir)
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-src-orc").toString
       li.write.mode("overwrite").orc(out)
       val back = s.read.schema(li.schema).orc(out)
       back.agg(count(lit(1)).as("n_rows"),
@@ -2279,6 +2285,96 @@ object Relational {
         coalesce(array_to_string(a[4:2:1], ','), '') AS s_empty,
         coalesce(array_to_string(a[8:3:-2], ','), '') AS s_rev,
         coalesce(array_to_string(a[0:4:2], ','), '') AS s_zlo
-      FROM b0 ORDER BY p_partkey"""))
+      FROM b0 ORDER BY p_partkey""")),
+
+    // ---- DISTINCT ON (reference physical `Unique.on_expr`,
+    //      src/operators/relational/physical/unique.rs:16-18: "a row
+    //      is distinct iff no other row has the same value of the
+    //      expression"). Spark has no DISTINCT ON, and its raw
+    //      `dropDuplicates(subset)` keeps an ARBITRARY survivor per
+    //      key (whichever row the hash-agg absorbs first — replan/
+    //      AQE-dependent, different between runs). The production
+    //      pattern is the deterministic ELECTION graft already uses
+    //      internally (er03/d18): `max(struct(order cols, payload))`
+    //      per key — the struct's lexicographic order makes the
+    //      survivor total-ordered, and the agg is partial-aggregable
+    //      (map-side combine elects per partition; only one elected
+    //      struct per key crosses the shuffle — cheaper than the
+    //      window-rank alternative, which shuffles every payload row
+    //      into a sort). Latest order per customer, date ties broken
+    //      by highest orderkey; oracle = DuckDB's NATIVE
+    //      `DISTINCT ON (k) ... ORDER BY k, o DESC` ----
+    ("q89_distinct_on", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))).as("_e"))
+        .select(col("o_custkey"),
+          date_format(col("_e.o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("last_date"),
+          col("_e.o_orderkey").as("last_key"),
+          col("_e.o_totalprice").as("last_price"))
+        .orderBy("o_custkey")
+    }, Some("""
+      SELECT o_custkey,
+        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_date,
+        o_orderkey AS last_key,
+        o_totalprice AS last_price
+      FROM (SELECT DISTINCT ON (o_custkey) o_custkey, o_orderdate,
+              o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC)
+      ORDER BY o_custkey""")),
+
+    // ---- TIME (time-of-day) type — reference DataType::Time
+    //      (src/datatypes.rs:21-22). DOCUMENTED DIVERGENCE (the
+    //      SIMILAR-TO precedent): Spark has no TIME type at all, so
+    //      graft maps time-of-day onto µs-since-midnight BIGINT
+    //      (`tod = epoch_µs % 86 400 000 000`) and proves the full
+    //      semantics matrix against DuckDB's NATIVE TIME on the same
+    //      instants: extracts (hour / minute / integer second /
+    //      sub-minute microsecond — the Postgres field semantics),
+    //      wrap-around arithmetic (TIME + 90 min crosses midnight ↔
+    //      `(tod + 5.4e9) % 8.64e10 < tod`), TIME-literal range
+    //      predicates (business hours BETWEEN), min/max ordering
+    //      (epoch_us(TIME) IS µs-since-midnight), and TIME
+    //      difference (date_diff µs ↔ plain BIGINT subtraction).
+    //      All integer arithmetic — no float drift, and the µs-floor
+    //      rides the same `ts_ns div 1000` contract as q67 so both
+    //      timestamp generations compare equal ----
+    ("q90_time_of_day", (s: SparkSession, d: String) => {
+      val dayUs = 86400000000L
+      Tables.events(s, d)
+        .withColumn("tod", expr(s"(ts_ns div 1000) % ${dayUs}L"))
+        .withColumn("tod90", expr(s"(tod + 5400000000L) % ${dayUs}L"))
+        .groupBy(expr("tod div 3600000000L").as("hr"))
+        .agg(count(lit(1)).as("n"),
+          min(col("tod")).as("min_us"),
+          max(col("tod")).as("max_us"),
+          sum(expr("(tod div 60000000L) % 60")).as("sum_min"),
+          sum(expr("(tod div 1000000L) % 60")).as("sum_sec"),
+          sum(expr("tod % 60000000L")).as("sum_subm_us"),
+          count(when(col("tod90") < col("tod"), 1)).as("n_wrap"),
+          count(when(col("tod").between(32400000000L, 61200000000L), 1))
+            .as("n_biz"),
+          (max(col("tod")) - min(col("tod"))).as("span_us"))
+        .orderBy("hr")
+    }, Some("""
+      WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS TIME) AS t
+                 FROM events)
+      SELECT CAST(extract(hour FROM t) AS BIGINT) AS hr,
+        count(*) AS n,
+        CAST(min(epoch_us(t)) AS BIGINT) AS min_us,
+        CAST(max(epoch_us(t)) AS BIGINT) AS max_us,
+        CAST(sum(extract(minute FROM t)) AS BIGINT) AS sum_min,
+        CAST(sum(extract(second FROM t)) AS BIGINT) AS sum_sec,
+        CAST(sum(extract(microsecond FROM t)) AS BIGINT) AS sum_subm_us,
+        count(CASE WHEN (t + INTERVAL 90 MINUTE) < t THEN 1 END)
+          AS n_wrap,
+        count(CASE WHEN t BETWEEN TIME '09:00:00' AND TIME '17:00:00'
+              THEN 1 END) AS n_biz,
+        CAST(date_diff('microsecond', min(t), max(t)) AS BIGINT)
+          AS span_us
+      FROM e GROUP BY 1 ORDER BY hr"""))
   )
 }

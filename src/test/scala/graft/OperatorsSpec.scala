@@ -767,7 +767,10 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val base = hops(1)
     assert(hops(3) === base)
-    assert(hops(7) === base) // probe never fires again before the cap
+    // k > maxHops: only the h=0 probe ever fires, so the hop cap
+    // alone ends the loop (k=7 would re-probe at h=7 and cut one
+    // blind round — a different, weaker case)
+    assert(hops(9) === base)
     val und = pairs.toDF("id_a", "id_b")
     def harm(k: Int) = graft.operators.Graph
       .harmonicCentrality(und, Seq(1L, 5L).toDF("id"), 8, probeEvery = k)
