@@ -125,6 +125,31 @@ object Plans {
         .mkString("\n")
       sb.append(s"\n## $name\n\n$why\n\n```\n${plan.trim}\n```\n")
     }
+    // Not a queries entry: src03's oracle proves ORC VALUE fidelity;
+    // this exhibit pins its PLAN claim — the ORC read side keeps the
+    // same pushdown/pruning path the suite proves on parquet
+    // (PlanSpec asserts the same two lines).
+    locally {
+      val orcDir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-plan-orc").toString
+      graft.sources.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+        .write.mode("overwrite").orc(orcDir)
+      val df = spark.read.orc(orcDir)
+        .filter(org.apache.spark.sql.functions.col("l_quantity") <= 10.0)
+        .select("l_orderkey", "l_quantity")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+        .linesIterator.map(l => if (l.length > 400) l.take(400) + "…<truncated>" else l)
+        .mkString("\n")
+      sb.append("\n## src03_orc_pushdown (evidence exhibit)\n\n" +
+        "ORC scan keeps parquet's pushdown path: the quantity predicate " +
+        "reaches PushedFilters and ReadSchema prunes to the 2 referenced " +
+        "columns (src03's oracle row proves the VALUE/type fidelity; " +
+        "this pins the plan claim)\n\n" +
+        s"```\n${plan.trim}\n```\n")
+    }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"[plans] wrote $out")
     spark.stop()

@@ -85,6 +85,47 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unintended product joins in: $offenders")
   }
 
+  /** The ONLY `Window.orderBy(...)` (no partitionBy) sites allowed in
+    * main sources, each with the bound that makes its single-task sort
+    * safe — these are the ~370 benign "WindowExec: No Partition
+    * Defined" warnings per gate run. Any NEW unpartitioned window
+    * fails this test loudly: either partition it, or prove its frame
+    * is bounded (calendar/bucket/selected-k sized, never data-sized)
+    * and extend this allowlist with that rationale.
+    */
+  private val unpartitionedWindowAllowlist = Map(
+    // cum-token selection window over the SELECTED-K candidate frame
+    // (post-gate budget heads, never the corpus)
+    "src/main/scala/graft/operators/Pipeline.scala" -> 1,
+    // q85's NULLS FIRST/LAST matrix: a GLOBAL row_number is the
+    // semantics under test (where nulls land in one total order);
+    // output is rank<=5 per slice — a parity entry, not a pipeline op
+    "src/main/scala/graft/operators/Relational.scala" -> 1,
+    // percentile offset spine over the histogram PID frame (bins-sized)
+    "src/main/scala/graft/operators/Quality.scala" -> 1,
+    // day-spine running window (calendar-sized, rj04's coverage grid)
+    "src/main/scala/graft/operators/RangeJoin.scala" -> 1,
+    // two calendar-day spines (ss07 growth cumsum, ss11 DAU/MAU delta)
+    "src/main/scala/graft/operators/Sessionize.scala" -> 2,
+    // Scale harness: rank over the top-f candidate frame (probe-sized)
+    "src/main/scala/graft/Scale.scala" -> 1)
+
+  test("unpartitioned-window discipline: every Window.orderBy site is allowlisted") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val re = """Window\s*\.orderBy""".r
+    val found = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map(p => p.toString ->
+        re.findAllIn(java.nio.file.Files.readString(p)).size)
+      .filter(_._2 > 0).toMap
+    assert(found === unpartitionedWindowAllowlist,
+      "unpartitioned Window.orderBy sites drifted from the allowlist " +
+        s"(found $found): a data-sized unpartitioned window is a " +
+        "single-task sort of the whole input — partition it, or add " +
+        "the site here with its frame-bound rationale")
+  }
+
   test("oracle SQL never sums raw doubles (SURVEY §4 determinism rule)") {
     // every sum(...) in an oracle must aggregate decimals/ints, not raw
     // double columns whose addition order would change low bits

@@ -44,6 +44,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("l_partkey"), "scan should prune unused columns")
   }
 
+  test("src03: ORC scan keeps parquet's pushdown + pruning path") {
+    // src03 proves ORC value/type fidelity; this pins the PLAN claim
+    // ("Spark's ORC datasource is columnar + vectorized like parquet,
+    // so the read side keeps the same pushdown/pruning path"): a
+    // filtered 2-column read over an ORC copy must show the predicate
+    // in PushedFilters and a pruned ReadSchema, exactly like the
+    // parquet assertions above.
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-plan-orc").toString
+    graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+      .write.mode("overwrite").orc(out)
+    val df = spark.read.orc(out)
+      .filter(col("l_quantity") <= 10.0)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThanOrEqual(l_quantity,10.0)"),
+      plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      "ORC scan must prune to the 2 referenced columns:\n" + plan)
+    assert(!plan.contains("l_returnflag"), plan)
+  }
+
   test("q01: partial (map-side) aggregation before the shuffle") {
     val plan = physicalPlan("q01_agg")
     assert(plan.contains("HashAggregate"), plan)
