@@ -415,6 +415,101 @@ object Scale {
         "identical in both legs; the FOLD's own win is the capped " +
         "fan-in, the per-partial listing/open cost that dominates on " +
         "an object store)")
+
+      // ---- publish-recompute growth (the dial the fan-in probe
+      // above deliberately excludes): batches touch DISJOINT small
+      // key slices — the months-long-stream shape where each batch's
+      // working set is bounded while accumulated keys grow. Full
+      // publish re-folds every accumulated key per batch (cost grows
+      // 1 slice/batch, unboundedly); incremental publish
+      // (incrementalPubParts) re-folds only the touched pk
+      // partitions — ≤ slice-many pks of 256, so per-batch cost
+      // tracks the slice, not the accumulation. Fold ON in both legs
+      // (maxParts=4) so the publish dial is the ONLY difference.
+      val landP = s"$work/ewmaP_land"
+      val nKeys = 480
+      val slice = nKeys / nb // keys per batch, disjoint across batches
+      val evk = ev.select(
+        pmod(col("user_id"), lit(nKeys.toLong)).as("uid_key"),
+        col("ts_ns"),
+        pmod(col("event_id"), lit(997L)).cast("double").as("value"))
+      (0 until nb).foreach { i =>
+        evk.filter(col("uid_key").between(i.toLong * slice,
+            i.toLong * slice + slice - 1))
+          .coalesce(1).write.mode("append").parquet(landP)
+      }
+      val schemaP = spark.read.parquet(landP).schema
+      def runP(inc: Option[Int], tag: String): Seq[(Long, Double)] = {
+        val src = spark.readStream.schema(schemaP)
+          .option("maxFilesPerTrigger", 1).parquet(landP)
+        val q = graft.streaming.EwmaStream.start(s"$work/ewmaP_store_$tag",
+          src, "uid_key", bucketNs = 3600L * 1000000000L, alphaDen = 10L,
+          s"$work/ewmaP_out_$tag", s"$work/ewmaP_ckpt_$tag",
+          maxStoreParts = Some(4), incrementalPubParts = inc)
+        try q.processAllAvailable() finally q.stop()
+        q.recentProgress.toSeq.filter(_.numInputRows > 0)
+          .map(p => p.batchId -> Option(p.durationMs.get("triggerExecution"))
+            .map(_.toLong).getOrElse(0L) / 1000.0)
+      }
+      val full = runP(None, "full")
+      val incr = runP(Some(256), "incr")
+      // parity gate: the dial must not change published CONTENT
+      def pubSum(tag: String): (Long, Long) = {
+        val d = graft.streaming.EwmaStream.readPublished(spark,
+          s"$work/ewmaP_out_$tag")
+        val r = d.agg(count(lit(1)), sum(col("ewma_cents"))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val (nFull, sFull) = pubSum("full")
+      val (nIncr, sIncr) = pubSum("incr")
+      require(nFull == nIncr && sFull == sIncr,
+        s"publish dial changed content: full=($nFull,$sFull) incr=($nIncr,$sIncr)")
+      // separate the PUBLISH batches from the FOLD batches: the fold
+      // (store maintenance, every ~maxParts-1 batches) is store-sized
+      // by protocol — its amortized cost is the fan-in probe's
+      // subject, not the publish dial's. Fold batches are
+      // deterministic from the cadence: one partial lands per batch;
+      // a fold fires when the count passes maxParts and leaves
+      // base + in-flight = 2.
+      val foldIds: Set[Long] = {
+        var parts = 0
+        (0 until nb).flatMap { i =>
+          parts += 1
+          if (parts > 4) { parts = 2; Some(i.toLong) } else None
+        }.toSet
+      }
+      def split(xs: Seq[(Long, Double)]) =
+        (xs.filterNot(t => foldIds(t._1)), xs.filter(t => foldIds(t._1)))
+      val (fullPub, fullFold) = split(full)
+      val (incrPub, incrFold) = split(incr)
+      // machine-independent fan-out fact: what the LAST publish had
+      // to re-fold. full = every accumulated (k, bucket) row;
+      // incremental = only rows in the final slice's touched pks.
+      val merged = spark.read.parquet(s"$work/ewmaP_store_incr")
+        .groupBy("k", "bucket", "pk").count()
+      val lastPks = merged
+        .filter(col("k").cast("long").between((nb - 1).toLong * slice,
+          (nb - 1).toLong * slice + slice - 1))
+        .select("pk").distinct().collect().map(_.getInt(0))
+      val totRows = merged.count()
+      val touchedRows = merged
+        .filter(col("pk").isin(lastPks.map(Int.box): _*)).count()
+      println(f"[scale] ewmaPublishDial ${full.size} batches x $slice-key " +
+        f"disjoint slices ($nKeys keys accumulated), fold batches reported " +
+        f"separately: PUBLISH wall FULL first6 ${leg(fullPub, false)}%.2f s " +
+        f"-> last6 ${leg(fullPub, true)}%.2f s (re-folds every accumulated " +
+        f"key, grows with history) vs INCREMENTAL first6 " +
+        f"${leg(incrPub, false)}%.2f s -> last6 ${leg(incrPub, true)}%.2f s " +
+        f"(re-folds only touched pk partitions, ≤ $slice of 256 — FLAT; " +
+        f"final publish re-folded $touchedRows%,d of $totRows%,d " +
+        f"accumulated rows, and that share SHRINKS as history grows " +
+        f"while full's input IS the history); " +
+        f"FOLD batches (every 3rd; whole-store by protocol, amortized by " +
+        f"the maxParts cadence) full ${leg(fullFold, false)}%.2f" +
+        f"->${leg(fullFold, true)}%.2f s, incr ${leg(incrFold, false)}%.2f" +
+        f"->${leg(incrFold, true)}%.2f s — the incr fold pays the " +
+        f"~256-dir base rewrite, the price of pruning granularity; " +
+        f"published content identical ($nFull rows, ewma_cents checksum equal)")
     }
 
     // ---- retrieval/postings probe (ix01/ix02/ix04, #6): the store is

@@ -861,12 +861,15 @@ object Dedup {
     val mergeEdges = matched.join(attach, "batch_id")
       .filter(col("root") =!= col("aroot"))
       .select(col("aroot").as("id_a"), col("root").as("id_b")).distinct()
-    val remapNew = broadcast((
-      if (mergeEdges.isEmpty) emptyRemap(spark)
-      else connectedComponents(mergeEdges)
+    // bounded closure: the merge graph is batch-bridge-sized (usually
+    // a handful of edges), so the driver union-find replaces the
+    // empty-probe + ~3+4·rounds distributed-CC job tail with ONE
+    // collect; past the ceiling it falls back to distributed CC
+    val remapNew = broadcast(
+      connectedComponentsBounded(mergeEdges)
         .filter(col("id") =!= col("lab"))
         .select(col("id").as("old_root"), col("lab").as("new_root"))
-      ).localCheckpoint(true))
+        .localCheckpoint(true))
     // old remap rows re-resolve through the new merges (their values
     // may have just died); new rows join them
     val remapAll = spark.table(s"${name}_remap")
@@ -1070,6 +1073,50 @@ object Dedup {
           "(contracted-graph rounds shrink the edge set geometrically; " +
           "raise maxIter)")
     labels
+  }
+
+  /** [[connectedComponents]] with a small-graph fast path: edge sets
+    * at or under `maxDriverEdges` run a driver-side min-label
+    * union-find in ONE collect instead of the iterative distributed
+    * closure (~3 + 4·rounds eager jobs — all driver-barrier latency
+    * when the graph is a handful of merge edges, the shape of
+    * [[graft.operators.Er.ingestBatch]]'s per-batch entity bridges).
+    * The probe is `limit(max+1).collect()` — one job, never more than
+    * max+1 rows pulled — and anything larger falls through to the
+    * distributed path unchanged. Same output contract: (id, lab) with
+    * lab = the component's minimum member, one row per node that
+    * appears in any edge.
+    */
+  def connectedComponentsBounded(edges: DataFrame,
+      maxDriverEdges: Int = 100000, maxIter: Int = 30,
+      convergenceCheckEvery: Int = 1): DataFrame = {
+    require(maxDriverEdges >= 0, s"need maxDriverEdges >= 0, got $maxDriverEdges")
+    val spark = edges.sparkSession
+    val probe = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(maxDriverEdges + 1).collect()
+    if (probe.length > maxDriverEdges)
+      connectedComponents(edges, maxIter, convergenceCheckEvery)
+    else {
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        // path compression
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probe.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // min-label union: the smaller root wins, matching the
+        // distributed closure's min-propagation fixpoint
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "lab")
+    }
   }
 
   /** Domain-weighted sampling to a token budget — the mixture step of

@@ -279,12 +279,15 @@ object Er {
     val mergeEdges = matched.join(attach, "b_key")
       .filter(col("root") =!= col("aroot"))
       .select(col("aroot").as("id_a"), col("root").as("id_b")).distinct()
-    val remapNew = broadcast((
-      if (mergeEdges.isEmpty) Dedup.emptyRemap(spark)
-      else Dedup.connectedComponents(mergeEdges)
+    // bounded closure (Dedup.ingestBatchLabeled's rationale): the
+    // merge graph is batch-bridge-sized, so the driver union-find
+    // replaces the empty-probe + distributed-CC job tail with ONE
+    // collect; past the ceiling it falls back to distributed CC
+    val remapNew = broadcast(
+      Dedup.connectedComponentsBounded(mergeEdges)
         .filter(col("id") =!= col("lab"))
         .select(col("id").as("old_root"), col("lab").as("new_root"))
-      ).localCheckpoint(true))
+        .localCheckpoint(true))
     // old remap rows re-resolve through the new merges; new rows join
     val remapAll = spark.table(s"${name}_remap")
       .join(remapNew.select(col("old_root").as("o2"), col("new_root").as("n2")),

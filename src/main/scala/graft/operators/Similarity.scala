@@ -905,9 +905,22 @@ object Similarity {
     // --- index metadata (driver): centroids, residual codebook, LUTs
     val cents = cellCentroids(embeddings)
     val q = queryVec(embeddings, queryId)
-    val probes = probeCells(cents, q, nprobe)
     val rcb = residualCodebookFlat(embeddings, cents, k)
-    // --- in-plan search: one zero-shuffle scan of the probed cells
+    ivfPqSearchPlan(embeddings, cents, rcb, q, queryId, nprobe, topK, m, k)
+      .select(col("vec_id"), col("cell"), round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /** The in-plan half of [[ivfPqSearch]] against PRE-COMPUTED index
+    * metadata — one zero-shuffle scan of the probed cells. Shared by
+    * the single-query path and the batched recall gate
+    * ([[ivfPqRerankFoundSum]]), which amortizes the centroid/codebook
+    * jobs across its whole query set. Returns (vec_id, cell, adc)
+    * UN-rounded; callers round for display. */
+  private def ivfPqSearchPlan(embeddings: DataFrame,
+      cents: Map[Int, Array[Double]], rcb: Array[Double],
+      q: Array[Double], queryId: Long, nprobe: Int, topK: Int,
+      m: Int, k: Int): DataFrame = {
+    val probes = probeCells(cents, q, nprobe)
     val centMap = map(probes.flatMap(l =>
       Seq(lit(l), array(cents(l).map(lit(_)): _*))): _*)
     val lutMap = map(probes.flatMap(l =>
@@ -923,7 +936,46 @@ object Similarity {
       .select(col("vec_id"), col("label").cast("bigint").as("cell"), adc.as("adc"))
       .filter(col("vec_id") =!= queryId)
       .orderBy(col("adc"), col("vec_id")).limit(topK)
-      .select(col("vec_id"), col("cell"), round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /** Batched IVFADC+R recall gate: Σ over `queryIds` of
+    * [[ivfPqRerankRecall]]'s `n_found` (re-ranked shortlist ∩ in-cell
+    * truth), with the per-call jobs AMORTIZED — centroids, residual
+    * codebook, and all query vectors are computed ONCE per corpus
+    * (three driver-metadata jobs), and every query's shortlist/truth/
+    * re-rank chain lands in ONE union-count job instead of several
+    * actions per query. Arithmetic is bit-identical to the per-query
+    * path (same l2d2 chains, same ADC LUT floats, same (d2, vec_id)
+    * orderings), so the sum equals the sum of per-query `n_found` —
+    * PqStoredSpec asserts the equivalence. Built for s18's 8-pipeline
+    * gate, where per-job driver latency, not data, was the cost (the
+    * gate corpus is KB-sized by construction). */
+  def ivfPqRerankFoundSum(embeddings: DataFrame, queryIds: Seq[Long],
+      nprobe: Int, shortlist: Int, topK: Int,
+      m: Int = 8, k: Int = 16): Long = {
+    require(queryIds.nonEmpty, "need at least one query id")
+    val cents = cellCentroids(embeddings)
+    val rcb = residualCodebookFlat(embeddings, cents, k)
+    val qvecs = embeddings
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> toDoubles(r.getSeq[Any](1))).toMap
+    require(qvecs.keySet == queryIds.toSet,
+      s"missing query vectors: ${queryIds.toSet -- qvecs.keySet}")
+    queryIds.map { qid =>
+      val q = qvecs(qid)
+      val probes = probeCells(cents, q, nprobe)
+      val short = ivfPqSearchPlan(embeddings, cents, rcb, q, qid,
+        nprobe, shortlist, m, k).select("vec_id")
+      val d2cell = embeddings.filter(col("label").isin(probes: _*))
+        .filter(col("vec_id") =!= qid)
+        .select(col("vec_id"), l2d2(q).as("d2"))
+      val truthCell = d2cell.orderBy(col("d2"), col("vec_id")).limit(topK)
+        .select("vec_id")
+      d2cell.join(short, "vec_id")
+        .orderBy(col("d2"), col("vec_id")).limit(topK).select("vec_id")
+        .join(truthCell, Seq("vec_id"), "left_semi")
+    }.reduce(_ unionAll _).count()
   }
 
   /** Materialize the IVF-PQ index at `path` — the layout the search
@@ -2364,9 +2416,12 @@ object Similarity {
       val corpus = opqGateCorpus(s).cache()
       val rot = opqParametricRotation(corpus, 8)
       val rotated = rotateEmbeddings(corpus, rot)
-      def sumFound(c: DataFrame): Long = Seq(100L, 101L, 102L, 103L)
-        .map(q => ivfPqRerankRecall(c, q, 2, 30, 10, 0.0, 8, 16)
-          .head().getAs[Long]("n_found")).sum
+      // batched gate: per corpus, ONE centroid job + ONE codebook
+      // collect + ONE query-vector collect + ONE union-count — vs the
+      // per-query ivfPqRerankRecall's ~9 actions × 4 queries × 2
+      // corpora (bit-identical n_found sum; PqStoredSpec asserts)
+      def sumFound(c: DataFrame): Long =
+        ivfPqRerankFoundSum(c, Seq(100L, 101L, 102L, 103L), 2, 30, 10, 8, 16)
       val (fPlain, fOpq) = (sumFound(corpus), sumFound(rotated))
       corpus.unpersist()
       // Gate CONTRACT columns only: the raw found counts depend on

@@ -47,11 +47,24 @@ object DriftStream {
 
   /** `stream` must carry `valCol` (integer-quantized value) and
     * `grpCol` (cohort boolean). The PSI table lands at `outPath`
-    * (overwrite per micro-batch).
+    * (overwrite per publish).
+    *
+    * `publishEvery`: PSI re-bins GLOBALLY (one late value can move
+    * every bin boundary), so there is no key-local incremental
+    * publish — the honest dial is cadence: publish on every
+    * `publishEvery`-th batch (batchId % publishEvery == 0; default 1
+    * = every batch). The store still absorbs every batch losslessly,
+    * so an off-cadence published table is exactly the previous
+    * publish point's batch-twin output — staleness is bounded by the
+    * cadence, correctness never is, and a crash replay of a publish
+    * batch republishes identically (the publish is a pure function
+    * of the store).
     */
   def start(storePath: String, stream: DataFrame, valCol: String,
       grpCol: String, bins: Int, outPath: String, checkpoint: String,
-      maxStoreParts: Option[Int] = None): StreamingQuery =
+      maxStoreParts: Option[Int] = None,
+      publishEvery: Int = 1): StreamingQuery = {
+    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -61,8 +74,9 @@ object DriftStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(storePath)
-        publishedPsi(spark, storePath, bins)
-          .write.mode("overwrite").parquet(outPath)
+        if (batchId % publishEvery == 0)
+          publishedPsi(spark, storePath, bins)
+            .write.mode("overwrite").parquet(outPath)
         maxStoreParts.foreach { n =>
           maybeCompactPartials(spark, storePath, n, batchId)
         }
@@ -70,4 +84,5 @@ object DriftStream {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

@@ -14,16 +14,40 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * published table re-merges the partials to exact per-bucket cents
   * and re-runs [[graft.operators.Timeseries.ewmaFromCents]]'s
   * integer fold END TO END: a late event that lands in an EARLIER
-  * bucket legitimately shifts every later bucket's ewma, and the
-  * fold input is bucket-sized (keys × grid, never event volume), so
-  * recomputing the whole fold is both the only SAFE answer and a
-  * cheap one. Published output is therefore always identical to
-  * batch ts08 over every event seen so far (StreamingSpec gates
-  * this, late-event case included).
+  * bucket legitimately shifts every later bucket's ewma, so the fold
+  * for a TOUCHED key always re-runs over that key's full history.
+  * Published output is therefore always identical to batch ts08 over
+  * every event seen so far (StreamingSpec gates this, late-event case
+  * included).
   *
-  * SCALE: per batch, one batch-sized partial agg + a store-sized
-  * re-merge + a bucket-sized fold; events never cross a batch
-  * boundary twice — only (key, bucket, total) partials do.
+  * PUBLISH MODES. The fold is key-local (key a's ewma never reads key
+  * b's buckets), so a batch can only change the published rows of the
+  * keys it touches:
+  *  - Full (default): re-merge the whole store and overwrite the
+  *    published table. Simple, but per-batch publish cost grows with
+  *    ACCUMULATED keys × buckets over a months-long stream even when
+  *    each batch touches a bounded working set.
+  *  - Incremental (`incrementalPubParts = Some(p)`): store and
+  *    published table gain a `pk = pmod(hash(k), p)` partition
+  *    column; each batch recomputes the fold ONLY over store rows in
+  *    the pk partitions its keys touch and dynamically overwrites
+  *    just those published partitions. pk-granular (not raw-key)
+  *    pruning is forced by overwrite semantics: a rewritten pk
+  *    directory must carry ALL its keys' rows, so untouched keys
+  *    sharing a touched pk are recomputed too (their values are
+  *    unchanged — rewriting them is a no-op by value). Per-batch
+  *    publish cost is then ∝ touched-pk store rows ≈
+  *    (1-(1-1/p)^T)·store for T touched keys — flat when the batch
+  *    working set is bounded, regardless of how much history has
+  *    accumulated (Scale's ewmaStoreFold probe measures this across
+  *    48 batches). Read the published table through [[readPublished]]
+  *    (drops `pk`); content is publish-mode-independent.
+  *
+  * SCALE: per batch, one batch-sized partial agg + a touched-pk-sized
+  * (incremental) or store-sized (full) re-merge + fold; events never
+  * cross a batch boundary twice — only (key, bucket, total) partials
+  * do. The per-batch `touched` collect is ≤ p ints (KB, bounded by
+  * the dial, never data-sized).
   */
 object EwmaStream {
 
@@ -35,45 +59,105 @@ object EwmaStream {
       .groupBy(col("k"), col("bucket"))
       .agg(sum(col("vd")).cast("decimal(38,2)").as("total"))
 
-  private def merge(parts: DataFrame): DataFrame =
-    parts.groupBy(col("k"), col("bucket"))
+  /** Lossless bucket-total merge; keeps the `pk` partition column
+    * when the store carries one (pk is functionally dependent on k,
+    * so grouping by it never splits a key). */
+  private def merge(parts: DataFrame): DataFrame = {
+    val keys =
+      if (parts.columns.contains("pk")) Seq("k", "bucket", "pk")
+      else Seq("k", "bucket")
+    parts.groupBy(keys.map(col): _*)
       .agg(sum(col("total")).cast("decimal(38,2)").as("total"))
+  }
 
-  /** Current published trend, ts08's output shape. */
-  def publishedEwma(spark: SparkSession, storePath: String,
-      keyCol: String, alphaDen: Long): DataFrame =
+  private def foldFromStore(store: DataFrame, keyCol: String,
+      alphaDen: Long): DataFrame =
     graft.operators.Timeseries.ewmaFromCents(
-      merge(spark.read.parquet(storePath))
+      merge(store)
         .select(col("k"), col("bucket"),
           (col("total") * 100).cast("long").as("cents")),
       alphaDen, keyCol)
 
+  /** Current published trend, ts08's output shape (full-publish
+    * recompute over the whole store). */
+  def publishedEwma(spark: SparkSession, storePath: String,
+      keyCol: String, alphaDen: Long): DataFrame =
+    foldFromStore(spark.read.parquet(storePath), keyCol, alphaDen)
+
+  /** Read the published table regardless of publish mode (drops the
+    * `pk` partition column incremental mode adds). */
+  def readPublished(spark: SparkSession, outPath: String): DataFrame = {
+    val df = spark.read.parquet(outPath)
+    if (df.columns.contains("pk")) df.drop("pk") else df
+  }
+
   /** Bucket-total merge on the shared [[StoreFold]] protocol. */
   def maybeCompactPartials(spark: SparkSession, storePath: String,
-      maxParts: Int, keepBatchId: Long): Boolean =
+      maxParts: Int, keepBatchId: Long,
+      partitionCols: Seq[String] = Seq("batch_id")): Boolean =
     StoreFold.foldPartials(spark, storePath, "ewma", maxParts,
-      keepBatchId, merge)
+      keepBatchId, merge, partitionCols)
 
   /** `eventStream` must carry (`keyCol`, ts_ns, value). */
   def start(storePath: String, eventStream: DataFrame, keyCol: String,
       bucketNs: Long, alphaDen: Long, outPath: String, checkpoint: String,
-      maxStoreParts: Option[Int] = None): StreamingQuery =
+      maxStoreParts: Option[Int] = None,
+      incrementalPubParts: Option[Int] = None): StreamingQuery = {
+    incrementalPubParts.foreach(p =>
+      require(p >= 1, s"need incrementalPubParts >= 1, got $p"))
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        partials(batch, keyCol, bucketNs)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(storePath)
-        publishedEwma(spark, storePath, keyCol, alphaDen)
-          .write.mode("overwrite").parquet(outPath)
-        maxStoreParts.foreach { n =>
-          maybeCompactPartials(spark, storePath, n, batchId)
+        incrementalPubParts match {
+          case None =>
+            partials(batch, keyCol, bucketNs)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(storePath)
+            publishedEwma(spark, storePath, keyCol, alphaDen)
+              .write.mode("overwrite").parquet(outPath)
+            maxStoreParts.foreach { n =>
+              maybeCompactPartials(spark, storePath, n, batchId)
+            }
+          case Some(p) =>
+            val part = partials(batch, keyCol, bucketNs)
+              .withColumn("pk", pmod(hash(col("k")), lit(p)))
+            // repartition(pk): equal pks colocate → ~one file per
+            // pk dir, not one per (task × dir) — the store's file
+            // count (what every later listing pays) tracks its DIR
+            // count, not the shuffle width
+            part.withColumn("batch_id", lit(batchId))
+              .repartition(col("pk"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id", "pk")
+              .parquet(storePath)
+            // bounded collect: ≤ p distinct pk ints (the dial), never
+            // key- or data-sized
+            val touched = part.select("pk").distinct()
+              .collect().map(_.getInt(0))
+            if (touched.nonEmpty) {
+              val pruned = spark.read.parquet(storePath)
+                .filter(col("pk").isin(touched.map(Int.box): _*))
+              foldFromStore(pruned, keyCol, alphaDen)
+                // same string-keyed hash as the store side: the fold
+                // output's keyCol IS the store's string k
+                .withColumn("pk", pmod(hash(col(keyCol)), lit(p)))
+                .repartition(col("pk")) // one file per touched pk dir
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pk").parquet(outPath)
+            }
+            maxStoreParts.foreach { n =>
+              maybeCompactPartials(spark, storePath, n, batchId,
+                Seq("batch_id", "pk"))
+            }
         }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

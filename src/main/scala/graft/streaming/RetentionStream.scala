@@ -60,12 +60,27 @@ object RetentionStream {
     * activity pairs accumulate at `storePath`, compacted whenever the
     * file count passes `maxStoreFiles` (None = never, the pre-cadence
     * behavior).
+    *
+    * `publishEvery`: the matrix is NOT key-local — a user's cohort
+    * is their GLOBAL min week, so one late pair can move a user
+    * between cohorts and change two cohorts' whole rows, and cohort
+    * membership cannot be pruned without a cohort→users index. The
+    * honest dial is therefore cadence, not incremental publish
+    * ([[DriftStream]]'s contract): the anti-join append absorbs
+    * every batch, the matrix recomputes only on every
+    * `publishEvery`-th batch (default 1 = every batch), and an
+    * off-cadence published matrix is exactly the previous publish
+    * point's batch-twin output. Replay still converges: a replayed
+    * batch appends nothing and a replayed publish recomputes the
+    * same pure function of the store.
     */
   def start(storePath: String, eventStream: DataFrame,
       outPath: String, checkpoint: String,
-      maxStoreFiles: Option[Int] = None): StreamingQuery =
+      maxStoreFiles: Option[Int] = None,
+      publishEvery: Int = 1): StreamingQuery = {
+    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
     eventStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val pairs = graft.operators.Sessionize.activityWeeks(batch)
         val existing =
@@ -81,13 +96,15 @@ object RetentionStream {
           fresh.write.mode("append").parquet(storePath)
           // existing ∪ fresh IS the post-append store content — one
           // store read serves both the anti-join and the matrix
-          graft.operators.Sessionize
-            .retentionFromWeeks(existing.unionByName(fresh))
-            .write.mode("overwrite").parquet(outPath)
+          if (batchId % publishEvery == 0)
+            graft.operators.Sessionize
+              .retentionFromWeeks(existing.unionByName(fresh))
+              .write.mode("overwrite").parquet(outPath)
         } finally { fresh.unpersist(); existing.unpersist() }
         maxStoreFiles.foreach(maybeCompactRetentionStore(spark, storePath, _))
         ()
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

@@ -25,11 +25,18 @@ import org.apache.spark.sql.functions._
   * partial before the partitioned write.
   */
 object StoreFold {
+  /** `partitionCols` must start with `batch_id`; twins whose store
+    * carries a secondary partition column (the incremental-publish
+    * `pk` key-hash bucket) pass it here so the folded rewrite keeps
+    * the layout the publish-side partition pruning depends on. */
   def foldPartials(spark: SparkSession, storePath: String, label: String,
       maxParts: Int, keepBatchId: Long,
-      merge: DataFrame => DataFrame): Boolean = {
+      merge: DataFrame => DataFrame,
+      partitionCols: Seq[String] = Seq("batch_id")): Boolean = {
     import org.apache.hadoop.fs.Path
     require(maxParts >= 1, s"need maxParts >= 1, got $maxParts")
+    require(partitionCols.headOption.contains("batch_id"),
+      s"$label fold: partitionCols must lead with batch_id, got $partitionCols")
     val dir = new Path(storePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(storePath + "_fold_tmp")
@@ -58,9 +65,17 @@ object StoreFold {
     val folded = merge(all.filter(col("batch_id") =!= keepBatchId))
       .withColumn("batch_id", lit(-1L))
     val current = all.filter(col("batch_id") === keepBatchId)
-    folded.select(current.columns.map(col): _*)
+    val rewrite = folded.select(current.columns.map(col): _*)
       .unionByName(current)
-      .write.partitionBy("batch_id").parquet(tmp.toString)
+    // secondary-partitioned stores (batch_id × pk) would otherwise
+    // land up to one file per (shuffle task × pk dir) — thousands of
+    // tiny files whose LISTING cost then grows every later publish/
+    // fold pass. Task-align with the layout (equal partition values
+    // colocate under hash repartition) → ~one file per directory.
+    val aligned =
+      if (partitionCols.size > 1) rewrite.repartition(partitionCols.map(col): _*)
+      else rewrite
+    aligned.write.partitionBy(partitionCols: _*).parquet(tmp.toString)
     require(fs.rename(dir, old), s"$label fold: rename $storePath -> $old failed")
     if (!fs.rename(tmp, dir)) {
       fs.rename(old, dir)

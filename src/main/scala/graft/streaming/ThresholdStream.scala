@@ -23,6 +23,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * "histogram ≪ corpus" premise as batch t20; a continuous score
   * belongs in [[graft.operators.TextOps.percentileGateApprox]]'s
   * sketch instead.
+  *
+  * PUBLISH MODES ([[EwmaStream]]'s pattern — the election is
+  * group-local, a batch can only move the cutoffs of groups it
+  * touches): full (default) re-elects every group per batch;
+  * incremental (`incrementalPubParts = Some(n)`) partitions store
+  * and published table by `pk = pmod(hash(group), n)` and re-elects
+  * only the touched pk partitions via dynamic overwrite — per-batch
+  * publish cost ∝ touched groups' histograms, flat however many
+  * groups have accumulated. Read through [[readPublished]]; content
+  * is publish-mode-independent.
   */
 object ThresholdStream {
 
@@ -30,46 +40,105 @@ object ThresholdStream {
       score: String): DataFrame =
     batch.groupBy(col(group), col(score)).agg(count(lit(1)).as("n"))
 
+  /** Lossless histogram merge; keeps `pk` when the store carries one
+    * (functionally dependent on `group`, so grouping by it never
+    * splits a group's histogram). */
+  private def mergeCounts(parts: DataFrame, group: String,
+      score: String): DataFrame = {
+    val keys =
+      if (parts.columns.contains("pk")) Seq(group, score, "pk")
+      else Seq(group, score)
+    parts.groupBy(keys.map(col): _*).agg(sum(col("n")).as("n"))
+  }
+
   /** Current published thresholds: one (group, thr) row per group
-    * from the merged store histogram. */
+    * from the merged store histogram (full-publish recompute). */
   def publishedThresholds(spark: SparkSession, storePath: String,
       group: String, score: String, p: Double): DataFrame =
     graft.operators.TextOps.percentileThresholds(
-      spark.read.parquet(storePath)
-        .groupBy(col(group), col(score)).agg(sum(col("n")).as("n")),
+      mergeCounts(spark.read.parquet(storePath), group, score)
+        .select(col(group), col(score), col("n")),
       group, score, p)
+
+  /** Read the published table regardless of publish mode (drops the
+    * `pk` partition column incremental mode adds). */
+  def readPublished(spark: SparkSession, outPath: String): DataFrame = {
+    val df = spark.read.parquet(outPath)
+    if (df.columns.contains("pk")) df.drop("pk") else df
+  }
 
   /** Histogram-sum fold on the shared [[StoreFold]] protocol. */
   def maybeCompactPartials(spark: SparkSession, storePath: String,
       group: String, score: String, maxParts: Int,
-      keepBatchId: Long): Boolean =
+      keepBatchId: Long,
+      partitionCols: Seq[String] = Seq("batch_id")): Boolean =
     StoreFold.foldPartials(spark, storePath, "threshold", maxParts,
-      keepBatchId, closed => closed
-        .groupBy(col(group), col(score)).agg(sum(col("n")).as("n")))
+      keepBatchId, closed => mergeCounts(closed, group, score),
+      partitionCols)
 
   /** `scoredStream` must carry `group` and integer `score` columns.
-    * Thresholds land at `outPath` (full overwrite — group-count
-    * rows); count partials accumulate at `storePath`, folded past
+    * Thresholds land at `outPath` (group-count rows; full overwrite,
+    * or touched-pk dynamic overwrite in incremental mode); count
+    * partials accumulate at `storePath`, folded past
     * `maxStoreParts`. */
   def start(storePath: String, scoredStream: DataFrame, group: String,
       score: String, p: Double, outPath: String, checkpoint: String,
-      maxStoreParts: Option[Int] = None): StreamingQuery =
+      maxStoreParts: Option[Int] = None,
+      incrementalPubParts: Option[Int] = None): StreamingQuery = {
+    incrementalPubParts.foreach(n =>
+      require(n >= 1, s"need incrementalPubParts >= 1, got $n"))
     scoredStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        batchCounts(batch, group, score)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(storePath)
-        publishedThresholds(spark, storePath, group, score, p)
-          .write.mode("overwrite").parquet(outPath)
-        maxStoreParts.foreach { n =>
-          maybeCompactPartials(spark, storePath, group, score, n, batchId)
+        incrementalPubParts match {
+          case None =>
+            batchCounts(batch, group, score)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(storePath)
+            publishedThresholds(spark, storePath, group, score, p)
+              .write.mode("overwrite").parquet(outPath)
+            maxStoreParts.foreach { n =>
+              maybeCompactPartials(spark, storePath, group, score, n,
+                batchId)
+            }
+          case Some(nPk) =>
+            val counts = batchCounts(batch, group, score)
+              .withColumn("pk", pmod(hash(col(group)), lit(nPk)))
+            // repartition(pk): ~one file per pk dir ([[EwmaStream]]'s
+            // file-count discipline — listing cost tracks dirs)
+            counts.withColumn("batch_id", lit(batchId))
+              .repartition(col("pk"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id", "pk")
+              .parquet(storePath)
+            // bounded collect: ≤ nPk distinct pk ints (the dial)
+            val touched = counts.select("pk").distinct()
+              .collect().map(_.getInt(0))
+            if (touched.nonEmpty) {
+              val pruned = spark.read.parquet(storePath)
+                .filter(col("pk").isin(touched.map(Int.box): _*))
+              graft.operators.TextOps.percentileThresholds(
+                  mergeCounts(pruned, group, score)
+                    .select(col(group), col(score), col("n")),
+                  group, score, p)
+                .withColumn("pk", pmod(hash(col(group)), lit(nPk)))
+                .repartition(col("pk")) // one file per touched pk dir
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pk").parquet(outPath)
+            }
+            maxStoreParts.foreach { n =>
+              maybeCompactPartials(spark, storePath, group, score, n,
+                batchId, Seq("batch_id", "pk"))
+            }
         }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

@@ -565,6 +565,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Map(100L -> 100L, 101L -> 100L))
   }
 
+  test("connectedComponentsBounded: driver fast path equals distributed CC; ceiling forces fallback; empty edges -> empty labels") {
+    import spark.implicits._
+    // chain + island + a cross edge arriving "late" in row order (the
+    // union-find must re-root through path compression)
+    val edges = Seq((3L, 4L), (1L, 2L), (2L, 3L), (10L, 11L), (4L, 1L))
+      .toDF("id_a", "id_b")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = toMapOf(Dedup.connectedComponents(edges))
+    // fast path (well under the ceiling)
+    assert(toMapOf(Dedup.connectedComponentsBounded(edges)) === dist)
+    // ceiling of 0 forces the distributed fallback — same labels
+    assert(toMapOf(Dedup.connectedComponentsBounded(edges, 0)) === dist)
+    // boundary: exactly at the ceiling stays on the driver path
+    assert(toMapOf(Dedup.connectedComponentsBounded(edges, 5)) === dist)
+    // empty merge graph (the common ingest case the old isEmpty probe
+    // special-cased): empty (id, lab) frame, no throw
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponentsBounded(none).count() === 0L)
+  }
+
   test("connectedComponents: reliable checkpoint path (executor-loss replay shape)") {
     import spark.implicits._
     val sc = spark.sparkContext

@@ -32,6 +32,24 @@ class PqStoredSpec extends AnyFunSuite {
     assert(stored === inline)
   }
 
+  test("ivfPqRerankFoundSum equals the sum of per-query ivfPqRerankRecall n_found (s18's batched gate)") {
+    // both corpora s18 actually gates: plain and OPQ-rotated — the
+    // batched path must replay the per-query float chains bit-exactly
+    val corpus = Similarity.opqGateCorpus(spark).cache()
+    try {
+      val rot = Similarity.opqParametricRotation(corpus, 8)
+      val rotated = Similarity.rotateEmbeddings(corpus, rot)
+      val qids = Seq(100L, 101L, 102L, 103L)
+      for (c <- Seq(corpus, rotated)) {
+        val perQuery = qids.map(q =>
+          Similarity.ivfPqRerankRecall(c, q, 2, 30, 10, 0.0, 8, 16)
+            .head().getAs[Long]("n_found")).sum
+        val batched = Similarity.ivfPqRerankFoundSum(c, qids, 2, 30, 10, 8, 16)
+        assert(batched === perQuery)
+      }
+    } finally { corpus.unpersist(); () }
+  }
+
   test("OPQ stored index: tighter self-ADC on anisotropic data, batch parity, clean rebuild") {
     import spark.implicits._
     // the correlated corpus from the OPQ rotation gate: rank-3 signal

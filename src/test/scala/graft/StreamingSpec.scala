@@ -949,6 +949,241 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.size <= 3, s"store partitions unbounded: $parts")
   }
 
+  /** pk bucket a key hashes to under the incremental-publish dial —
+    * the same pmod(hash) the twins compute, evaluated through Spark
+    * so the test can never drift from the implementation. */
+  private def pkOf(k: String, p: Int): Int =
+    spark.range(1).select(pmod(hash(lit(k)), lit(p))).head.getInt(0)
+
+  /** Parquet data-file names under each pk= dir of a published table
+    * — dynamic overwrite writes NEW uuid file names, so an identical
+    * name set proves the partition was NOT rewritten. */
+  private def pkFiles(out: String): Map[String, Set[String]] =
+    new java.io.File(out).listFiles().filter(f =>
+        f.isDirectory && f.getName.startsWith("pk="))
+      .map(d => d.getName -> d.listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet)
+      .toMap
+
+  test("incremental EWMA publish equals batch ts08 at every publish point; untouched pk partitions are not rewritten") {
+    import spark.implicits._
+    val p = 16
+    val ka = "a"
+    // second key must land in a DIFFERENT pk bucket or the
+    // untouched-partition assertion below would be vacuous
+    val kb = Seq("b", "c", "d", "e").find(k => pkOf(k, p) != pkOf(ka, p)).get
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, String, Long, Double)]): Unit = {
+      val stage = Files.createTempDirectory("graft-iewstage")
+      rows.toDF("event_id", "event_type", "ts_ns", "value").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-iew-src")
+    val store = Files.createTempDirectory("graft-iew-store").toString + "/ew"
+    val out = Files.createTempDirectory("graft-iew-out").toString
+    val ckpt = Files.createTempDirectory("graft-iew-ckpt").toString
+    val b1 = Seq((1L, ka, 5L, 30.0), (2L, ka, 15L, 30.0))
+    val b2 = Seq((3L, ka, 35L, 40.0), (4L, kb, 25L, 5.0))
+    val b3 = Seq((5L, ka, 7L, 20.0)) // late: re-opens ka's bucket 0
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("event_id LONG, event_type STRING, ts_ns LONG, value DOUBLE")
+      .parquet(src.toString)
+    val q = graft.streaming.EwmaStream.start(store, stream,
+      "event_type", bucketNs = 10L, alphaDen = 5L, out, ckpt,
+      maxStoreParts = Some(2), incrementalPubParts = Some(p))
+    def published() = graft.streaming.EwmaStream.readPublished(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    def batchTruth(rows: Seq[(Long, String, Long, Double)]) =
+      graft.operators.Timeseries.ewmaFixedPoint(
+        rows.toDF("event_id", "event_type", "ts_ns", "value"),
+        bucketNs = 10L, alphaDen = 5L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTruth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2))
+      val beforeFiles = pkFiles(out)
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      // the late event re-folds ka's whole history — parity holds
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+      assert(published()((ka, 1L))._2 === 4600L)
+      // ...but ONLY ka's pk partition was rewritten: kb's published
+      // files are byte-identical (dynamic overwrite mints new uuid
+      // names, so same names = untouched)
+      val afterFiles = pkFiles(out)
+      val kbDir = s"pk=${pkOf(kb, p)}"
+      assert(afterFiles(kbDir) === beforeFiles(kbDir),
+        s"untouched $kbDir was rewritten: ${beforeFiles(kbDir)} -> ${afterFiles(kbDir)}")
+      assert(afterFiles(s"pk=${pkOf(ka, p)}") !==
+        beforeFiles(s"pk=${pkOf(ka, p)}"), "touched pk must rewrite")
+      // batch 3's store partial landed only under ka's pk
+      val b3Dirs = new java.io.File(s"$store/batch_id=2").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(b3Dirs === Set(s"pk=${pkOf(ka, p)}"), s"b3 partial dirs: $b3Dirs")
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+    // the fold preserved the pk layout publish pruning depends on
+    val baseDirs = new java.io.File(s"$store/batch_id=-1").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(baseDirs.nonEmpty && baseDirs.forall(_.startsWith("pk=")),
+      s"folded base lost pk partitioning: ${baseDirs.toSeq}")
+  }
+
+  test("incremental threshold publish equals batch t20 election at every publish point; untouched pk partitions are not rewritten") {
+    import spark.implicits._
+    val nPk = 16
+    val ga = "en"
+    val gb = Seq("de", "fr", "es", "it").find(g => pkOf(g, nPk) != pkOf(ga, nPk)).get
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(String, Long)]): Unit = {
+      val stage = Files.createTempDirectory("graft-ithstage")
+      rows.toDF("lang", "score").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-ith-src")
+    val store = Files.createTempDirectory("graft-ith-store").toString + "/h"
+    val out = Files.createTempDirectory("graft-ith-out").toString
+    val ckpt = Files.createTempDirectory("graft-ith-ckpt").toString
+    val b1 = Seq(ga -> 1L, ga -> 2L, ga -> 3L, ga -> 4L, ga -> 5L, gb -> 10L)
+    val b2 = Seq(ga -> 6L, ga -> 7L, ga -> 8L, ga -> 9L, ga -> 10L, gb -> 20L)
+    val b3 = Seq(gb -> 30L) // touches ONLY gb's group
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("lang STRING, score LONG").parquet(src.toString)
+    val q = graft.streaming.ThresholdStream.start(store, stream,
+      "lang", "score", p = 0.4, out, ckpt, maxStoreParts = Some(2),
+      incrementalPubParts = Some(nPk))
+    def published() = graft.streaming.ThresholdStream
+      .readPublished(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def batchTruth(rows: Seq[(String, Long)]) =
+      graft.operators.TextOps.percentileThresholds(
+        rows.toDF("lang", "score")
+          .groupBy($"lang", $"score").agg(count(lit(1)).as("n")),
+        "lang", "score", 0.4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTruth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2))
+      val beforeFiles = pkFiles(out)
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+      assert(published()(ga) === 4L) // cumulative election, untouched
+      val afterFiles = pkFiles(out)
+      val gaDir = s"pk=${pkOf(ga, nPk)}"
+      assert(afterFiles(gaDir) === beforeFiles(gaDir),
+        s"untouched $gaDir was rewritten")
+      assert(afterFiles(s"pk=${pkOf(gb, nPk)}") !==
+        beforeFiles(s"pk=${pkOf(gb, nPk)}"), "touched pk must rewrite")
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+  }
+
+  test("drift publish cadence: off-cadence batch keeps the previous publish point, on-cadence equals batch dq06 over everything") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, Boolean)]): Unit = {
+      val stage = Files.createTempDirectory("graft-cdrstage")
+      rows.toDF("cents", "pre").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-cdr-src")
+    val store = Files.createTempDirectory("graft-cdr-store").toString + "/dr"
+    val out = Files.createTempDirectory("graft-cdr-out").toString
+    val ckpt = Files.createTempDirectory("graft-cdr-ckpt").toString
+    val b1 = Seq((10L, true), (12L, true), (19L, false), (11L, false))
+    val b2 = Seq((10L, true), (19L, false), (15L, false))
+    val b3 = Seq((90L, false), (10L, true))
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream.schema("cents LONG, pre BOOLEAN")
+      .parquet(src.toString)
+    val q = graft.streaming.DriftStream.start(store, stream,
+      "cents", "pre", bins = 4, out, ckpt, maxStoreParts = Some(2),
+      publishEvery = 2)
+    def published() = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def batchTruth(rows: Seq[(Long, Boolean)]) =
+      graft.operators.Quality.psiDrift(rows.toDF("cents", "pre"),
+        "cents", "pre", bins = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    try {
+      q.processAllAvailable() // batchId 0: publishes
+      assert(published() === batchTruth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      // batchId 1: store absorbed b2, publish SKIPPED — the table is
+      // exactly the previous publish point, staleness cadence-bounded
+      assert(published() === batchTruth(b1))
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      // batchId 2: publishes — b2 AND b3 both reflected (nothing lost)
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+    } finally q.stop()
+  }
+
+  test("retention publish cadence: off-cadence batch appends only, on-cadence matrix equals batch ss05 over everything") {
+    import spark.implicits._
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      val stage = Files.createTempDirectory("graft-cret-stage")
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val b1 = Seq((1L, ts("2024-01-02")), (2L, ts("2024-01-04")))
+    val b2 = Seq((1L, ts("2024-01-09")), (3L, ts("2024-01-10")))
+    val b3 = Seq((2L, ts("2024-01-11")))
+    val src = Files.createTempDirectory("graft-cret-src")
+    val store = Files.createTempDirectory("graft-cret-store").toString + "/pairs"
+    val out = Files.createTempDirectory("graft-cret-out").toString
+    val ckpt = Files.createTempDirectory("graft-cret-ckpt").toString
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP").parquet(src.toString)
+    val q = graft.streaming.RetentionStream.start(store, stream, out, ckpt,
+      publishEvery = 2)
+    def matrix(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    def truth(rows: Seq[(Long, java.sql.Timestamp)]) =
+      matrix(graft.operators.Sessionize.retention(rows.toDF("user_id", "ts")))
+    try {
+      q.processAllAvailable() // batchId 0: publishes
+      assert(matrix(spark.read.parquet(out)) === truth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      // batchId 1: pairs appended, matrix publish skipped
+      assert(matrix(spark.read.parquet(out)) === truth(b1))
+      assert(spark.read.parquet(store).count() === 4) // b2 absorbed
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      // batchId 2: publishes over everything, b2 included
+      assert(matrix(spark.read.parquet(out)) === truth(b1 ++ b2 ++ b3))
+    } finally q.stop()
+  }
+
   test("streaming distinct (HLL): estimate tracks exact cumulative within 5%, fold leaves estimates unchanged") {
     import spark.implicits._
     def addFile(src: java.nio.file.Path, name: String,
