@@ -58,5 +58,10 @@ object StreamPublishProbe {
     println(s"[probe] published rows: " +
       graft.streaming.EwmaStream.readPublished(spark, s"$work/out").count())
     spark.stop()
+    // events-sized landing + store per run — delete, don't leak /tmp
+    val root = new org.apache.hadoop.fs.Path(work)
+    root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(root, true)
+    ()
   }
 }
