@@ -62,9 +62,14 @@ object AnomalyStream {
     * count partials accumulate at `storePath`, folded whenever the
     * partition count passes `maxStoreParts` (None = never).
     */
+  /** `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
+    * cadence contract — the store absorbs every batch losslessly, an
+    * off-cadence table is exactly the previous publish point). */
   def start(storePath: String, eventStream: DataFrame, bucketNs: Long,
       num: Long, den: Long, outPath: String, checkpoint: String,
-      maxStoreParts: Option[Int] = None): StreamingQuery =
+      maxStoreParts: Option[Int] = None,
+      publishEvery: Int = 1): StreamingQuery = {
+    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -74,8 +79,9 @@ object AnomalyStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(storePath)
-        publishedAnomalies(spark, storePath, num, den)
-          .write.mode("overwrite").parquet(outPath)
+        if (batchId % publishEvery == 0)
+          publishedAnomalies(spark, storePath, num, den)
+            .write.mode("overwrite").parquet(outPath)
         maxStoreParts.foreach { n =>
           maybeCompactPartials(spark, storePath, n, batchId)
         }
@@ -83,4 +89,5 @@ object AnomalyStream {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

@@ -77,9 +77,16 @@ object BarStream {
       keepBatchId, merge(_, keyCol))
 
   /** `eventStream` must carry (event_id, `keyCol`, ts_ns, value). */
+  /** `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
+    * cadence contract). The bar merge is key-local, so
+    * [[EwmaStream]]'s `incrementalPubParts` pattern also applies if
+    * per-key rewrite granularity is ever needed; cadence is the
+    * uniform dial. */
   def start(storePath: String, eventStream: DataFrame, keyCol: String,
       bucketNs: Long, outPath: String, checkpoint: String,
-      maxStoreParts: Option[Int] = None): StreamingQuery =
+      maxStoreParts: Option[Int] = None,
+      publishEvery: Int = 1): StreamingQuery = {
+    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -89,8 +96,9 @@ object BarStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(storePath)
-        publishedBars(spark, storePath, keyCol)
-          .write.mode("overwrite").parquet(outPath)
+        if (batchId % publishEvery == 0)
+          publishedBars(spark, storePath, keyCol)
+            .write.mode("overwrite").parquet(outPath)
         maxStoreParts.foreach { n =>
           maybeCompactPartials(spark, storePath, keyCol, n, batchId)
         }
@@ -98,4 +106,5 @@ object BarStream {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

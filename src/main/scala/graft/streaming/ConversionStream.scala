@@ -130,15 +130,22 @@ object ConversionStream {
 
   /** `eventStream` must carry (user_id, event_id, ts_ns, event_type).
     */
+  /** `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
+    * cadence contract — the published report elects global
+    * percentiles over the whole lag histogram, so cadence, not
+    * key-local incremental, is the right dial). */
   def start(storePath: String, eventStream: DataFrame, tolNs: Long,
       outPath: String, checkpoint: String,
-      maxStoreParts: Option[Int] = None): StreamingQuery =
+      maxStoreParts: Option[Int] = None,
+      publishEvery: Int = 1): StreamingQuery = {
+    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         processBatch(spark, storePath, batch, tolNs, batchId)
-        publishedConversion(spark, storePath)
-          .write.mode("overwrite").parquet(outPath)
+        if (batchId % publishEvery == 0)
+          publishedConversion(spark, storePath)
+            .write.mode("overwrite").parquet(outPath)
         maxStoreParts.foreach { n =>
           maybeCompactPartials(spark, storePath, n, batchId)
         }
@@ -146,4 +153,5 @@ object ConversionStream {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

@@ -56,9 +56,15 @@ object DistinctStream {
   /** `eventStream` must carry `keyCol` and `idCol`. Estimates land at
     * `outPath` (full overwrite — key-count rows); sketch partials
     * accumulate at `storePath`, folded past `maxStoreParts`. */
+  /** `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
+    * cadence contract). The HLL union is key-local, so
+    * [[EwmaStream]]'s `incrementalPubParts` pattern also applies;
+    * cadence is the uniform dial. */
   def start(storePath: String, eventStream: DataFrame, keyCol: String,
       idCol: String, outPath: String, checkpoint: String,
-      maxStoreParts: Option[Int] = None): StreamingQuery =
+      maxStoreParts: Option[Int] = None,
+      publishEvery: Int = 1): StreamingQuery = {
+    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -68,8 +74,9 @@ object DistinctStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(storePath)
-        estimates(spark, storePath, keyCol)
-          .write.mode("overwrite").parquet(outPath)
+        if (batchId % publishEvery == 0)
+          estimates(spark, storePath, keyCol)
+            .write.mode("overwrite").parquet(outPath)
         maxStoreParts.foreach { n =>
           maybeCompactPartials(spark, storePath, keyCol, n, batchId)
         }
@@ -77,4 +84,5 @@ object DistinctStream {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

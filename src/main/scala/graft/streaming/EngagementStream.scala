@@ -54,9 +54,14 @@ object EngagementStream {
     * table lands at `outPath` (full overwrite — grid-day rows);
     * presence partials accumulate at `storePath`, folded past
     * `maxStoreParts`. */
+  /** `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
+    * cadence contract — the histogram re-bins over the global
+    * calendar window, so cadence is the right dial). */
   def start(storePath: String, eventStream: DataFrame, windowDays: Int,
       outPath: String, checkpoint: String,
-      maxStoreParts: Option[Int] = None): StreamingQuery =
+      maxStoreParts: Option[Int] = None,
+      publishEvery: Int = 1): StreamingQuery = {
+    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -67,8 +72,9 @@ object EngagementStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(storePath)
-        published(spark, storePath, windowDays)
-          .write.mode("overwrite").parquet(outPath)
+        if (batchId % publishEvery == 0)
+          published(spark, storePath, windowDays)
+            .write.mode("overwrite").parquet(outPath)
         maxStoreParts.foreach { n =>
           maybeCompactPartials(spark, storePath, n, batchId)
         }
@@ -76,4 +82,5 @@ object EngagementStream {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

@@ -219,17 +219,23 @@ object FunnelStream {
 
   /** `eventStream` must carry (user_id, event_id, ts_ns, event_type).
     */
+  /** `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
+    * cadence contract — the funnel report is one global row, so
+    * cadence is the right dial). */
   def start(storePath: String, eventStream: DataFrame, stages: Seq[String],
       gapNs: Long, outPath: String, checkpoint: String,
-      maxStoreParts: Option[Int] = None): StreamingQuery = {
+      maxStoreParts: Option[Int] = None,
+      publishEvery: Int = 1): StreamingQuery = {
     require(stages.nonEmpty && stages.distinct == stages,
       s"need distinct non-empty stages, got $stages")
+    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         processBatch(spark, storePath, batch, stages, gapNs, batchId)
-        publishedFunnel(spark, storePath, stages)
-          .write.mode("overwrite").parquet(outPath)
+        if (batchId % publishEvery == 0)
+          publishedFunnel(spark, storePath, stages)
+            .write.mode("overwrite").parquet(outPath)
         maxStoreParts.foreach { n =>
           maybeCompactPartials(spark, storePath, n, batchId)
         }

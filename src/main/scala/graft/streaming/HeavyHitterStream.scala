@@ -103,9 +103,14 @@ object HeavyHitterStream {
     * `storePath`, folded whenever the partition count passes
     * `maxStoreParts` (None = never).
     */
+  /** `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
+    * cadence contract — the MG merge truncates against the GLOBAL
+    * sketch, so cadence is the right dial). */
   def start(storePath: String, docStream: DataFrame, cap: Int,
       outPath: String, checkpoint: String,
-      maxStoreParts: Option[Int] = None): StreamingQuery =
+      maxStoreParts: Option[Int] = None,
+      publishEvery: Int = 1): StreamingQuery = {
+    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -115,8 +120,9 @@ object HeavyHitterStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(storePath)
-        publishedSketch(spark, storePath, cap)
-          .write.mode("overwrite").parquet(outPath)
+        if (batchId % publishEvery == 0)
+          publishedSketch(spark, storePath, cap)
+            .write.mode("overwrite").parquet(outPath)
         maxStoreParts.foreach { n =>
           maybeCompactPartials(spark, storePath, cap, n, batchId)
         }
@@ -124,4 +130,5 @@ object HeavyHitterStream {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

@@ -98,9 +98,14 @@ object TransitionStream {
     * batches. Transition table lands at `outPath` (full overwrite);
     * pair/boundary partials accumulate under `storePath`/pairs and
     * /bound, folded past `maxStoreParts`. */
+  /** `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
+    * cadence contract — the transition matrix is types², a global
+    * rollup, so cadence is the right dial). */
   def start(storePath: String, eventStream: DataFrame, outPath: String,
-      checkpoint: String, maxStoreParts: Option[Int] = None)
+      checkpoint: String, maxStoreParts: Option[Int] = None,
+      publishEvery: Int = 1)
       : StreamingQuery = {
+    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
     val pairsPath = s"$storePath/pairs"
     val boundPath = s"$storePath/bound"
     eventStream.writeStream
@@ -126,8 +131,9 @@ object TransitionStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(boundPath)
-        published(spark, pairsPath)
-          .write.mode("overwrite").parquet(outPath)
+        if (batchId % publishEvery == 0)
+          published(spark, pairsPath)
+            .write.mode("overwrite").parquet(outPath)
         maxStoreParts.foreach { n =>
           maybeCompactPartials(spark, pairsPath, boundPath, n, batchId)
         }

@@ -795,6 +795,53 @@ class StreamingSpec extends AnyFunSuite {
   }
 
 
+  test("bar publish cadence: off-cadence batch keeps the previous publish point; store still absorbs it (representative of the uniform publishEvery dial)") {
+    import spark.implicits._
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, String, Long, Double)]): Unit = {
+      val stage = Files.createTempDirectory("graft-cbarstage")
+      rows.toDF("event_id", "event_type", "ts_ns", "value").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-cbar-src")
+    val store = Files.createTempDirectory("graft-cbar-store").toString + "/bars"
+    val out = Files.createTempDirectory("graft-cbar-out").toString
+    val ckpt = Files.createTempDirectory("graft-cbar-ckpt").toString
+    val b1 = Seq((1L, "a", 5L, 10.0), (2L, "a", 15L, 30.0))
+    val b2 = Seq((3L, "a", 17L, 20.0), (4L, "b", 25L, 5.5))
+    val b3 = Seq((5L, "a", 12L, 40.0))
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("event_id LONG, event_type STRING, ts_ns LONG, value DOUBLE")
+      .parquet(src.toString)
+    val q = graft.streaming.BarStream.start(store, stream,
+      "event_type", bucketNs = 10L, out, ckpt, publishEvery = 2)
+    def published() = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    def batchTruth(rows: Seq[(Long, String, Long, Double)]) =
+      graft.operators.Timeseries.ohlcBars(
+        rows.toDF("event_id", "event_type", "ts_ns", "value"), 10L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6), r.getDouble(7)))).toMap
+    try {
+      q.processAllAvailable() // batchId 0: publishes
+      assert(published() === batchTruth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      // batchId 1: partial absorbed, publish skipped — the table is
+      // exactly the previous publish point
+      assert(published() === batchTruth(b1))
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      // batchId 2: publishes — b2 AND the late b3 event both land
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+    } finally q.stop()
+  }
+
   test("streaming PSI drift equals batch dq06 over the whole stream; range extension re-bins") {
     import spark.implicits._
     def addFile(src: java.nio.file.Path, name: String,
