@@ -586,6 +586,45 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.connectedComponentsBounded(none).count() === 0L)
   }
 
+  test("connectedComponentsBounded: random graphs match a naive min-propagation fixpoint (and distributed CC on a sample)") {
+    import spark.implicits._
+    // naive reference: propagate min labels over the edge list until
+    // fixpoint — the definition of min-label components
+    def naive(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      var lab = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(lab(a), lab(b))
+          if (lab(a) != m) { lab += a -> m; changed = true }
+          if (lab(b) != m) { lab += b -> m; changed = true }
+        }
+      }
+      lab
+    }
+    val rnd = new scala.util.Random(42)
+    // small node domain (0..15) forces dense merge patterns: chains,
+    // cycles, duplicate edges, self-loops, singleton islands
+    def randEdges(): Seq[(Long, Long)] =
+      Seq.fill(rnd.nextInt(24))((rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+    (0 until 40).foreach { i =>
+      val edges = randEdges()
+      if (edges.nonEmpty) {
+        val df = edges.toDF("id_a", "id_b")
+        val got = Dedup.connectedComponentsBounded(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === naive(edges), s"sample $i: $edges")
+        if (i < 3) { // distributed parity on a few samples (costly)
+          val dist = Dedup.connectedComponents(df)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got === dist, s"sample $i vs distributed: $edges")
+        }
+      }
+    }
+  }
+
   test("connectedComponents: reliable checkpoint path (executor-loss replay shape)") {
     import spark.implicits._
     val sc = spark.sparkContext
