@@ -50,57 +50,117 @@ object BarStream {
         sum(col("vd")).cast("decimal(38,2)").as("total"))
 
   /** Re-merge partials that already carry o/c endpoint structs —
-    * shared by the published read and the fold. */
-  private def merge(parts: DataFrame, keyCol: String): DataFrame =
-    parts.groupBy(col(keyCol), col("bucket"))
+    * shared by the published read and the fold. Keeps the `pk`
+    * partition column when the store carries one (functionally
+    * dependent on the key — grouping by it never splits a bar). */
+  private def merge(parts: DataFrame, keyCol: String): DataFrame = {
+    val keys =
+      if (parts.columns.contains("pk")) Seq(keyCol, "bucket", "pk")
+      else Seq(keyCol, "bucket")
+    parts.groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"),
         min(col("o")).as("o"),
         max(col("high")).as("high"),
         min(col("low")).as("low"),
         max(col("c")).as("c"),
         sum(col("total")).cast("decimal(38,2)").as("total"))
+  }
 
-  /** Current published bars, ts02's output shape (values as DOUBLE
-    * per §4's decimal-sum convention). */
-  def publishedBars(spark: SparkSession, storePath: String,
-      keyCol: String): DataFrame =
-    merge(spark.read.parquet(storePath), keyCol)
+  private def barsOf(parts: DataFrame, keyCol: String): DataFrame =
+    merge(parts, keyCol)
       .select(col(keyCol), col("bucket"), col("n"),
         col("o.v").as("open"), col("high"), col("low"),
         col("c.v").as("close"),
         col("total").cast("double").as("total"))
 
+  /** Current published bars, ts02's output shape (values as DOUBLE
+    * per §4's decimal-sum convention). */
+  def publishedBars(spark: SparkSession, storePath: String,
+      keyCol: String): DataFrame =
+    barsOf(spark.read.parquet(storePath), keyCol)
+
+  /** Read the published table regardless of publish mode (drops the
+    * `pk` partition column incremental mode adds). */
+  def readPublished(spark: SparkSession, outPath: String): DataFrame = {
+    val df = spark.read.parquet(outPath)
+    if (df.columns.contains("pk")) df.drop("pk") else df
+  }
+
   /** Five-field bar merge on the shared [[StoreFold]] protocol. */
   def maybeCompactPartials(spark: SparkSession, storePath: String,
-      keyCol: String, maxParts: Int, keepBatchId: Long): Boolean =
+      keyCol: String, maxParts: Int, keepBatchId: Long,
+      partitionCols: Seq[String] = Seq("batch_id")): Boolean =
     StoreFold.foldPartials(spark, storePath, "bar", maxParts,
-      keepBatchId, merge(_, keyCol))
+      keepBatchId, merge(_, keyCol), partitionCols)
 
-  /** `eventStream` must carry (event_id, `keyCol`, ts_ns, value). */
-  /** `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
-    * cadence contract). The bar merge is key-local, so
-    * [[EwmaStream]]'s `incrementalPubParts` pattern also applies if
-    * per-key rewrite granularity is ever needed; cadence is the
-    * uniform dial. */
+  /** `eventStream` must carry (event_id, `keyCol`, ts_ns, value).
+    *
+    * `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
+    * cadence contract). `incrementalPubParts`: the bar merge is
+    * KEY-LOCAL, so [[EwmaStream]]'s touched-pk incremental publish
+    * applies verbatim — store and published table partitioned by
+    * `pk = pmod(hash(key), p)`, each publish re-merges only the pk
+    * partitions this batch's keys touch and dynamically overwrites
+    * just those published dirs (read through [[readPublished]]).
+    * The dials are MUTUALLY EXCLUSIVE (enforced): a skipped batch's
+    * touched pks would otherwise never be republished unless a later
+    * batch touched them again — and incremental publish is cheap
+    * per-batch by construction, which is the point of the dial. */
   def start(storePath: String, eventStream: DataFrame, keyCol: String,
       bucketNs: Long, outPath: String, checkpoint: String,
       maxStoreParts: Option[Int] = None,
-      publishEvery: Int = 1): StreamingQuery = {
+      publishEvery: Int = 1,
+      incrementalPubParts: Option[Int] = None): StreamingQuery = {
     require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
+    incrementalPubParts.foreach(p =>
+      require(p >= 1, s"need incrementalPubParts >= 1, got $p"))
+    require(publishEvery == 1 || incrementalPubParts.isEmpty,
+      "publishEvery and incrementalPubParts do not compose: a skipped " +
+        "batch's touched pk partitions would never be republished " +
+        "unless a later batch touched the same keys")
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        partials(batch, keyCol, bucketNs)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(storePath)
-        if (batchId % publishEvery == 0)
-          publishedBars(spark, storePath, keyCol)
-            .write.mode("overwrite").parquet(outPath)
-        maxStoreParts.foreach { n =>
-          maybeCompactPartials(spark, storePath, keyCol, n, batchId)
+        incrementalPubParts match {
+          case None =>
+            partials(batch, keyCol, bucketNs)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(storePath)
+            if (batchId % publishEvery == 0)
+              publishedBars(spark, storePath, keyCol)
+                .write.mode("overwrite").parquet(outPath)
+            maxStoreParts.foreach { n =>
+              maybeCompactPartials(spark, storePath, keyCol, n, batchId)
+            }
+          case Some(p) =>
+            val part = partials(batch, keyCol, bucketNs)
+              .withColumn("pk", pmod(hash(col(keyCol)), lit(p)))
+            part.withColumn("batch_id", lit(batchId))
+              .repartition(col("pk")) // ~one file per pk dir
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id", "pk")
+              .parquet(storePath)
+            // bounded collect: ≤ p distinct pk ints (the dial)
+            val touched = part.select("pk").distinct()
+              .collect().map(_.getInt(0))
+            if (touched.nonEmpty) {
+              val pruned = spark.read.parquet(storePath)
+                .filter(col("pk").isin(touched.map(Int.box): _*))
+              barsOf(pruned.drop("pk"), keyCol)
+                .withColumn("pk", pmod(hash(col(keyCol)), lit(p)))
+                .repartition(col("pk"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pk").parquet(outPath)
+            }
+            maxStoreParts.foreach { n =>
+              maybeCompactPartials(spark, storePath, keyCol, n, batchId,
+                Seq("batch_id", "pk"))
+            }
         }
         ()
       }

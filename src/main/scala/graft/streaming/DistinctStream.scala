@@ -35,50 +35,104 @@ object DistinctStream {
     batch.groupBy(col(keyCol))
       .agg(hll_sketch_agg(col(idCol), lit(12)).as("sk"))
 
+  private def estimatesOf(parts: DataFrame, keyCol: String): DataFrame =
+    parts.groupBy(col(keyCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("n_distinct_est"))
+
   /** Published estimates: one (key, n_distinct_est) row per key from
     * the unioned store sketches. */
   def estimates(spark: SparkSession, storePath: String,
       keyCol: String): DataFrame =
-    spark.read.parquet(storePath)
-      .groupBy(col(keyCol))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-        .as("n_distinct_est"))
+    estimatesOf(spark.read.parquet(storePath), keyCol)
+
+  /** Read the published table regardless of publish mode (drops the
+    * `pk` partition column incremental mode adds). */
+  def readPublished(spark: SparkSession, outPath: String): DataFrame = {
+    val df = spark.read.parquet(outPath)
+    if (df.columns.contains("pk")) df.drop("pk") else df
+  }
 
   /** HLL-union fold on the shared [[StoreFold]] protocol —
-    * register-wise max, estimates invariant. */
+    * register-wise max, estimates invariant. Keeps `pk` when the
+    * store carries one (functionally dependent on the key). */
   def maybeCompactPartials(spark: SparkSession, storePath: String,
-      keyCol: String, maxParts: Int, keepBatchId: Long): Boolean =
+      keyCol: String, maxParts: Int, keepBatchId: Long,
+      partitionCols: Seq[String] = Seq("batch_id")): Boolean =
     StoreFold.foldPartials(spark, storePath, "distinct", maxParts,
-      keepBatchId, closed => closed
-        .groupBy(col(keyCol))
-        .agg(hll_union_agg(col("sk"), lit(false)).as("sk")))
+      keepBatchId, closed => {
+        val keys =
+          if (closed.columns.contains("pk")) Seq(keyCol, "pk")
+          else Seq(keyCol)
+        closed.groupBy(keys.map(col): _*)
+          .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+      }, partitionCols)
 
   /** `eventStream` must carry `keyCol` and `idCol`. Estimates land at
-    * `outPath` (full overwrite — key-count rows); sketch partials
-    * accumulate at `storePath`, folded past `maxStoreParts`. */
-  /** `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
-    * cadence contract). The HLL union is key-local, so
-    * [[EwmaStream]]'s `incrementalPubParts` pattern also applies;
-    * cadence is the uniform dial. */
+    * `outPath` (key-count rows); sketch partials accumulate at
+    * `storePath`, folded past `maxStoreParts`.
+    *
+    * `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
+    * cadence contract). `incrementalPubParts`: the HLL union is
+    * KEY-LOCAL, so [[EwmaStream]]'s touched-pk incremental publish
+    * applies verbatim (read through [[readPublished]]). The dials are
+    * MUTUALLY EXCLUSIVE (enforced — [[BarStream]]'s rationale: a
+    * skipped batch's touched pks would never be republished). */
   def start(storePath: String, eventStream: DataFrame, keyCol: String,
       idCol: String, outPath: String, checkpoint: String,
       maxStoreParts: Option[Int] = None,
-      publishEvery: Int = 1): StreamingQuery = {
+      publishEvery: Int = 1,
+      incrementalPubParts: Option[Int] = None): StreamingQuery = {
     require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
+    incrementalPubParts.foreach(p =>
+      require(p >= 1, s"need incrementalPubParts >= 1, got $p"))
+    require(publishEvery == 1 || incrementalPubParts.isEmpty,
+      "publishEvery and incrementalPubParts do not compose: a skipped " +
+        "batch's touched pk partitions would never be republished " +
+        "unless a later batch touched the same keys")
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        batchSketches(batch, keyCol, idCol)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(storePath)
-        if (batchId % publishEvery == 0)
-          estimates(spark, storePath, keyCol)
-            .write.mode("overwrite").parquet(outPath)
-        maxStoreParts.foreach { n =>
-          maybeCompactPartials(spark, storePath, keyCol, n, batchId)
+        incrementalPubParts match {
+          case None =>
+            batchSketches(batch, keyCol, idCol)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(storePath)
+            if (batchId % publishEvery == 0)
+              estimates(spark, storePath, keyCol)
+                .write.mode("overwrite").parquet(outPath)
+            maxStoreParts.foreach { n =>
+              maybeCompactPartials(spark, storePath, keyCol, n, batchId)
+            }
+          case Some(p) =>
+            val part = batchSketches(batch, keyCol, idCol)
+              .withColumn("pk", pmod(hash(col(keyCol)), lit(p)))
+            part.withColumn("batch_id", lit(batchId))
+              .repartition(col("pk")) // ~one file per pk dir
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id", "pk")
+              .parquet(storePath)
+            // bounded collect: ≤ p distinct pk ints (the dial)
+            val touched = part.select("pk").distinct()
+              .collect().map(_.getInt(0))
+            if (touched.nonEmpty) {
+              val pruned = spark.read.parquet(storePath)
+                .filter(col("pk").isin(touched.map(Int.box): _*))
+              estimatesOf(pruned.drop("pk"), keyCol)
+                .withColumn("pk", pmod(hash(col(keyCol)), lit(p)))
+                .repartition(col("pk"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pk").parquet(outPath)
+            }
+            maxStoreParts.foreach { n =>
+              maybeCompactPartials(spark, storePath, keyCol, n, batchId,
+                Seq("batch_id", "pk"))
+            }
         }
         ()
       }

@@ -98,13 +98,24 @@ object EwmaStream {
     StoreFold.foldPartials(spark, storePath, "ewma", maxParts,
       keepBatchId, merge, partitionCols)
 
-  /** `eventStream` must carry (`keyCol`, ts_ns, value). */
+  /** `eventStream` must carry (`keyCol`, ts_ns, value).
+    *
+    * `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
+    * cadence contract), full-publish mode only — MUTUALLY EXCLUSIVE
+    * with `incrementalPubParts` (enforced; [[BarStream]]'s rationale:
+    * a skipped batch's touched pks would never be republished). */
   def start(storePath: String, eventStream: DataFrame, keyCol: String,
       bucketNs: Long, alphaDen: Long, outPath: String, checkpoint: String,
       maxStoreParts: Option[Int] = None,
-      incrementalPubParts: Option[Int] = None): StreamingQuery = {
+      incrementalPubParts: Option[Int] = None,
+      publishEvery: Int = 1): StreamingQuery = {
     incrementalPubParts.foreach(p =>
       require(p >= 1, s"need incrementalPubParts >= 1, got $p"))
+    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
+    require(publishEvery == 1 || incrementalPubParts.isEmpty,
+      "publishEvery and incrementalPubParts do not compose: a skipped " +
+        "batch's touched pk partitions would never be republished " +
+        "unless a later batch touched the same keys")
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -116,8 +127,9 @@ object EwmaStream {
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id")
               .parquet(storePath)
-            publishedEwma(spark, storePath, keyCol, alphaDen)
-              .write.mode("overwrite").parquet(outPath)
+            if (batchId % publishEvery == 0)
+              publishedEwma(spark, storePath, keyCol, alphaDen)
+                .write.mode("overwrite").parquet(outPath)
             maxStoreParts.foreach { n =>
               maybeCompactPartials(spark, storePath, n, batchId)
             }

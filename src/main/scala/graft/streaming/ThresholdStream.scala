@@ -84,9 +84,15 @@ object ThresholdStream {
   def start(storePath: String, scoredStream: DataFrame, group: String,
       score: String, p: Double, outPath: String, checkpoint: String,
       maxStoreParts: Option[Int] = None,
-      incrementalPubParts: Option[Int] = None): StreamingQuery = {
+      incrementalPubParts: Option[Int] = None,
+      publishEvery: Int = 1): StreamingQuery = {
     incrementalPubParts.foreach(n =>
       require(n >= 1, s"need incrementalPubParts >= 1, got $n"))
+    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
+    require(publishEvery == 1 || incrementalPubParts.isEmpty,
+      "publishEvery and incrementalPubParts do not compose: a skipped " +
+        "batch's touched pk partitions would never be republished " +
+        "unless a later batch touched the same keys")
     scoredStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -98,8 +104,9 @@ object ThresholdStream {
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id")
               .parquet(storePath)
-            publishedThresholds(spark, storePath, group, score, p)
-              .write.mode("overwrite").parquet(outPath)
+            if (batchId % publishEvery == 0)
+              publishedThresholds(spark, storePath, group, score, p)
+                .write.mode("overwrite").parquet(outPath)
             maxStoreParts.foreach { n =>
               maybeCompactPartials(spark, storePath, group, score, n,
                 batchId)

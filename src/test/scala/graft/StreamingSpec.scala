@@ -1144,6 +1144,128 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.size <= 3, s"store partitions unbounded: $parts")
   }
 
+  test("incremental bar publish equals batch ts02 at every publish point; untouched pk partitions are not rewritten") {
+    import spark.implicits._
+    val p = 16
+    val ka = "a"
+    val kb = Seq("b", "c", "d", "e").find(k => pkOf(k, p) != pkOf(ka, p)).get
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, String, Long, Double)]): Unit = {
+      val stage = Files.createTempDirectory("graft-ibarstage")
+      rows.toDF("event_id", "event_type", "ts_ns", "value").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-ibar-src")
+    val store = Files.createTempDirectory("graft-ibar-store").toString + "/bars"
+    val out = Files.createTempDirectory("graft-ibar-out").toString
+    val ckpt = Files.createTempDirectory("graft-ibar-ckpt").toString
+    val b1 = Seq((1L, ka, 5L, 10.0), (2L, ka, 15L, 30.0))
+    val b2 = Seq((3L, ka, 17L, 20.0), (4L, kb, 25L, 5.5))
+    val b3 = Seq((5L, ka, 12L, 40.0)) // late: retro-opens ka's bucket 1
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("event_id LONG, event_type STRING, ts_ns LONG, value DOUBLE")
+      .parquet(src.toString)
+    val q = graft.streaming.BarStream.start(store, stream,
+      "event_type", bucketNs = 10L, out, ckpt, maxStoreParts = Some(2),
+      incrementalPubParts = Some(p))
+    def published() = graft.streaming.BarStream.readPublished(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    def batchTruth(rows: Seq[(Long, String, Long, Double)]) =
+      graft.operators.Timeseries.ohlcBars(
+        rows.toDF("event_id", "event_type", "ts_ns", "value"), 10L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6), r.getDouble(7)))).toMap
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTruth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2))
+      val beforeFiles = pkFiles(out)
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+      val (n, open, _, _, close, _) = published()((ka, 1L))
+      assert(n === 3L && open === 40.0 && close === 20.0)
+      val afterFiles = pkFiles(out)
+      val kbDir = s"pk=${pkOf(kb, p)}"
+      assert(afterFiles(kbDir) === beforeFiles(kbDir),
+        s"untouched $kbDir was rewritten")
+      assert(afterFiles(s"pk=${pkOf(ka, p)}") !==
+        beforeFiles(s"pk=${pkOf(ka, p)}"), "touched pk must rewrite")
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+  }
+
+  test("incremental distinct publish equals the full-store estimates at every publish point; untouched pk partitions are not rewritten") {
+    import spark.implicits._
+    val p = 16
+    val ka = "a"
+    val kb = Seq("b", "c", "d", "e").find(k => pkOf(k, p) != pkOf(ka, p)).get
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(String, Long)]): Unit = {
+      val stage = Files.createTempDirectory("graft-idstage")
+      rows.toDF("event_type", "user_id").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-id-src")
+    val store = Files.createTempDirectory("graft-id-store").toString + "/sk"
+    val out = Files.createTempDirectory("graft-id-out").toString
+    val ckpt = Files.createTempDirectory("graft-id-ckpt").toString
+    val b1 = (1L to 40L).map((ka, _)) ++ (1L to 10L).map((kb, _))
+    val b2 = (21L to 60L).map((ka, _)) ++ (11L to 15L).map((kb, _))
+    val b3 = (1L to 5L).map((ka, _)) // replay-overlap, touches ONLY ka
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("event_type STRING, user_id LONG").parquet(src.toString)
+    val q = graft.streaming.DistinctStream.start(store, stream,
+      "event_type", "user_id", out, ckpt, maxStoreParts = Some(2),
+      incrementalPubParts = Some(p))
+    def published() = graft.streaming.DistinctStream
+      .readPublished(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def fullTruth() = graft.streaming.DistinctStream
+      .estimates(spark, store, "event_type")
+      .drop("pk")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def within5(got: Map[String, Long], exact: Map[String, Long]) =
+      exact.forall { case (k, n) =>
+        math.abs(got(k) - n) <= math.max(1L, (n * 0.05).toLong) }
+    try {
+      q.processAllAvailable()
+      assert(published() === fullTruth())
+      assert(within5(published(), Map(ka -> 40L, kb -> 10L)))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === fullTruth())
+      assert(within5(published(), Map(ka -> 60L, kb -> 15L)))
+      val beforeFiles = pkFiles(out)
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      // pure-overlap batch: estimates unchanged (idempotent union),
+      // still equal to the full-store recompute
+      assert(published() === fullTruth())
+      assert(within5(published(), Map(ka -> 60L, kb -> 15L)))
+      val afterFiles = pkFiles(out)
+      val kbDir = s"pk=${pkOf(kb, p)}"
+      assert(afterFiles(kbDir) === beforeFiles(kbDir),
+        s"untouched $kbDir was rewritten")
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+  }
+
   test("drift publish cadence: off-cadence batch keeps the previous publish point, on-cadence equals batch dq06 over everything") {
     import spark.implicits._
     def addFile(src: java.nio.file.Path, name: String,
