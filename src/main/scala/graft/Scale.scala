@@ -429,6 +429,7 @@ object Scale {
       val landP = s"$work/ewmaP_land"
       val nKeys = 480
       val slice = nKeys / nb // keys per batch, disjoint across batches
+      val pubMaxParts = 4 // fold cadence, shared with the foldIds sim
       val evk = ev.select(
         pmod(col("user_id"), lit(nKeys.toLong)).as("uid_key"),
         col("ts_ns"),
@@ -445,7 +446,7 @@ object Scale {
         val q = graft.streaming.EwmaStream.start(s"$work/ewmaP_store_$tag",
           src, "uid_key", bucketNs = 3600L * 1000000000L, alphaDen = 10L,
           s"$work/ewmaP_out_$tag", s"$work/ewmaP_ckpt_$tag",
-          maxStoreParts = Some(4), incrementalPubParts = inc)
+          maxStoreParts = Some(pubMaxParts), incrementalPubParts = inc)
         try q.processAllAvailable() finally q.stop()
         q.recentProgress.toSeq.filter(_.numInputRows > 0)
           .map(p => p.batchId -> Option(p.durationMs.get("triggerExecution"))
@@ -475,7 +476,7 @@ object Scale {
         var parts = 0
         (0 until nb).flatMap { i =>
           parts += 1
-          if (parts > 4) { parts = 2; Some(i.toLong) } else None
+          if (parts > pubMaxParts) { parts = 2; Some(i.toLong) } else None
         }.toSet
       }
       def split(xs: Seq[(Long, Double)]) =
