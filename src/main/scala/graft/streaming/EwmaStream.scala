@@ -47,7 +47,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (incremental) or store-sized (full) re-merge + fold; events never
   * cross a batch boundary twice — only (key, bucket, total) partials
   * do. The per-batch `touched` collect is ≤ p ints (KB, bounded by
-  * the dial, never data-sized).
+  * the dial, never data-sized). Note the fold trade under the dial:
+  * on the pk layout each fold rewrites the base into up to p
+  * directories (Scale measures it as the dominant per-fold cost
+  * locally), while each publish only LISTS the partials it prunes —
+  * so a LARGER `maxStoreParts` than the full-publish default is
+  * usually right in incremental mode (fewer expensive folds, slightly
+  * longer listings).
   */
 object EwmaStream {
 
