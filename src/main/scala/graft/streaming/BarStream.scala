@@ -81,10 +81,8 @@ object BarStream {
 
   /** Read the published table regardless of publish mode (drops the
     * `pk` partition column incremental mode adds). */
-  def readPublished(spark: SparkSession, outPath: String): DataFrame = {
-    val df = spark.read.parquet(outPath)
-    if (df.columns.contains("pk")) df.drop("pk") else df
-  }
+  def readPublished(spark: SparkSession, outPath: String): DataFrame =
+    StoreFold.readPublished(spark, outPath)
 
   /** Five-field bar merge on the shared [[StoreFold]] protocol. */
   def maybeCompactPartials(spark: SparkSession, storePath: String,

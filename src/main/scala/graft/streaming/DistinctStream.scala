@@ -48,10 +48,8 @@ object DistinctStream {
 
   /** Read the published table regardless of publish mode (drops the
     * `pk` partition column incremental mode adds). */
-  def readPublished(spark: SparkSession, outPath: String): DataFrame = {
-    val df = spark.read.parquet(outPath)
-    if (df.columns.contains("pk")) df.drop("pk") else df
-  }
+  def readPublished(spark: SparkSession, outPath: String): DataFrame =
+    StoreFold.readPublished(spark, outPath)
 
   /** HLL-union fold on the shared [[StoreFold]] protocol —
     * register-wise max, estimates invariant. Keeps `pk` when the

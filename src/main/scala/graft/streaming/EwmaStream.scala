@@ -92,10 +92,8 @@ object EwmaStream {
 
   /** Read the published table regardless of publish mode (drops the
     * `pk` partition column incremental mode adds). */
-  def readPublished(spark: SparkSession, outPath: String): DataFrame = {
-    val df = spark.read.parquet(outPath)
-    if (df.columns.contains("pk")) df.drop("pk") else df
-  }
+  def readPublished(spark: SparkSession, outPath: String): DataFrame =
+    StoreFold.readPublished(spark, outPath)
 
   /** Bucket-total merge on the shared [[StoreFold]] protocol. */
   def maybeCompactPartials(spark: SparkSession, storePath: String,

@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   * partial before the partitioned write.
   */
 object StoreFold {
+  /** Read a published table regardless of publish mode: incremental
+    * publish adds a `pk` key-hash partition column (rewrite
+    * granularity, not content) — drop it so readers see the same
+    * shape either way. Shared by every twin with the
+    * `incrementalPubParts` dial. */
+  def readPublished(spark: SparkSession, outPath: String): DataFrame = {
+    val df = spark.read.parquet(outPath)
+    if (df.columns.contains("pk")) df.drop("pk") else df
+  }
+
   /** `partitionCols` must start with `batch_id`; twins whose store
     * carries a secondary partition column (the incremental-publish
     * `pk` key-hash bucket) pass it here so the folded rewrite keeps

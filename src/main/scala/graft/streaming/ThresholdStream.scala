@@ -62,10 +62,8 @@ object ThresholdStream {
 
   /** Read the published table regardless of publish mode (drops the
     * `pk` partition column incremental mode adds). */
-  def readPublished(spark: SparkSession, outPath: String): DataFrame = {
-    val df = spark.read.parquet(outPath)
-    if (df.columns.contains("pk")) df.drop("pk") else df
-  }
+  def readPublished(spark: SparkSession, outPath: String): DataFrame =
+    StoreFold.readPublished(spark, outPath)
 
   /** Histogram-sum fold on the shared [[StoreFold]] protocol. */
   def maybeCompactPartials(spark: SparkSession, storePath: String,
