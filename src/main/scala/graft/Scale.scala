@@ -505,11 +505,13 @@ object Scale {
         f"final publish re-folded $touchedRows%,d of $totRows%,d " +
         f"accumulated rows, and that share SHRINKS as history grows " +
         f"while full's input IS the history); " +
-        f"FOLD batches (every 3rd; whole-store by protocol, amortized by " +
-        f"the maxParts cadence) full ${leg(fullFold, false)}%.2f" +
+        f"FOLD batches (every 3rd; amortized by the maxParts cadence) " +
+        f"full ${leg(fullFold, false)}%.2f" +
         f"->${leg(fullFold, true)}%.2f s, incr ${leg(incrFold, false)}%.2f" +
-        f"->${leg(incrFold, true)}%.2f s — the incr fold pays the " +
-        f"~256-dir base rewrite, the price of pruning granularity; " +
+        f"->${leg(incrFold, true)}%.2f s — on the pk layout the fold " +
+        f"MERGES only touched pk dirs and parallel byte-copies the " +
+        f"rest into the swap target (same crash-safe whole-dir swap; " +
+        f"untouched data never re-encodes); " +
         f"published content identical ($nFull rows, ewma_cents checksum equal)")
     }
 

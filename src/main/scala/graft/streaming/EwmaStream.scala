@@ -47,13 +47,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (incremental) or store-sized (full) re-merge + fold; events never
   * cross a batch boundary twice — only (key, bucket, total) partials
   * do. The per-batch `touched` collect is ≤ p ints (KB, bounded by
-  * the dial, never data-sized). Note the fold trade under the dial:
-  * on the pk layout each fold rewrites the base into up to p
-  * directories (Scale measures it as the dominant per-fold cost
-  * locally), while each publish only LISTS the partials it prunes —
-  * so a LARGER `maxStoreParts` than the full-publish default is
-  * usually right in incremental mode (fewer expensive folds, slightly
-  * longer listings).
+  * the dial, never data-sized). The fold under the dial is ITSELF
+  * incremental ([[StoreFold]]'s pk-store path): it re-merges only
+  * the touched pk dirs and parallel byte-copies the rest into the
+  * swap target, so untouched history never re-encodes; the residual
+  * per-fold constant (pruned-read listing + up-to-p copies) is
+  * amortized by `maxStoreParts` — a LARGER value than the
+  * full-publish default is usually right in incremental mode.
   */
 object EwmaStream {
 

@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   *
   * `merge` receives the closed partials (with their `batch_id`
   * column) and returns the folded frame WITHOUT `batch_id`; the
-  * protocol stamps `-1` and column-aligns against the in-flight
-  * partial before the partitioned write.
+  * protocol stamps `-1` and column-aligns before the partitioned
+  * write.
+  *
+  * Secondary-partitioned stores (batch_id × pk, the
+  * incremental-publish layout) get an INCREMENTAL fold: only the pk
+  * dirs the closed partials touch are re-merged; every untouched
+  * base pk dir and the in-flight partial are parallel byte-copied
+  * into the swap target, so untouched history never
+  * decodes/shuffles/re-encodes. Crash-safety is identical — tmp is
+  * still built in full and lands via the same whole-dir rename swap.
   */
 object StoreFold {
   /** Read a published table regardless of publish mode: incremental
@@ -72,20 +80,67 @@ object StoreFold {
     if (parts.length <= maxParts) return false
     val all = spark.read.parquet(storePath)
       .withColumn("batch_id", col("batch_id").cast("long"))
-    val folded = merge(all.filter(col("batch_id") =!= keepBatchId))
-      .withColumn("batch_id", lit(-1L))
-    val current = all.filter(col("batch_id") === keepBatchId)
-    val rewrite = folded.select(current.columns.map(col): _*)
-      .unionByName(current)
-    // secondary-partitioned stores (batch_id × pk) would otherwise
-    // land up to one file per (shuffle task × pk dir) — thousands of
-    // tiny files whose LISTING cost then grows every later publish/
-    // fold pass. Task-align with the layout (equal partition values
-    // colocate under hash repartition) → ~one file per directory.
-    val aligned =
-      if (partitionCols.size > 1) rewrite.repartition(partitionCols.map(col): _*)
-      else rewrite
-    aligned.write.partitionBy(partitionCols: _*).parquet(tmp.toString)
+    if (partitionCols.size > 1) {
+      // --- INCREMENTAL fold for secondary-partitioned (batch_id × pk)
+      // stores: only the pk dirs the closed non-base partials touch
+      // can change the base, so merge JUST those (partition-pruned
+      // read, small shuffle, ≤ touched-many dirs written) and
+      // BYTE-COPY everything else — untouched base pk dirs and the
+      // in-flight partial — into the swap target. No decode/shuffle/
+      // encode for untouched data; crash-safety is unchanged because
+      // tmp is still built in full and lands via the same whole-dir
+      // rename swap (a crash mid-copy discards tmp like any other
+      // half-built tmp). Writes task-align with the layout
+      // (repartition on the partition cols → ~one file per dir).
+      import org.apache.hadoop.fs.FileUtil
+      val pkCol = partitionCols(1)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val keepName = s"batch_id=$keepBatchId"
+      val touchedNames: Set[String] = parts.toSeq
+        .filter(p => p != keepName && p != "batch_id=-1")
+        .flatMap(p => fs.listStatus(new Path(dir, p))
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.startsWith(s"$pkCol=")))
+        .toSet
+      // dir-name values compare against the CAST partition column, so
+      // the prune is type-agnostic (int pk dirs read back as ints)
+      val touchedVals = touchedNames.toSeq.map(_.stripPrefix(s"$pkCol="))
+      val folded = merge(all.filter(col("batch_id") =!= keepBatchId &&
+          col(pkCol).cast("string").isin(touchedVals: _*)))
+        .withColumn("batch_id", lit(-1L))
+      folded.select(all.columns.map(col): _*)
+        .repartition(partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*).parquet(tmp.toString)
+      val baseDir = new Path(dir, "batch_id=-1")
+      val baseCopies: Seq[(Path, Path)] =
+        if (!fs.exists(baseDir)) Seq.empty
+        else fs.listStatus(baseDir).filter(_.isDirectory).map(_.getPath)
+          .filter(p => p.getName.startsWith(s"$pkCol=") &&
+            !touchedNames(p.getName))
+          .map(p => p -> new Path(tmp, s"batch_id=-1/${p.getName}")).toSeq
+      val keepDir = new Path(dir, keepName)
+      val copies: Seq[(Path, Path)] = baseCopies ++
+        (if (fs.exists(keepDir)) Seq(keepDir -> new Path(tmp, keepName))
+         else Seq.empty)
+      // parallel: up to p small dirs to copy — a serial driver loop at
+      // ~15 ms/file (local-FS checksum round-trips) would cost more
+      // than the rewrite it replaces. Hadoop FileSystem is thread-safe;
+      // parallelStream propagates the first failure as an exception,
+      // which discards tmp like any other half-built fold.
+      import scala.jdk.CollectionConverters._
+      copies.asJava.parallelStream().forEach { t =>
+        require(FileUtil.copy(fs, t._1, fs, t._2, false, conf),
+          s"$label fold: copy ${t._1} -> ${t._2} failed")
+      }
+    } else {
+      // --- classic whole-store rewrite for batch_id-only stores
+      val folded = merge(all.filter(col("batch_id") =!= keepBatchId))
+        .withColumn("batch_id", lit(-1L))
+      val current = all.filter(col("batch_id") === keepBatchId)
+      folded.select(current.columns.map(col): _*)
+        .unionByName(current)
+        .write.partitionBy(partitionCols: _*).parquet(tmp.toString)
+    }
     require(fs.rename(dir, old), s"$label fold: rename $storePath -> $old failed")
     if (!fs.rename(tmp, dir)) {
       fs.rename(old, dir)

@@ -48,6 +48,49 @@ class StoreFoldSpec extends AnyFunSuite {
     assert(totals(path) === Map(1L -> 15L, 2L -> 20L))
   }
 
+  test("pk-store fold merges only touched pk dirs and byte-copies the rest (content equals a full re-merge)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-pkfold")
+      .toString + "/store"
+    // base (batch_id=-1) holds pks 0,1,2; closed partial batch 0
+    // touches ONLY pk=1; batch 1 is in-flight
+    Seq((1L, 10L, -1L, 0), (2L, 20L, -1L, 1), (3L, 30L, -1L, 2),
+        (2L, 5L, 0L, 1),
+        (3L, 7L, 1L, 2))
+      .toDF("k", "v", "batch_id", "pk")
+      .repartition(col("pk"))
+      .write.partitionBy("batch_id", "pk").parquet(path)
+    def merge(df: org.apache.spark.sql.DataFrame) = {
+      val keys = if (df.columns.contains("pk")) Seq("k", "pk") else Seq("k")
+      df.groupBy(keys.map(col): _*).agg(sum(col("v")).cast("long").as("v"))
+    }
+    def files(sub: String): Set[String] =
+      Option(new java.io.File(s"$path/$sub").listFiles())
+        .map(_.map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .getOrElse(Set.empty)
+    val untouched0 = files("batch_id=-1/pk=0")
+    val untouched2 = files("batch_id=-1/pk=2")
+    val keepFiles = files("batch_id=1/pk=2")
+    assert(untouched0.nonEmpty && untouched2.nonEmpty && keepFiles.nonEmpty)
+    assert(StoreFold.foldPartials(spark, path, "t", maxParts = 2,
+      keepBatchId = 1L, merge, Seq("batch_id", "pk")))
+    // content = full re-merge semantics: base absorbs batch 0's pk=1
+    // rows, in-flight batch 1 untouched
+    val got = spark.read.parquet(path)
+      .select(col("k"), col("v"), col("batch_id").cast("long"), col("pk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got === Set((1L, 10L, -1L, 0), (2L, 25L, -1L, 1),
+      (3L, 30L, -1L, 2), (3L, 7L, 1L, 2)))
+    // untouched base pk dirs and the in-flight partial were COPIED,
+    // not rewritten: identical file names (a rewrite mints new uuids)
+    assert(files("batch_id=-1/pk=0") === untouched0)
+    assert(files("batch_id=-1/pk=2") === untouched2)
+    assert(files("batch_id=1/pk=2") === keepFiles)
+    // the touched pk dir WAS rewritten
+    assert(files("batch_id=-1/pk=1").nonEmpty)
+  }
+
   test("crash between the two renames auto-recovers (dir restored from _fold_old)") {
     val path = freshStore()
     val before = totals(path)
