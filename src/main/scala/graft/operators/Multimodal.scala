@@ -316,6 +316,41 @@ object AviParse {
     (sr, sg, sb)
   }
 
+  /** 64-bit dHash of frame `f` — [[Multimodal.imageDHash]]'s 9×8
+    * difference hash sampled from the TRUE DIB raster through the
+    * idx1 offset (bottom-up rows: image row gy reads storage row
+    * h−1−gy; gray = B+G+R byte sum, the same integer the PNG kernel
+    * derives from the packed RGB). The per-frame unit of the
+    * per-VIDEO near-dup signature (m12).
+    */
+  def frameDHash(p: Array[Byte], m: AviMeta, f: Int): (Long, Long) = {
+    require(f >= 0 && f < m.nFrames, s"frame $f out of ${m.nFrames}")
+    val off = m.moviPos + u32(p, m.idxPos + 16 * f + 8).toInt
+    require(str(p, off, 4) == "00db", s"idx1 entry $f points at ${str(p, off, 4)}")
+    val stride = ((m.width * 3 + 3) / 4) * 4
+    require(u32(p, off + 4) == stride.toLong * m.height, s"frame $f size mismatch")
+    val base = off + 8
+    def gray(gx: Int, gy: Int): Int = {
+      val at = base + (m.height - 1 - gy) * stride + 3 * gx
+      (p(at) & 0xff) + (p(at + 1) & 0xff) + (p(at + 2) & 0xff)
+    }
+    var hi = 0L; var lo = 0L
+    var y = 0
+    while (y < 8) {
+      val gy = y * m.height / 8
+      var x = 0
+      while (x < 8) {
+        if (gray((x + 1) * m.width / 9, gy) > gray(x * m.width / 9, gy)) {
+          val k = y * 8 + x
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
   /** Per-channel sum of absolute differences between frames `f1` and
     * `f2` — both rasters walked in lockstep through their idx1
     * offsets (same stride/padding rules as [[frameChannelSums]]); the
@@ -836,8 +871,217 @@ object Multimodal {
           AS BIGINT) AS hamming
       FROM hs a JOIN hs b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+      ORDER BY id_a, id_b""")),
+
+    // ---- audio perceptual fingerprint: Haitsma–Kalker's bit rule
+    //      (sign of the TIME-DELTA of adjacent-BAND energy
+    //      differences) over a 17-frame × 5-band abs-energy grid of
+    //      the decoded PCM — 16×4 = 64 bits packed m08-style. The
+    //      oracle replays WavGen's per-index sample formula through
+    //      the full grid, so a hash match proves the kernel decoded
+    //      every true sample, not just the header ----
+    ("m10_audio_fingerprint", (s: SparkSession, d: String) =>
+      audioFingerprint(s, d).orderBy("doc_id"), Some(AudioFpSql + """
+      SELECT doc_id, hash_hi, hash_lo FROM hs ORDER BY doc_id""")),
+
+    // ---- audio near-dup: pairs of decoded audio docs within hamming
+    //      2 on the 64-bit fingerprint — the audio face of m09
+    //      (re-encoded/phase-shifted copies byte dedup can't catch).
+    //      Same 8×8-bit chunk blocking (complete ≤ 7 by pigeonhole);
+    //      the oracle is the EXHAUSTIVE all-pairs truth, so a hash
+    //      match also certifies candidate recall 1.0 ----
+    ("m11_audio_neardup", (s: SparkSession, d: String) =>
+      audioNearDup(s, d, 2).orderBy("id_a", "id_b"), Some(AudioFpSql + """
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+           + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
+      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 2
+      ORDER BY id_a, id_b""")),
+
+    // ---- video-level near-dup: per-VIDEO signature = the SET of its
+    //      frames' 64-bit dHashes (m05's true frame walk through the
+    //      idx1 offsets), banded d02-style with the frame hash itself
+    //      as the band key — re-encoded copies keep every frame hash,
+    //      trimmed copies keep the surviving frames', so copies pair
+    //      through an equi join without any all-pairs stage. `shared`
+    //      counts distinct common frame hashes (≥ 3 here); the oracle
+    //      replays AviGen's per-frame pixel formula through the full
+    //      dHash grid and joins EXHAUSTIVELY, so a hash match proves
+    //      true-raster reads AND candidate recall 1.0 ----
+    ("m12_video_neardup", (s: SparkSession, d: String) =>
+      videoNearDup(s, d, 3).orderBy("id_a", "id_b"), Some("""
+      WITH v AS (SELECT doc_id, 8 + (doc_id * 13) % 24 AS w,
+                   8 + (doc_id * 7) % 16 AS h, 2 + doc_id % 10 AS nf
+                 FROM documents WHERE doc_id % 3 = 2),
+      f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS fi FROM v),
+      g AS (SELECT doc_id, w, h, fi, unnest(generate_series(0, 63)) AS k FROM f),
+      c AS (SELECT doc_id, fi, k, (k % 8) AS x, (k // 8) AS y, w, h FROM g),
+      pix AS (SELECT doc_id, fi, k,
+        ((((x * w) // 9) * 31 + ((y * h) // 8) * 7 + fi * 11
+          + (doc_id % 251) * 13) & 16777215) AS v0,
+        (((((x + 1) * w) // 9) * 31 + ((y * h) // 8) * 7 + fi * 11
+          + (doc_id % 251) * 13) & 16777215) AS v1
+        FROM c),
+      bits AS (SELECT doc_id, fi, k,
+        CASE WHEN (((v1 >> 16) & 255) + ((v1 >> 8) & 255) + (v1 & 255)) >
+                  (((v0 >> 16) & 255) + ((v0 >> 8) & 255) + (v0 & 255))
+             THEN 1 ELSE 0 END AS b FROM pix),
+      fh AS (SELECT doc_id, fi,
+        CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                      ELSE 0 END) AS BIGINT) AS hi,
+        CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
+                      ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id, fi),
+      sig AS (SELECT DISTINCT doc_id, hi, lo FROM fh)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(count(*) AS BIGINT) AS shared
+      FROM sig a JOIN sig b
+        ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
       ORDER BY id_a, id_b"""))
   )
+
+  /** Shared fingerprint CTE of the m10/m11 oracles: WavGen's sample
+    * formula → 17×5 abs-energy grid → Haitsma–Kalker bits → packed
+    * 64-bit halves. */
+  // def, not val: `entries` above references it during object init,
+  // before a later-declared val would be assigned
+  private def AudioFpSql: String = """
+      WITH aud AS (
+        SELECT doc_id, (1 + doc_id % 2) * (200 + doc_id % 300) AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      sm AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM aud),
+      e AS (
+        SELECT doc_id, (i * 17) // n AS t, i % 5 AS bd,
+          sum(abs(((i * 31 + doc_id * 7) % 65536) - 32768)) AS en
+        FROM sm GROUP BY 1, 2, 3),
+      d AS (
+        SELECT a.doc_id, a.t, a.bd, a.en - c.en AS dv
+        FROM e a JOIN e c ON a.doc_id = c.doc_id AND a.t = c.t
+          AND c.bd = a.bd + 1
+        WHERE a.bd < 4),
+      bits AS (
+        SELECT a.doc_id, (a.t - 1) * 4 + a.bd AS k,
+          CASE WHEN a.dv - p.dv > 0 THEN 1 ELSE 0 END AS b
+        FROM d a JOIN d p ON a.doc_id = p.doc_id AND p.t = a.t - 1
+          AND p.bd = a.bd
+        WHERE a.t >= 1),
+      hs AS (SELECT doc_id,
+          CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                        ELSE 0 END) AS BIGINT) AS hash_hi,
+          CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
+                        ELSE 0 END) AS BIGINT) AS hash_lo
+        FROM bits GROUP BY doc_id)"""
+
+  /** Haitsma–Kalker-style perceptual audio fingerprint over the
+    * decoded PCM — the audio analogue of [[imageDHash]], closing the
+    * near-dup triangle's audio corner: a re-encoded or slightly
+    * edited copy keeps its energy envelope, so its fingerprint stays
+    * within a small hamming distance while byte-level dedup sees a
+    * different file.
+    *
+    * Grid: 17 equal time frames (frame of sample i = integer
+    * `i·17 div N`) × 5 polyphase bands
+    * (b = i mod 5 — decimation phases standing in for the classic
+    * 33-band filterbank; the synthetic corpus is single-tone sawtooth
+    * audio, so a real FFT bank would collapse anyway, and integer
+    * abs-energies keep JVM↔oracle parity exact where float spectra
+    * could not). E(t,b) = Σ|sample|. Bit rule is Haitsma–Kalker's
+    * ORIGINAL: bit(t,b) = (E(t,b)−E(t,b+1)) − (E(t−1,b)−E(t−1,b+1))
+    * > 0 — the sign of the time delta of adjacent-band energy
+    * differences — over t = 1…16, b = 0…3 → 64 bits packed as two
+    * sign-safe halves (m08's convention). Same one-decode-per-row
+    * partition-local seam as [[audioStats]]; zero shuffles.
+    */
+  def audioFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaFrames(s, d)
+      .filter(_.media_type == "audio")
+      .mapPartitions(_.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        require(n > 0, s"empty PCM for doc ${m.doc_id}")
+        val e = Array.ofDim[Long](17, 5)
+        var i = 0
+        while (i < n) {
+          val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+          e((i.toLong * 17 / n).toInt)(i % 5) += math.abs(v)
+          i += 1
+        }
+        var hi = 0L; var lo = 0L
+        var t = 1
+        while (t <= 16) {
+          var b = 0
+          while (b < 4) {
+            if ((e(t)(b) - e(t)(b + 1)) - (e(t - 1)(b) - e(t - 1)(b + 1)) > 0) {
+              val k = (t - 1) * 4 + b
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            b += 1
+          }
+          t += 1
+        }
+        (m.doc_id, hi, lo)
+      })
+      .toDF("doc_id", "hash_hi", "hash_lo")
+  }
+
+  /** Perceptual near-dup pairs over the audio fingerprints — m09's
+    * chunk-blocked hamming join ([[hammingPairs]]) on
+    * [[audioFingerprint]]. SCALE: identical shape to m09 — decode is
+    * partition-local, blocking one (chunk-index, value) equi join,
+    * per-bucket work bounded by 8-bit-chunk collisions. */
+  def audioNearDup(s: SparkSession, d: String, maxHamming: Int): DataFrame =
+    hammingPairs(audioFingerprint(s, d), maxHamming)
+
+  /** Per-frame 64-bit dHashes of every video — m05's true frame walk
+    * (idx1-offset raster reads) feeding [[AviParse.frameDHash]]; the
+    * per-video ordered signature the video near-dup banding consumes.
+    */
+  def videoFrameHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaFrames(s, d)
+      .filter(_.media_type == "video")
+      .mapPartitions(_.flatMap { m =>
+        val meta = AviParse.meta(m.payload)
+        (0 until meta.nFrames).iterator.map { f =>
+          val (hi, lo) = AviParse.frameDHash(m.payload, meta, f)
+          (m.doc_id, f.toLong, hi, lo)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "hash_hi", "hash_lo")
+  }
+
+  /** Video-level near-dup pairs: videos sharing ≥ `minShared`
+    * DISTINCT frame dHashes. The signature is d02's band idea applied
+    * to the frame axis — each frame's 64-bit dHash IS a band key, so
+    * candidates come from ONE equi join on (hash_hi, hash_lo) and the
+    * overlap count falls out of the same join (the verify is the
+    * aggregation itself, no second pass). Re-encoded copies keep
+    * every frame hash; trimmed copies keep the surviving frames' —
+    * both pair as long as `minShared` frames survive.
+    *
+    * SCALE: per-bucket pair work is bounded by how many videos share
+    * one exact 64-bit frame hash — never all-pairs; the groupBy is
+    * partial-aggregable. The m12 oracle joins exhaustively, so a
+    * green row also certifies candidate recall 1.0.
+    */
+  def videoNearDup(s: SparkSession, d: String, minShared: Int): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    val sig = videoFrameHashes(s, d)
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo")).distinct()
+    sig.select(col("doc_id").as("id_a"), col("hash_hi"), col("hash_lo"))
+      .join(sig.select(col("doc_id").as("id_b"), col("hash_hi"),
+        col("hash_lo")), Seq("hash_hi", "hash_lo"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 
   /** Perceptual near-dup pairs over the decoded images' dHashes:
     * exact hamming ≤ `maxHamming` with single-chunk Manku blocking —
@@ -853,11 +1097,22 @@ object Multimodal {
     * one index, never all-pairs. The oracle IS all-pairs (gate-corpus
     * truth), so a green row also certifies recall 1.0.
     */
-  def imageNearDup(s: SparkSession, d: String, maxHamming: Int): DataFrame = {
+  def imageNearDup(s: SparkSession, d: String, maxHamming: Int): DataFrame =
+    hammingPairs(imageDHash(s, d), maxHamming)
+
+  /** Manku single-chunk blocking + exact hamming refine over any
+    * 64-bit perceptual-hash table (doc_id, hash_hi, hash_lo) — the
+    * shared near-dup back half of the multimodal triangle: images
+    * block their dHashes (m09), audio its Haitsma–Kalker fingerprint
+    * (m11) through the SAME plan. Complete for maxHamming ≤ 7 by
+    * pigeonhole: ≤ 7 flipped bits leave at least one of the eight
+    * 8-bit chunks intact, and one shared chunk is enough to become a
+    * candidate; verification is an exact bit_count(xor) filter.
+    */
+  private def hammingPairs(h: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"single-chunk blocking is complete only for maxHamming <= 7, " +
         s"got $maxHamming")
-    val h = imageDHash(s, d)
     val chunks = h.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
         explode(sequence(lit(0), lit(7))).as("j"))
       .withColumn("chunk", expr(

@@ -337,4 +337,84 @@ class PipelineSeamsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) == 1920L && r.getLong(3) == 1080L))
     assert(opens.value >= 1L)
   }
+
+  test("AviParse.frameDHash: every bit equals the generator-formula replay") {
+    import graft.operators.{AviGen, AviParse}
+    Seq(2L, 5L, 8L, 1234565L).foreach { id =>
+      val bytes = AviGen.avi(id)
+      val m = AviParse.meta(bytes)
+      val (w, h) = AviGen.dims(id)
+      (0 until m.nFrames).foreach { f =>
+        def gray(gx: Int, gy: Int): Int = {
+          val v = AviGen.pixel(id, f, gx, gy)
+          ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+        }
+        var (ehi, elo) = (0L, 0L)
+        for (y <- 0 until 8; x <- 0 until 8) {
+          if (gray((x + 1) * w / 9, y * h / 8) > gray(x * w / 9, y * h / 8)) {
+            val k = y * 8 + x
+            if (k < 32) elo |= 1L << k else ehi |= 1L << (k - 32)
+          }
+        }
+        assert(AviParse.frameDHash(bytes, m, f) === ((ehi, elo)),
+          s"frame $f dHash, doc $id")
+      }
+    }
+  }
+
+  test("audioFingerprint: Haitsma-Kalker bits equal the WavGen formula replay") {
+    import graft.operators.WavGen
+    // reference replay straight off the generator formula (never the
+    // kernel's own decode path): 17x5 abs-energy grid, HK bit rule
+    def expected(id: Long): (Long, Long) = {
+      val n = WavGen.frames(id) * WavGen.channels(id)
+      val e = Array.ofDim[Long](17, 5)
+      (0 until n).foreach { i =>
+        e((i.toLong * 17 / n).toInt)(i % 5) += math.abs(WavGen.sample(id, i).toLong)
+      }
+      var (hi, lo) = (0L, 0L)
+      for (t <- 1 to 16; b <- 0 until 4) {
+        if ((e(t)(b) - e(t)(b + 1)) - (e(t - 1)(b) - e(t - 1)(b + 1)) > 0) {
+          val k = (t - 1) * 4 + b
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+      }
+      (hi, lo)
+    }
+    val got = Multimodal.audioFingerprint(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, fp) =>
+      assert(fp === expected(id), s"fingerprint, doc $id")
+    }
+  }
+
+  test("m11/m12 near-dup: blocked pairs equal the exhaustive all-pairs truth") {
+    // audio: chunk-blocked hamming join vs naive all-pairs over the
+    // collected fingerprints (the recall-1.0 claim, test-corpus-sized)
+    val fps = Multimodal.audioFingerprint(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naiveAudio = (for {
+      (a, ahi, alo) <- fps; (b, bhi, blo) <- fps if a < b
+      hd = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if hd <= 2
+    } yield (a, b, hd.toLong)).toSet
+    val gotAudio = Multimodal.audioNearDup(spark, sf, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotAudio === naiveAudio)
+    // video: frame-hash-banded overlap join vs naive set intersection
+    val sigs = Multimodal.videoFrameHashes(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getLong(2), r.getLong(3))).toSet
+      }
+    val ids = sigs.keys.toSeq.sorted
+    val naiveVideo = (for {
+      a <- ids; b <- ids if a < b
+      sh = (sigs(a) & sigs(b)).size if sh >= 3
+    } yield (a, b, sh.toLong)).toSet
+    val gotVideo = Multimodal.videoNearDup(spark, sf, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotVideo === naiveVideo)
+  }
 }
