@@ -2297,11 +2297,17 @@ object Relational {
     //      pattern is the deterministic ELECTION graft already uses
     //      internally (er03/d18): `max(struct(order cols, payload))`
     //      per key — the struct's lexicographic order makes the
-    //      survivor total-ordered, and the agg is partial-aggregable
-    //      (map-side combine elects per partition; only one elected
+    //      survivor total-ordered, and the agg is partial-aggregable:
+    //      the map side elects per partition, so only ONE elected
     //      struct per key crosses the shuffle — cheaper than the
-    //      window-rank alternative, which shuffles every payload row
-    //      into a sort). Latest order per customer, date ties broken
+    //      window-rank alternative, which shuffles EVERY payload row
+    //      into a post-shuffle sort. Spark realizes the election as a
+    //      partial/final SortAggregate pair (struct agg buffers are
+    //      not Tungsten-mutable, so HashAggregate cannot apply); its
+    //      Sorts are PARTITION-LOCAL and pre-shuffle, so the shuffle-
+    //      volume claim is unchanged (PlanSpec pins exactly this
+    //      shape, PLANS.md exhibits it). Latest order per customer,
+    //      date ties broken
     //      by highest orderkey; oracle = DuckDB's NATIVE
     //      `DISTINCT ON (k) ... ORDER BY k, o DESC` ----
     ("q89_distinct_on", (s: SparkSession, d: String) => {

@@ -73,6 +73,53 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), "expected partial aggregation")
   }
 
+  test("q89: DISTINCT ON election partial-aggregates — one elected struct/key crosses the shuffle, no Window") {
+    // the entry's stated reason to exist (Relational.scala q89 note):
+    // the election partial-aggregates map-side, so ONE elected struct
+    // per key crosses the shuffle — unlike the window-rank form, which
+    // shuffles EVERY payload row into a per-key sort, and unlike raw
+    // dropDuplicates(subset), which keeps an arbitrary survivor.
+    // Spark realizes it as a partial/final SortAggregate pair (struct
+    // agg buffers aren't Tungsten-mutable, so HashAggregate can't
+    // apply); what matters for the claim is WHERE the sorts run:
+    // every election-side Sort is PARTITION-LOCAL and pre-shuffle
+    // (`false` global flag), never a post-shuffle sort of payload rows
+    val df = SparkEntry.queries("q89_distinct_on")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_max"),
+      "expected a map-side partial max(struct) election:\n" + plan)
+    assert(!plan.contains("Window"),
+      "election must not plan as a window rank:\n" + plan)
+    val lines = plan.linesIterator.toVector
+    // exactly one exchange (the election's), and the partial agg sits
+    // BELOW it: only elected structs cross the wire
+    val hashEx = lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning"))
+    val partial = lines.indexWhere(_.contains("partial_max"))
+    assert(hashEx.size == 1 && partial > hashEx.head._2,
+      "expected the partial election below the single hash exchange:\n" + plan)
+    // the only GLOBAL sort is the output orderBy; every other Sort is
+    // partition-local (global flag `false`)
+    val globalSorts = lines.filter(l => l.contains(" Sort ") && l.contains("], true,"))
+    assert(globalSorts.size == 1,
+      "expected exactly one global Sort (the output orderBy):\n" + plan)
+    assert(lines.indexWhere(_.contains("], true,")) < hashEx.head._2,
+      "the global sort must be the output sort above the election:\n" + plan)
+  }
+
+  test("q90: time-of-day matrix is one partial-aggregable integer groupBy — no join, no window") {
+    val df = SparkEntry.queries("q90_time_of_day")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"),
+      "expected map-side partial aggregation of the hour rollup:\n" + plan)
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "tod derivation must stay a map-only projection:\n" + plan)
+  }
+
   test("q03: dimension side broadcast, no shuffle of customer") {
     val plan = physicalPlan("q03_join_inner")
     assert(plan.contains("BroadcastHashJoin"), plan)
