@@ -109,57 +109,18 @@ object BarStream {
       maxStoreParts: Option[Int] = None,
       publishEvery: Int = 1,
       incrementalPubParts: Option[Int] = None): StreamingQuery = {
-    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
-    incrementalPubParts.foreach(p =>
-      require(p >= 1, s"need incrementalPubParts >= 1, got $p"))
-    require(publishEvery == 1 || incrementalPubParts.isEmpty,
-      "publishEvery and incrementalPubParts do not compose: a skipped " +
-        "batch's touched pk partitions would never be republished " +
-        "unless a later batch touched the same keys")
+    StoreFold.requireDials(incrementalPubParts, publishEvery)
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        incrementalPubParts match {
-          case None =>
-            partials(batch, keyCol, bucketNs)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(storePath)
-            if (batchId % publishEvery == 0)
-              publishedBars(spark, storePath, keyCol)
-                .write.mode("overwrite").parquet(outPath)
-            maxStoreParts.foreach { n =>
-              maybeCompactPartials(spark, storePath, keyCol, n, batchId)
-            }
-          case Some(p) =>
-            val part = partials(batch, keyCol, bucketNs)
-              .withColumn("pk", pmod(hash(col(keyCol)), lit(p)))
-            part.withColumn("batch_id", lit(batchId))
-              .repartition(col("pk")) // ~one file per pk dir
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id", "pk")
-              .parquet(storePath)
-            // bounded collect: ≤ p distinct pk ints (the dial)
-            val touched = part.select("pk").distinct()
-              .collect().map(_.getInt(0))
-            if (touched.nonEmpty) {
-              val pruned = spark.read.parquet(storePath)
-                .filter(col("pk").isin(touched.map(Int.box): _*))
-              barsOf(pruned.drop("pk"), keyCol)
-                .withColumn("pk", pmod(hash(col(keyCol)), lit(p)))
-                .repartition(col("pk"))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("pk").parquet(outPath)
-            }
-            maxStoreParts.foreach { n =>
-              maybeCompactPartials(spark, storePath, keyCol, n, batchId,
-                Seq("batch_id", "pk"))
-            }
-        }
+        // per-batch store/publish/fold body shared with the other
+        // key-local twins — [[StoreFold.publishBatch]]
+        StoreFold.publishBatch(batch.sparkSession, "bar",
+          storePath, outPath, batchId,
+          partials(batch, keyCol, bucketNs),
+          storeKeyCol = keyCol, pubKeyCol = keyCol,
+          publish = st => barsOf(st, keyCol),
+          merge = merge(_, keyCol),
+          maxStoreParts, incrementalPubParts, publishEvery)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -54,17 +54,22 @@ object DistinctStream {
   /** HLL-union fold on the shared [[StoreFold]] protocol —
     * register-wise max, estimates invariant. Keeps `pk` when the
     * store carries one (functionally dependent on the key). */
+  /** Register-wise HLL union of closed partials; keeps the `pk`
+    * partition column when the store carries one (functionally
+    * dependent on the key). */
+  private def mergeSketches(closed: DataFrame, keyCol: String): DataFrame = {
+    val keys =
+      if (closed.columns.contains("pk")) Seq(keyCol, "pk")
+      else Seq(keyCol)
+    closed.groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+  }
+
   def maybeCompactPartials(spark: SparkSession, storePath: String,
       keyCol: String, maxParts: Int, keepBatchId: Long,
       partitionCols: Seq[String] = Seq("batch_id")): Boolean =
     StoreFold.foldPartials(spark, storePath, "distinct", maxParts,
-      keepBatchId, closed => {
-        val keys =
-          if (closed.columns.contains("pk")) Seq(keyCol, "pk")
-          else Seq(keyCol)
-        closed.groupBy(keys.map(col): _*)
-          .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
-      }, partitionCols)
+      keepBatchId, mergeSketches(_, keyCol), partitionCols)
 
   /** `eventStream` must carry `keyCol` and `idCol`. Estimates land at
     * `outPath` (key-count rows); sketch partials accumulate at
@@ -81,57 +86,18 @@ object DistinctStream {
       maxStoreParts: Option[Int] = None,
       publishEvery: Int = 1,
       incrementalPubParts: Option[Int] = None): StreamingQuery = {
-    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
-    incrementalPubParts.foreach(p =>
-      require(p >= 1, s"need incrementalPubParts >= 1, got $p"))
-    require(publishEvery == 1 || incrementalPubParts.isEmpty,
-      "publishEvery and incrementalPubParts do not compose: a skipped " +
-        "batch's touched pk partitions would never be republished " +
-        "unless a later batch touched the same keys")
+    StoreFold.requireDials(incrementalPubParts, publishEvery)
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        incrementalPubParts match {
-          case None =>
-            batchSketches(batch, keyCol, idCol)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(storePath)
-            if (batchId % publishEvery == 0)
-              estimates(spark, storePath, keyCol)
-                .write.mode("overwrite").parquet(outPath)
-            maxStoreParts.foreach { n =>
-              maybeCompactPartials(spark, storePath, keyCol, n, batchId)
-            }
-          case Some(p) =>
-            val part = batchSketches(batch, keyCol, idCol)
-              .withColumn("pk", pmod(hash(col(keyCol)), lit(p)))
-            part.withColumn("batch_id", lit(batchId))
-              .repartition(col("pk")) // ~one file per pk dir
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id", "pk")
-              .parquet(storePath)
-            // bounded collect: ≤ p distinct pk ints (the dial)
-            val touched = part.select("pk").distinct()
-              .collect().map(_.getInt(0))
-            if (touched.nonEmpty) {
-              val pruned = spark.read.parquet(storePath)
-                .filter(col("pk").isin(touched.map(Int.box): _*))
-              estimatesOf(pruned.drop("pk"), keyCol)
-                .withColumn("pk", pmod(hash(col(keyCol)), lit(p)))
-                .repartition(col("pk"))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("pk").parquet(outPath)
-            }
-            maxStoreParts.foreach { n =>
-              maybeCompactPartials(spark, storePath, keyCol, n, batchId,
-                Seq("batch_id", "pk"))
-            }
-        }
+        // per-batch store/publish/fold body shared with the other
+        // key-local twins — [[StoreFold.publishBatch]]
+        StoreFold.publishBatch(batch.sparkSession, "distinct",
+          storePath, outPath, batchId,
+          batchSketches(batch, keyCol, idCol),
+          storeKeyCol = keyCol, pubKeyCol = keyCol,
+          publish = st => estimatesOf(st, keyCol),
+          merge = mergeSketches(_, keyCol),
+          maxStoreParts, incrementalPubParts, publishEvery)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -107,70 +107,27 @@ object EwmaStream {
     * `publishEvery`: publish on every n-th batch ([[DriftStream]]'s
     * cadence contract), full-publish mode only — MUTUALLY EXCLUSIVE
     * with `incrementalPubParts` (enforced; [[BarStream]]'s rationale:
-    * a skipped batch's touched pks would never be republished). */
+    * a skipped batch's touched pks would never be republished). The
+    * per-batch store/publish/fold body is [[StoreFold.publishBatch]]
+    * — shared by all four key-local twins, so the touched-pk prune,
+    * the reserved-`pk` guard, and the restart dial marker live once.
+    * The publish-side pk hash rides keyCol: the fold output's keyCol
+    * IS the store's string k, so both sides bucket identically. */
   def start(storePath: String, eventStream: DataFrame, keyCol: String,
       bucketNs: Long, alphaDen: Long, outPath: String, checkpoint: String,
       maxStoreParts: Option[Int] = None,
       incrementalPubParts: Option[Int] = None,
       publishEvery: Int = 1): StreamingQuery = {
-    incrementalPubParts.foreach(p =>
-      require(p >= 1, s"need incrementalPubParts >= 1, got $p"))
-    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
-    require(publishEvery == 1 || incrementalPubParts.isEmpty,
-      "publishEvery and incrementalPubParts do not compose: a skipped " +
-        "batch's touched pk partitions would never be republished " +
-        "unless a later batch touched the same keys")
+    StoreFold.requireDials(incrementalPubParts, publishEvery)
     eventStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        incrementalPubParts match {
-          case None =>
-            partials(batch, keyCol, bucketNs)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(storePath)
-            if (batchId % publishEvery == 0)
-              publishedEwma(spark, storePath, keyCol, alphaDen)
-                .write.mode("overwrite").parquet(outPath)
-            maxStoreParts.foreach { n =>
-              maybeCompactPartials(spark, storePath, n, batchId)
-            }
-          case Some(p) =>
-            val part = partials(batch, keyCol, bucketNs)
-              .withColumn("pk", pmod(hash(col("k")), lit(p)))
-            // repartition(pk): equal pks colocate → ~one file per
-            // pk dir, not one per (task × dir) — the store's file
-            // count (what every later listing pays) tracks its DIR
-            // count, not the shuffle width
-            part.withColumn("batch_id", lit(batchId))
-              .repartition(col("pk"))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id", "pk")
-              .parquet(storePath)
-            // bounded collect: ≤ p distinct pk ints (the dial), never
-            // key- or data-sized
-            val touched = part.select("pk").distinct()
-              .collect().map(_.getInt(0))
-            if (touched.nonEmpty) {
-              val pruned = spark.read.parquet(storePath)
-                .filter(col("pk").isin(touched.map(Int.box): _*))
-              foldFromStore(pruned, keyCol, alphaDen)
-                // same string-keyed hash as the store side: the fold
-                // output's keyCol IS the store's string k
-                .withColumn("pk", pmod(hash(col(keyCol)), lit(p)))
-                .repartition(col("pk")) // one file per touched pk dir
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("pk").parquet(outPath)
-            }
-            maxStoreParts.foreach { n =>
-              maybeCompactPartials(spark, storePath, n, batchId,
-                Seq("batch_id", "pk"))
-            }
-        }
+        StoreFold.publishBatch(batch.sparkSession, "ewma",
+          storePath, outPath, batchId,
+          partials(batch, keyCol, bucketNs),
+          storeKeyCol = "k", pubKeyCol = keyCol,
+          publish = st => foldFromStore(st, keyCol, alphaDen),
+          merge = merge,
+          maxStoreParts, incrementalPubParts, publishEvery)
         ()
       }
       .option("checkpointLocation", checkpoint)

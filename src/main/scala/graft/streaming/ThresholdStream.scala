@@ -84,63 +84,21 @@ object ThresholdStream {
       maxStoreParts: Option[Int] = None,
       incrementalPubParts: Option[Int] = None,
       publishEvery: Int = 1): StreamingQuery = {
-    incrementalPubParts.foreach(n =>
-      require(n >= 1, s"need incrementalPubParts >= 1, got $n"))
-    require(publishEvery >= 1, s"need publishEvery >= 1, got $publishEvery")
-    require(publishEvery == 1 || incrementalPubParts.isEmpty,
-      "publishEvery and incrementalPubParts do not compose: a skipped " +
-        "batch's touched pk partitions would never be republished " +
-        "unless a later batch touched the same keys")
+    StoreFold.requireDials(incrementalPubParts, publishEvery)
     scoredStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        incrementalPubParts match {
-          case None =>
-            batchCounts(batch, group, score)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(storePath)
-            if (batchId % publishEvery == 0)
-              publishedThresholds(spark, storePath, group, score, p)
-                .write.mode("overwrite").parquet(outPath)
-            maxStoreParts.foreach { n =>
-              maybeCompactPartials(spark, storePath, group, score, n,
-                batchId)
-            }
-          case Some(nPk) =>
-            val counts = batchCounts(batch, group, score)
-              .withColumn("pk", pmod(hash(col(group)), lit(nPk)))
-            // repartition(pk): ~one file per pk dir ([[EwmaStream]]'s
-            // file-count discipline — listing cost tracks dirs)
-            counts.withColumn("batch_id", lit(batchId))
-              .repartition(col("pk"))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id", "pk")
-              .parquet(storePath)
-            // bounded collect: ≤ nPk distinct pk ints (the dial)
-            val touched = counts.select("pk").distinct()
-              .collect().map(_.getInt(0))
-            if (touched.nonEmpty) {
-              val pruned = spark.read.parquet(storePath)
-                .filter(col("pk").isin(touched.map(Int.box): _*))
-              graft.operators.TextOps.percentileThresholds(
-                  mergeCounts(pruned, group, score)
-                    .select(col(group), col(score), col("n")),
-                  group, score, p)
-                .withColumn("pk", pmod(hash(col(group)), lit(nPk)))
-                .repartition(col("pk")) // one file per touched pk dir
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("pk").parquet(outPath)
-            }
-            maxStoreParts.foreach { n =>
-              maybeCompactPartials(spark, storePath, group, score, n,
-                batchId, Seq("batch_id", "pk"))
-            }
-        }
+        // per-batch store/publish/fold body shared with the other
+        // key-local twins — [[StoreFold.publishBatch]]
+        StoreFold.publishBatch(batch.sparkSession, "threshold",
+          storePath, outPath, batchId,
+          batchCounts(batch, group, score),
+          storeKeyCol = group, pubKeyCol = group,
+          publish = st => graft.operators.TextOps.percentileThresholds(
+            mergeCounts(st, group, score)
+              .select(col(group), col(score), col("n")),
+            group, score, p),
+          merge = closed => mergeCounts(closed, group, score),
+          maxStoreParts, incrementalPubParts, publishEvery)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -129,4 +129,80 @@ class StoreFoldSpec extends AnyFunSuite {
     assert(f.exists(dir) && !f.exists(tmp))
     assert(totals(path) === Map(1L -> 15L, 2L -> 20L))
   }
+
+  test("incremental fold rejects a non-integer pk partition column (dir-name/cast-string divergence)") {
+    import spark.implicits._
+    // a STRING pk whose values could %-escape in dir names would
+    // silently miss the touched prune — must fail loudly instead
+    val path = java.nio.file.Files.createTempDirectory("graft-strpk")
+      .toString + "/store"
+    Seq((1L, 10L, -1L, "a"), (1L, 5L, 0L, "a"), (2L, 7L, 1L, "b"))
+      .toDF("k", "v", "batch_id", "pk")
+      .write.partitionBy("batch_id", "pk").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      StoreFold.foldPartials(spark, path, "t", maxParts = 1,
+        keepBatchId = 1L, merge, Seq("batch_id", "pk"))
+    }
+    assert(e.getMessage.contains("integer bucket"))
+  }
+
+  test("publishBatch reserves the pk column name under the incremental dial") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-rsv")
+      .toString + "/store"
+    val out = java.nio.file.Files.createTempDirectory("graft-rsv-out").toString
+    val partials = Seq((1L, 10L, 99)).toDF("k", "v", "pk")
+    val e = intercept[IllegalArgumentException] {
+      StoreFold.publishBatch(spark, "t", store, out, 0L, partials,
+        "k", "k", identity, merge,
+        maxStoreParts = None, incrementalPubParts = Some(4),
+        publishEvery = 1)
+    }
+    assert(e.getMessage.contains("reserved"))
+    // ...and in full mode the same frame passes through untouched:
+    // a legitimate pk DATA column is only forbidden under the dial
+    StoreFold.publishBatch(spark, "t", store, out, 0L, partials,
+      "k", "k", identity, merge,
+      maxStoreParts = None, incrementalPubParts = None, publishEvery = 1)
+    val pub = StoreFold.readPublished(spark, out)
+    assert(pub.columns.toSet === Set("k", "v", "pk", "batch_id"),
+      "readPublished must keep a pk DATA column (only a pk DIRECTORY " +
+        s"partition is the dial's): ${pub.columns.toSeq}")
+  }
+
+  test("publish dial is fixed for the life of a store: marker fail-fasts on p change and mode switch") {
+    import spark.implicits._
+    def partials = Seq((1L, 10L)).toDF("k", "v")
+    def run(store: String, out: String, batchId: Long,
+        dial: Option[Int]): Unit =
+      StoreFold.publishBatch(spark, "t", store, out, batchId, partials,
+        "k", "k", identity, merge,
+        maxStoreParts = None, incrementalPubParts = dial, publishEvery = 1)
+    // p changed across a restart
+    val s1 = java.nio.file.Files.createTempDirectory("graft-dial1")
+      .toString + "/store"
+    val o1 = java.nio.file.Files.createTempDirectory("graft-dial1-out").toString
+    run(s1, o1, 0L, Some(4))
+    val e1 = intercept[IllegalArgumentException](run(s1, o1, 1L, Some(8)))
+    assert(e1.getMessage.contains("dial changed"))
+    run(s1, o1, 1L, Some(4)) // original dial still accepted
+    // incremental -> full mode switch
+    val e2 = intercept[IllegalArgumentException](run(s1, o1, 2L, None))
+    assert(e2.getMessage.contains("dial changed"))
+    // pre-marker store (simulated by deleting the marker): the layout
+    // itself is cross-checked — a pk-partitioned store refuses full
+    val (f1, _) = fs(s1)
+    f1.delete(new org.apache.hadoop.fs.Path(s1 + "_dial"), false)
+    val e3 = intercept[IllegalArgumentException](run(s1, o1, 2L, None))
+    assert(e3.getMessage.contains("layout"))
+    // ...and a flat store refuses a pk dial when its marker is gone
+    val s2 = java.nio.file.Files.createTempDirectory("graft-dial2")
+      .toString + "/store"
+    val o2 = java.nio.file.Files.createTempDirectory("graft-dial2-out").toString
+    run(s2, o2, 0L, None)
+    val (f2, _) = fs(s2)
+    f2.delete(new org.apache.hadoop.fs.Path(s2 + "_dial"), false)
+    val e4 = intercept[IllegalArgumentException](run(s2, o2, 1L, Some(4)))
+    assert(e4.getMessage.contains("layout"))
+  }
 }
