@@ -362,17 +362,31 @@ object Timeseries {
     */
   def holtFixedPoint(events: DataFrame, bucketNs: Long, alphaDen: Long,
       betaDen: Long, keyCol: String = "event_type",
-      tsCol: String = "ts_ns", valCol: String = "value"): DataFrame = {
+      tsCol: String = "ts_ns", valCol: String = "value"): DataFrame =
+    holtFromCents(
+      events
+        .select(col(keyCol).cast("string").as("k"),
+          expr(s"$tsCol div ${bucketNs}L").as("bucket"), col(valCol))
+        .groupBy(col("k"), col("bucket"))
+        .agg((sum(col(valCol).cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("cents")),
+      alphaDen, betaDen, keyCol)
+
+  /** The fold half of [[holtFixedPoint]], over PRE-AGGREGATED
+    * (k STRING, bucket, cents) rows (unique per (k, bucket)) —
+    * [[ewmaFromCents]]'s split, shared with the streaming twin
+    * ([[graft.streaming.HoltStream]]) whose partial store already
+    * holds merged bucket totals: the two-register fold is key-local
+    * and bucket-sized, so the stream re-runs it end to end for
+    * touched keys (a late event shifts every later level/trend). */
+  def holtFromCents(cents: DataFrame, alphaDen: Long, betaDen: Long,
+      keyCol: String = "event_type"): DataFrame = {
     require(alphaDen >= 2 && betaDen >= 2,
       s"need alphaDen/betaDen >= 2, got $alphaDen/$betaDen")
-    val spark = events.sparkSession
+    val spark = cents.sparkSession
     import spark.implicits._
-    events
-      .select(col(keyCol).cast("string").as("k"),
-        expr(s"$tsCol div ${bucketNs}L").as("bucket"), col(valCol))
-      .groupBy(col("k"), col("bucket"))
-      .agg((sum(col(valCol).cast(DecimalType(18, 2))) * 100)
-        .cast("long").as("cents"))
+    cents
+      .select(col("k"), col("bucket"), col("cents"))
       .repartition(col("k"))
       .sortWithinPartitions(col("k"), col("bucket"))
       .as[(String, Long, Long)]

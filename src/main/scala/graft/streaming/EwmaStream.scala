@@ -109,7 +109,7 @@ object EwmaStream {
     * with `incrementalPubParts` (enforced; [[BarStream]]'s rationale:
     * a skipped batch's touched pks would never be republished). The
     * per-batch store/publish/fold body is [[StoreFold.publishBatch]]
-    * — shared by all four key-local twins, so the touched-pk prune,
+    * — shared by all five key-local twins, so the touched-pk prune,
     * the reserved-`pk` guard, and the restart dial marker live once.
     * The publish-side pk hash rides keyCol: the fold output's keyCol
     * IS the store's string k, so both sides bucket identically. */

@@ -119,7 +119,7 @@ object StoreFold {
   /** The shared per-batch body of every publish-dialed twin — store
     * the batch's partials, publish, fold. Hoisted so the touched-pk
     * prune, the one-file-per-dir write discipline, the reserved-`pk`
-    * guard, and the dial marker live ONCE (the four key-local twins
+    * guard, and the dial marker live ONCE (the key-local twins
     * previously re-implemented this ~identically), and so Scale's
     * `ewmaPublishDial` probe honestly covers all of them: the twins
     * differ only in the `batchPartials`/`publish`/`merge` they plug

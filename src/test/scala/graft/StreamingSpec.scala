@@ -1086,6 +1086,66 @@ class StreamingSpec extends AnyFunSuite {
       s"folded base lost pk partitioning: ${baseDirs.toSeq}")
   }
 
+  test("incremental Holt publish equals batch ts15 at every publish point (late event included); untouched pk partitions are not rewritten") {
+    import spark.implicits._
+    val p = 16
+    val ka = "a"
+    val kb = Seq("b", "c", "d", "e").find(k => pkOf(k, p) != pkOf(ka, p)).get
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, String, Long, Double)]): Unit = {
+      val stage = Files.createTempDirectory("graft-ihostage")
+      rows.toDF("event_id", "event_type", "ts_ns", "value").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val src = Files.createTempDirectory("graft-iho-src")
+    val store = Files.createTempDirectory("graft-iho-store").toString + "/ho"
+    val out = Files.createTempDirectory("graft-iho-out").toString
+    val ckpt = Files.createTempDirectory("graft-iho-ckpt").toString
+    val b1 = Seq((1L, ka, 5L, 30.0), (2L, ka, 15L, 36.0))
+    val b2 = Seq((3L, ka, 35L, 44.0), (4L, kb, 25L, 5.0))
+    val b3 = Seq((5L, ka, 7L, 20.0)) // late: re-opens ka's bucket 0
+    addFile(src, "b1.parquet", b1)
+    val stream = spark.readStream
+      .schema("event_id LONG, event_type STRING, ts_ns LONG, value DOUBLE")
+      .parquet(src.toString)
+    val q = graft.streaming.HoltStream.start(store, stream,
+      "event_type", bucketNs = 10L, alphaDen = 5L, betaDen = 3L,
+      out, ckpt, maxStoreParts = Some(2), incrementalPubParts = Some(p))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def published() =
+      rowsOf(graft.streaming.HoltStream.readPublished(spark, out))
+    def batchTruth(rows: Seq[(Long, String, Long, Double)]) =
+      rowsOf(graft.operators.Timeseries.holtFixedPoint(
+        rows.toDF("event_id", "event_type", "ts_ns", "value"),
+        bucketNs = 10L, alphaDen = 5L, betaDen = 3L))
+    try {
+      q.processAllAvailable()
+      assert(published() === batchTruth(b1))
+      addFile(src, "b2.parquet", b2); q.processAllAvailable()
+      assert(published() === batchTruth(b1 ++ b2))
+      val beforeFiles = pkFiles(out)
+      addFile(src, "b3.parquet", b3); q.processAllAvailable()
+      // the late event re-runs ka's TWO-register fold end to end —
+      // every later bucket's level AND trend shift, parity holds
+      assert(published() === batchTruth(b1 ++ b2 ++ b3))
+      val afterFiles = pkFiles(out)
+      val kbDir = s"pk=${pkOf(kb, p)}"
+      assert(afterFiles(kbDir) === beforeFiles(kbDir),
+        s"untouched $kbDir was rewritten")
+      assert(afterFiles(s"pk=${pkOf(ka, p)}") !==
+        beforeFiles(s"pk=${pkOf(ka, p)}"), "touched pk must rewrite")
+    } finally q.stop()
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts.contains("batch_id=-1"), s"no base after fold: $parts")
+    assert(parts.size <= 3, s"store partitions unbounded: $parts")
+  }
+
   test("incremental threshold publish equals batch t20 election at every publish point; untouched pk partitions are not rewritten") {
     import spark.implicits._
     val nPk = 16
