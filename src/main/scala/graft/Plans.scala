@@ -113,6 +113,7 @@ object Plans {
       "q89_distinct_on" -> "DISTINCT ON election: partial/final max(struct) aggregate pair — the map side elects per partition, so ONE elected struct per key crosses the single hash exchange; no Window anywhere, and every election-side Sort is PARTITION-LOCAL pre-shuffle (Spark picks SortAggregate because struct agg buffers aren't Tungsten-mutable — the shuffle-volume claim is unchanged; the window-rank form would shuffle every order row into a post-shuffle per-key sort, raw dropDuplicates(subset) keeps an arbitrary survivor) — PlanSpec-asserted",
       "q90_time_of_day" -> "TIME-of-day matrix: tod/wrap/extract arithmetic is a pure-integer codegen projection pipelined into the scan, then ONE partial-aggregable hour groupBy — no join, no window, output is 24 rows",
       "m10_audio_fingerprint" -> "audio perceptual fingerprint: per-partition javax.sound decode + integer HK grid, zero shuffles before the output sort",
+      "m11_audio_neardup" -> "audio near-dup: m09's EXACT plan through the shared hammingPairs (decode mapPartitions -> chunk explode -> ONE (chunk-index, value) equi join -> bit_count(xor) filter) on the Haitsma-Kalker fingerprint — the image and audio faces of the near-dup triangle are one code path",
       "m12_video_neardup" -> "video near-dup: frame-walk mapPartitions -> distinct signature -> ONE (hash_hi, hash_lo) equi join whose groupBy count IS the verify — no BNLJ, no all-pairs, no second pass",
       "s18_opq_recall" -> "OPQ recall CONTRACT row: the exhibited plan is the final 1-row literal projection by design — the measured work (rotation, probe, ADC shortlist, exact re-rank) runs through the SAME ivfPqRerankRecall pipeline twice whose stored-search shape s09/s14 already exhibit (codes-only pruned scans); the gate's eigensolve is documented driver d^2 work on a KB corpus")
     val sb = new StringBuilder

@@ -517,6 +517,35 @@ object Multimodal {
     * and sampled the TRUE raster. Near-dup images then block/join on
     * the hash halves with a hamming refine — the d03 SimHash shape.
     */
+  /** The pure dHash kernel over a decoded raster — exposed so
+    * invariance is property-testable off the DataFrame path:
+    * gray-DIFFERENCE comparisons make the hash exactly invariant
+    * under clip-free uniform brightness shifts, and any lossless
+    * re-encode (same pixels back out of a different container)
+    * trivially hashes identically (PipelineSeamsSpec asserts both). */
+  def dHashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    def gray(gx: Int, gy: Int): Int = {
+      val v = img.getRGB(gx, gy)
+      ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+    }
+    var hi = 0L; var lo = 0L
+    var y = 0
+    while (y < 8) {
+      val gy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        if (gray((x + 1) * w / 9, gy) > gray(x * w / 9, gy)) {
+          val k = y * 8 + x
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
   def imageDHash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaFrames(s, d)
@@ -527,25 +556,7 @@ object Multimodal {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(m.payload))
           require(img != null, s"undecodable image payload for doc ${m.doc_id}")
-          val (w, h) = (img.getWidth, img.getHeight)
-          def gray(gx: Int, gy: Int): Int = {
-            val v = img.getRGB(gx, gy)
-            ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
-          }
-          var hi = 0L; var lo = 0L
-          var y = 0
-          while (y < 8) {
-            val gy = y * h / 8
-            var x = 0
-            while (x < 8) {
-              if (gray((x + 1) * w / 9, gy) > gray(x * w / 9, gy)) {
-                val k = y * 8 + x
-                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
-              }
-              x += 1
-            }
-            y += 1
-          }
+          val (hi, lo) = dHashOf(img)
           (m.doc_id, hi, lo)
         }
       }
@@ -995,6 +1006,40 @@ object Multimodal {
     * sign-safe halves (m08's convention). Same one-decode-per-row
     * partition-local seam as [[audioStats]]; zero shuffles.
     */
+  /** The pure fingerprint kernel over decoded little-endian 16-bit
+    * PCM bytes — exposed so invariance is property-testable off the
+    * DataFrame path: abs-energy comparisons make the hash exactly
+    * invariant under phase inversion (sign flip, the classic
+    * re-encode artifact), and any monotone-in-|s| resample that
+    * preserves the energy ORDER between grid cells leaves every bit
+    * unchanged (PipelineSeamsSpec asserts the former, plus WAV
+    * re-encode roundtrip identity). */
+  def audioFpOfPcm(bytes: Array[Byte]): (Long, Long) = {
+    val n = bytes.length / 2
+    require(n > 0, "empty PCM")
+    val e = Array.ofDim[Long](17, 5)
+    var i = 0
+    while (i < n) {
+      val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+      e((i.toLong * 17 / n).toInt)(i % 5) += math.abs(v)
+      i += 1
+    }
+    var hi = 0L; var lo = 0L
+    var t = 1
+    while (t <= 16) {
+      var b = 0
+      while (b < 4) {
+        if ((e(t)(b) - e(t)(b + 1)) - (e(t - 1)(b) - e(t - 1)(b + 1)) > 0) {
+          val k = (t - 1) * 4 + b
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        b += 1
+      }
+      t += 1
+    }
+    (hi, lo)
+  }
+
   def audioFingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaFrames(s, d)
@@ -1002,29 +1047,7 @@ object Multimodal {
       .mapPartitions(_.map { m =>
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(m.payload))
-        val bytes = ais.readAllBytes()
-        val n = bytes.length / 2
-        require(n > 0, s"empty PCM for doc ${m.doc_id}")
-        val e = Array.ofDim[Long](17, 5)
-        var i = 0
-        while (i < n) {
-          val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
-          e((i.toLong * 17 / n).toInt)(i % 5) += math.abs(v)
-          i += 1
-        }
-        var hi = 0L; var lo = 0L
-        var t = 1
-        while (t <= 16) {
-          var b = 0
-          while (b < 4) {
-            if ((e(t)(b) - e(t)(b + 1)) - (e(t - 1)(b) - e(t - 1)(b + 1)) > 0) {
-              val k = (t - 1) * 4 + b
-              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
-            }
-            b += 1
-          }
-          t += 1
-        }
+        val (hi, lo) = audioFpOfPcm(ais.readAllBytes())
         (m.doc_id, hi, lo)
       })
       .toDF("doc_id", "hash_hi", "hash_lo")

@@ -389,6 +389,81 @@ class PipelineSeamsSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptual invariance: audio fingerprint survives phase inversion and WAV re-encode") {
+    import graft.operators.WavGen
+    Seq(1L, 4L, 7L, 1234567L).foreach { id =>
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(WavGen.wav(id))).readAllBytes()
+      val fp = Multimodal.audioFpOfPcm(pcm)
+      // phase inversion (sign flip) — the classic re-encode/DAC
+      // artifact: |−s| = |s| for every sample (incl. −32768, whose
+      // two's-complement negation is itself), so abs-energy grids and
+      // therefore every HK bit are EXACTLY invariant
+      val flipped = new Array[Byte](pcm.length)
+      var i = 0
+      while (i + 1 < pcm.length) {
+        val v = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort
+        val f = (-v).toShort
+        flipped(i) = (f & 0xff).toByte
+        flipped(i + 1) = ((f >> 8) & 0xff).toByte
+        i += 2
+      }
+      assert(Multimodal.audioFpOfPcm(flipped) === fp, s"phase inversion, doc $id")
+      // lossless WAV re-encode roundtrip: a copy written by a
+      // different serializer decodes to the same samples → same hash
+      val fmt = new javax.sound.sampled.AudioFormat(
+        WavGen.sampleRate(id).toFloat, 16, WavGen.channels(id), true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, WavGen.frames(id).toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      val pcm2 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(out.toByteArray)).readAllBytes()
+      assert(Multimodal.audioFpOfPcm(pcm2) === fp, s"re-encode, doc $id")
+    }
+  }
+
+  test("perceptual invariance: image dHash survives uniform brightness shift and PNG re-encode; 1px edit moves <= 2 bits") {
+    def mk(w: Int, h: Int, px: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      img
+    }
+    // channels kept in [40, 200] so a +40 shift never clips
+    def base(x: Int, y: Int): Int = {
+      val r = 40 + (x * 31 + y * 7) % 161
+      val g = 40 + (x * 13 + y * 17) % 161
+      val b = 40 + (x * 5 + y * 23) % 161
+      (r << 16) | (g << 8) | b
+    }
+    val (w, h) = (23, 17)
+    val img = mk(w, h, base)
+    val fp = Multimodal.dHashOf(img)
+    // clip-free uniform brightness shift: every gray moves by 3*40,
+    // every gray DIFFERENCE is unchanged → bit-identical hash
+    val bright = mk(w, h, (x, y) => base(x, y) + 0x282828)
+    assert(Multimodal.dHashOf(bright) === fp, "brightness shift")
+    // lossless re-encode: PNG-roundtripped pixels hash identically
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val rt = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.toByteArray))
+    assert(Multimodal.dHashOf(rt) === fp, "png roundtrip")
+    // locality: editing ONE pixel perturbs at most the two grid
+    // comparisons that sample it — hamming <= 2, the property the
+    // m09/m11 hamming threshold rides on
+    for (gx <- Seq(0, w / 2, w - 1); gy <- Seq(0, h - 1)) {
+      val edited = mk(w, h, (x, y) =>
+        if (x == gx && y == gy) 0xc8c8c8 else base(x, y))
+      val (ehi, elo) = Multimodal.dHashOf(edited)
+      val hd = java.lang.Long.bitCount(ehi ^ fp._1) +
+        java.lang.Long.bitCount(elo ^ fp._2)
+      assert(hd <= 2, s"1px edit at ($gx,$gy) moved $hd bits")
+    }
+  }
+
   test("m11/m12 near-dup: blocked pairs equal the exhaustive all-pairs truth") {
     // audio: chunk-blocked hamming join vs naive all-pairs over the
     // collected fingerprints (the recall-1.0 claim, test-corpus-sized)
