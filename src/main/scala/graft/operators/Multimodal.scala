@@ -410,6 +410,13 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video").as("media_type"))
+      // documents.parquet is ONE file: round-robin-spread the
+      // 2-column projection (a cheap O(rows) shuffle of ~16 bytes/row)
+      // BEFORE the CPU-bound synth/decode map stages so every m*
+      // entry decodes with full parallelism instead of riding the
+      // scan's few splits — the er01/simhashPairs single-scan-split
+      // discipline (CLAUDE.md)
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, mt) =>
         MediaRow(id, mt match {
@@ -848,11 +855,11 @@ object Multimodal {
     // ---- image near-dup: pairs of decoded images within hamming 6
     //      on the 64-bit dHash — d03's simhash discipline applied to
     //      the multimodal column (re-encoded screenshots, resized
-    //      copies). 8×8-bit chunk blocking is COMPLETE for hamming
-    //      ≤ 7 (pigeonhole: 6 flipped bits leave ≥ 2 chunks intact,
-    //      one is enough), and the oracle is the EXHAUSTIVE all-pairs
-    //      truth, so a hash match also proves candidate recall 1.0
-    //      (s16's convention) ----
+    //      copies). 2-of-8 chunk-PAIR blocking (28 16-bit keys) is
+    //      COMPLETE for hamming ≤ 6 (6 flips ruin ≤ 6 chunks → ≥ 2
+    //      intact → their pair key collides), and the oracle is the
+    //      EXHAUSTIVE all-pairs truth, so a hash match also proves
+    //      candidate recall 1.0 (s16's convention) ----
     ("m09_image_neardup", (s: SparkSession, d: String) =>
       imageNearDup(s, d, 6).orderBy("id_a", "id_b"), Some("""
       WITH img AS (
@@ -898,9 +905,10 @@ object Multimodal {
     // ---- audio near-dup: pairs of decoded audio docs within hamming
     //      2 on the 64-bit fingerprint — the audio face of m09
     //      (re-encoded/phase-shifted copies byte dedup can't catch).
-    //      Same 8×8-bit chunk blocking (complete ≤ 7 by pigeonhole);
-    //      the oracle is the EXHAUSTIVE all-pairs truth, so a hash
-    //      match also certifies candidate recall 1.0 ----
+    //      Blocking = three 21/21/22-bit chunks (complete ≤ 2 by
+    //      pigeonhole, 2²¹-selective keys); the oracle is the
+    //      EXHAUSTIVE all-pairs truth, so a hash match also
+    //      certifies candidate recall 1.0 ----
     ("m11_audio_neardup", (s: SparkSession, d: String) =>
       audioNearDup(s, d, 2).orderBy("id_a", "id_b"), Some(AudioFpSql + """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -917,12 +925,16 @@ object Multimodal {
     //      as the band key — re-encoded copies keep every frame hash,
     //      trimmed copies keep the surviving frames', so copies pair
     //      through an equi join without any all-pairs stage. `shared`
-    //      counts distinct common frame hashes (≥ 3 here); the oracle
-    //      replays AviGen's per-frame pixel formula through the full
-    //      dHash grid and joins EXHAUSTIVELY, so a hash match proves
-    //      true-raster reads AND candidate recall 1.0 ----
+    //      counts distinct common frame hashes (≥ 3 here); frame
+    //      hashes in > 50 videos are dropped by the stop-frame valve
+    //      BEFORE the self-join (no-signal frames — black frames,
+    //      test cards — are the k² skew hazard); the oracle replays
+    //      AviGen's per-frame pixel formula through the full dHash
+    //      grid, applies the SAME valve, and joins EXHAUSTIVELY, so
+    //      a hash match proves true-raster reads AND candidate
+    //      recall 1.0 ----
     ("m12_video_neardup", (s: SparkSession, d: String) =>
-      videoNearDup(s, d, 3).orderBy("id_a", "id_b"), Some("""
+      videoNearDup(s, d, 3, maxDf = 50).orderBy("id_a", "id_b"), Some("""
       WITH v AS (SELECT doc_id, 8 + (doc_id * 13) % 24 AS w,
                    8 + (doc_id * 7) % 16 AS h, 2 + doc_id % 10 AS nf
                  FROM documents WHERE doc_id % 3 = 2),
@@ -945,13 +957,72 @@ object Multimodal {
         CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
                       ELSE 0 END) AS BIGINT) AS lo
         FROM bits GROUP BY doc_id, fi),
-      sig AS (SELECT DISTINCT doc_id, hi, lo FROM fh)
+      sig0 AS (SELECT DISTINCT doc_id, hi, lo FROM fh),
+      keep AS (SELECT hi, lo FROM sig0 GROUP BY hi, lo
+               HAVING count(*) <= 50),
+      sig AS (SELECT s.doc_id, s.hi, s.lo
+              FROM sig0 s JOIN keep USING (hi, lo))
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(count(*) AS BIGINT) AS shared
       FROM sig a JOIN sig b
         ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 3
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b""")),
+
+    // ---- blocking-quality report for the perceptual hamming join
+    //      (er09's discipline at the media layer): bucket count,
+    //      hottest bucket, in-bucket candidate pairs, reduction
+    //      ratio, off ONE (combo, 16-bit key) count over the image
+    //      dHashes — the report that decides whether the chunk-pair
+    //      scheme survives the corpus BEFORE paying the join. The
+    //      oracle replays the 28 2-of-8 chunk-pair keys off m09's
+    //      fingerprint CTE ----
+    ("m13_perceptual_blocking", (s: SparkSession, d: String) =>
+      hammingBlockingReport(imageDHash(s, d), 6), Some("""
+      WITH img AS (
+        SELECT doc_id, 8 + doc_id % 57 AS w, 8 + (doc_id * 31) % 41 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      g AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS k FROM img),
+      c AS (SELECT doc_id, k, (k % 8) AS x, (k // 8) AS y, w, h FROM g),
+      pix AS (SELECT doc_id, k,
+        ((((x * w) // 9) * 31 + ((y * h) // 8) * 7
+          + (doc_id % 251) * 13) & 16777215) AS v0,
+        (((((x + 1) * w) // 9) * 31 + ((y * h) // 8) * 7
+          + (doc_id % 251) * 13) & 16777215) AS v1
+        FROM c),
+      bits AS (SELECT doc_id, k,
+        CASE WHEN (((v1 >> 16) & 255) + ((v1 >> 8) & 255) + (v1 & 255)) >
+                  (((v0 >> 16) & 255) + ((v0 >> 8) & 255) + (v0 & 255))
+             THEN 1 ELSE 0 END AS b
+        FROM pix),
+      hs AS (SELECT doc_id,
+        CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                      ELSE 0 END) AS BIGINT) AS hi,
+        CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
+                      ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id),
+      combos AS (SELECT a.ca, b.cb
+                 FROM (SELECT unnest(generate_series(0, 7)) AS ca) a
+                 JOIN (SELECT unnest(generate_series(0, 7)) AS cb) b
+                   ON a.ca < b.cb),
+      keys AS (SELECT h.doc_id, c.ca * 8 + c.cb AS j,
+                 (CASE WHEN c.ca < 4 THEN (h.lo >> (8 * c.ca)) & 255
+                       ELSE (h.hi >> (8 * (c.ca - 4))) & 255 END) * 256
+                 + (CASE WHEN c.cb < 4 THEN (h.lo >> (8 * c.cb)) & 255
+                         ELSE (h.hi >> (8 * (c.cb - 4))) & 255 END) AS bk
+               FROM hs h CROSS JOIN combos c),
+      sizes AS (SELECT j, bk, count(*) AS b FROM keys GROUP BY j, bk),
+      agg AS (SELECT CAST(sum(b) // 28 AS BIGINT) AS n_records,
+                CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(max(b) AS BIGINT) AS max_bucket,
+                CAST(sum(b * (b - 1) // 2) AS BIGINT) AS candidates
+              FROM sizes)
+      SELECT n_records, n_buckets, max_bucket, candidates,
+        n_records * (n_records - 1) // 2 AS all_pairs,
+        round(1.0 - CAST(candidates AS DOUBLE)
+          / CAST(n_records * (n_records - 1) // 2 AS DOUBLE), 9)
+          AS reduction_ratio
+      FROM agg"""))
   )
 
   /** Shared fingerprint CTE of the m10/m11 oracles: WavGen's sample
@@ -1056,8 +1127,9 @@ object Multimodal {
   /** Perceptual near-dup pairs over the audio fingerprints — m09's
     * chunk-blocked hamming join ([[hammingPairs]]) on
     * [[audioFingerprint]]. SCALE: identical shape to m09 — decode is
-    * partition-local, blocking one (chunk-index, value) equi join,
-    * per-bucket work bounded by 8-bit-chunk collisions. */
+    * partition-local, blocking one equi join; at hamming ≤ 2 the
+    * scheme is three 21/22-bit chunks (2²¹-selective keys — see
+    * [[hammingBlockKeys]]). */
   def audioNearDup(s: SparkSession, d: String, maxHamming: Int): DataFrame =
     hammingPairs(audioFingerprint(s, d), maxHamming)
 
@@ -1089,14 +1161,37 @@ object Multimodal {
     * both pair as long as `minShared` frames survive.
     *
     * SCALE: per-bucket pair work is bounded by how many videos share
-    * one exact 64-bit frame hash — never all-pairs; the groupBy is
-    * partial-aggregable. The m12 oracle joins exhaustively, so a
-    * green row also certifies candidate recall 1.0.
+    * one exact 64-bit frame hash — never all-pairs — PLUS the
+    * `maxDf` stop-frame valve: a single frame hash shared by k
+    * videos contributes k² join rows, and real corpora HAVE such
+    * frames (black frames, intro cards, test patterns), so hashes
+    * appearing in more than `maxDf` videos are dropped BEFORE the
+    * self-join (d25's rarity logic: a frame every video has carries
+    * no near-dup signal — trimmed-copy semantics only lose
+    * no-signal frames from the shared count). The groupBy is
+    * partial-aggregable. The m12 oracle replays the valve and joins
+    * exhaustively, so a green row also certifies candidate recall
+    * 1.0 under the same stop-hash set.
     */
-  def videoNearDup(s: SparkSession, d: String, minShared: Int): DataFrame = {
+  def videoNearDup(s: SparkSession, d: String, minShared: Int,
+      maxDf: Int = Int.MaxValue): DataFrame =
+    sharedFrameSig(videoFrameHashes(s, d), minShared, maxDf)
+
+  /** The join half of [[videoNearDup]] over any (doc_id, hash_hi,
+    * hash_lo) frame-signature frame — factored so the stop-frame
+    * valve is spec-testable with a planted common frame. */
+  private[operators] def sharedFrameSig(frames: DataFrame, minShared: Int,
+      maxDf: Int): DataFrame = {
     require(minShared >= 1, s"need minShared >= 1, got $minShared")
-    val sig = videoFrameHashes(s, d)
+    require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
+    val sig0 = frames
       .select(col("doc_id"), col("hash_hi"), col("hash_lo")).distinct()
+    // document frequency per frame hash — partial-aggregable; the
+    // valve join is hash-to-hash (small right side under AQE)
+    val keep = sig0.groupBy(col("hash_hi"), col("hash_lo"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select(col("hash_hi"), col("hash_lo"))
+    val sig = sig0.join(keep, Seq("hash_hi", "hash_lo"), "left_semi")
     sig.select(col("doc_id").as("id_a"), col("hash_hi"), col("hash_lo"))
       .join(sig.select(col("doc_id").as("id_b"), col("hash_hi"),
         col("hash_lo")), Seq("hash_hi", "hash_lo"))
@@ -1107,47 +1202,86 @@ object Multimodal {
   }
 
   /** Perceptual near-dup pairs over the decoded images' dHashes:
-    * exact hamming ≤ `maxHamming` with single-chunk Manku blocking —
-    * each 64-bit hash splits into eight 8-bit chunks, candidates are
-    * pairs agreeing on SOME chunk at the same index (complete for
-    * maxHamming ≤ 7 by pigeonhole), verification is an exact
-    * bit_count(xor) filter. The multimodal face of d03: catches the
-    * re-encoded/resized copies byte-level dedup can't.
+    * exact hamming ≤ `maxHamming` with chunk-pair Manku blocking
+    * ([[hammingPairs]] — d03's 2-of-8 scheme, complete for ≤ 6);
+    * verification is an exact bit_count(xor) filter. The multimodal
+    * face of d03: catches the re-encoded/resized copies byte-level
+    * dedup can't.
     *
     * SCALE: the decode pass is m08's (one codec init per partition);
-    * blocking is one (chunk-index, chunk-value) equi join — per-bucket
-    * pair work is bounded by how many images share an 8-bit chunk at
-    * one index, never all-pairs. The oracle IS all-pairs (gate-corpus
-    * truth), so a green row also certifies recall 1.0.
+    * blocking is one (combo-index, 16-bit key) equi join — the
+    * full-entropy candidate floor is n²·28/2¹⁷ ≈ n²/4681, not the
+    * n²/64 a single 8-bit chunk key structurally pins (2⁸ values
+    * CANNOT give near-singleton buckets past n ≈ 2k). The oracle IS
+    * all-pairs (gate-corpus truth), so a green row also certifies
+    * recall 1.0.
     */
   def imageNearDup(s: SparkSession, d: String, maxHamming: Int): DataFrame =
     hammingPairs(imageDHash(s, d), maxHamming)
 
-  /** Manku single-chunk blocking + exact hamming refine over any
-    * 64-bit perceptual-hash table (doc_id, hash_hi, hash_lo) — the
-    * shared near-dup back half of the multimodal triangle: images
-    * block their dHashes (m09), audio its Haitsma–Kalker fingerprint
-    * (m11) through the SAME plan. Complete for maxHamming ≤ 7 by
-    * pigeonhole: ≤ 7 flipped bits leave at least one of the eight
-    * 8-bit chunks intact, and one shared chunk is enough to become a
-    * candidate; verification is an exact bit_count(xor) filter.
+  /** Blocking keys for the perceptual hamming join over a 64-bit
+    * hash table (doc_id, hash_hi, hash_lo in m08's sign-safe-halves
+    * convention) — one row per (doc, key-index `j`, key value `bk`).
+    * Two Manku (WWW'07) schemes, picked by the threshold:
+    *
+    *   - maxHamming ≤ 2 → THREE wide chunks (21 + 21 + 22 bits).
+    *     Complete: 2 flips corrupt ≤ 2 of the 3 chunks, so ≥ 1 is
+    *     intact and its key collides. Full-entropy selectivity ≈
+    *     2²¹ per key → candidate floor n²·(2·2⁻²¹ + 2⁻²²)/2 ≈
+    *     n²/1.7M.
+    *   - maxHamming ≤ 6 → all C(8,2) = 28 ORDERED PAIRS of the
+    *     eight 8-bit chunks as 16-bit keys (Dedup.simhashPairs'
+    *     layout). Complete: 6 flips corrupt ≤ 6 chunks, so ≥ 2 are
+    *     intact and their pair key is one of the 28 combos. Floor ≈
+    *     n²·28/2¹⁷ ≈ n²/4681.
+    *
+    * Either floor falls with key entropy, unlike the single-8-bit-
+    * chunk layout this replaced (8 × 2⁸ keys → a structural n²/64
+    * floor REGARDLESS of true-duplicate structure: at 10⁶ docs
+    * that is ~1.6·10¹⁰ candidates before the distinct). Measured by
+    * Scale's planted-entropy probe (SURVEY §5).
+    */
+  private[operators] def hammingBlockKeys(h: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 6,
+      s"chunk-pair blocking is complete only for maxHamming <= 6, " +
+        s"got $maxHamming (wider thresholds need more/wider chunks)")
+    val full = shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
+    val keys =
+      if (maxHamming <= 2)
+        array(
+          full.bitwiseAND(lit(0x1fffffL)),
+          shiftrightunsigned(full, 21).bitwiseAND(lit(0x1fffffL)),
+          shiftrightunsigned(full, 42).bitwiseAND(lit(0x3fffffL)))
+      else {
+        def chunk(c: Int) =
+          shiftrightunsigned(full, 8 * c).bitwiseAND(lit(0xffL))
+        val combos = for { a <- 0 until 8; b <- a + 1 until 8 } yield (a, b)
+        array(combos.map { case (a, b) => chunk(a) * 256L + chunk(b) }: _*)
+      }
+    h.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+      posexplode(keys).as(Seq("j", "bk")))
+  }
+
+  /** Chunk-blocked hamming join + exact refine over any 64-bit
+    * perceptual-hash table (doc_id, hash_hi, hash_lo) — the shared
+    * near-dup back half of the multimodal triangle: images block
+    * their dHashes (m09), audio its Haitsma–Kalker fingerprint (m11)
+    * through the SAME plan. Candidates come from one equi join on
+    * [[hammingBlockKeys]]' (j, bk) rows (completeness + selectivity
+    * arithmetic there); verification is an exact bit_count(xor)
+    * filter, so blocking can only cost, never lose — both entries'
+    * exhaustive all-pairs oracles certify recall 1.0.
     */
   private def hammingPairs(h: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"single-chunk blocking is complete only for maxHamming <= 7, " +
-        s"got $maxHamming")
-    val chunks = h.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
-        explode(sequence(lit(0), lit(7))).as("j"))
-      .withColumn("chunk", expr(
-        "CASE WHEN j < 4 THEN shiftright(hash_lo, 8 * j) & 255 " +
-          "ELSE shiftright(hash_hi, 8 * (j - 4)) & 255 END"))
+    val chunks = hammingBlockKeys(h, maxHamming)
     val a = chunks.select(col("doc_id").as("id_a"),
       col("hash_hi").as("ha"), col("hash_lo").as("la"),
-      col("j"), col("chunk"))
+      col("j"), col("bk"))
     val b = chunks.select(col("doc_id").as("id_b"),
       col("hash_hi").as("hb"), col("hash_lo").as("lb"),
-      col("j"), col("chunk"))
-    a.join(b, Seq("j", "chunk"))
+      col("j"), col("bk"))
+    a.join(b, Seq("j", "bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("ha"), col("la"),
         col("hb"), col("lb"))
@@ -1156,5 +1290,29 @@ object Multimodal {
         expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** er09's blocking-quality report for the perceptual hamming join —
+    * the numbers that decide whether the block scheme survives the
+    * corpus BEFORE paying the join: records, key rows, distinct
+    * buckets, hottest bucket, in-bucket candidate pairs
+    * Σ b·(b−1)/2 (what the equi join emits pre-distinct, counting a
+    * pair once per shared key — the COST metric, not the recall one),
+    * the all-pairs baseline, and Christen's reduction ratio. All
+    * exact integers off ONE partial-aggregable (j, bk) count.
+    */
+  def hammingBlockingReport(h: DataFrame, maxHamming: Int): DataFrame = {
+    val sizes = hammingBlockKeys(h, maxHamming)
+      .groupBy(col("j"), col("bk")).agg(count(lit(1)).as("b"))
+    val nKeys = if (maxHamming <= 2) 3L else 28L
+    sizes.agg(
+        (sum(col("b")) / lit(nKeys)).cast("bigint").as("n_records"),
+        count(lit(1)).as("n_buckets"), max(col("b")).as("max_bucket"),
+        sum(expr("b * (b - 1) div 2")).as("candidates"))
+      .withColumn("all_pairs", expr("n_records * (n_records - 1) div 2"))
+      .withColumn("reduction_ratio",
+        when(col("all_pairs") > 0L, round(lit(1.0) -
+          col("candidates").cast("double") / col("all_pairs").cast("double"),
+          9)))
   }
 }
