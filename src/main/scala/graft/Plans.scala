@@ -101,7 +101,7 @@ object Plans {
       "rj04_coverage_gaps" -> "coverage/gaps: session build's user exchange satisfies the per-user session lag window AND the final groupBy — one data exchange end to end",
       "dq10_entropy" -> "entropy profile: per-column value histogram groupBy (partial-agg), per-term rounded decimal sums — the entropy row is scalar arithmetic on a 1-row aggregate",
       "q84_tpch_q11" -> "TPC-H Q11 shape: broadcast supplier semi-join BEFORE both aggregates, per-part decimal agg + 1-row global total broadcast, integer-cross-multiplied HAVING",
-      "m09_image_neardup" -> "image near-dup: decode mapPartitions -> chunk explode -> ONE (chunk-index, value) equi join (no BNLJ, no all-pairs) -> exact bit_count(xor) filter",
+      "m09_image_neardup" -> "image near-dup: decode mapPartitions -> 2-of-8 chunk-PAIR key explode (28 16-bit keys, complete <=6) -> ONE (combo, key) equi join (no BNLJ, no all-pairs; full-entropy floor n^2/4681, not the replaced single-chunk n^2/64) -> exact bit_count(xor) filter",
       "d28_novelty" -> "novelty curve: shingle explode -> per-shingle min (partial-agg) -> two doc-sized rollups; NO window anywhere",
       "t27_zipf_slope" -> "Zipf slope: histogram-elected ranks (no vocab-sized window anywhere) — log2(f)-bucket offsets via a <=64x64 triangular join, bucket-PARTITIONED cum windows over histogram rows, 64k-chunked rank-block explode repartitioned so the hapax class fans out; per-term rounded decimal sums, 1-row output",
       "src01_jsonl_roundtrip" -> "JSONL roundtrip: write + schema'd read + single Aggregate checksum — the read scan must show the explicit schema, no inference pass",
@@ -113,8 +113,10 @@ object Plans {
       "q89_distinct_on" -> "DISTINCT ON election: partial/final max(struct) aggregate pair — the map side elects per partition, so ONE elected struct per key crosses the single hash exchange; no Window anywhere, and every election-side Sort is PARTITION-LOCAL pre-shuffle (Spark picks SortAggregate because struct agg buffers aren't Tungsten-mutable — the shuffle-volume claim is unchanged; the window-rank form would shuffle every order row into a post-shuffle per-key sort, raw dropDuplicates(subset) keeps an arbitrary survivor) — PlanSpec-asserted",
       "q90_time_of_day" -> "TIME-of-day matrix: tod/wrap/extract arithmetic is a pure-integer codegen projection pipelined into the scan, then ONE partial-aggregable hour groupBy — no join, no window, output is 24 rows",
       "m10_audio_fingerprint" -> "audio perceptual fingerprint: per-partition javax.sound decode + integer HK grid, zero shuffles before the output sort",
-      "m11_audio_neardup" -> "audio near-dup: m09's EXACT plan through the shared hammingPairs (decode mapPartitions -> chunk explode -> ONE (chunk-index, value) equi join -> bit_count(xor) filter) on the Haitsma-Kalker fingerprint — the image and audio faces of the near-dup triangle are one code path",
-      "m12_video_neardup" -> "video near-dup: frame-walk mapPartitions -> distinct signature -> ONE (hash_hi, hash_lo) equi join whose groupBy count IS the verify — no BNLJ, no all-pairs, no second pass",
+      "m11_audio_neardup" -> "audio near-dup: m09's plan through the shared hammingPairs on the Haitsma-Kalker fingerprint, at the <=2 tier blocked on three 21/21/22-bit chunks (2^21-selective keys, floor n^2/1.68M) — the image and audio faces of the near-dup triangle are one code path",
+      "m12_video_neardup" -> "video near-dup: frame-walk mapPartitions -> distinct signature -> maxDf stop-frame semi-join (no-signal frames shared by >50 videos dropped BEFORE the self-join) -> ONE (hash_hi, hash_lo) equi join whose groupBy count IS the verify — no BNLJ, no all-pairs, no second pass",
+      "m13_perceptual_blocking" -> "perceptual blocking report: key explode -> ONE partial-aggregable (combo, key) count -> 1-row Christen metrics — the pre-join go/no-go costs one pass over key rows, never pairs",
+      "m14_media_ingest" -> "incremental media dedup: batch fingerprints -> skey explode -> ONE equi join against the BUCKETED fingerprint store (store side scans bucketed, zero exchange — only the batch shuffles) with the exact hamming verify in the same hop; append is batch-sized",
       "s18_opq_recall" -> "OPQ recall CONTRACT row: the exhibited plan is the final 1-row literal projection by design — the measured work (rotation, probe, ADC shortlist, exact re-rank) runs through the SAME ivfPqRerankRecall pipeline twice whose stored-search shape s09/s14 already exhibit (codes-only pruned scans); the gate's eigensolve is documented driver d^2 work on a KB corpus")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")
@@ -153,6 +155,39 @@ object Plans {
         "reaches PushedFilters and ReadSchema prunes to the 2 referenced " +
         "columns (src03's oracle row proves the VALUE/type fidelity; " +
         "this pins the plan claim)\n\n" +
+        s"```\n${plan.trim}\n```\n")
+    }
+    // Not a queries entry: m14's exhibit above shows only the
+    // checkpointed classification scan — this pins the PROBE JOIN's
+    // plan claim (the store side of the skey join scans bucketed with
+    // zero exchange; MediaDedupSpec asserts the same lines)
+    locally {
+      import org.apache.spark.sql.functions._
+      val fps = graft.operators.Multimodal.imageDHash(spark, sfDir)
+      graft.operators.MediaDedup.writeFingerprintStore(
+        spark, "plans_fpstore", fps, 6)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val plan = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = graft.operators.MediaDedup.fingerprintPairsAgainstStore(
+          spark, "plans_fpstore",
+          fps.limit(50).select(col("doc_id") + 1000000L as "doc_id",
+            col("hash_hi"), col("hash_lo")), 6)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+          .linesIterator.map(l => if (l.length > 400) l.take(400) + "…<truncated>" else l)
+          .mkString("\n")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        Seq("_fpblocks", "_fps", "_fpdial")
+          .foreach(s => spark.sql(s"DROP TABLE IF EXISTS plans_fpstore$s"))
+      }
+      sb.append("\n## m14_store_probe (evidence exhibit)\n\n" +
+        "the fingerprint store's probe join (broadcast disabled to " +
+        "force the merge-join shape): the store side scans " +
+        "`Bucketed: true` with NO Exchange — the bucketed write WAS " +
+        "its shuffle; only the batch side exchanges\n\n" +
         s"```\n${plan.trim}\n```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)

@@ -716,6 +716,9 @@ object Scale {
         f"(edge factor ${edgeFactor}%.0fx — sublinear-in-pairs; " +
         f"quadratic would be ${edgeFactor * edgeFactor}%.0fx)")
     }
+
+    // ---- planted-entropy perceptual-blocking probe (m09/m11) ----
+    graft.tools.PerceptualBlockingProbe.run(spark, Seq(100000L, 400000L))
     spark.stop()
   }
 }

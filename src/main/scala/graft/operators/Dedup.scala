@@ -613,9 +613,16 @@ object Dedup {
     * one transaction — schedule in the ingest's quiet window, or move
     * to a transactional table format for concurrent readers).
     */
-  def compactSignatureStore(spark: SparkSession, name: String): Unit = {
+  def compactSignatureStore(spark: SparkSession, name: String): Unit =
     Seq(s"${name}_bands" -> "skey", s"${name}_shingles" -> "doc_id")
-      .foreach { case (table, key) =>
+      .foreach { case (table, key) => compactStoreTable(spark, name, table, key) }
+
+  /** The per-table half of [[compactSignatureStore]], shared with the
+    * perceptual fingerprint store ([[MediaDedup]]): bucketed rewrite
+    * through a temp table + catalog rename, tombstones dropped
+    * physically. `name` scopes the tombstone suppression list. */
+  private[operators] def compactStoreTable(spark: SparkSession, name: String,
+      table: String, key: String): Unit = {
         val buckets = {
           val rows = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
           rows.find(_.getString(0) == "Num Buckets").map(_.getString(1).trim.toInt)
@@ -643,7 +650,6 @@ object Dedup {
           s"${table}_compact", buckets, key)
         spark.sql(s"DROP TABLE $table")
         spark.sql(s"ALTER TABLE ${table}_compact RENAME TO $table")
-      }
   }
 
   /** Compaction CADENCE policy: compact the signature store only when

@@ -1022,7 +1022,62 @@ object Multimodal {
         round(1.0 - CAST(candidates AS DOUBLE)
           / CAST(n_records * (n_records - 1) // 2 AS DOUBLE), 9)
           AS reduction_ratio
-      FROM agg"""))
+      FROM agg""")),
+
+    // ---- incremental perceptual dedup: the d09 production loop at
+    //      the media layer — image fingerprints of the ~80% "corpus"
+    //      split live in a bucketed store ([[MediaDedup]]), the ~20%
+    //      "batch" classifies against it through ONE zero-store-side-
+    //      exchange skey join + exact hamming ≤ 6 verify, uniques
+    //      appended. The blocking is complete for ≤ 6, so the
+    //      classification equals the EXHAUSTIVE batch×corpus truth
+    //      the oracle computes (recall 1.0 certified, d09's
+    //      restricted-CTE pattern) ----
+    ("m14_media_ingest", (s: SparkSession, d: String) => {
+      val fps = imageDHash(s, d)
+      // deterministic ~20% "new batch" (d06's ANSI-safe Knuth hash)
+      val isB =
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L), lit(1000003L)) % 5 === 0
+      MediaDedup.writeFingerprintStore(s, "m14_store", fps.filter(!isB), 6)
+      MediaDedup.ingestFingerprintBatch(s, "m14_store", fps.filter(isB), 6)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH img AS (
+        SELECT doc_id, 8 + doc_id % 57 AS w, 8 + (doc_id * 31) % 41 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      g AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS k FROM img),
+      c AS (SELECT doc_id, k, (k % 8) AS x, (k // 8) AS y, w, h FROM g),
+      pix AS (SELECT doc_id, k,
+        ((((x * w) // 9) * 31 + ((y * h) // 8) * 7
+          + (doc_id % 251) * 13) & 16777215) AS v0,
+        (((((x + 1) * w) // 9) * 31 + ((y * h) // 8) * 7
+          + (doc_id % 251) * 13) & 16777215) AS v1
+        FROM c),
+      bits AS (SELECT doc_id, k,
+        CASE WHEN (((v1 >> 16) & 255) + ((v1 >> 8) & 255) + (v1 & 255)) >
+                  (((v0 >> 16) & 255) + ((v0 >> 8) & 255) + (v0 & 255))
+             THEN 1 ELSE 0 END AS b
+        FROM pix),
+      hs AS (SELECT doc_id,
+        CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                      ELSE 0 END) AS BIGINT) AS hi,
+        CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
+                      ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id),
+      flag AS (SELECT doc_id,
+                 (doc_id % 1000003) * 427799 % 1000003 % 5 = 0 AS isb
+               FROM hs),
+      near AS (SELECT a.doc_id AS bid, min(c.doc_id) AS mid
+               FROM hs a JOIN flag fa ON fa.doc_id = a.doc_id AND fa.isb
+                    JOIN hs c ON bit_count(xor(a.hi, c.hi))
+                               + bit_count(xor(a.lo, c.lo)) <= 6
+                    JOIN flag fc ON fc.doc_id = c.doc_id AND NOT fc.isb
+               GROUP BY 1)
+      SELECT f.doc_id,
+        CASE WHEN n.mid IS NOT NULL THEN 'near' ELSE 'unique' END AS status,
+        COALESCE(n.mid, CAST(-1 AS BIGINT)) AS match_id
+      FROM flag f LEFT JOIN near n ON n.bid = f.doc_id
+      WHERE f.isb ORDER BY doc_id"""))
   )
 
   /** Shared fingerprint CTE of the m10/m11 oracles: WavGen's sample
@@ -1035,10 +1090,23 @@ object Multimodal {
         SELECT doc_id, (1 + doc_id % 2) * (200 + doc_id % 300) AS n
         FROM documents WHERE doc_id % 3 = 1),
       sm AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM aud),
-      e AS (
+      e0 AS (
         SELECT doc_id, (i * 17) // n AS t, i % 5 AS bd,
           sum(abs(((i * 31 + doc_id * 7) % 65536) - 32768)) AS en
         FROM sm GROUP BY 1, 2, 3),
+      -- full 17x5 grid with empty cells as ZERO energy: the JVM
+      -- kernel zero-initializes its grid, so a doc too short to
+      -- populate every (t, band) cell must compare against 0, not
+      -- have the cell dropped by an inner join (WavGen's >=200
+      -- samples happens to fill all cells, but parity must not
+      -- depend on the generator's minimum length)
+      e AS (
+        SELECT a.doc_id, t.t, b.bd, COALESCE(e0.en, 0) AS en
+        FROM aud a
+        CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS t) t
+        CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS bd) b
+        LEFT JOIN e0 ON e0.doc_id = a.doc_id AND e0.t = t.t
+          AND e0.bd = b.bd),
       d AS (
         SELECT a.doc_id, a.t, a.bd, a.en - c.en AS dv
         FROM e a JOIN e c ON a.doc_id = c.doc_id AND a.t = c.t
@@ -1180,7 +1248,7 @@ object Multimodal {
   /** The join half of [[videoNearDup]] over any (doc_id, hash_hi,
     * hash_lo) frame-signature frame — factored so the stop-frame
     * valve is spec-testable with a planted common frame. */
-  private[operators] def sharedFrameSig(frames: DataFrame, minShared: Int,
+  private[graft] def sharedFrameSig(frames: DataFrame, minShared: Int,
       maxDf: Int): DataFrame = {
     require(minShared >= 1, s"need minShared >= 1, got $minShared")
     require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
@@ -1241,7 +1309,7 @@ object Multimodal {
     * that is ~1.6·10¹⁰ candidates before the distinct). Measured by
     * Scale's planted-entropy probe (SURVEY §5).
     */
-  private[operators] def hammingBlockKeys(h: DataFrame,
+  private[graft] def hammingBlockKeys(h: DataFrame,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 6,
       s"chunk-pair blocking is complete only for maxHamming <= 6, " +

@@ -51,9 +51,6 @@ object DistinctStream {
   def readPublished(spark: SparkSession, outPath: String): DataFrame =
     StoreFold.readPublished(spark, outPath)
 
-  /** HLL-union fold on the shared [[StoreFold]] protocol —
-    * register-wise max, estimates invariant. Keeps `pk` when the
-    * store carries one (functionally dependent on the key). */
   /** Register-wise HLL union of closed partials; keeps the `pk`
     * partition column when the store carries one (functionally
     * dependent on the key). */

@@ -76,40 +76,54 @@ object StoreFold {
     * remap keys so previously published pk dirs are never overwritten
     * again (stale duplicate rows) and mixed flat/partitioned layouts
     * break partition discovery. A tiny sidecar marker
-    * (`<storePath>_dial`, a sibling so the fold's whole-dir rename
-    * swap never moves it) records the dial on first write and
-    * fail-fasts on any later mismatch; for pre-marker stores the
-    * layout itself (pk= subdirs present/absent) is cross-checked. */
+    * (`<path>_dial`, a sibling so the fold's whole-dir rename swap
+    * never moves it) records the dial on first write and fail-fasts
+    * on any later mismatch; for pre-marker dirs the layout itself
+    * (pk= subdirs present/absent) is cross-checked. BOTH paths carry
+    * a marker: storePath and outPath are independent parameters, so
+    * a retained published dir paired with a fresh store (or two
+    * streams pointed at one outPath with different dials) would pass
+    * a store-only check while leaving stale/mixed pk layouts in the
+    * published table — exactly what the marker exists to prevent. */
   private def checkDialMarker(spark: SparkSession, label: String,
-      storePath: String, dial: Option[Int]): Unit = {
+      path: String, dial: Option[Int], published: Boolean): Unit = {
     import org.apache.hadoop.fs.Path
     val want = dial.map(p => s"pk=$p").getOrElse("full")
-    val marker = new Path(storePath + "_dial")
+    val marker = new Path(path + "_dial")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val got = try new String(in.readAllBytes(), "UTF-8").trim
         finally in.close()
       require(got == want,
-        s"$label: publish dial changed against an existing store — " +
-          s"$storePath was written with '$got', this start() says " +
+        s"$label: publish dial changed against an existing " +
+          s"${if (published) "published table" else "store"} — " +
+          s"$path was written with '$got', this start() says " +
           s"'$want'; keys would remap across pk dirs and previously " +
           "published partitions would go permanently stale. Use a " +
           "fresh store/outPath or restore the original dial.")
     } else {
-      val dir = new Path(storePath)
+      val dir = new Path(path)
       if (fs.exists(dir)) {
-        val batchDirs = fs.listStatus(dir).filter(_.isDirectory)
-          .map(_.getPath).filter(_.getName.startsWith("batch_id="))
-        if (batchDirs.nonEmpty) {
-          val hasPk = batchDirs.exists(b => fs.listStatus(b).exists(s =>
-            s.isDirectory && s.getPath.getName.startsWith("pk=")))
+        // pre-marker layout cross-check: the store nests pk= under
+        // batch_id= dirs; the published table carries pk= at top level
+        val hasPk =
+          if (published)
+            fs.listStatus(dir).exists(s =>
+              s.isDirectory && s.getPath.getName.startsWith("pk="))
+          else {
+            val batchDirs = fs.listStatus(dir).filter(_.isDirectory)
+              .map(_.getPath).filter(_.getName.startsWith("batch_id="))
+            batchDirs.exists(b => fs.listStatus(b).exists(s =>
+              s.isDirectory && s.getPath.getName.startsWith("pk=")))
+          }
+        val nonEmpty = fs.listStatus(dir).nonEmpty
+        if (nonEmpty)
           require(hasPk == dial.nonEmpty,
-            s"$label: existing store layout at $storePath is " +
+            s"$label: existing layout at $path is " +
               s"${if (hasPk) "pk-partitioned" else "flat"} but this " +
               s"start() says '$want' — the dial is fixed for the life " +
-              "of a store; use a fresh store/outPath or restore it.")
-        }
+              "of a store/outPath; use a fresh path or restore it.")
       }
       val out = fs.create(marker, true)
       try out.write(want.getBytes("UTF-8")) finally out.close()
@@ -160,7 +174,10 @@ object StoreFold {
           "name is reserved by incrementalPubParts (it becomes the " +
           "key-hash partition column of the store and published table)")
     }
-    checkDialMarker(spark, label, storePath, incrementalPubParts)
+    checkDialMarker(spark, label, storePath, incrementalPubParts,
+      published = false)
+    checkDialMarker(spark, label, outPath, incrementalPubParts,
+      published = true)
     incrementalPubParts match {
       case None =>
         batchPartials

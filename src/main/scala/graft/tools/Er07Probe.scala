@@ -24,35 +24,33 @@ object Er07Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(1).map(_.toInt).getOrElse(3)
-    val spark = GraftSession.local(32)
+    // same CPU dial as Bench — a local[4] run of the CPU-parallel
+    // kernels reads ~3x slow and would mislead the decomposition
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    def pairs(s: SparkSession): DataFrame = {
-      val p = Tables.part(s, sfDir)
-      val key = (n: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =>
-        concat_ws("|", split(n, " ").getItem(1), t)
-      val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
-        key(col("p_name"), col("p_type")).as("bk"))
-      val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
-        key(col("p_name"), col("p_type")).as("bk"))
-      a.join(b, Seq("bk")).filter(col("a_key") < col("b_key"))
-    }
+    import graft.operators.Er
+    type Feats = Seq[(String, (String => org.apache.spark.sql.Column,
+      String => org.apache.spark.sql.Column) => org.apache.spark.sql.Column)]
+    // er07's OWN stage machinery (Er.candidatePairs + partBlockKey),
+    // so a change to the entry's blocking/feature layers cannot
+    // silently decouple what this probe measures from what runs
+    def layer(s: SparkSession, features: Feats,
+        keep: org.apache.spark.sql.Column): DataFrame =
+      Er.candidatePairs(Tables.part(s, sfDir), "p_partkey",
+        ac => Er.partBlockKey(ac("p_name"), ac("p_type")), features, keep)
+    val levF: Feats = Seq("lev" -> ((ac, bc) =>
+      levenshtein(ac("p_name"), bc("p_name")).cast("long")))
+    val dlF: Feats = Seq("dl" -> ((ac, bc) =>
+      graft.functions.damerauLevenshtein(ac("p_name"), bc("p_name"))))
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val layers: Seq[(String, () => Unit)] = Seq(
-      "pairs" -> (() => noop(pairs(spark))),
-      "lev" -> (() => noop(pairs(spark)
-        .withColumn("lev", levenshtein(col("a_name"), col("b_name")).cast("long"))
-        .filter(col("lev") <= 4L))),
-      "dl" -> (() => noop(pairs(spark)
-        .withColumn("dl",
-          graft.functions.damerauLevenshtein(col("a_name"), col("b_name")))
-        .filter(col("dl") <= 4L))),
-      "dl+lev" -> (() => noop(pairs(spark)
-        .withColumn("dl",
-          graft.functions.damerauLevenshtein(col("a_name"), col("b_name")))
-        .withColumn("lev", levenshtein(col("a_name"), col("b_name")).cast("long"))
-        .filter(col("dl") <= 4L))),
+      "pairs" -> (() => noop(layer(spark, Seq.empty, lit(true)))),
+      "lev" -> (() => noop(layer(spark, levF, col("lev") <= 4L))),
+      "dl" -> (() => noop(layer(spark, dlF, col("dl") <= 4L))),
+      "dl+lev" -> (() => noop(layer(spark, dlF ++ levF, col("dl") <= 4L))),
       "er07" -> (() => noop(
         graft.SparkEntry.queries("er07_damerau")(spark, sfDir))))
     // optional layer filter (comma list) — e.g. run er07 FIRST in a
