@@ -852,9 +852,23 @@ object Dedup {
     * batch, is the dedup frame of reference).
     */
   def ingestBatchLabeled(spark: SparkSession, name: String, batch: DataFrame,
-      jaccardMin: Double): DataFrame = {
+      jaccardMin: Double): DataFrame =
+    labeledIngest(spark, name, batch,
+      minhashPairsAgainstStore(spark, name, batch, jaccardMin),
+      uniques => appendToSignatureStore(dropTombstoned(spark, name,
+        uniques.join(spark.table(s"${name}_shingles").select("doc_id"),
+          Seq("doc_id"), "left_anti"), "doc_id"), name))
+
+  /** The label half of [[ingestBatchLabeled]], parameterized by the
+    * (batch_id, corpus_id) match-pair frame and the store-specific
+    * unique-append — the attach/merge/remap machinery is
+    * pair-source-agnostic, so the MEDIA fingerprint store
+    * ([[MediaDedup.ingestFingerprintBatchLabeled]]) maintains live
+    * cluster ids through this exact code path. */
+  private[operators] def labeledIngest(spark: SparkSession, name: String,
+      batch: DataFrame, pairs: DataFrame,
+      appendUniques: DataFrame => Unit): DataFrame = {
     import org.apache.spark.sql.SaveMode
-    val pairs = minhashPairsAgainstStore(spark, name, batch, jaccardMin)
     val lab = clusterLabels(spark, name)
     val matched = pairs
       .join(lab, pairs("corpus_id") === lab("doc_id"))
@@ -898,9 +912,7 @@ object Dedup {
     // batch dedups against them), batch labels, re-resolved remap
     val uniques = batch.join(
       labeled.filter(col("status") === "unique").select("doc_id"), "doc_id")
-    appendToSignatureStore(dropTombstoned(spark, name, uniques.join(
-      spark.table(s"${name}_shingles").select("doc_id"), Seq("doc_id"), "left_anti"),
-      "doc_id"), name)
+    appendUniques(uniques)
     val freshLabels = dropTombstoned(spark, name, labeled
       .select(col("doc_id"), col("cluster_id").as("root"))
       .join(spark.table(s"${name}_labels").select("doc_id"), Seq("doc_id"), "left_anti"),

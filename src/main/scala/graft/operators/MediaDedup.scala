@@ -157,6 +157,46 @@ object MediaDedup {
       .format("parquet").saveAsTable(s"${name}_fps")
   }
 
+  /** Initialize the cluster-label store for a fingerprint corpus —
+    * [[Dedup.writeLabelStore]]'s shape with the hamming join as the
+    * pair source: one connected-components run over the corpus' own
+    * near-dup pairs (the LAST full run ever needed), singletons
+    * labeled by their own id, empty remap. Pair with
+    * [[writeFingerprintStore]] on the same corpus; read current
+    * assignments via [[Dedup.clusterLabels]] (the tables are the
+    * same layout, so the label machinery is shared verbatim). */
+  def writeFingerprintLabelStore(spark: SparkSession, name: String,
+      fps: DataFrame, maxHamming: Int, buckets: Int = 8): Unit = {
+    val cc = Dedup.connectedComponents(
+      Multimodal.hammingPairs(
+        fps.select(col("doc_id"), col("hash_hi"), col("hash_lo")), maxHamming)
+        .select(col("id_a"), col("id_b")))
+    val labels = fps.select(col("doc_id"))
+      .join(cc, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("root"))
+    graft.sources.Sinks.writeBucketed(labels, s"${name}_labels", buckets, "doc_id")
+    graft.sources.Sinks.clearOrphanLocation(spark, s"${name}_remap")
+    Dedup.emptyRemap(spark).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_remap")
+  }
+
+  /** [[ingestFingerprintBatch]] + incremental cluster-label
+    * maintenance — [[Dedup.ingestBatchLabeled]]'s attach/merge/remap
+    * machinery ([[Dedup.labeledIngest]]) with the fingerprint store's
+    * pair source and unique-append: each near-dup attaches to the
+    * smallest matched cluster root, bridged clusters merge by remap
+    * rows only, and the returned rows carry the doc's CURRENT
+    * cluster_id. Cost ∝ batch; replay-idempotent for the same
+    * reasons. */
+  def ingestFingerprintBatchLabeled(spark: SparkSession, name: String,
+      batch: DataFrame, maxHamming: Int): DataFrame =
+    Dedup.labeledIngest(spark, name, batch,
+      fingerprintPairsAgainstStore(spark, name, batch, maxHamming),
+      uniques => appendToFingerprintStore(spark, name,
+        Dedup.dropTombstoned(spark, name,
+          uniques.join(spark.table(s"${name}_fps").select("doc_id"),
+            Seq("doc_id"), "left_anti"), "doc_id")))
+
   /** Retire fingerprints (takedown / TTL): [[Dedup]]'s lazy tombstone
     * machinery verbatim — reads anti-join, compaction reclaims. */
   def deleteFromFingerprintStore(spark: SparkSession, name: String,

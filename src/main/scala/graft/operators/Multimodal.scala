@@ -1351,7 +1351,7 @@ object Multimodal {
     * filter, so blocking can only cost, never lose — both entries'
     * exhaustive all-pairs oracles certify recall 1.0.
     */
-  private def hammingPairs(h: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def hammingPairs(h: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = hammingBlockKeys(h, maxHamming)
     val a = chunks.select(col("doc_id").as("id_a"),
       col("hash_hi").as("ha"), col("hash_lo").as("la"),

@@ -29,7 +29,7 @@ class MediaDedupSpec extends AnyFunSuite {
   private val h3 = (0x243f6a88L, 0x85a308d3L)
 
   private def dropStore(name: String): Unit =
-    Seq("_fpblocks", "_fps", "_fpdial", "_tombstones")
+    Seq("_fpblocks", "_fps", "_fpdial", "_tombstones", "_labels", "_remap")
       .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $name$s"))
 
   private def classify(name: String, batch: org.apache.spark.sql.DataFrame,
@@ -194,6 +194,47 @@ class MediaDedupSpec extends AnyFunSuite {
         .filter(_.isDirectory).map(_.getName).sorted
       assert(partDirs.toSeq === Seq("micro_batch=0", "micro_batch=1"))
     } finally dropStore("fpstream")
+  }
+
+  test("labeled fingerprint ingest: attach joins existing cluster; a bridging batch doc merges clusters via remap only") {
+    // hB is 10 bits from h1 (separate clusters at hamming <= 6); the
+    // bridge x is 5 bits from EACH
+    val x = flip(h1, 1, 8, 20, 33, 47)
+    val hB = flip(x, 2, 9, 21, 34, 48)
+    try {
+      val corpus = fps(1L -> h1, 3L -> flip(h1, 11), 40L -> hB, 5L ->
+        (0x13198a2eL, 0x03707344L))
+      MediaDedup.writeFingerprintStore(spark, "fplbl", corpus, 6)
+      MediaDedup.writeFingerprintLabelStore(spark, "fplbl", corpus, 6)
+      // init truth: {1,3} cluster at root 1; 40 and 5 singletons
+      val init = graft.operators.Dedup.clusterLabels(spark, "fplbl")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(init === Map(1L -> 1L, 3L -> 1L, 40L -> 40L, 5L -> 5L))
+      // attach: near doc joins the existing cluster
+      val a = MediaDedup.ingestFingerprintBatchLabeled(spark, "fplbl",
+          fps(10L -> flip(h1, 2)), 6)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(a(10L) === (("near", 1L, 1L)))
+      // bridge: doc 20 matches BOTH clusters -> 40's cluster merges
+      // into root 1 by a remap row, labels never rewritten
+      val b = MediaDedup.ingestFingerprintBatchLabeled(spark, "fplbl",
+          fps(20L -> x), 6)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(b(20L)._1 === "near")
+      assert(b(20L)._3 === 1L)
+      val after = graft.operators.Dedup.clusterLabels(spark, "fplbl")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after(40L) === 1L, s"bridged cluster must resolve to 1: $after")
+      assert(after(20L) === 1L && after(10L) === 1L)
+      // replay idempotence: the merge already happened, edges vanish
+      val replay = MediaDedup.ingestFingerprintBatchLabeled(spark, "fplbl",
+          fps(20L -> x), 6)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(replay === b, s"replay must be idempotent: $replay vs $b")
+    } finally dropStore("fplbl")
   }
 
   test("stop-frame valve: a planted common frame cannot quadratically pair the corpus") {
