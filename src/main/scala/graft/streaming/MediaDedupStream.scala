@@ -51,4 +51,29 @@ object MediaDedupStream {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** [[start]] + live cluster labels ([[DedupStream.startLabeled]]'s
+    * media twin): each micro-batch classifies against the fingerprint
+    * store AND maintains the incremental label store
+    * ([[graft.operators.MediaDedup.ingestFingerprintBatchLabeled]]),
+    * so every emitted row carries the doc's CURRENT cluster_id — a
+    * batch-2 near-dup of a batch-1 unique joins that doc's cluster
+    * with no full CC rerun. Same idempotent dynamic-partition sink;
+    * label append and remap rewrite replay-safe the same way. */
+  def startLabeled(store: String, fpStream: DataFrame, maxHamming: Int,
+      outPath: String, checkpoint: String): StreamingQuery =
+    fpStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val labeled = graft.operators.MediaDedup
+          .ingestFingerprintBatchLabeled(batch.sparkSession, store, batch,
+            maxHamming)
+        labeled.withColumn("micro_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("micro_batch")
+          .parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -237,6 +237,50 @@ class MediaDedupSpec extends AnyFunSuite {
     } finally dropStore("fplbl")
   }
 
+  test("streaming labeled media dedup: a batch-2 fingerprint joins the cluster a batch-1 doc founded") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val hNew = (0x452821e6L, 0x38d01377L)
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, Long, Long)]): Unit = {
+      val stage = Files.createTempDirectory("graft-mlstream-stage")
+      rows.toDF("doc_id", "hash_hi", "hash_lo")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val corpus = fps(1L -> h1)
+    MediaDedup.writeFingerprintStore(spark, "fplstream", corpus, 6)
+    MediaDedup.writeFingerprintLabelStore(spark, "fplstream", corpus, 6)
+    try {
+      val src = Files.createTempDirectory("graft-mlstream-src")
+      val out = Files.createTempDirectory("graft-mlstream-out").toString
+      val ckpt = Files.createTempDirectory("graft-mlstream-ckpt").toString
+      // micro-batch 1: doc 10 unique — FOUNDS cluster 10
+      addFile(src, "b1.parquet", Seq((10L, hNew._1, hNew._2)))
+      val stream = spark.readStream
+        .schema("doc_id LONG, hash_hi LONG, hash_lo LONG")
+        .parquet(src.toString)
+      val q = graft.streaming.MediaDedupStream
+        .startLabeled("fplstream", stream, 6, out, ckpt)
+      try {
+        q.processAllAvailable()
+        // micro-batch 2: doc 20 near-dups doc 10 — joins ITS cluster
+        val h20 = flip(hNew, 2, 50)
+        addFile(src, "b2.parquet", Seq((20L, h20._1, h20._2)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(out)
+        .select(col("doc_id"), col("status"), col("match_id"),
+          col("cluster_id"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got(10L) === (("unique", -1L, 10L)))
+      assert(got(20L) === (("near", 10L, 10L)))
+    } finally dropStore("fplstream")
+  }
+
   test("stop-frame valve: a planted common frame cannot quadratically pair the corpus") {
     import spark.implicits._
     // 100 videos: each has one UNIQUE frame + the SAME black frame;
