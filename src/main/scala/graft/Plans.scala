@@ -115,8 +115,10 @@ object Plans {
       "m10_audio_fingerprint" -> "audio perceptual fingerprint: per-partition javax.sound decode + integer HK grid, zero shuffles before the output sort",
       "m11_audio_neardup" -> "audio near-dup: m09's plan through the shared hammingPairs on the Haitsma-Kalker fingerprint, at the <=2 tier blocked on three 21/21/22-bit chunks (2^21-selective keys, floor n^2/1.68M) — the image and audio faces of the near-dup triangle are one code path",
       "m12_video_neardup" -> "video near-dup: frame-walk mapPartitions -> distinct signature -> maxDf stop-frame semi-join (no-signal frames shared by >50 videos dropped BEFORE the self-join) -> ONE (hash_hi, hash_lo) equi join whose groupBy count IS the verify — no BNLJ, no all-pairs, no second pass",
-      "m13_perceptual_blocking" -> "perceptual blocking report: key explode -> ONE partial-aggregable (combo, key) count -> 1-row Christen metrics — the pre-join go/no-go costs one pass over key rows, never pairs",
+      "m13_perceptual_blocking" -> "perceptual blocking report, BOTH tiers: key explode -> ONE partial-aggregable (combo, key) count per tier -> 2-row Christen metrics (pairs16 over image dHashes, chunks21 over audio fingerprints) — the pre-join go/no-go costs one pass over key rows, never pairs",
       "m14_media_ingest" -> "incremental media dedup: batch fingerprints -> skey explode -> ONE equi join against the BUCKETED fingerprint store (store side scans bucketed, zero exchange — only the batch shuffles) with the exact hamming verify in the same hop; append is batch-sized",
+      "m15_video_ingest" -> "incremental VIDEO dedup: batch frame hashes -> ONE fkey equi join against the BUCKETED video-signature store (store side scans Bucketed: true, zero exchange; only the batch shuffles) whose groupBy count IS the shared-frame verify; the maxDf stop-frame valve is an exchange-free partial-agg count over the SAME bucketed scan (grouping includes the bucket column) re-derived per probe, so join output stays <= batch x maxDf however the corpus grows; append is batch-sized",
+      "m16_audio_ingest" -> "incremental media dedup at the chunks21 (<=2) tier: m14's plan with the three 21/21/22-bit wide-chunk keys (2^21-selective) as the store layout — the dial pins the scheme, the store side is exchange-free, the exact hamming verify rides the same hop",
       "s18_opq_recall" -> "OPQ recall CONTRACT row: the exhibited plan is the final 1-row literal projection by design — the measured work (rotation, probe, ADC shortlist, exact re-rank) runs through the SAME ivfPqRerankRecall pipeline twice whose stored-search shape s09/s14 already exhibit (codes-only pruned scans); the gate's eigensolve is documented driver d^2 work on a KB corpus")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (AQE final)\n\n")

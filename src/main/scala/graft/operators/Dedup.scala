@@ -674,7 +674,7 @@ object Dedup {
 
   /** Data-file statuses under a catalog table's location. A KB-sized
     * listing — never reads the files. */
-  private[operators] def tableDataFiles(spark: SparkSession,
+  private[graft] def tableDataFiles(spark: SparkSession,
       table: String): Array[org.apache.hadoop.fs.FileStatus] = {
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
       .find(_.getString(0) == "Location").map(_.getString(1))
@@ -687,7 +687,7 @@ object Dedup {
   /** Data-file count under a catalog table's location (each bucketed
     * append adds one file per bucket, so count/buckets is the append
     * depth). */
-  private[operators] def tableFileCount(spark: SparkSession, table: String): Long =
+  private[graft] def tableFileCount(spark: SparkSession, table: String): Long =
     tableDataFiles(spark, table).length.toLong
 
   /** One production ingest step: classify `batch` against the store
@@ -716,7 +716,7 @@ object Dedup {
       .select(col("doc_id"),
         when(col("match_id").isNotNull, "near").otherwise("unique").as("status"),
         coalesce(col("match_id"), lit(-1L)).as("match_id"))
-      .localCheckpoint(true)
+      .transform(Cut(_))
     val uniques = batch.join(
       classified.filter(col("status") === "unique").select("doc_id"), "doc_id")
     // append-side dedup: a retried batch whose append landed before
@@ -792,7 +792,7 @@ object Dedup {
   }
 
   /** Bucket count of an existing bucketed table, from the catalog. */
-  private[operators] def bucketsOf(spark: SparkSession, table: String): Int = {
+  private[graft] def bucketsOf(spark: SparkSession, table: String): Int = {
     val rows = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
     rows.find(_.getString(0) == "Num Buckets").map(_.getString(1).trim.toInt)
       .getOrElse(sys.error(s"$table is not a bucketed table"))
@@ -873,10 +873,10 @@ object Dedup {
     val matched = pairs
       .join(lab, pairs("corpus_id") === lab("doc_id"))
       .select(col("batch_id"), col("corpus_id"), col("root"))
-      .localCheckpoint(true)
+      .transform(Cut(_))
     val attach = matched.groupBy(col("batch_id"))
       .agg(min(col("root")).as("aroot"), min(col("corpus_id")).as("match_id"))
-      .localCheckpoint(true)
+      .transform(Cut(_))
     // one batch doc matching clusters r1 < r2 merges r2 into r1
     val mergeEdges = matched.join(attach, "batch_id")
       .filter(col("root") =!= col("aroot"))
@@ -889,7 +889,7 @@ object Dedup {
       connectedComponentsBounded(mergeEdges)
         .filter(col("id") =!= col("lab"))
         .select(col("id").as("old_root"), col("lab").as("new_root"))
-        .localCheckpoint(true))
+        .transform(Cut(_)))
     // old remap rows re-resolve through the new merges (their values
     // may have just died); new rows join them
     val remapAll = spark.table(s"${name}_remap")
@@ -897,7 +897,7 @@ object Dedup {
         col("new_root") === col("o2"), "left")
       .select(col("old_root"), coalesce(col("n2"), col("new_root")).as("new_root"))
       .unionAll(remapNew)
-      .localCheckpoint(true)
+      .transform(Cut(_))
     val labeled = batch.select(col("doc_id"))
       .join(attach, col("doc_id") === col("batch_id"), "left")
       .select(col("doc_id"),
@@ -907,7 +907,7 @@ object Dedup {
       .join(remapNew, col("root0") === col("old_root"), "left")
       .select(col("doc_id"), col("status"), col("match_id"),
         coalesce(col("new_root"), col("root0")).as("cluster_id"))
-      .localCheckpoint(true)
+      .transform(Cut(_))
     // store maintenance, all replay-safe: unique signatures (next
     // batch dedups against them), batch labels, re-resolved remap
     val uniques = batch.join(
@@ -940,6 +940,33 @@ object Dedup {
     spark.sql(s"ALTER TABLE ${name}_labels_compact RENAME TO ${name}_labels")
     emptyRemap(spark).write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_remap")
+  }
+
+  /** Self-triggering compaction cadence for the LABEL store —
+    * [[graft.operators.Er.maybeCompactEntityStore]]'s double trigger
+    * applied here: compact when the labels table's files-per-bucket
+    * exceed `maxFilesPerBucket` (each labeled ingest appends one file
+    * per bucket, so this is the ingest count since the last compact)
+    * OR the remap outgrew `maxRemapRows` (every label read pays the
+    * remap broadcast, so remap growth taxes reads even when file
+    * counts are fine). Returns whether it compacted — the labeled
+    * streaming loops call this per micro-batch in the single writer's
+    * quiet window, turning "compact periodically" into a bounded
+    * invariant: a months-long labeled stream keeps both the file
+    * count and the broadcast size capped. */
+  def maybeCompactLabelStore(spark: SparkSession, name: String,
+      maxFilesPerBucket: Int, maxRemapRows: Long = 100000L): Boolean = {
+    require(maxFilesPerBucket >= 1,
+      s"need maxFilesPerBucket >= 1, got $maxFilesPerBucket")
+    val over = tableFileCount(spark, s"${name}_labels") >
+      bucketsOf(spark, s"${name}_labels").toLong * maxFilesPerBucket
+    // the remap was just overwritten by this session's own ingest, but
+    // refresh anyway: a caller outside the writing (possibly cloned)
+    // session would otherwise count a deleted file listing
+    spark.catalog.refreshTable(s"${name}_remap")
+    if (over || spark.table(s"${name}_remap").count() > maxRemapRows) {
+      compactLabelStore(spark, name); true
+    } else false
   }
 
   /** SimHash near-duplicate pairs over (doc_id, text): Manku-style
@@ -1035,9 +1062,7 @@ object Dedup {
       convergenceCheckEvery: Int = 1): DataFrame = {
     require(convergenceCheckEvery >= 1,
       s"need convergenceCheckEvery >= 1, got $convergenceCheckEvery")
-    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    def cut(df: DataFrame): DataFrame = Cut(df)
     val sym = cut(edges.select(col("id_a").as("x"), col("id_b").as("y"))
       .unionAll(edges.select(col("id_b").as("x"), col("id_a").as("y"))))
     var labels = cut(sym.select(col("x").as("id")).distinct()

@@ -270,10 +270,10 @@ object Er {
     val lab = entityLabels(spark, name)
     val matched = pairs.join(lab, pairs("s_key") === lab("rkey"))
       .select(col("b_key"), col("s_key"), col("root"))
-      .localCheckpoint(true)
+      .transform(Cut(_))
     val attach = matched.groupBy(col("b_key"))
       .agg(min(col("root")).as("aroot"), min(col("s_key")).as("match_id"))
-      .localCheckpoint(true)
+      .transform(Cut(_))
     // one batch record matching entities r1 < r2 merges r2 into r1;
     // closure over the batch-sized merge graph, remap rows only
     val mergeEdges = matched.join(attach, "b_key")
@@ -287,14 +287,14 @@ object Er {
       Dedup.connectedComponentsBounded(mergeEdges)
         .filter(col("id") =!= col("lab"))
         .select(col("id").as("old_root"), col("lab").as("new_root"))
-        .localCheckpoint(true))
+        .transform(Cut(_)))
     // old remap rows re-resolve through the new merges; new rows join
     val remapAll = spark.table(s"${name}_remap")
       .join(remapNew.select(col("old_root").as("o2"), col("new_root").as("n2")),
         col("new_root") === col("o2"), "left")
       .select(col("old_root"), coalesce(col("n2"), col("new_root")).as("new_root"))
       .unionAll(remapNew)
-      .localCheckpoint(true)
+      .transform(Cut(_))
     val labeled = batch.select(col(k).as("rkey"))
       .join(attach, col("rkey") === col("b_key"), "left")
       .select(col("rkey"),
@@ -304,7 +304,7 @@ object Er {
       .join(remapNew, col("root0") === col("old_root"), "left")
       .select(col("rkey"), col("status"), col("match_id"),
         coalesce(col("new_root"), col("root0")).as("entity_id"))
-      .localCheckpoint(true)
+      .transform(Cut(_))
     // append EVERY fresh batch record's blocks and labels (see the
     // store preamble: matched records stay linkable), replay-safe via
     // the anti-join on keys the store already holds

@@ -27,11 +27,9 @@ object Graph {
   /** Per-round lineage cut shared by every iterative operator here:
     * a reliable checkpoint when a checkpoint dir is configured (an
     * executor loss at 100 TB replays one round, not all), else
-    * memory-only localCheckpoint (the local-harness default). */
-  private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(true)
+    * memory-only localCheckpoint (the local-harness default) — the
+    * repo-wide [[Cut]] helper. */
+  private def cut(df: DataFrame): DataFrame = Cut(df)
 
   /** Fixed-iteration PageRank on a DIRECTED edge list (src, dst) —
     * pass both directions for an undirected graph. Nodes = edge

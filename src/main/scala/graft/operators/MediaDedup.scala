@@ -84,9 +84,16 @@ object MediaDedup {
   /** Candidate (batch_id, corpus_id, hamming) pairs of a batch
     * against the store — one equi join on the bucketed skey (zero
     * store-side exchange; only the batch shuffles), exact-hamming
-    * verified in the same hop. Excludes corpus_id == batch_id so a
-    * crash-replayed batch whose append already landed cannot match
-    * ITSELF (d09's idempotence discipline). */
+    * verified in the same hop. Excludes EVERY current-batch id from
+    * the corpus side (a batch-sized broadcast anti-join, stronger
+    * than d09's self-id-only guard): a crash-replayed batch whose
+    * append already landed cannot match itself OR its fellow batch
+    * docs — without the batch-wide exclusion, two mutually-near
+    * uniques appended before a crash would reclassify each other as
+    * 'near' on replay, and the replayed partition overwrite would
+    * land DIFFERENT rows than the first run. With it, replay is
+    * bit-identical: the store minus the batch is exactly the frame
+    * of reference the first run saw. */
   def fingerprintPairsAgainstStore(spark: SparkSession, name: String,
       batch: DataFrame, maxHamming: Int): DataFrame = {
     requireScheme(spark, name, maxHamming)
@@ -97,10 +104,11 @@ object MediaDedup {
         col("hash_hi").as("bh"), col("hash_lo").as("bl"))
     val cb = Dedup.dropTombstoned(spark, name,
         spark.table(s"${name}_fpblocks"), "doc_id")
+      .join(broadcast(batch.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
       .select(col("skey"), col("doc_id").as("corpus_id"),
         col("hash_hi").as("ch"), col("hash_lo").as("cl"))
     bk.join(cb, "skey")
-      .filter(col("batch_id") =!= col("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
         expr("bit_count(bh ^ ch) + bit_count(bl ^ cl)").cast("long")
           .as("hamming"))
@@ -125,7 +133,7 @@ object MediaDedup {
       .select(col("doc_id"),
         when(col("match_id").isNotNull, "near").otherwise("unique").as("status"),
         coalesce(col("match_id"), lit(-1L)).as("match_id"))
-      .localCheckpoint(true)
+      .transform(Cut(_))
     val uniques = batch.join(
       classified.filter(col("status") === "unique").select("doc_id"), "doc_id")
     val fresh = Dedup.dropTombstoned(spark, name, uniques.join(
@@ -143,11 +151,7 @@ object MediaDedup {
       batch: DataFrame): Unit = {
     val maxHamming =
       spark.table(s"${name}_fpdial").collect()(0).getAs[Int]("max_hamming")
-    val buckets = {
-      val rows = spark.sql(s"DESCRIBE TABLE EXTENDED ${name}_fpblocks").collect()
-      rows.find(_.getString(0) == "Num Buckets").map(_.getString(1).trim.toInt)
-        .getOrElse(sys.error(s"${name}_fpblocks is not a bucketed store"))
-    }
+    val buckets = Dedup.bucketsOf(spark, s"${name}_fpblocks")
     blocksOf(batch, maxHamming).write.mode(SaveMode.Append)
       .bucketBy(buckets, "skey").sortBy("skey")
       .format("parquet").saveAsTable(s"${name}_fpblocks")
@@ -216,15 +220,177 @@ object MediaDedup {
       maxFilesPerBucket: Int): Boolean = {
     require(maxFilesPerBucket >= 1,
       s"need maxFilesPerBucket >= 1, got $maxFilesPerBucket")
-    val buckets = {
-      val rows = spark.sql(s"DESCRIBE TABLE EXTENDED ${name}_fpblocks").collect()
-      rows.find(_.getString(0) == "Num Buckets").map(_.getString(1).trim.toInt)
-        .getOrElse(sys.error(s"${name}_fpblocks is not a bucketed store"))
-    }
+    val buckets = Dedup.bucketsOf(spark, s"${name}_fpblocks")
     val worst = Seq(s"${name}_fpblocks", s"${name}_fps")
       .map(t => Dedup.tableFileCount(spark, t)).max
     if (worst > buckets.toLong * maxFilesPerBucket) {
       compactFingerprintStore(spark, name); true
+    } else false
+  }
+
+  // -------------------------------------------------------------------
+  // Incremental VIDEO-signature store — the same d09 loop for m12's
+  // SET-of-frame-hashes signatures, where one-hash-per-doc fingerprints
+  // don't apply: a video's signature is its distinct frame dHashes, a
+  // match is ≥ minShared shared hashes, and the skew hazard is the
+  // stop-frame valve's (a black frame every video carries). Without
+  // this store a production pipeline classifying NEW videos against a
+  // 100 TB corpus would re-run m12's full self-join (or re-decode the
+  // corpus) every batch.
+  //
+  // Store layout for `name`:
+  //   - `${name}_vframes` (fkey, doc_id, hash_hi, hash_lo) BUCKETED BY
+  //     fkey = xxhash64(hash_hi, hash_lo): one row per (video, distinct
+  //     frame hash), the probe-join target. The frame hash itself is
+  //     the band key (m12's argument), fkey only folds the two halves
+  //     into one bucketable column — collisions can only ADD join rows
+  //     and the in-hop (hash_hi, hash_lo) equality filter removes them
+  //     before anything is counted.
+  //   - `${name}_vdocs` (doc_id) bucketed by doc_id — the append-side
+  //     dedup frame (crash-replay anti-join target).
+  //   - `${name}_tombstones` — [[Dedup]]'s suppression list, shared.
+  //
+  // NO dial table: unlike the hamming tiers there is only one blocking
+  // layout (the exact 64-bit frame hash), and minShared / maxDf are
+  // PROBE parameters — in particular the maxDf valve is RE-DERIVED
+  // from the store's own df counts on every probe, never frozen at
+  // build time: a frame hash rare at build can go hot as the corpus
+  // grows (ingests append more videos carrying it), and a frozen keep
+  // list would let its k² join rows back in.
+  // -------------------------------------------------------------------
+
+  private def vframesOf(frames: DataFrame): DataFrame =
+    frames.select(col("doc_id"), col("hash_hi"), col("hash_lo")).distinct()
+      .select(xxhash64(col("hash_hi"), col("hash_lo")).as("fkey"),
+        col("doc_id"), col("hash_hi"), col("hash_lo"))
+
+  /** Build (or rebuild) the video-signature store from a full corpus
+    * of frame-hash rows (doc_id, hash_hi, hash_lo — one row per frame
+    * is fine; the per-video DISTINCT signature is taken here). A
+    * rebuild is a new store generation: tombstones reset with it. */
+  def writeVideoSignatureStore(spark: SparkSession, name: String,
+      frames: DataFrame, buckets: Int = 8): Unit = {
+    val sig = vframesOf(frames)
+    graft.sources.Sinks.writeBucketed(sig, s"${name}_vframes", buckets, "fkey")
+    graft.sources.Sinks.writeBucketed(
+      sig.select(col("doc_id")).distinct(), s"${name}_vdocs", buckets, "doc_id")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
+  }
+
+  /** Candidate (batch_id, corpus_id, shared) rows of a batch of videos
+    * against the store: shared = distinct frame hashes in common,
+    * already filtered to ≥ minShared. ONE equi join on the bucketed
+    * fkey (zero store-side exchange — only the batch-sized side
+    * shuffles) whose groupBy count IS the verify, m12's shape with the
+    * store as the right side.
+    *
+    * The `maxDf` stop-frame valve is re-derived from the STORE's
+    * current df counts (a partial-aggregable count per fkey over the
+    * bucketed scan — exchange-free, one pass over store frame rows):
+    * frame hashes carried by more than `maxDf` live corpus videos are
+    * dropped before the join, so a hash that went hot through appends
+    * is valved out exactly like m12 valves it in the full-corpus run.
+    * Join output is bounded by batch_rows × maxDf — linear in the
+    * batch, never k².
+    *
+    * Replay guard (the fingerprint store's batch-wide discipline):
+    * every current-batch id is excluded from the corpus side — AND
+    * from the df counts — before anything is computed, so a
+    * crash-replayed batch sees exactly the frame of reference the
+    * first run saw and classifies bit-identically. */
+  def videoPairsAgainstStore(spark: SparkSession, name: String,
+      batch: DataFrame, minShared: Int, maxDf: Int): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
+    val bsig = vframesOf(batch)
+      .select(col("fkey"), col("doc_id").as("batch_id"),
+        col("hash_hi").as("bh"), col("hash_lo").as("bl"))
+    val corpus = Dedup.dropTombstoned(spark, name,
+        spark.table(s"${name}_vframes"), "doc_id")
+      .join(broadcast(batch.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+    // store-side df per frame hash, over the SAME live frame set the
+    // join sees; grouping includes the bucket column so the bucketed
+    // scan's partitioning satisfies the aggregation — no exchange
+    val keep = corpus.groupBy(col("fkey"), col("hash_hi"), col("hash_lo"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select(col("fkey"), col("hash_hi"), col("hash_lo"))
+    val csig = corpus
+      .join(keep, Seq("fkey", "hash_hi", "hash_lo"), "left_semi")
+      .select(col("fkey"), col("doc_id").as("corpus_id"),
+        col("hash_hi").as("ch"), col("hash_lo").as("cl"))
+    bsig.join(csig, "fkey")
+      .filter(col("bh") === col("ch") && col("bl") === col("cl"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** One production video-ingest step: classify a batch of frame-hash
+    * rows (doc_id, hash_hi, hash_lo — EVERY frame of each new video
+    * must arrive in the same batch, or a split video classifies and
+    * appends a partial signature) — `near` with the smallest corpus id
+    * sharing ≥ minShared un-valved frame hashes, else `unique` —
+    * append the unique videos' signatures so the next batch dedups
+    * against them, and return (doc_id, status, match_id). Append-side
+    * anti-join + tombstone suppression + the batch-wide corpus
+    * exclusion make a crash-replayed batch bit-identical
+    * ([[ingestFingerprintBatch]]'s contract). */
+  def ingestVideoSignatureBatch(spark: SparkSession, name: String,
+      batch: DataFrame, minShared: Int, maxDf: Int): DataFrame = {
+    val matches = videoPairsAgainstStore(spark, name, batch, minShared, maxDf)
+      .groupBy(col("batch_id")).agg(min(col("corpus_id")).as("match_id"))
+    val classified = batch.select(col("doc_id")).distinct()
+      .join(matches, col("doc_id") === col("batch_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, "near").otherwise("unique").as("status"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"))
+      .transform(Cut(_))
+    val uniques = batch.join(
+      classified.filter(col("status") === "unique").select("doc_id"), "doc_id")
+    val fresh = Dedup.dropTombstoned(spark, name, uniques.join(
+      spark.table(s"${name}_vdocs"), Seq("doc_id"), "left_anti"), "doc_id")
+    appendVideoSignatures(spark, name, fresh)
+    classified
+  }
+
+  /** Append new videos' frame-hash rows to an existing store (one more
+    * file per bucket per append — compact on cadence). Appended rows
+    * feed later probes' df counts, which is exactly what keeps the
+    * valve honest as the corpus grows. */
+  def appendVideoSignatures(spark: SparkSession, name: String,
+      frames: DataFrame): Unit = {
+    val buckets = Dedup.bucketsOf(spark, s"${name}_vframes")
+    val sig = vframesOf(frames)
+    sig.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "fkey").sortBy("fkey")
+      .format("parquet").saveAsTable(s"${name}_vframes")
+    sig.select(col("doc_id")).distinct().write.mode(SaveMode.Append)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${name}_vdocs")
+  }
+
+  /** Retire videos (takedown / TTL) — the shared lazy tombstones. */
+  def deleteFromVideoSignatureStore(spark: SparkSession, name: String,
+      ids: DataFrame): Unit =
+    Dedup.deleteFromSignatureStore(spark, name, ids)
+
+  /** Bucketed in-place rewrite of both video-store tables —
+    * [[Dedup.compactStoreTable]]'s swap. */
+  def compactVideoSignatureStore(spark: SparkSession, name: String): Unit =
+    Seq(s"${name}_vframes" -> "fkey", s"${name}_vdocs" -> "doc_id")
+      .foreach { case (t, k) => Dedup.compactStoreTable(spark, name, t, k) }
+
+  /** Threshold-triggered compaction for the video store. */
+  def maybeCompactVideoSignatureStore(spark: SparkSession, name: String,
+      maxFilesPerBucket: Int): Boolean = {
+    require(maxFilesPerBucket >= 1,
+      s"need maxFilesPerBucket >= 1, got $maxFilesPerBucket")
+    val buckets = Dedup.bucketsOf(spark, s"${name}_vframes")
+    val worst = Seq(s"${name}_vframes", s"${name}_vdocs")
+      .map(t => Dedup.tableFileCount(spark, t)).max
+    if (worst > buckets.toLong * maxFilesPerBucket) {
+      compactVideoSignatureStore(spark, name); true
     } else false
   }
 }

@@ -970,59 +970,90 @@ object Multimodal {
       ORDER BY id_a, id_b""")),
 
     // ---- blocking-quality report for the perceptual hamming join
-    //      (er09's discipline at the media layer): bucket count,
-    //      hottest bucket, in-bucket candidate pairs, reduction
-    //      ratio, off ONE (combo, 16-bit key) count over the image
-    //      dHashes — the report that decides whether the chunk-pair
-    //      scheme survives the corpus BEFORE paying the join. The
-    //      oracle replays the 28 2-of-8 chunk-pair keys off m09's
-    //      fingerprint CTE ----
+    //      (er09's discipline at the media layer), BOTH tiers: bucket
+    //      count, hottest bucket, in-bucket candidate pairs,
+    //      reduction ratio, off ONE (combo, key) count per tier —
+    //      'pairs16' over the image dHashes it serves (m09's ≤ 6
+    //      join), 'chunks21' over the audio fingerprints (m11's ≤ 2).
+    //      The report that decides whether a blocking scheme survives
+    //      the corpus BEFORE paying the join. The oracle replays the
+    //      28 2-of-8 chunk-pair keys off m09's fingerprint CTE and
+    //      the three 21/21/22-bit wide-chunk keys off m10's ----
     ("m13_perceptual_blocking", (s: SparkSession, d: String) =>
-      hammingBlockingReport(imageDHash(s, d), 6), Some("""
-      WITH img AS (
+      hammingBlockingReport(imageDHash(s, d), 6)
+        .withColumn("tier", lit("pairs16"))
+        .unionByName(hammingBlockingReport(audioFingerprint(s, d), 2)
+          .withColumn("tier", lit("chunks21")))
+        .select(col("tier"), col("n_records"), col("n_buckets"),
+          col("max_bucket"), col("candidates"), col("all_pairs"),
+          col("reduction_ratio"))
+        .orderBy("tier"), Some(AudioFpSql + """
+      , img AS (
         SELECT doc_id, 8 + doc_id % 57 AS w, 8 + (doc_id * 31) % 41 AS h
         FROM documents WHERE doc_id % 3 = 0),
-      g AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS k FROM img),
-      c AS (SELECT doc_id, k, (k % 8) AS x, (k // 8) AS y, w, h FROM g),
-      pix AS (SELECT doc_id, k,
+      ig AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS k FROM img),
+      ic AS (SELECT doc_id, k, (k % 8) AS x, (k // 8) AS y, w, h FROM ig),
+      ipix AS (SELECT doc_id, k,
         ((((x * w) // 9) * 31 + ((y * h) // 8) * 7
           + (doc_id % 251) * 13) & 16777215) AS v0,
         (((((x + 1) * w) // 9) * 31 + ((y * h) // 8) * 7
           + (doc_id % 251) * 13) & 16777215) AS v1
-        FROM c),
-      bits AS (SELECT doc_id, k,
+        FROM ic),
+      ibits AS (SELECT doc_id, k,
         CASE WHEN (((v1 >> 16) & 255) + ((v1 >> 8) & 255) + (v1 & 255)) >
                   (((v0 >> 16) & 255) + ((v0 >> 8) & 255) + (v0 & 255))
              THEN 1 ELSE 0 END AS b
-        FROM pix),
-      hs AS (SELECT doc_id,
+        FROM ipix),
+      ihs AS (SELECT doc_id,
         CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
                       ELSE 0 END) AS BIGINT) AS hi,
         CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
                       ELSE 0 END) AS BIGINT) AS lo
-        FROM bits GROUP BY doc_id),
+        FROM ibits GROUP BY doc_id),
       combos AS (SELECT a.ca, b.cb
                  FROM (SELECT unnest(generate_series(0, 7)) AS ca) a
                  JOIN (SELECT unnest(generate_series(0, 7)) AS cb) b
                    ON a.ca < b.cb),
-      keys AS (SELECT h.doc_id, c.ca * 8 + c.cb AS j,
+      ikeys AS (SELECT h.doc_id, c.ca * 8 + c.cb AS j,
                  (CASE WHEN c.ca < 4 THEN (h.lo >> (8 * c.ca)) & 255
                        ELSE (h.hi >> (8 * (c.ca - 4))) & 255 END) * 256
                  + (CASE WHEN c.cb < 4 THEN (h.lo >> (8 * c.cb)) & 255
                          ELSE (h.hi >> (8 * (c.cb - 4))) & 255 END) AS bk
-               FROM hs h CROSS JOIN combos c),
-      sizes AS (SELECT j, bk, count(*) AS b FROM keys GROUP BY j, bk),
-      agg AS (SELECT CAST(sum(b) // 28 AS BIGINT) AS n_records,
+               FROM ihs h CROSS JOIN combos c),
+      isizes AS (SELECT j, bk, count(*) AS b FROM ikeys GROUP BY j, bk),
+      iagg AS (SELECT CAST(sum(b) // 28 AS BIGINT) AS n_records,
                 CAST(count(*) AS BIGINT) AS n_buckets,
                 CAST(max(b) AS BIGINT) AS max_bucket,
                 CAST(sum(b * (b - 1) // 2) AS BIGINT) AS candidates
-              FROM sizes)
-      SELECT n_records, n_buckets, max_bucket, candidates,
+              FROM isizes),
+      -- the chunks21 keys: full = hi<<32 | lo split at bits 21 and 42
+      akeys AS (
+        SELECT doc_id, 0 AS j, hash_lo & 2097151 AS bk FROM hs
+        UNION ALL
+        SELECT doc_id, 1 AS j,
+          ((hash_hi & 1023) * 2048) + ((hash_lo >> 21) & 2047) AS bk FROM hs
+        UNION ALL
+        SELECT doc_id, 2 AS j, (hash_hi >> 10) & 4194303 AS bk FROM hs),
+      asizes AS (SELECT j, bk, count(*) AS b FROM akeys GROUP BY j, bk),
+      aagg AS (SELECT CAST(sum(b) // 3 AS BIGINT) AS n_records,
+                CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(max(b) AS BIGINT) AS max_bucket,
+                CAST(sum(b * (b - 1) // 2) AS BIGINT) AS candidates
+              FROM asizes)
+      SELECT 'pairs16' AS tier, n_records, n_buckets, max_bucket, candidates,
         n_records * (n_records - 1) // 2 AS all_pairs,
         round(1.0 - CAST(candidates AS DOUBLE)
           / CAST(n_records * (n_records - 1) // 2 AS DOUBLE), 9)
           AS reduction_ratio
-      FROM agg""")),
+      FROM iagg
+      UNION ALL
+      SELECT 'chunks21' AS tier, n_records, n_buckets, max_bucket, candidates,
+        n_records * (n_records - 1) // 2 AS all_pairs,
+        round(1.0 - CAST(candidates AS DOUBLE)
+          / CAST(n_records * (n_records - 1) // 2 AS DOUBLE), 9)
+          AS reduction_ratio
+      FROM aagg
+      ORDER BY tier""")),
 
     // ---- incremental perceptual dedup: the d09 production loop at
     //      the media layer — image fingerprints of the ~80% "corpus"
@@ -1072,6 +1103,109 @@ object Multimodal {
                     JOIN hs c ON bit_count(xor(a.hi, c.hi))
                                + bit_count(xor(a.lo, c.lo)) <= 6
                     JOIN flag fc ON fc.doc_id = c.doc_id AND NOT fc.isb
+               GROUP BY 1)
+      SELECT f.doc_id,
+        CASE WHEN n.mid IS NOT NULL THEN 'near' ELSE 'unique' END AS status,
+        COALESCE(n.mid, CAST(-1 AS BIGINT)) AS match_id
+      FROM flag f LEFT JOIN near n ON n.bid = f.doc_id
+      WHERE f.isb ORDER BY doc_id""")),
+
+    // ---- incremental VIDEO-signature dedup: m14's store loop for
+    //      m12's SET-of-frame-hashes signatures — the ~80% "corpus"
+    //      split's frame dHashes live in a store bucketed on the
+    //      frame hash ([[MediaDedup.writeVideoSignatureStore]]), the
+    //      ~20% "batch" classifies through ONE zero-store-side-
+    //      exchange fkey join whose groupBy count IS the verify
+    //      (shared ≥ 3), with the maxDf stop-frame valve RE-DERIVED
+    //      from the store's current df counts (df ≤ 50 over live
+    //      corpus videos — never frozen at build time), uniques'
+    //      signatures appended. The oracle replays the same split,
+    //      valve, and exhaustive batch×corpus join, so a hash match
+    //      certifies candidate recall 1.0 under the store layout ----
+    ("m15_video_ingest", (s: SparkSession, d: String) => {
+      val frames = videoFrameHashes(s, d)
+        .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+      val isB =
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L), lit(1000003L)) % 5 === 0
+      MediaDedup.writeVideoSignatureStore(s, "m15_store", frames.filter(!isB))
+      MediaDedup.ingestVideoSignatureBatch(s, "m15_store", frames.filter(isB),
+          minShared = 3, maxDf = 50)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH v AS (SELECT doc_id, 8 + (doc_id * 13) % 24 AS w,
+                   8 + (doc_id * 7) % 16 AS h, 2 + doc_id % 10 AS nf
+                 FROM documents WHERE doc_id % 3 = 2),
+      f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS fi FROM v),
+      g AS (SELECT doc_id, w, h, fi, unnest(generate_series(0, 63)) AS k FROM f),
+      c AS (SELECT doc_id, fi, k, (k % 8) AS x, (k // 8) AS y, w, h FROM g),
+      pix AS (SELECT doc_id, fi, k,
+        ((((x * w) // 9) * 31 + ((y * h) // 8) * 7 + fi * 11
+          + (doc_id % 251) * 13) & 16777215) AS v0,
+        (((((x + 1) * w) // 9) * 31 + ((y * h) // 8) * 7 + fi * 11
+          + (doc_id % 251) * 13) & 16777215) AS v1
+        FROM c),
+      bits AS (SELECT doc_id, fi, k,
+        CASE WHEN (((v1 >> 16) & 255) + ((v1 >> 8) & 255) + (v1 & 255)) >
+                  (((v0 >> 16) & 255) + ((v0 >> 8) & 255) + (v0 & 255))
+             THEN 1 ELSE 0 END AS b FROM pix),
+      fh AS (SELECT doc_id, fi,
+        CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                      ELSE 0 END) AS BIGINT) AS hi,
+        CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
+                      ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id, fi),
+      sig0 AS (SELECT DISTINCT doc_id, hi, lo FROM fh),
+      flag AS (SELECT doc_id,
+                 (doc_id % 1000003) * 427799 % 1000003 % 5 = 0 AS isb
+               FROM v),
+      corp AS (SELECT s.doc_id, s.hi, s.lo
+               FROM sig0 s JOIN flag f ON f.doc_id = s.doc_id AND NOT f.isb),
+      keep AS (SELECT hi, lo FROM corp GROUP BY hi, lo
+               HAVING count(*) <= 50),
+      ckeep AS (SELECT c.doc_id, c.hi, c.lo FROM corp c JOIN keep USING (hi, lo)),
+      bat AS (SELECT s.doc_id, s.hi, s.lo
+              FROM sig0 s JOIN flag f ON f.doc_id = s.doc_id AND f.isb),
+      pairs AS (SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS shared
+                FROM bat b JOIN ckeep c ON b.hi = c.hi AND b.lo = c.lo
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+      near AS (SELECT bid, min(cid) AS mid FROM pairs GROUP BY bid)
+      SELECT f.doc_id,
+        CASE WHEN n.mid IS NOT NULL THEN 'near' ELSE 'unique' END AS status,
+        COALESCE(n.mid, CAST(-1 AS BIGINT)) AS match_id
+      FROM flag f LEFT JOIN near n ON n.bid = f.doc_id
+      WHERE f.isb ORDER BY doc_id""")),
+
+    // ---- the chunks21 (≤ 2) tier through the fingerprint store:
+    //      m14's loop at the AUDIO tier, so the store's other blocking
+    //      scheme (three 21/21/22-bit chunks, schemeOf(2), its own
+    //      dial round-trip and skey layout) is oracle-gated end to
+    //      end, not just spec-covered. Exhaustive batch×corpus truth
+    //      at hamming ≤ 2 — a hash match re-certifies batch-probe
+    //      recall 1.0 at this tier ----
+    ("m16_audio_ingest", (s: SparkSession, d: String) => {
+      val fps = audioFingerprint(s, d)
+      // batch = Knuth-hash bucket 0, corpus = bucket 1 (NOT the other
+      // 80%): the synthetic audio fingerprints are DENSE (66 distinct
+      // over 167 docs at sf0.01), so an 80% corpus matches every
+      // batch doc and the entry would never exercise the unique →
+      // append path; a 20% corpus yields a near/unique mix
+      val bucket =
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L), lit(1000003L)) % 5
+      MediaDedup.writeFingerprintStore(s, "m16_store",
+        fps.filter(bucket === 1), 2)
+      MediaDedup.ingestFingerprintBatch(s, "m16_store",
+        fps.filter(bucket === 0), 2)
+        .orderBy("doc_id")
+    }, Some(AudioFpSql + """
+      , flag AS (SELECT doc_id,
+                   (doc_id % 1000003) * 427799 % 1000003 % 5 = 0 AS isb,
+                   (doc_id % 1000003) * 427799 % 1000003 % 5 = 1 AS isc
+                 FROM hs),
+      near AS (SELECT a.doc_id AS bid, min(c.doc_id) AS mid
+               FROM hs a JOIN flag fa ON fa.doc_id = a.doc_id AND fa.isb
+                    JOIN hs c ON bit_count(xor(a.hash_hi, c.hash_hi))
+                               + bit_count(xor(a.hash_lo, c.hash_lo)) <= 2
+                    JOIN flag fc ON fc.doc_id = c.doc_id AND fc.isc
                GROUP BY 1)
       SELECT f.doc_id,
         CASE WHEN n.mid IS NOT NULL THEN 'near' ELSE 'unique' END AS status,
@@ -1257,11 +1391,14 @@ object Multimodal {
     // the upstream frame-hash walk (the dominant cost: payload
     // decode) once per consumer. The materialized frame is
     // signature-sized (video × distinct frame hash — the same frame
-    // a production pipeline persists as the m14 fingerprint store),
-    // never payload-sized. Measured at sf0.1: 2.5s → ~1.4s entry.
+    // a production pipeline persists as the m15 video-signature
+    // store), never payload-sized, but it IS corpus-sized, so the
+    // cut goes through [[Cut]] (reliable checkpoint when a dir is
+    // configured — a lost executor must not strand the only copy).
+    // Measured at sf0.1: 2.5s → ~1.4s entry.
     val sig0 = frames
       .select(col("doc_id"), col("hash_hi"), col("hash_lo")).distinct()
-      .localCheckpoint(true)
+      .transform(Cut(_))
     // document frequency per frame hash — partial-aggregable COUNT
     // first (hot hashes never collect doc lists anywhere: the count
     // is bytes per key however skewed the frame), then a semi-join
@@ -1341,6 +1478,13 @@ object Multimodal {
       posexplode(keys).as(Seq("j", "bk")))
   }
 
+  /** Keys [[hammingBlockKeys]] emits per doc at this threshold — the
+    * ONE place the per-scheme key count lives (the blocking report
+    * divides key rows by it to recover n_records; re-deriving it at a
+    * use site would desync silently on a scheme/tier change). */
+  private[graft] def keysPerDoc(maxHamming: Int): Long =
+    if (maxHamming <= 2) 3L else 28L
+
   /** Chunk-blocked hamming join + exact refine over any 64-bit
     * perceptual-hash table (doc_id, hash_hi, hash_lo) — the shared
     * near-dup back half of the multimodal triangle: images block
@@ -1382,7 +1526,7 @@ object Multimodal {
   def hammingBlockingReport(h: DataFrame, maxHamming: Int): DataFrame = {
     val sizes = hammingBlockKeys(h, maxHamming)
       .groupBy(col("j"), col("bk")).agg(count(lit(1)).as("b"))
-    val nKeys = if (maxHamming <= 2) 3L else 28L
+    val nKeys = keysPerDoc(maxHamming)
     sizes.agg(
         (sum(col("b")) / lit(nKeys)).cast("bigint").as("n_records"),
         count(lit(1)).as("n_buckets"), max(col("b")).as("max_bucket"),

@@ -66,9 +66,20 @@ object DedupStream {
     * Same idempotent dynamic-partition result sink; the label append
     * and remap rewrite are replay-safe the same way the signature
     * append is (anti-joined ids, merges vanish on replay).
+    *
+    * `maxFilesPerBucket` is the unlabeled twin's compaction parity
+    * PLUS the label layer's: on cadence it compacts the signature
+    * store ([[graft.operators.Dedup.maybeCompactSignatureStore]]) AND
+    * the label store
+    * ([[graft.operators.Dedup.maybeCompactLabelStore]], which also
+    * folds the remap when it outgrows `maxRemapRows` — every label
+    * read pays the remap broadcast, so a months-long labeled stream
+    * would otherwise grow store files and remap rows unboundedly).
     */
   def startLabeled(store: String, docStream: DataFrame, jaccardMin: Double,
-      outPath: String, checkpoint: String): StreamingQuery =
+      outPath: String, checkpoint: String,
+      maxFilesPerBucket: Option[Int] = None,
+      maxRemapRows: Long = 100000L): StreamingQuery =
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val labeled = graft.operators.Dedup
@@ -78,6 +89,15 @@ object DedupStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("micro_batch")
           .parquet(outPath)
+        // both stores grow per batch (signature append + label append
+        // + remap rewrite) — compact each on its own trigger in the
+        // single writer's between-batch quiet window
+        maxFilesPerBucket.foreach { n =>
+          graft.operators.Dedup
+            .maybeCompactSignatureStore(batch.sparkSession, store, n)
+          graft.operators.Dedup
+            .maybeCompactLabelStore(batch.sparkSession, store, n, maxRemapRows)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -15,12 +15,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * batch size — the store side of the classify join is bucketed and
   * exchange-free; the corpus is never re-fingerprinted.
   *
-  * Same idempotence story as [[DedupStream]]: the result sink is
-  * dynamic-partition-overwrite on micro_batch (a retried batch
-  * replaces exactly its own partition), and a crash between the
-  * result write and the store append is absorbed by the classify
-  * join's batch_id ≠ corpus_id guard plus the append-side anti-join
-  * (duplicate appends affect nothing; re-appends are skipped).
+  * Same idempotence story as [[DedupStream]], with a STRONGER guard:
+  * the result sink is dynamic-partition-overwrite on micro_batch (a
+  * retried batch replaces exactly its own partition), and a crash
+  * between the result write and the store append is absorbed by the
+  * classify join excluding ALL current-batch ids from the corpus
+  * side (not just each doc's own id — so even two mutually-near
+  * uniques appended before the crash replay to the identical
+  * classification) plus the append-side anti-join (re-appends are
+  * skipped).
   */
 object MediaDedupStream {
 
@@ -59,9 +62,15 @@ object MediaDedupStream {
     * so every emitted row carries the doc's CURRENT cluster_id — a
     * batch-2 near-dup of a batch-1 unique joins that doc's cluster
     * with no full CC rerun. Same idempotent dynamic-partition sink;
-    * label append and remap rewrite replay-safe the same way. */
+    * label append and remap rewrite replay-safe the same way.
+    * `maxFilesPerBucket` compacts the fingerprint store AND the label
+    * store (remap folded past `maxRemapRows`) on the unlabeled twin's
+    * self-triggering cadence — [[DedupStream.startLabeled]]'s
+    * bounded-growth parity at the media layer. */
   def startLabeled(store: String, fpStream: DataFrame, maxHamming: Int,
-      outPath: String, checkpoint: String): StreamingQuery =
+      outPath: String, checkpoint: String,
+      maxFilesPerBucket: Option[Int] = None,
+      maxRemapRows: Long = 100000L): StreamingQuery =
     fpStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val labeled = graft.operators.MediaDedup
@@ -72,6 +81,46 @@ object MediaDedupStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("micro_batch")
           .parquet(outPath)
+        maxFilesPerBucket.foreach { n =>
+          graft.operators.MediaDedup
+            .maybeCompactFingerprintStore(batch.sparkSession, store, n)
+          graft.operators.Dedup
+            .maybeCompactLabelStore(batch.sparkSession, store, n, maxRemapRows)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Streaming VIDEO-signature dedup — [[start]]'s loop on the
+    * set-of-frame-hashes store
+    * ([[graft.operators.MediaDedup.writeVideoSignatureStore]]):
+    * `frameStream` is a streaming DataFrame of (doc_id, hash_hi,
+    * hash_lo) frame-hash rows in which each new video's frames arrive
+    * WHOLE in one micro-batch (the ingest contract — a video split
+    * across batches would classify and append a partial signature).
+    * Per batch: one bucketed fkey join against the store with the
+    * maxDf stop-frame valve re-derived from the store's CURRENT df
+    * counts, uniques' signatures appended, classifications landed
+    * idempotently (dynamic partition overwrite + the batch-wide
+    * corpus-exclusion replay guard). */
+  def startVideo(store: String, frameStream: DataFrame, minShared: Int,
+      maxDf: Int, outPath: String, checkpoint: String,
+      maxFilesPerBucket: Option[Int] = None): StreamingQuery =
+    frameStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val classified = graft.operators.MediaDedup
+          .ingestVideoSignatureBatch(batch.sparkSession, store, batch,
+            minShared, maxDf)
+        classified.withColumn("micro_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("micro_batch")
+          .parquet(outPath)
+        maxFilesPerBucket.foreach { n =>
+          graft.operators.MediaDedup
+            .maybeCompactVideoSignatureStore(batch.sparkSession, store, n)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

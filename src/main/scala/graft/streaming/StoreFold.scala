@@ -106,19 +106,25 @@ object StoreFold {
       val dir = new Path(path)
       if (fs.exists(dir)) {
         // pre-marker layout cross-check: the store nests pk= under
-        // batch_id= dirs; the published table carries pk= at top level
-        val hasPk =
+        // batch_id= dirs; the published table carries pk= at top
+        // level. The require fires only when layout EVIDENCE exists
+        // (batch_id= dirs for a store; any entry for a published
+        // table) — a legacy marker-less dir holding only crash
+        // artifacts (_temporary, _SUCCESS) has no layout to contradict
+        // and must start cleanly.
+        val (hasPk, evidence) =
           if (published)
-            fs.listStatus(dir).exists(s =>
-              s.isDirectory && s.getPath.getName.startsWith("pk="))
+            (fs.listStatus(dir).exists(s =>
+              s.isDirectory && s.getPath.getName.startsWith("pk=")),
+              fs.listStatus(dir).nonEmpty)
           else {
             val batchDirs = fs.listStatus(dir).filter(_.isDirectory)
               .map(_.getPath).filter(_.getName.startsWith("batch_id="))
-            batchDirs.exists(b => fs.listStatus(b).exists(s =>
-              s.isDirectory && s.getPath.getName.startsWith("pk=")))
+            (batchDirs.exists(b => fs.listStatus(b).exists(s =>
+              s.isDirectory && s.getPath.getName.startsWith("pk="))),
+              batchDirs.nonEmpty)
           }
-        val nonEmpty = fs.listStatus(dir).nonEmpty
-        if (nonEmpty)
+        if (evidence)
           require(hasPk == dial.nonEmpty,
             s"$label: existing layout at $path is " +
               s"${if (hasPk) "pk-partitioned" else "flat"} but this " +

@@ -281,6 +281,275 @@ class MediaDedupSpec extends AnyFunSuite {
     } finally dropStore("fplstream")
   }
 
+  test("fingerprint replay: two mutually-near uniques in one replayed batch classify identically") {
+    // hC and hD are 4 bits apart (mutually near at <= 6) but both far
+    // from the corpus: first run classifies BOTH unique and appends
+    // both. A crash-replay then sees its own appended rows in the
+    // store — the batch-wide corpus exclusion (not just self-id) must
+    // keep them from reclassifying each other as 'near'.
+    val hC = (0x452821e6L, 0x38d01377L)
+    val hD = flip(hC, 3, 17, 40, 59)
+    try {
+      MediaDedup.writeFingerprintStore(spark, "fpmut", fps(1L -> h1), 6)
+      val batch = fps(30L -> hC, 31L -> hD)
+      val first = classify("fpmut", batch, 6)
+      assert(first(30L) === (("unique", -1L)))
+      assert(first(31L) === (("unique", -1L)))
+      assert(spark.table("fpmut_fps").count() === 3L) // both appended
+      val replay = classify("fpmut", batch, 6)
+      assert(replay === first,
+        s"replayed batch must be bit-identical: $replay vs $first")
+      assert(spark.table("fpmut_fps").count() === 3L)
+      // and the pair IS mutually near once split across batches — the
+      // exclusion is scoped to the current batch, not the ids forever
+      val later = classify("fpmut", fps(32L -> flip(hC, 1)), 6)
+      assert(later(32L) === (("near", 30L)))
+    } finally dropStore("fpmut")
+  }
+
+  // ---------- video-signature store (m15's machinery) ----------
+
+  private def vframes(rows: (Long, Seq[Long])*) = {
+    import spark.implicits._
+    // frame hash f encoded as (hi = f / 1000, lo = f % 1000) — any
+    // sign-safe halves work; equal f <=> equal (hi, lo)
+    rows.flatMap { case (id, fs) => fs.map(f => (id, f / 1000L, f % 1000L)) }
+      .toDF("doc_id", "hash_hi", "hash_lo")
+  }
+
+  private def dropVStore(name: String): Unit =
+    Seq("_vframes", "_vdocs", "_tombstones")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $name$s"))
+
+  private def vclassify(name: String, batch: org.apache.spark.sql.DataFrame,
+      minShared: Int, maxDf: Int) =
+    MediaDedup.ingestVideoSignatureBatch(spark, name, batch, minShared, maxDf)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+  test("video store: classify equals truth, uniques chain via append, replay idempotent (incl. mutually-near batch)") {
+    try {
+      MediaDedup.writeVideoSignatureStore(spark, "vst",
+        vframes(1L -> Seq(1001, 1002, 1003, 1004), 3L -> Seq(3001, 3002, 3003)))
+      // v10 shares 3 frames with v1 -> near; v11 all-new -> unique
+      val batch = vframes(10L -> Seq(1001, 1002, 1003, 9001),
+        11L -> Seq(4001, 4002, 4003))
+      val b1 = vclassify("vst", batch, minShared = 3, maxDf = 50)
+      assert(b1(10L) === (("near", 1L)))
+      assert(b1(11L) === (("unique", -1L)))
+      assert(spark.table("vst_vdocs").count() === 3L) // 1, 3, 11
+      // chain: v20 shares batch-1's APPENDED v11 signature
+      val b2 = vclassify("vst", vframes(20L -> Seq(4001, 4002, 4003)), 3, 50)
+      assert(b2(20L) === (("near", 11L)))
+      // crash-replay: v11's frames are in the store; the batch-wide
+      // exclusion keeps v10/v11 classifying exactly as the first run
+      val retry = vclassify("vst", batch, 3, 50)
+      assert(retry === b1, s"retry must be idempotent: $retry vs $b1")
+      assert(spark.table("vst_vdocs").count() === 3L)
+      // mutually-near batch: v30/v31 share >= minShared frames with
+      // each OTHER but not the store -> both unique; a replay must not
+      // flip them to near against their own appended signatures
+      val mut = vframes(30L -> Seq(5001, 5002, 5003),
+        31L -> Seq(5001, 5002, 5003, 5004))
+      val m1 = vclassify("vst", mut, 3, 50)
+      assert(m1(30L) === (("unique", -1L)) && m1(31L) === (("unique", -1L)))
+      val m2 = vclassify("vst", mut, 3, 50)
+      assert(m2 === m1, s"mutually-near replay must be idempotent: $m2 vs $m1")
+      // split across batches the pair IS near
+      val later = vclassify("vst", vframes(32L -> Seq(5001, 5002, 5003)), 3, 50)
+      assert(later(32L) === (("near", 30L)))
+    } finally dropVStore("vst")
+  }
+
+  test("video store valve re-derives from store df: a hash gone hot through appends is valved out of later probes") {
+    try {
+      // X = frame 7007 in two corpus videos: df = 2 = maxDf -> passes
+      MediaDedup.writeVideoSignatureStore(spark, "vdf",
+        vframes(1L -> Seq(7007, 1001), 2L -> Seq(7007, 2001)))
+      val p1 = vclassify("vdf", vframes(100L -> Seq(7007)),
+        minShared = 1, maxDf = 2)
+      assert(p1(100L) === (("near", 1L))) // X under the valve: matches
+      // grow X's df THROUGH the store: v40 shares only X (1 < 2) ->
+      // unique -> its signature (with X) appends; df(X) becomes 3
+      val g = vclassify("vdf", vframes(40L -> Seq(7007, 4001)),
+        minShared = 2, maxDf = 2)
+      assert(g(40L) === (("unique", -1L)))
+      // same probe as p1 now classifies unique: the valve re-derived
+      // df(X) = 3 > 2 from the CURRENT store — a frozen build-time
+      // keep list would still match
+      val p2 = vclassify("vdf", vframes(101L -> Seq(7007)),
+        minShared = 1, maxDf = 2)
+      assert(p2(101L) === (("unique", -1L)),
+        s"hot frame must be valved out of the grown corpus: $p2")
+    } finally dropVStore("vdf")
+  }
+
+  test("video store: probe join and df count read the bucketed store with zero exchange") {
+    try {
+      MediaDedup.writeVideoSignatureStore(spark, "vplan",
+        vframes(1L -> Seq(1001, 1002), 3L -> Seq(3001)))
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // the probe's candidate join: batch side shuffles, store does not
+        val bsig = vframes(9L -> Seq(1001, 1002, 9001))
+          .select(xxhash64(col("hash_hi"), col("hash_lo")).as("fkey"),
+            col("doc_id"))
+        val j = bsig.join(spark.table("vplan_vframes"), "fkey")
+        j.collect()
+        val plan = j.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val storeSide = plan.linesIterator
+          .dropWhile(!_.contains("SortMergeJoin")).drop(1)
+          .filterNot(_.trim.startsWith(":")).mkString("\n")
+        assert(storeSide.contains("Bucketed: true"), plan)
+        assert(!storeSide.contains("Exchange"),
+          s"store side must not re-shuffle:\n$plan")
+        // the valve's df count groups on (fkey, hash_hi, hash_lo) —
+        // fkey is the bucket column, so the bucketed scan's
+        // partitioning satisfies the aggregation: NO exchange at all
+        val dfCount = spark.table("vplan_vframes")
+          .groupBy(col("fkey"), col("hash_hi"), col("hash_lo"))
+          .agg(count(lit(1)).as("df"))
+        dfCount.collect()
+        val aggPlan = dfCount.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(!aggPlan.contains("Exchange"),
+          s"store df count must be exchange-free:\n$aggPlan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally dropVStore("vplan")
+  }
+
+  test("video store delete + compact: retired video stops matching, rows reclaimed, id stays dead") {
+    import spark.implicits._
+    try {
+      MediaDedup.writeVideoSignatureStore(spark, "vdel",
+        vframes(1L -> Seq(1001, 1002), 3L -> Seq(3001, 3002)))
+      assert(vclassify("vdel", vframes(2L -> Seq(1001, 1002)), 2, 50)(2L)
+        === (("near", 1L)))
+      MediaDedup.deleteFromVideoSignatureStore(spark, "vdel",
+        Seq(1L, 2L).toDF("doc_id"))
+      // retired v1 no longer matches; v4 (same frames) lands fresh
+      assert(vclassify("vdel", vframes(4L -> Seq(1001, 1002)), 2, 50)(4L)
+        === (("unique", -1L)))
+      MediaDedup.compactVideoSignatureStore(spark, "vdel")
+      val docs = spark.table("vdel_vdocs").as[Long].collect().toSet
+      assert(docs === Set(3L, 4L)) // 1 reclaimed physically, 2 never entered
+      // suppression: a crash-replayed v1 matches the NEW holder of its
+      // frames but never re-enters the store
+      val replay = vclassify("vdel", vframes(1L -> Seq(1001, 1002)), 2, 50)
+      assert(replay(1L) === (("near", 4L)))
+      assert(!spark.table("vdel_vdocs").as[Long].collect().contains(1L))
+    } finally dropVStore("vdel")
+  }
+
+  test("streaming video dedup: batch 2 matches batch 1's appended signature; compaction cadence bounds store files") {
+    import spark.implicits._
+    import java.nio.file.Files
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, Long, Long)]): Unit = {
+      val stage = Files.createTempDirectory("graft-vstream-stage")
+      rows.toDF("doc_id", "hash_hi", "hash_lo")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    def rows(id: Long, fs: Long*) = fs.map(f => (id, f / 1000L, f % 1000L))
+    MediaDedup.writeVideoSignatureStore(spark, "vstream",
+      vframes(1L -> Seq(1001, 1002, 1003)))
+    try {
+      val src = Files.createTempDirectory("graft-vstream-src")
+      val out = Files.createTempDirectory("graft-vstream-out").toString
+      val ckpt = Files.createTempDirectory("graft-vstream-ckpt").toString
+      // micro-batch 1: v10 brand new -> unique + appended; v11 shares
+      // all three corpus frames -> near
+      addFile(src, "b1.parquet",
+        rows(10L, 4001, 4002, 4003) ++ rows(11L, 1001, 1002, 1003))
+      val stream = spark.readStream
+        .schema("doc_id LONG, hash_hi LONG, hash_lo LONG")
+        .parquet(src.toString)
+      val q = graft.streaming.MediaDedupStream.startVideo(
+        "vstream", stream, minShared = 3, maxDf = 50, out, ckpt,
+        maxFilesPerBucket = Some(1))
+      try {
+        q.processAllAvailable()
+        // micro-batch 2: v20 matches batch 1's appended v10
+        addFile(src, "b2.parquet", rows(20L, 4001, 4002, 4003).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(out)
+        .select(col("doc_id"), col("status"), col("match_id"),
+          col("micro_batch").cast("long"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got(10L) === (("unique", -1L, 0L)))
+      assert(got(11L) === (("near", 1L, 0L)))
+      assert(got(20L) === (("near", 10L, 1L)))
+      // compaction cadence held: both tables back to one file/bucket
+      spark.catalog.refreshTable("vstream_vframes")
+      spark.catalog.refreshTable("vstream_vdocs")
+      val buckets = graft.operators.Dedup.bucketsOf(spark, "vstream_vframes")
+      assert(graft.operators.Dedup.tableFileCount(spark, "vstream_vframes")
+        <= buckets.toLong)
+    } finally dropVStore("vstream")
+  }
+
+  test("labeled media stream compaction cadence: files and remap stay bounded, labels unchanged") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // two separate corpus clusters; batch 1 bridges them (remap row),
+    // batch 2 attaches. With maxFilesPerBucket=1 + maxRemapRows=0 the
+    // cadence must fold the remap and re-land one file per bucket
+    // after every batch — labels identical to the uncompacted run.
+    val x = flip(h1, 1, 8, 20, 33, 47)
+    val hB = flip(x, 2, 9, 21, 34, 48)
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, Long, Long)]): Unit = {
+      val stage = Files.createTempDirectory("graft-mcstream-stage")
+      rows.toDF("doc_id", "hash_hi", "hash_lo")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val corpus = fps(1L -> h1, 40L -> hB)
+    MediaDedup.writeFingerprintStore(spark, "fpcad", corpus, 6)
+    MediaDedup.writeFingerprintLabelStore(spark, "fpcad", corpus, 6)
+    try {
+      val src = Files.createTempDirectory("graft-mcstream-src")
+      val out = Files.createTempDirectory("graft-mcstream-out").toString
+      val ckpt = Files.createTempDirectory("graft-mcstream-ckpt").toString
+      addFile(src, "b1.parquet", Seq((20L, x._1, x._2))) // bridge -> merge
+      val stream = spark.readStream
+        .schema("doc_id LONG, hash_hi LONG, hash_lo LONG")
+        .parquet(src.toString)
+      val q = graft.streaming.MediaDedupStream.startLabeled(
+        "fpcad", stream, 6, out, ckpt,
+        maxFilesPerBucket = Some(1), maxRemapRows = 0L)
+      try {
+        q.processAllAvailable()
+        val h21 = flip(h1, 3)
+        addFile(src, "b2.parquet", Seq((21L, h21._1, h21._2))) // attach
+        q.processAllAvailable()
+      } finally q.stop()
+      // labels exactly as without compaction: the bridge merged 40
+      // into root 1, the attach joined it
+      val lab = graft.operators.Dedup.clusterLabels(spark, "fpcad")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lab === Map(1L -> 1L, 40L -> 1L, 20L -> 1L, 21L -> 1L), lab.toString)
+      // bounded growth: remap folded away, every store table back to
+      // one file per bucket despite two appends
+      spark.catalog.refreshTable("fpcad_remap")
+      assert(spark.table("fpcad_remap").count() === 0L)
+      for (t <- Seq("fpcad_labels", "fpcad_fpblocks", "fpcad_fps")) {
+        spark.catalog.refreshTable(t)
+        val b = graft.operators.Dedup.bucketsOf(spark, t)
+        assert(graft.operators.Dedup.tableFileCount(spark, t) <= b.toLong,
+          s"$t grew past one file per bucket")
+      }
+    } finally dropStore("fpcad")
+  }
+
   test("stop-frame valve: a planted common frame cannot quadratically pair the corpus") {
     import spark.implicits._
     // 100 videos: each has one UNIQUE frame + the SAME black frame;

@@ -205,4 +205,23 @@ class StoreFoldSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](run(s2, o2, 1L, Some(4)))
     assert(e4.getMessage.contains("layout"))
   }
+
+  test("pre-marker store dir holding only crash artifacts (no batch_id= dirs) starts cleanly under a dial") {
+    import spark.implicits._
+    // a legacy marker-less store dir left behind by a crash before the
+    // first partial landed (_SUCCESS / _temporary only) carries no
+    // layout evidence — the cross-check must not refuse it (it
+    // previously required hasPk == dial on ANY directory entry)
+    val s = java.nio.file.Files.createTempDirectory("graft-crashdir")
+      .toString + "/store"
+    val o = java.nio.file.Files.createTempDirectory("graft-crashdir-out").toString
+    val (f, dir) = fs(s)
+    f.mkdirs(dir)
+    f.create(new org.apache.hadoop.fs.Path(s + "/_SUCCESS"), true).close()
+    StoreFold.publishBatch(spark, "t", s, o, 0L,
+      Seq((1L, 10L)).toDF("k", "v"), "k", "k", identity, merge,
+      maxStoreParts = None, incrementalPubParts = Some(4), publishEvery = 1)
+    assert(StoreFold.readPublished(spark, o)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 10L)))
+  }
 }

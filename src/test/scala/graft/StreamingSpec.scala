@@ -453,6 +453,64 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("labeled dedup stream compaction cadence: store files and remap stay bounded, labels unchanged") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills near the old stone bridge"
+    val tuneA = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early mountain dusk settles"
+    val tuneB = "autumn winds carry golden leaves across the quiet valley where shepherds guide their flocks home before the early winter dusk settles"
+    def addFile(src: java.nio.file.Path, name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-lcstream-stage")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    graft.operators.Dedup.writeSignatureStore(corpus, "lcstream", 4)
+    graft.operators.Dedup.writeLabelStore(corpus, "lcstream", 0.5, 4)
+    try {
+      val src = Files.createTempDirectory("graft-lcstream-src")
+      val out = Files.createTempDirectory("graft-lcstream-out").toString
+      val ckpt = Files.createTempDirectory("graft-lcstream-ckpt").toString
+      // batch 1 founds cluster 10 (appends signatures + labels); batch
+      // 2 attaches to it. maxFilesPerBucket=1 + maxRemapRows=0 forces
+      // the cadence after every batch — results must not change.
+      addFile(src, "b1.parquet", Seq(10L -> tuneA))
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(src.toString)
+      val q = graft.streaming.DedupStream.startLabeled(
+        "lcstream", stream, 0.5, out, ckpt,
+        maxFilesPerBucket = Some(1), maxRemapRows = 0L)
+      try {
+        q.processAllAvailable()
+        addFile(src, "b2.parquet", Seq(20L -> tuneB))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(out)
+        .select(col("doc_id"), col("status"), col("match_id"), col("cluster_id"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got(10L) === (("unique", -1L, 10L)))
+      assert(got(20L) === (("near", 10L, 10L)))
+      val lab = graft.operators.Dedup.clusterLabels(spark, "lcstream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lab === Map(1L -> 1L, 10L -> 10L, 20L -> 10L))
+      // bounded: remap folded away; every store table back to one
+      // file per bucket despite two appends
+      spark.catalog.refreshTable("lcstream_remap")
+      assert(spark.table("lcstream_remap").count() === 0L)
+      for (t <- Seq("lcstream_labels", "lcstream_bands", "lcstream_shingles")) {
+        spark.catalog.refreshTable(t)
+        val b = graft.operators.Dedup.bucketsOf(spark, t)
+        assert(graft.operators.Dedup.tableFileCount(spark, t) <= b.toLong,
+          s"$t grew past one file per bucket")
+      }
+    } finally {
+      Seq("lcstream_bands", "lcstream_shingles", "lcstream_labels", "lcstream_remap")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming greedy packing: batch 2 continues the bin batch 1 left open") {
     import spark.implicits._
     import graft.streaming.{DocTok, PackStream}
