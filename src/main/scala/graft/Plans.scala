@@ -117,7 +117,7 @@ object Plans {
       "m12_video_neardup" -> "video near-dup: frame-walk mapPartitions -> distinct signature -> maxDf stop-frame semi-join (no-signal frames shared by >50 videos dropped BEFORE the self-join) -> ONE (hash_hi, hash_lo) equi join whose groupBy count IS the verify — no BNLJ, no all-pairs, no second pass",
       "m13_perceptual_blocking" -> "perceptual blocking report, BOTH tiers: key explode -> ONE partial-aggregable (combo, key) count per tier -> 2-row Christen metrics (pairs16 over image dHashes, chunks21 over audio fingerprints) — the pre-join go/no-go costs one pass over key rows, never pairs",
       "m14_media_ingest" -> "incremental media dedup: batch fingerprints -> skey explode -> ONE equi join against the BUCKETED fingerprint store (store side scans bucketed, zero exchange — only the batch shuffles) with the exact hamming verify in the same hop; append is batch-sized",
-      "m15_video_ingest" -> "incremental VIDEO dedup: batch frame hashes -> ONE fkey equi join against the BUCKETED video-signature store (store side scans Bucketed: true, zero exchange; only the batch shuffles) whose groupBy count IS the shared-frame verify; the maxDf stop-frame valve is an exchange-free partial-agg count over the SAME bucketed scan (grouping includes the bucket column) re-derived per probe, so join output stays <= batch x maxDf however the corpus grows; append is batch-sized",
+      "m15_video_ingest" -> "incremental VIDEO dedup: batch frame hashes -> ONE single-key fkey equi join against the BUCKETED video-signature store (store side scans Bucketed: true with zero hash exchange; only the batch shuffles) with the exact hash verify riding as a non-equi hamming-0 condition (a plain equality filter would be lifted into the join keys and re-shuffle the store under the all-cluster-keys co-partition rule) and the groupBy count as the shared-frame verify; the maxDf stop-frame valve re-derives the HOT set from the store's current df counts per probe (exchange-free partial agg on the bucket column) and anti-joins it into the BATCH side — join output stays <= batch x maxDf however the corpus grows; append is batch-sized",
       "m16_audio_ingest" -> "incremental media dedup at the chunks21 (<=2) tier: m14's plan with the three 21/21/22-bit wide-chunk keys (2^21-selective) as the store layout — the dial pins the scheme, the store side is exchange-free, the exact hamming verify rides the same hop",
       "s18_opq_recall" -> "OPQ recall CONTRACT row: the exhibited plan is the final 1-row literal projection by design — the measured work (rotation, probe, ADC shortlist, exact re-rank) runs through the SAME ivfPqRerankRecall pipeline twice whose stored-search shape s09/s14 already exhibit (codes-only pruned scans); the gate's eigensolve is documented driver d^2 work on a KB corpus")
     val sb = new StringBuilder
@@ -191,6 +191,58 @@ object Plans {
         "`Bucketed: true` with NO Exchange — the bucketed write WAS " +
         "its shuffle; only the batch side exchanges\n\n" +
         s"```\n${plan.trim}\n```\n")
+    }
+    // m15's equivalent: the entry exhibit above shows only the
+    // checkpointed classification scan — this pins the VIDEO store's
+    // probe-join claim (store side of the fkey join bucketed, zero
+    // exchange) AND the maxDf valve's df-count claim (grouping on the
+    // bucket column → the bucketed scan satisfies the aggregation, no
+    // Exchange anywhere; MediaDedupSpec asserts the same lines)
+    locally {
+      import org.apache.spark.sql.functions._
+      val frames = graft.operators.Multimodal.videoFrameHashes(spark, sfDir)
+        .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+      graft.operators.MediaDedup.writeVideoSignatureStore(
+        spark, "plans_vstore", frames)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (joinPlan, dfPlan) = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = graft.operators.MediaDedup.videoPairsAgainstStore(
+          spark, "plans_vstore",
+          frames.limit(200).select(col("doc_id") + 1000000L as "doc_id",
+            col("hash_hi"), col("hash_lo")), 3, 50)
+        df.collect()
+        val jp = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+          .linesIterator.map(l => if (l.length > 400) l.take(400) + "…<truncated>" else l)
+          .mkString("\n")
+        val cnt = spark.table("plans_vstore_vframes")
+          .groupBy(col("fkey"), col("hash_hi"), col("hash_lo"))
+          .agg(count(lit(1)).as("df"))
+        cnt.collect()
+        val cp = cnt.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+          .linesIterator.map(l => if (l.length > 400) l.take(400) + "…<truncated>" else l)
+          .mkString("\n")
+        (jp, cp)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        Seq("_vframes", "_vdocs")
+          .foreach(s => spark.sql(s"DROP TABLE IF EXISTS plans_vstore$s"))
+      }
+      sb.append("\n## m15_store_probe (evidence exhibit)\n\n" +
+        "the video-signature store's probe join (broadcast disabled): " +
+        "a SINGLE-KEY fkey SortMergeJoin whose store leg scans " +
+        "`Bucketed: true` with NO hash Exchange (the only broadcast " +
+        "in the leg moves batch ids — the replay guard); the exact " +
+        "hash verify rides as the non-equi hamming-0 join condition, " +
+        "and the hot-frame valve anti-joins the BATCH side; only the " +
+        "batch side exchanges\n\n" +
+        s"```\n${joinPlan.trim}\n```\n" +
+        "\nthe maxDf valve's store-df count, re-derived per probe: " +
+        "grouping includes the bucket column, so the bucketed scan " +
+        "satisfies the aggregation — NO Exchange in the whole plan\n\n" +
+        s"```\n${dfPlan.trim}\n```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"[plans] wrote $out")

@@ -280,18 +280,27 @@ object MediaDedup {
   /** Candidate (batch_id, corpus_id, shared) rows of a batch of videos
     * against the store: shared = distinct frame hashes in common,
     * already filtered to ≥ minShared. ONE equi join on the bucketed
-    * fkey (zero store-side exchange — only the batch-sized side
-    * shuffles) whose groupBy count IS the verify, m12's shape with the
-    * store as the right side.
+    * fkey ALONE (zero store-side exchange — a single-key join on the
+    * bucket column co-partitions for free, where a (fkey, hash)
+    * multi-key join would re-shuffle the store under Spark's
+    * all-cluster-keys co-partition rule) with the exact hash-equality
+    * verify in the same hop (fkey collisions only add rows; the
+    * filter removes them — m14's skey argument), and the groupBy
+    * count IS the shared-frame verify, m12's shape with the store as
+    * the right side.
     *
     * The `maxDf` stop-frame valve is re-derived from the STORE's
-    * current df counts (a partial-aggregable count per fkey over the
-    * bucketed scan — exchange-free, one pass over store frame rows):
-    * frame hashes carried by more than `maxDf` live corpus videos are
-    * dropped before the join, so a hash that went hot through appends
-    * is valved out exactly like m12 valves it in the full-corpus run.
-    * Join output is bounded by batch_rows × maxDf — linear in the
-    * batch, never k².
+    * current df counts on every probe (a partial-aggregable count per
+    * (fkey, hash) over the bucketed scan — grouping includes the
+    * bucket column, so the scan's partitioning satisfies the
+    * aggregation: exchange-free), and applied to the BATCH side: the
+    * HOT set (df > maxDf — small by the valve's own premise: stop
+    * frames are few) anti-joins the batch's frame rows, so a hash
+    * that went hot through appends contributes nothing to the join
+    * from either side. Valving one side of an inner join removes the
+    * hash's pairs entirely, so this equals valving the store side —
+    * without ever re-shuffling store rows. Join output is bounded by
+    * batch_rows × maxDf — linear in the batch, never k².
     *
     * Replay guard (the fingerprint store's batch-wide discipline):
     * every current-batch id is excluded from the corpus side — AND
@@ -302,25 +311,27 @@ object MediaDedup {
       batch: DataFrame, minShared: Int, maxDf: Int): DataFrame = {
     require(minShared >= 1, s"need minShared >= 1, got $minShared")
     require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
-    val bsig = vframesOf(batch)
-      .select(col("fkey"), col("doc_id").as("batch_id"),
-        col("hash_hi").as("bh"), col("hash_lo").as("bl"))
     val corpus = Dedup.dropTombstoned(spark, name,
         spark.table(s"${name}_vframes"), "doc_id")
       .join(broadcast(batch.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti")
-    // store-side df per frame hash, over the SAME live frame set the
-    // join sees; grouping includes the bucket column so the bucketed
-    // scan's partitioning satisfies the aggregation — no exchange
-    val keep = corpus.groupBy(col("fkey"), col("hash_hi"), col("hash_lo"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val hot = corpus.groupBy(col("fkey"), col("hash_hi"), col("hash_lo"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
       .select(col("fkey"), col("hash_hi"), col("hash_lo"))
-    val csig = corpus
-      .join(keep, Seq("fkey", "hash_hi", "hash_lo"), "left_semi")
-      .select(col("fkey"), col("doc_id").as("corpus_id"),
-        col("hash_hi").as("ch"), col("hash_lo").as("cl"))
+    val bsig = vframesOf(batch)
+      .join(hot, Seq("fkey", "hash_hi", "hash_lo"), "left_anti")
+      .select(col("fkey"), col("doc_id").as("batch_id"),
+        col("hash_hi").as("bh"), col("hash_lo").as("bl"))
+    val csig = corpus.select(col("fkey"), col("doc_id").as("corpus_id"),
+      col("hash_hi").as("ch"), col("hash_lo").as("cl"))
     bsig.join(csig, "fkey")
-      .filter(col("bh") === col("ch") && col("bl") === col("cl"))
+      // exact hash equality as hamming-0 (m14's verify at threshold 0),
+      // NOT `bh === ch && bl === cl`: Catalyst lifts equality filters
+      // into the join keys, and a (fkey, hash) multi-key join
+      // re-shuffles the bucketed store under the all-cluster-keys
+      // co-partition rule — the non-equi form stays a post-join
+      // condition, so the join keys remain fkey alone
+      .filter(expr("bit_count(bh ^ ch) + bit_count(bl ^ cl) = 0"))
       .groupBy(col("batch_id"), col("corpus_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
@@ -369,6 +380,48 @@ object MediaDedup {
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${name}_vdocs")
   }
+
+  /** Initialize the cluster-label store for a video corpus —
+    * [[writeFingerprintLabelStore]]'s shape with the shared-frame
+    * join ([[Multimodal.sharedFrameSig]], valve included) as the pair
+    * source: one full m12 run over the corpus (the LAST ever needed),
+    * singletons labeled by their own id, empty remap. Pair with
+    * [[writeVideoSignatureStore]] on the same frames; read current
+    * assignments via [[Dedup.clusterLabels]]. */
+  def writeVideoSignatureLabelStore(spark: SparkSession, name: String,
+      frames: DataFrame, minShared: Int, maxDf: Int,
+      buckets: Int = 8): Unit = {
+    val sig = frames.select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+    val cc = Dedup.connectedComponents(
+      Multimodal.sharedFrameSig(sig, minShared, maxDf)
+        .select(col("id_a"), col("id_b")))
+    val labels = sig.select(col("doc_id")).distinct()
+      .join(cc, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("root"))
+    graft.sources.Sinks.writeBucketed(labels, s"${name}_labels", buckets, "doc_id")
+    graft.sources.Sinks.clearOrphanLocation(spark, s"${name}_remap")
+    Dedup.emptyRemap(spark).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_remap")
+  }
+
+  /** [[ingestVideoSignatureBatch]] + incremental cluster-label
+    * maintenance — [[Dedup.labeledIngest]] with the video store's
+    * shared-frame pair source and frame-row unique-append: near
+    * videos attach to the smallest matched cluster root, bridged
+    * clusters merge by remap rows only, returned rows carry the
+    * CURRENT cluster_id. Cost ∝ batch; replay-idempotent for the
+    * same reasons as the unlabeled ingest. */
+  def ingestVideoSignatureBatchLabeled(spark: SparkSession, name: String,
+      batch: DataFrame, minShared: Int, maxDf: Int): DataFrame =
+    Dedup.labeledIngest(spark, name,
+      batch.select(col("doc_id")).distinct(),
+      videoPairsAgainstStore(spark, name, batch, minShared, maxDf)
+        .select(col("batch_id"), col("corpus_id")),
+      uniqueDocs => appendVideoSignatures(spark, name,
+        Dedup.dropTombstoned(spark, name,
+          batch.join(uniqueDocs.select("doc_id"), "doc_id")
+            .join(spark.table(s"${name}_vdocs"), Seq("doc_id"), "left_anti"),
+          "doc_id")))
 
   /** Retire videos (takedown / TTL) — the shared lazy tombstones. */
   def deleteFromVideoSignatureStore(spark: SparkSession, name: String,

@@ -125,4 +125,34 @@ object MediaDedupStream {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** [[startVideo]] + live cluster labels ([[startLabeled]]'s video
+    * twin): every emitted row carries the video's CURRENT cluster_id
+    * via [[graft.operators.MediaDedup.ingestVideoSignatureBatchLabeled]];
+    * same compaction parity (video store on files, label store on
+    * files OR remap growth). */
+  def startVideoLabeled(store: String, frameStream: DataFrame,
+      minShared: Int, maxDf: Int, outPath: String, checkpoint: String,
+      maxFilesPerBucket: Option[Int] = None,
+      maxRemapRows: Long = 100000L): StreamingQuery =
+    frameStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val labeled = graft.operators.MediaDedup
+          .ingestVideoSignatureBatchLabeled(batch.sparkSession, store,
+            batch, minShared, maxDf)
+        labeled.withColumn("micro_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("micro_batch")
+          .parquet(outPath)
+        maxFilesPerBucket.foreach { n =>
+          graft.operators.MediaDedup
+            .maybeCompactVideoSignatureStore(batch.sparkSession, store, n)
+          graft.operators.Dedup
+            .maybeCompactLabelStore(batch.sparkSession, store, n, maxRemapRows)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

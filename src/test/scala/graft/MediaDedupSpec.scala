@@ -390,19 +390,32 @@ class MediaDedupSpec extends AnyFunSuite {
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        // the probe's candidate join: batch side shuffles, store does not
-        val bsig = vframes(9L -> Seq(1001, 1002, 9001))
-          .select(xxhash64(col("hash_hi"), col("hash_lo")).as("fkey"),
-            col("doc_id"))
-        val j = bsig.join(spark.table("vplan_vframes"), "fkey")
+        // the OPERATOR's own candidate join: the store leg of the
+        // single-key fkey SMJ must scan bucketed and never hash-
+        // re-shuffle (the hash-equality verify rides as a non-equi
+        // post-join condition, NOT join keys — a (fkey, hash) multi-
+        // key join would re-shuffle the store; the only Exchange-like
+        // line allowed in the leg is the batch-id replay guard's
+        // BroadcastExchange, which moves batch ids, not store rows)
+        val j = MediaDedup.videoPairsAgainstStore(spark, "vplan",
+          vframes(9L -> Seq(1001, 1002, 9001)), minShared = 2, maxDf = 50)
         j.collect()
         val plan = j.queryExecution.executedPlan.toString
           .split("== Initial Plan ==").head
-        val storeSide = plan.linesIterator
-          .dropWhile(!_.contains("SortMergeJoin")).drop(1)
-          .filterNot(_.trim.startsWith(":")).mkString("\n")
+        val lines = plan.linesIterator.toList
+        val idx = lines.indexWhere(_.contains("SortMergeJoin"))
+        assert(idx >= 0 && lines(idx)
+            .matches(".*SortMergeJoin \\[fkey#\\d+L\\], \\[fkey#\\d+L\\].*"),
+          s"candidate join must key on fkey ALONE:\n$plan")
+        // right (store) leg = lines WITHOUT the SMJ's own ':' sidebar
+        // at its child column (nested operators inside the leg print
+        // their own sidebars further right — keep those)
+        val sideCol = lines(idx + 1).indexOf(":-")
+        val storeSide = lines.drop(idx + 1)
+          .filter(l => l.length <= sideCol || l.charAt(sideCol) != ':')
+          .mkString("\n")
         assert(storeSide.contains("Bucketed: true"), plan)
-        assert(!storeSide.contains("Exchange"),
+        assert(!storeSide.contains("Exchange hashpartitioning"),
           s"store side must not re-shuffle:\n$plan")
         // the valve's df count groups on (fkey, hash_hi, hash_lo) —
         // fkey is the bucket column, so the bucketed scan's
@@ -492,6 +505,99 @@ class MediaDedupSpec extends AnyFunSuite {
       assert(graft.operators.Dedup.tableFileCount(spark, "vstream_vframes")
         <= buckets.toLong)
     } finally dropVStore("vstream")
+  }
+
+  test("labeled video ingest: attach joins existing cluster; a bridging batch video merges clusters via remap only") {
+    try {
+      // two corpus clusters at minShared=3: {1,2} share A1-A3, {40,41}
+      // share B1-B3
+      val corpus = vframes(
+        1L -> Seq(1001, 1002, 1003, 1101), 2L -> Seq(1001, 1002, 1003, 1201),
+        40L -> Seq(4001, 4002, 4003, 4101), 41L -> Seq(4001, 4002, 4003, 4201))
+      MediaDedup.writeVideoSignatureStore(spark, "vlbl", corpus)
+      MediaDedup.writeVideoSignatureLabelStore(spark, "vlbl", corpus, 3, 50)
+      val init = graft.operators.Dedup.clusterLabels(spark, "vlbl")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(init === Map(1L -> 1L, 2L -> 1L, 40L -> 40L, 41L -> 40L))
+      // attach: near video joins the existing cluster
+      val a = MediaDedup.ingestVideoSignatureBatchLabeled(spark, "vlbl",
+          vframes(10L -> Seq(1001, 1002, 1003, 9001)), 3, 50)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(a(10L) === (("near", 1L, 1L)))
+      // bridge: video 20 shares 3 frames with BOTH clusters -> 40's
+      // cluster merges into root 1 by a remap row only
+      val b = MediaDedup.ingestVideoSignatureBatchLabeled(spark, "vlbl",
+          vframes(20L -> Seq(1001, 1002, 1003, 4001, 4002, 4003)), 3, 50)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(b(20L)._1 === "near")
+      assert(b(20L)._3 === 1L)
+      val after = graft.operators.Dedup.clusterLabels(spark, "vlbl")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after(40L) === 1L && after(41L) === 1L, after.toString)
+      assert(after(20L) === 1L && after(10L) === 1L)
+      // replay idempotence: the merge already happened, edges vanish
+      val replay = MediaDedup.ingestVideoSignatureBatchLabeled(spark, "vlbl",
+          vframes(20L -> Seq(1001, 1002, 1003, 4001, 4002, 4003)), 3, 50)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(replay === b, s"replay must be idempotent: $replay vs $b")
+    } finally {
+      dropVStore("vlbl")
+      Seq("_labels", "_remap").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS vlbl$s"))
+    }
+  }
+
+  test("streaming labeled video dedup: a batch-2 video joins the cluster a batch-1 video founded; cadence bounds remap") {
+    import spark.implicits._
+    import java.nio.file.Files
+    def addFile(src: java.nio.file.Path, name: String,
+        rows: Seq[(Long, Long, Long)]): Unit = {
+      val stage = Files.createTempDirectory("graft-vlstream-stage")
+      rows.toDF("doc_id", "hash_hi", "hash_lo")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.resolve(name))
+    }
+    def rows(id: Long, fs: Long*) = fs.map(f => (id, f / 1000L, f % 1000L))
+    val corpus = vframes(1L -> Seq(1001, 1002, 1003))
+    MediaDedup.writeVideoSignatureStore(spark, "vlstream", corpus)
+    MediaDedup.writeVideoSignatureLabelStore(spark, "vlstream", corpus, 3, 50)
+    try {
+      val src = Files.createTempDirectory("graft-vlstream-src")
+      val out = Files.createTempDirectory("graft-vlstream-out").toString
+      val ckpt = Files.createTempDirectory("graft-vlstream-ckpt").toString
+      // micro-batch 1: v10 unique — founds cluster 10
+      addFile(src, "b1.parquet", rows(10L, 5001, 5002, 5003).toSeq)
+      val stream = spark.readStream
+        .schema("doc_id LONG, hash_hi LONG, hash_lo LONG")
+        .parquet(src.toString)
+      val q = graft.streaming.MediaDedupStream.startVideoLabeled(
+        "vlstream", stream, minShared = 3, maxDf = 50, out, ckpt,
+        maxFilesPerBucket = Some(1), maxRemapRows = 0L)
+      try {
+        q.processAllAvailable()
+        // micro-batch 2: v20 shares v10's frames — joins ITS cluster
+        addFile(src, "b2.parquet", rows(20L, 5001, 5002, 5003).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(out)
+        .select(col("doc_id"), col("status"), col("match_id"),
+          col("cluster_id"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got(10L) === (("unique", -1L, 10L)))
+      assert(got(20L) === (("near", 10L, 10L)))
+      spark.catalog.refreshTable("vlstream_remap")
+      assert(spark.table("vlstream_remap").count() === 0L)
+    } finally {
+      dropVStore("vlstream")
+      Seq("_labels", "_remap").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS vlstream$s"))
+    }
   }
 
   test("labeled media stream compaction cadence: files and remap stay bounded, labels unchanged") {
