@@ -234,6 +234,75 @@ object Scale {
       println(f"[scale] ingest round $r batch=$bsz%-6d $sec%8.2f s  ($byStatus; store=$stored docs)")
     }
 
+    // ---- video-signature store probe (m15): per-batch cost must
+    // track the BATCH against a FIXED frame-hash corpus, and the
+    // store-df-derived maxDf valve must keep the join linear even
+    // with a PLANTED stop frame every video carries (hash 0 — the
+    // black-frame k² hazard). Frame hashes are synthetic (the store
+    // operates on (doc_id, hash_hi, hash_lo) whatever decode made
+    // them): replicas of nBase base videos share all 8 frames, so
+    // batch probes do real verify work.
+    locally {
+      val nVids = n / 4
+      val vf = spark.range(nVids).select(col("id").as("doc_id"))
+        .crossJoin(spark.range(8).select(col("id").as("f")))
+        .select(col("doc_id"),
+          lit(0L).as("hash_hi"),
+          when(col("f") === 0, lit(0L)) // the planted stop frame
+            .otherwise(pmod(col("doc_id"), lit(nBase.toLong)) * 16L + col("f"))
+            .as("hash_lo"))
+      val tv = System.nanoTime()
+      graft.operators.MediaDedup.writeVideoSignatureStore(spark, "scale_vsig", vf, 32)
+      println(f"[scale] video store build ($nVids vids x 8 frames): " +
+        f"${(System.nanoTime() - tv) / 1e9}%.2f s (one-time)")
+      def batchOf(bsz: Long) = vf.filter(col("doc_id") % (nVids / bsz) === 0)
+        .select(col("doc_id") + 1000000000L as "doc_id",
+          col("hash_hi"), col("hash_lo"))
+      Seq(nVids / 64, nVids / 16, nVids / 4).foreach { bsz =>
+        val tb = System.nanoTime()
+        val pairs = graft.operators.MediaDedup.videoPairsAgainstStore(
+          spark, "scale_vsig", batchOf(bsz), minShared = 4, maxDf = 50).count()
+        val sec = (System.nanoTime() - tb) / 1e9
+        println(f"[scale] video batch=$bsz%-7d $sec%8.2f s  ($pairs pairs, ${bsz / sec}%.0f vids/s)")
+      }
+      // valve evidence at the smallest batch: OFF admits the planted
+      // frame's bsz x nVids join rows; ON re-derives df from the
+      // store and drops it — pair sets identical (the stop frame
+      // carries no near-dup signal at minShared=4: every video
+      // shares only it)
+      val b0 = batchOf(nVids / 64)
+      val tOn = System.nanoTime()
+      val pOn = graft.operators.MediaDedup.videoPairsAgainstStore(
+        spark, "scale_vsig", b0, 4, 50).count()
+      val sOn = (System.nanoTime() - tOn) / 1e9
+      val tOff = System.nanoTime()
+      val pOff = graft.operators.MediaDedup.videoPairsAgainstStore(
+        spark, "scale_vsig", b0, 4, Int.MaxValue).count()
+      val sOff = (System.nanoTime() - tOff) / 1e9
+      println(f"[scale] video valve: ON $sOn%.2f s / OFF $sOff%.2f s " +
+        f"(${sOff / sOn}%.2fx; pairs $pOn vs $pOff — identical sets, the " +
+        "stop frame only ever added join volume)")
+      // chaining: a second-round batch near-dups ROUND 1's appends —
+      // round 1 carries NOVEL frame sets (shifted hash namespace) so
+      // it classifies unique and lands in the store
+      val r1 = batchOf(nVids / 16)
+        .select(col("doc_id"), col("hash_hi"),
+          (col("hash_lo") + 100000000L).as("hash_lo"))
+      graft.operators.MediaDedup.ingestVideoSignatureBatch(
+        spark, "scale_vsig", r1, 4, 50)
+      val r2 = r1.select(col("doc_id") + 1000000000L as "doc_id",
+        col("hash_hi"), col("hash_lo"))
+      val st = graft.operators.MediaDedup.ingestVideoSignatureBatch(
+        spark, "scale_vsig", r2, 4, 50)
+        .groupBy(col("status")).count()
+        .collect().map(x => s"${x.getString(0)}=${x.getLong(1)}").sorted.mkString(" ")
+      println(s"[scale] video ingest chain round2: $st (round-2 copies " +
+        "resolve 'near' against round-1 APPENDS — later batches see " +
+        "earlier ones through the store)")
+      Seq("_vframes", "_vdocs", "_tombstones")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS scale_vsig$s"))
+    }
+
     // ---- r7 pipeline-op probes on the replicated corpus ----
     // chunking is a pure scan op: docs/s should track corpus size
     time("chunkOverlap")(graft.operators.TextOps.chunkOverlap(docs).count())
