@@ -41,9 +41,20 @@ object Basket {
   /** Canonical item-pair supports (#baskets containing both) at
     * `minSupport`+, with per-item basket counts joined on. */
   def pairSupports(items: DataFrame, minSupport: Long): DataFrame = {
-    val a = items.select(col("basket"), col("item").as("id_a"))
-    val b = items.select(col("basket"), col("item").as("id_b"))
-    val pairs = a.join(b, Seq("basket")).filter(col("id_a") < col("id_b"))
+    // basket-local pair generation (Graph.copurchaseEdges' r19 shape):
+    // one groupBy(basket) + an in-basket position-pair explode replace
+    // the basket-keyed SELF-JOIN of the items frame — two item-sized
+    // exchanges + a sort-merge join become one exchange + a generator.
+    // `items` is distinct per basket, so each unordered pair appears
+    // exactly once per basket in both formulations.
+    val pairs = items
+      .groupBy(col("basket")).agg(collect_list(col("item")).as("ps"))
+      .filter(size(col("ps")) > 1)
+      .select(posexplode(col("ps")).as(Seq("i", "x")), col("ps"))
+      .select(col("x"), explode(slice(col("ps"), col("i") + 2,
+        size(col("ps")))).as("y"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= minSupport)
     val supp = items.groupBy(col("item")).agg(count(lit(1)).as("supp"))

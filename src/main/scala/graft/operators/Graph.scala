@@ -56,10 +56,14 @@ object Graph {
     // re-execute the caller's edge-generation chain (for pr01 that is
     // the whole LSH pair pass — iters× the cost) and r's plan would
     // grow one join+agg deeper per round
-    val e = cut(edges.select(col("src"), col("dst")))
-    val deg = cut(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    val nodes = cut(e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct())
+    val e0 = cut(edges.select(col("src"), col("dst")))
+    // out-degree attached to the edge rows ONCE — deg(src) is loop
+    // invariant, so materializing (src, dst, deg) here removes one
+    // join (and its exchange) from EVERY round's inflow plan
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = cut(e0.join(deg, "src"))
+    val nodes = cut(e0.select(col("src").as("id"))
+      .unionAll(e0.select(col("dst").as("id"))).distinct())
     // n is ONE driver-side scalar (a count, not data) — the teleport
     // constant needs it as a literal so each round stays one plan
     val n = nodes.count()
@@ -68,7 +72,6 @@ object Graph {
     var r = nodes.select(col("id"), lit(RankScale / n).as("r"))
     (1 to iters).foreach { i =>
       val inflow = e.join(r, e("src") === r("id"))
-        .join(deg, "src")
         .select(col("dst"),
           expr(s"(r * $dampingNum) div (deg * $dampingDen)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
@@ -90,11 +93,13 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame, iters: Int,
       dampingNum: Long = 85L, dampingDen: Long = 100L): DataFrame = {
-    val e = cut(edges.select(col("src"), col("dst")))
-    val deg = cut(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val e0 = cut(edges.select(col("src"), col("dst")))
+    // deg attached to the edges once — pageRank's loop-invariant hoist
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = cut(e0.join(deg, "src"))
     val src = cut(sources.select(col("id")).distinct())
-    val nodes = cut(e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val nodes = cut(e0.select(col("src").as("id"))
+      .unionAll(e0.select(col("dst").as("id"))).distinct()
       .join(src.select(col("id"), lit(true).as("is_src")), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_src"), lit(false)).as("is_src")))
     val nS = src.count()
@@ -104,7 +109,6 @@ object Graph {
       when(col("is_src"), lit(RankScale / nS)).otherwise(lit(0L)).as("r"))
     (1 to iters).foreach { i =>
       val inflow = e.join(r, e("src") === r("id"))
-        .join(deg, "src")
         .select(col("dst"),
           expr(s"(r * $dampingNum) div (deg * $dampingDen)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
@@ -184,6 +188,11 @@ object Graph {
     * `pairs`: canonical undirected edges (id_a < id_b).
     */
   def labelPropagation(pairs: DataFrame, iters: Int): DataFrame = {
+    // (r19 plan audit: NO pre-partitioning by src here — the cut's
+    // LogicalRDD does not carry outputPartitioning under AQE, so a
+    // repartition before it is a pure extra shuffle; the per-round
+    // edges⋈labels join instead broadcasts the edge side and AQE
+    // REUSES that broadcast across rounds — see plans/r19 lp01)
     val e = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var l = e.select(col("src").as("id")).distinct()
@@ -227,9 +236,16 @@ object Graph {
       maxHops: Int, probeEvery: Int = 1): DataFrame = {
     require(probeEvery >= 1, s"need probeEvery >= 1, got $probeEvery")
     val e = cut(edges.select(col("src"), col("dst")))
-    var visited = cut(sources.select(col("id")).distinct()
+    // visited = the ACCUMULATED LIST of per-round frontier frames,
+    // each already materialized by its own cut: unionAll over them is
+    // a free concatenation of checkpointed scans, so the anti-join
+    // reads the same rows WITHOUT re-materializing the whole visited
+    // set every round (the old cut(visited ∪ frontier) rewrote
+    // O(rounds × visited) rows over the loop — quadratic in rounds)
+    var frontier = cut(sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)))
-    var frontier = visited
+    var frames = List(frontier)
+    def visited = frames.reduce(_ unionAll _)
     var h = 0
     var done = false
     while (h < maxHops && !done) {
@@ -241,7 +257,7 @@ object Graph {
           .select(col("dst").as("id")).distinct()
           .join(visited, Seq("id"), "left_anti")
           .withColumn("dist", lit(h.toLong)))
-        visited = cut(visited.unionAll(frontier))
+        frames = frontier :: frames
       }
     }
     visited
@@ -274,9 +290,11 @@ object Graph {
     require(probeEvery >= 1, s"need probeEvery >= 1, got $probeEvery")
     val e = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var visited = cut(sources.select(col("id").as("seed")).distinct()
+    // accumulated cut-frame list — shortestHops' visited discipline
+    var frontier = cut(sources.select(col("id").as("seed")).distinct()
       .select(col("seed"), col("seed").as("id"), lit(0L).as("dist")))
-    var frontier = visited
+    var frames = List(frontier)
+    def visited = frames.reduce(_ unionAll _)
     var h = 0
     var done = false
     while (h < maxHops && !done) {
@@ -288,7 +306,7 @@ object Graph {
           .select(col("seed"), col("dst").as("id")).distinct()
           .join(visited, Seq("seed", "id"), "left_anti")
           .withColumn("dist", lit(h.toLong)))
-        visited = cut(visited.unionAll(frontier))
+        frames = frontier :: frames
       }
     }
     visited.filter(col("dist") > 0)
@@ -342,17 +360,32 @@ object Graph {
   }
 
   /** Co-purchase edge list from an order-lines table: part pairs
-    * sharing an order, kept at `minSupport`+ co-occurrences. The
-    * per-order self-join is quadratic ONLY in basket size (bounded by
-    * the order format, not by N); the support groupBy partial-
-    * aggregates map-side.
+    * sharing an order, kept at `minSupport`+ co-occurrences. Pairs are
+    * generated BASKET-LOCALLY: one groupBy(order) collects each
+    * order's items (baskets are format-bounded — a handful of lines —
+    * so the explode is quadratic only in basket size) and the
+    * in-basket position-pair explode replaces the order-keyed
+    * SELF-JOIN of the lines table (r19: two lineitem-sized exchanges +
+    * a sort-merge join collapse into ONE exchange + a generator; the
+    * emitted pair MULTISET is identical — every unordered row pair
+    * with distinct items, counted with multiplicity — so the support
+    * counts match the oracle's join formulation bit-for-bit). The
+    * support groupBy partial-aggregates map-side.
     */
   def copurchaseEdges(lines: DataFrame, minSupport: Long,
       orderCol: String = "l_orderkey", itemCol: String = "l_partkey")
       : DataFrame = {
-    val a = lines.select(col(orderCol).as("_o"), col(itemCol).as("id_a"))
-    val b = lines.select(col(orderCol).as("_o"), col(itemCol).as("id_b"))
-    a.join(b, Seq("_o")).filter(col("id_a") < col("id_b"))
+    val baskets = lines
+      .groupBy(col(orderCol).as("_o"))
+      .agg(collect_list(col(itemCol)).as("ps"))
+      .filter(size(col("ps")) > 1)
+    baskets
+      .select(posexplode(col("ps")).as(Seq("i", "x")), col("ps"))
+      .select(col("x"), explode(slice(col("ps"), col("i") + 2,
+        size(col("ps")))).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .select(col("id_a"), col("id_b"))
@@ -454,10 +487,17 @@ object Graph {
       maxCenterDeg: Long = Long.MaxValue): DataFrame = {
     val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-    val centerDeg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("dv"))
-      .filter(col("dv") <= maxCenterDeg).select(col("v"))
-    val viaCenter = sym.select(col("b").as("v"), col("a").as("u"))
-      .join(centerDeg, Seq("v"), "left_semi")
+    // the celebrity cap is a no-op at MaxValue — skip its degree
+    // groupBy + semi-join (one exchange each) instead of running a
+    // filter every center passes
+    val viaCenter = if (maxCenterDeg == Long.MaxValue)
+      sym.select(col("b").as("v"), col("a").as("u"))
+    else {
+      val centerDeg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("dv"))
+        .filter(col("dv") <= maxCenterDeg).select(col("v"))
+      sym.select(col("b").as("v"), col("a").as("u"))
+        .join(centerDeg, Seq("v"), "left_semi")
+    }
     val cn = viaCenter
       .join(viaCenter.select(col("v"), col("u").as("w")), Seq("v"))
       .filter(col("u") < col("w"))
@@ -466,14 +506,25 @@ object Graph {
         Seq("u", "w"), "left_anti")
     val directed = cn.select(col("u").as("id"), col("w").as("rec"), col("cn"))
       .unionAll(cn.select(col("w").as("id"), col("u").as("rec"), col("cn")))
-    directed
+    rankTopK(directed, "cn", k)
+  }
+
+  /** Shared top-k tail of the link-prediction scores: the bounded-heap
+    * TopKPerKey operator selects each id's k best (score DESC, rec ASC
+    * — a total order, rec is unique per id) so only k rows per key per
+    * partition cross the exchange, then the rank window runs over the
+    * ≤ k·|ids| SURVIVORS. Selecting a prefix of the same total order
+    * and ranking it is row-for-row identical to ranking everything and
+    * filtering rank ≤ k (the prior formulation), without the full
+    * candidate frame ever sorting through one window exchange.
+    */
+  private def rankTopK(directed: DataFrame, score: String, k: Int): DataFrame =
+    TopK.topKPerKey(directed, Seq("id"), score, "rec", k)
       .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy(col("id"))
-        .orderBy(col("cn").desc, col("rec"))))
-      .filter(col("rank") <= k)
+        .orderBy(col(score).desc, col("rec"))))
       .select(col("id"), col("rank").cast("bigint").as("rank"),
-        col("rec"), col("cn"))
-  }
+        col("rec"), col(score))
 
   /** Adamic–Adar link prediction: [[commonNeighborRecs]] with each
     * shared neighbor weighted 1/ln(deg) — a rare mutual friend says
@@ -508,13 +559,7 @@ object Graph {
       .withColumn("aa", round(col("aad").cast("double"), 6))
     val directed = aa.select(col("u").as("id"), col("w").as("rec"), col("aa"))
       .unionAll(aa.select(col("w").as("id"), col("u").as("rec"), col("aa")))
-    directed
-      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
-        .Window.partitionBy(col("id"))
-        .orderBy(col("aa").desc, col("rec"))))
-      .filter(col("rank") <= k)
-      .select(col("id"), col("rank").cast("bigint").as("rank"),
-        col("rec"), col("aa"))
+    rankTopK(directed, "aa", k)
   }
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(

@@ -109,6 +109,11 @@ object Quality {
     require(cols.size >= 2, "need at least two columns")
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
       yield (cols(i), cols(j))
+    // (r19 measured note: a long-domain "cents" rewrite — products as
+    // long multiplies, decimal only at the sum — benched SLOWER here
+    // (5.6 → 8.2s at sf0.1, reproduced in an A/B), so the decimal
+    // formulation below stays. The per-row decimal products are not
+    // this entry's bottleneck.)
     def d(c: String) = col(c).cast(DecimalType(18, 2))
     val aggs = pairs.flatMap { case (x, y) =>
       val both = d(x).isNotNull && d(y).isNotNull
