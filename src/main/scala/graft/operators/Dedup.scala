@@ -808,7 +808,10 @@ object Dedup {
       buckets: Int = 8): Unit = {
     import org.apache.spark.sql.SaveMode
     val spark = corpus.sparkSession
-    val cc = connectedComponents(
+    // bounded closure (r19): pair sets under the 100k ceiling run the
+    // one-collect driver union-find; larger corpora fall through to
+    // the distributed fixpoint unchanged (labels proven identical)
+    val cc = connectedComponentsBounded(
       minhashPairs(corpus, jaccardMin).select(col("id_a"), col("id_b")))
     val labels = corpus.select(col("doc_id"))
       .join(cc, col("doc_id") === col("id"), "left")
@@ -1334,7 +1337,8 @@ object Dedup {
       cosMin: Double): DataFrame = {
     val edges = Similarity.nearDupPairs(embeddings, cosMin)
       .select(col("id_a"), col("id_b"))
-    val labels = connectedComponents(edges)
+    // bounded closure — writeLabelStore's r19 rationale
+    val labels = connectedComponentsBounded(edges)
     documents.select(col("doc_id"), col("n_chars"))
       .join(labels, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster"),
@@ -1554,7 +1558,13 @@ object Dedup {
       : DataFrame = {
     require(num > 0 && den >= num, s"need 0 < num/den <= 1, got $num/$den")
     val spark = documents.sparkSession
-    val toks = documents
+    // the shingle frame feeds FIVE readers (freq, sz, the prefix
+    // window, and both intersection joins) — without the cut the
+    // whole tokenize+explode+distinct subtree re-executed per reader
+    // (r19 plan audit: documents.parquet scanned 10× in one plan);
+    // materializing it once is the same one-tokenization-pass shape
+    // the posting-store build uses
+    val toks = Cut(documents
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         expr("filter(split(trim(text), ' '), x -> x <> '')").as("ws"))
@@ -1562,18 +1572,19 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 2), " +
           "i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))")).as("word"))
-      .distinct()
+      .distinct())
     val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("f"))
     val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"), col("word"))
-    val pre = toks.join(freq, "word")
+    // prefix frame read by BOTH sides of the candidate self-join
+    val pre = Cut(toks.join(freq, "word")
       .withColumn("rn", row_number().over(w))
       .join(sz, "doc_id")
       // prefix length L = n - ceil(t*n) + 1, ceil in exact integers
       .filter(col("rn") <=
         col("n") - expr(s"(n * ${num}L + ${den}L - 1) div ${den}L") + 1)
-      .select(col("doc_id"), col("word"))
+      .select(col("doc_id"), col("word")))
     val cand = pre.select(col("doc_id").as("id_a"), col("word"))
       .join(pre.select(col("doc_id").as("id_b"), col("word")), "word")
       .filter(col("id_a") < col("id_b"))
@@ -1622,7 +1633,8 @@ object Dedup {
       : DataFrame = {
     require(num > 0 && den >= num, s"need 0 < num/den <= 1, got $num/$den")
     val spark = documents.sparkSession
-    val toks = documents
+    // one tokenization pass — setSimilarityJoin's r19 cut rationale
+    val toks = Cut(documents
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         expr("filter(split(trim(text), ' '), x -> x <> '')").as("ws"))
@@ -1630,7 +1642,7 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 2), " +
           "i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))")).as("word"))
-      .distinct()
+      .distinct())
     val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("f"))
     val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1840,7 +1852,8 @@ object Dedup {
     ("d07_dedup_components", (s: SparkSession, d: String) => {
       val edges = Similarity.nearDupPairs(Tables.embeddings(s, d), 0.35)
         .select(col("id_a"), col("id_b"))
-      connectedComponents(edges)
+      // bounded closure — writeLabelStore's r19 rationale
+      connectedComponentsBounded(edges)
         .groupBy(col("lab").as("component"))
         .agg(count(lit(1)).as("csize"), max(col("id")).as("max_id"))
         .orderBy("component")

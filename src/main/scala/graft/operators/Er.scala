@@ -137,7 +137,12 @@ object Er {
     */
   def entityClusters(records: DataFrame, keyCol: String,
       matchEdges: DataFrame): DataFrame = {
-    val cc = Dedup.connectedComponents(
+    // bounded closure (r19): match-edge sets under the 100k ceiling
+    // run the one-collect driver union-find instead of the iterative
+    // distributed fixpoint's O(rounds) job-barrier tail — labels
+    // proven identical (DedupSpec); larger graphs fall through to
+    // distributed CC unchanged
+    val cc = Dedup.connectedComponentsBounded(
       matchEdges.select(col("a_key").as("id_a"), col("b_key").as("id_b")))
     records.join(cc.withColumnRenamed("id", keyCol), Seq(keyCol), "left")
       .withColumn("entity_id", coalesce(col("lab"), col(keyCol)))
@@ -200,7 +205,8 @@ object Er {
     val spark = records.sparkSession
     val matches = candidatePairsMulti(records, spec.keyCol, spec.blockKeys,
       spec.features, spec.keep).filter(spec.isMatch)
-    val cc = Dedup.connectedComponents(
+    // bounded closure — entityClusters' r19 rationale
+    val cc = Dedup.connectedComponentsBounded(
       matches.select(col("a_key").as("id_a"), col("b_key").as("id_b")))
     val labels = records.select(col(spec.keyCol).as("rkey"))
       .join(cc, col("rkey") === col("id"), "left")

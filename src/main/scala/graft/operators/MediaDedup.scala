@@ -171,7 +171,8 @@ object MediaDedup {
     * same layout, so the label machinery is shared verbatim). */
   def writeFingerprintLabelStore(spark: SparkSession, name: String,
       fps: DataFrame, maxHamming: Int, buckets: Int = 8): Unit = {
-    val cc = Dedup.connectedComponents(
+    // bounded closure — Dedup.writeLabelStore's r19 rationale
+    val cc = Dedup.connectedComponentsBounded(
       Multimodal.hammingPairs(
         fps.select(col("doc_id"), col("hash_hi"), col("hash_lo")), maxHamming)
         .select(col("id_a"), col("id_b")))
@@ -392,7 +393,8 @@ object MediaDedup {
       frames: DataFrame, minShared: Int, maxDf: Int,
       buckets: Int = 8): Unit = {
     val sig = frames.select(col("doc_id"), col("hash_hi"), col("hash_lo"))
-    val cc = Dedup.connectedComponents(
+    // bounded closure — Dedup.writeLabelStore's r19 rationale
+    val cc = Dedup.connectedComponentsBounded(
       Multimodal.sharedFrameSig(sig, minShared, maxDf)
         .select(col("id_a"), col("id_b")))
     val labels = sig.select(col("doc_id")).distinct()
