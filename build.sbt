@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the terminal RAW: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which is why the
+// bench's final JSON line was never machine-parseable (BENCH_r1..r19
+// all record parsed:null). StdoutOutput passes the child's stdout
+// through untouched.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

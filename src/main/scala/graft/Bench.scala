@@ -11,6 +11,23 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only(n) }
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Cumulative executor CPU time across all tasks; snapshotting it
+    // around each timed query (after draining the async listener bus)
+    // yields per-query cpu seconds, so parallelism (cpu/wall) is
+    // measurable from ONE run instead of cross-run core-count compares
+    // (r19's 8-core probe ran second on a warm cache and was unusable).
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+      }
+    })
+    def cpuSnapshot(): Long = {
+      try org.apache.spark.GraftSparkBridge.waitListenerBus(spark.sparkContext, 10000L)
+      catch { case _: Throwable => () } // cpu attribution is best-effort; never fail the bench
+      cpuNs.get()
+    }
     // Force FULL evaluation of every row/column: a noop sink defeats the
     // count-only column pruning that made projection-heavy queries look
     // like bare scans. (count() prunes everything under the aggregate.)
@@ -24,6 +41,7 @@ object Bench {
     // LinkedHashSet: a query failing in BOTH passes is one failure,
     // not two (a ListBuffer double-counted n_failed)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val cpuSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     selected.foreach { case (name, fn) =>
       try run(fn) catch {
         case e: Throwable =>
@@ -43,13 +61,16 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(250)
+      val cpu0 = cpuSnapshot()
       val t0 = System.nanoTime()
       try run(fn) catch {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      cpuSecs += name -> (cpuSnapshot() - cpu0) / 1e9
+      name -> wall
     }
     // Stored-index builds timed SEPARATELY from the searches: the
     // s08/s09 entries build their index ONCE (in the untimed warmup
@@ -57,17 +78,21 @@ object Bench {
     // deployment actually repeats; these two metrics time the one-time
     // build+write so a build-path regression is visible without
     // burying search latency inside it.
-    def timedBuild(f: => Unit): Double = {
+    def timedBuild(name: String)(f: => Unit): Double = {
       spark.catalog.clearCache(); System.gc(); Thread.sleep(250)
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      val cpu0 = cpuSnapshot()
+      val t0 = System.nanoTime(); f
+      val wall = (System.nanoTime() - t0) / 1e9
+      cpuSecs += name -> (cpuSnapshot() - cpu0) / 1e9
+      wall
     }
     val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
     def emb = graft.sources.Tables.embeddings(spark, sfDir)
     if (selected.contains("s08_pq_search"))
-      builds += "s08_build" -> timedBuild(graft.operators.Similarity.writePqIndex(
+      builds += "s08_build" -> timedBuild("s08_build")(graft.operators.Similarity.writePqIndex(
         emb, java.nio.file.Files.createTempDirectory("bench_pq").toString, 8, 16))
     if (selected.contains("s09_ivfpq_search"))
-      builds += "s09_build" -> timedBuild(graft.operators.Similarity.writeIvfPqIndex(
+      builds += "s09_build" -> timedBuild("s09_build")(graft.operators.Similarity.writeIvfPqIndex(
         emb, java.nio.file.Files.createTempDirectory("bench_ivfpq").toString, 8, 16))
     val timings = results ++ builds
     // keep the JSON line SHORT — the driver parses it from a 2000-char
@@ -144,18 +169,45 @@ object Bench {
       }
     val allRatios =
       if (ratios.isEmpty) "" else s""","ratios":${jsonMap(ratios)}"""
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,$ratioJson$allRatios,"queries":${jsonMap(timings)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpus":$cpus,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,$ratioJson$allRatios,"queries":${jsonMap(timings)},"queries_cpu":${jsonMap(cpuSecs)},"sf":"$sfDir"}"""
+    // Key the full record by core count so an auxiliary scaling run
+    // (the driver re-runs at lower cpus) stops clobbering the 32-core
+    // per-query record; the unkeyed file stays for existing tooling.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full)
-    if (ratios.nonEmpty) println(s"""{"metric":"vs_baseline",$ratioJson}""")
-    val qs = jsonMap(timings.filter { case (k, _) => headline.contains(k) })
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
-    // every recorded BENCH_r{N}.json shows parsed:null — the driver
-    // reads a 2000-char stdout TAIL, and a long headline line can lose
-    // its FRONT (where "value" lives) to the window. Emit a compact
-    // self-contained line LAST so the tail always ends with a complete
-    // parseable record; full per-query detail stays in BENCH_FULL.json.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":{},"sf":"$sfDir"}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"BENCH_FULL_c$cpus.json"), full)
+    // every recorded BENCH_r{N}.json through r19 shows parsed:null — the
+    // driver reads a 2000-char stdout TAIL, and sbt's LoggedOutput
+    // prefixed every forked-run line with "[info] " (build.sbt now sets
+    // run/outputStrategy := StdoutOutput so this line reaches stdout
+    // raw). Emit a compact self-contained line LAST — after spark.stop()
+    // so no shutdown log line can land below it — with the top
+    // queries by time trimmed to fit the tail window alongside the
+    // trailing sbt "[success]" line; full detail is in BENCH_FULL*.json
+    // and the same compact line is duplicated to BENCH_LINE.json as a
+    // belt-and-braces file channel.
+    val compactPrefix = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":"""
+    val compactSuffix = s""","sf":"$sfDir"}"""
+    val budget = 1500 - compactPrefix.length - compactSuffix.length - 2 // {}
+    val topEntries = new StringBuilder
+    timings.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      val piece = "\"" + k + "\":" + f3(v)
+      if (topEntries.length + piece.length + 1 <= budget) {
+        if (topEntries.nonEmpty) topEntries.append(',')
+        topEntries.append(piece)
+      }
+    }
+    val compact = compactPrefix + "{" + topEntries + "}" + compactSuffix
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LINE.json"), compact)
+    val baselineLine =
+      if (ratios.nonEmpty) s"""{"metric":"vs_baseline",$ratioJson}""" else ""
+    val headlineLine = {
+      val qs = jsonMap(timings.filter { case (k, _) => headline.contains(k) })
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
     spark.stop()
+    if (baselineLine.nonEmpty) println(baselineLine)
+    println(headlineLine)
+    println(compact)
     if (failed.nonEmpty) sys.exit(1)
   }
 }
