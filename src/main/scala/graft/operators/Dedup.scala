@@ -1547,58 +1547,88 @@ object Dedup {
     * Docs under 3 words have no shingles and sit out (documented
     * contract, mirrored by the oracle).
     *
-    * SCALE: shingle explode ∝ corpus; freq + per-doc rank windows
-    * are (doc)-partitioned (doc-sized, not corpus-sized); the
-    * candidate self-join touches only prefix shingles (≈ (1−t)·|doc|
-    * rarest each); intersection counting is candidate×doc-size
-    * bounded via joining candidates back to the shingle lists, never
-    * all-pairs.
+    * SCALE: shingle explode ∝ corpus; the rarity ranking is ONE
+    * doc-keyed exchange (tokens regrouped into per-doc sorted
+    * arrays); the candidate self-join touches only prefix shingles
+    * (≈ (1−t)·|doc| rarest each) and prunes with the PPJoin length
+    * and positional filters inside the join; intersection counting
+    * is an in-task array_intersect over surviving candidates joined
+    * against the doc-count-sized array frame — never all-pairs, and
+    * no corpus-scale exchange after the regroup.
     */
-  def setSimilarityJoin(documents: DataFrame, num: Long, den: Long)
-      : DataFrame = {
-    require(num > 0 && den >= num, s"need 0 < num/den <= 1, got $num/$den")
+  /** Shared tokenization for d25/d26: one row per qualifying doc with
+    * its DISTINCT 3-gram-shingle set as an array sorted by global
+    * rarity (frequency asc, shingle asc — the PPJoin total order) plus
+    * n = |set|. Everything downstream is array-form: the old
+    * token-level shape paid a corpus-wide distinct() exchange, a
+    * per-doc rank window (another corpus exchange + sort), a separate
+    * sz aggregation, and re-joined BOTH full token frames to count
+    * intersections (two more corpus-token exchanges + a pair groupBy).
+    * Here dedup is in-task (array_distinct), the rarity sort is one
+    * doc-keyed groupBy whose array_sort(struct(f, word)) reproduces
+    * the window's (f, word) order exactly, and verify is
+    * size(array_intersect) over candidate pairs joined against this
+    * doc-count-sized frame — no corpus-scale exchange after the
+    * regroup. freq stays a real join (NOT a collected map): AQE
+    * broadcasts it at runtime when the vocabulary is small (sf0.1:
+    * 27k shingles) and degrades to a shuffle join at scale.
+    */
+  private def rankedShingleDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
-    // the shingle frame feeds FIVE readers (freq, sz, the prefix
-    // window, and both intersection joins) — without the cut the
-    // whole tokenize+explode+distinct subtree re-executed per reader
-    // (r19 plan audit: documents.parquet scanned 10× in one plan);
-    // materializing it once is the same one-tokenization-pass shape
-    // the posting-store build uses
-    val toks = Cut(documents
+    // documents.parquet is one file → repartition before the
+    // CPU-bound tokenize map; Cut so freq and the regroup share one
+    // tokenization pass (doc-count-sized rows, cheap to materialize)
+    val docRaw = Cut(documents
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         expr("filter(split(trim(text), ' '), x -> x <> '')").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 2), " +
-          "i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))")).as("word"))
-      .distinct())
-    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("f"))
-    val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("f"), col("word"))
-    // prefix frame read by BOTH sides of the candidate self-join
-    val pre = Cut(toks.join(freq, "word")
-      .withColumn("rn", row_number().over(w))
-      .join(sz, "doc_id")
-      // prefix length L = n - ceil(t*n) + 1, ceil in exact integers
-      .filter(col("rn") <=
-        col("n") - expr(s"(n * ${num}L + ${den}L - 1) div ${den}L") + 1)
-      .select(col("doc_id"), col("word")))
-    val cand = pre.select(col("doc_id").as("id_a"), col("word"))
-      .join(pre.select(col("doc_id").as("id_b"), col("word")), "word")
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(ws) - 2), " +
+          "i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])))").as("toks")))
+    val freq = docRaw.select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+    docRaw
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        explode(col("toks")).as("word"))
+      .join(freq, "word")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(array_sort(collect_list(struct(col("f"), col("word")))).as("fw"))
+      .select(col("doc_id"), col("n"),
+        expr("transform(fw, x -> x.word)").as("words"))
+  }
+
+  def setSimilarityJoin(documents: DataFrame, num: Long, den: Long)
+      : DataFrame = {
+    require(num > 0 && den >= num, s"need 0 < num/den <= 1, got $num/$den")
+    // prefix length L = n - ceil(t*n) + 1, ceil in exact integers;
+    // docs frame read by both self-join sides and both verify joins
+    val docs = Cut(rankedShingleDocs(documents).withColumn("pre", expr(
+      s"slice(words, 1, cast(n - ((n * ${num}L + ${den}L - 1) div ${den}L) + 1 as int))")))
+    val preA = docs.select(col("doc_id").as("id_a"), col("n").as("na"),
+      posexplode(col("pre")).as(Seq("pa", "word")))
+    val preB = docs.select(col("doc_id").as("id_b"), col("n").as("nb"),
+      posexplode(col("pre")).as(Seq("pb", "word")))
+    // candidates carry the PPJoin filters: the LENGTH filter (J >= t
+    // forces den*min(n) >= num*max(n)) drops pairs in the join itself,
+    // and the POSITIONAL filter bounds best-possible overlap from the
+    // matched prefix positions (0-based pa/pb): inter <= 1 +
+    // min(pa, pb) + min(na-pa-1, nb-pb-1). Both only PRUNE candidates
+    // — every pair with true J >= t provably survives, so the verified
+    // output is unchanged (oracle keeps certifying it).
+    val cand = preA.join(preB, "word")
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val inter = cand
-      .join(toks.select(col("doc_id").as("id_a"), col("word")), Seq("id_a"))
-      .join(toks.select(col("doc_id").as("id_b"), col("word")),
-        Seq("id_b", "word"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(least(col("na"), col("nb")) * den >=
+        greatest(col("na"), col("nb")) * num)
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(min(lit(1L) + least(col("pa"), col("pb")) +
+        least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)).as("ub"))
+      .filter(col("ub") * (den + num) >= (col("na") + col("nb")) * num)
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("words").as("wa")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("words").as("wb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("wa"), col("wb"))).cast("long"))
       .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
         round(col("inter").cast("double") /
@@ -1632,41 +1662,30 @@ object Dedup {
   def containmentJoin(documents: DataFrame, num: Long, den: Long)
       : DataFrame = {
     require(num > 0 && den >= num, s"need 0 < num/den <= 1, got $num/$den")
-    val spark = documents.sparkSession
-    // one tokenization pass — setSimilarityJoin's r19 cut rationale
-    val toks = Cut(documents
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        expr("filter(split(trim(text), ' '), x -> x <> '')").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 2), " +
-          "i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))")).as("word"))
-      .distinct())
-    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("f"))
-    val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("f"), col("word"))
-    val pre = toks.join(freq, "word")
-      .withColumn("rn", row_number().over(w))
-      .join(sz, "doc_id")
-      .filter(col("rn") <=
-        col("n") - expr(s"(n * ${num}L + ${den}L - 1) div ${den}L") + 1)
-      .select(col("doc_id"), col("word"))
-    val cand = pre.select(col("doc_id").as("id_a"), col("word"))
-      .join(toks.select(col("doc_id").as("id_b"), col("word")), "word")
+    val docs = Cut(rankedShingleDocs(documents).withColumn("pre", expr(
+      s"slice(words, 1, cast(n - ((n * ${num}L + ${den}L - 1) div ${den}L) + 1 as int))")))
+    val preA = docs.select(col("doc_id").as("id_a"), col("n").as("na"),
+      posexplode(col("pre")).as(Seq("pa", "word")))
+    // B's prefix can't be bounded, so the B side is the FULL ranked
+    // token set — posexploded from the array frame, no extra exchange
+    // to produce it; its position feeds the positional filter below
+    val tokB = docs.select(col("doc_id").as("id_b"), col("n").as("nb"),
+      posexplode(col("words")).as(Seq("pb", "word")))
+    // length filter: inter <= nb and inter >= ceil(t*na) force
+    // den*nb >= num*na; positional filter as in d25 — both prune
+    // candidates only, verified output unchanged
+    val cand = preA.join(tokB, "word")
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val inter = cand
-      .join(toks.select(col("doc_id").as("id_a"), col("word")), Seq("id_a"))
-      .join(toks.select(col("doc_id").as("id_b"), col("word")),
-        Seq("id_b", "word"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("nb") * den >= col("na") * num)
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(min(lit(1L) + least(col("pa"), col("pb")) +
+        least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)).as("ub"))
+      .filter(col("ub") * den >= col("na") * num)
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("words").as("wa")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("words").as("wb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("wa"), col("wb"))).cast("long"))
       .filter(col("inter") * den >= col("na") * num)
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
         round(col("inter").cast("double") / col("na").cast("double"), 6)
