@@ -80,16 +80,22 @@ object Pipeline {
     val train = docs.filter(h % 50 =!= 0)
 
     val kept = train.filter(TextOps.gopherReason.isNull)
-    val uniq = kept
+    // uniq feeds decontaminate (which reads its corpus twice), the
+    // keep-set semi-join, the per-source rates and the mix filter —
+    // without the cut the regex-heavy gate + normalization window
+    // re-executed per reader (r20 plan audit: 24 parquet scans / 36
+    // regexp_replace nodes in one p02 plan)
+    val uniq = Cut(kept
       .withColumn("rk", row_number().over(
         Window.partitionBy(norm).orderBy(col("doc_id"))))
-      .filter(col("rk") === 1).drop("rk")
+      .filter(col("rk") === 1).drop("rk"))
 
-    // d12: drop docs sharing >= 3 distinct 8-grams with the eval set
-    val clean = uniq.join(
-      Dedup.decontaminate(uniq, evalDocs, 8, 3)
-        .filter(!col("contaminated")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+    // d12: drop docs sharing >= 3 distinct 8-grams with the eval set;
+    // the surviving-id set is doc-id-sized — cut it so the two clean
+    // readers below don't re-run the shingle chain
+    val keepIds = Cut(Dedup.decontaminate(uniq, evalDocs, 8, 3)
+      .filter(!col("contaminated")).select("doc_id"))
+    val clean = uniq.join(keepIds, Seq("doc_id"), "left_semi")
 
     // d14: per-source keep rates toward uniform share, Knuth-hash applied
     val per = clean.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
@@ -126,16 +132,22 @@ object Pipeline {
     val chunks = TextOps.chunkOverlap(documents)
       .select((col("doc_id") * 1048576 + col("chunk_id")).as("uid"),
         col("chunk_text"))
-    val words = chunks.select(col("uid"),
+    // words feeds BOTH the doc-length agg and the tf agg — without the
+    // cut each reader re-runs the chunker + tokenize over the corpus
+    // (r20 plan audit: the chunk_text subtree appeared 12x in one
+    // plan); dl and tf are read twice each and are chunk-count /
+    // query-term sized, so their cuts are cheap and keep the stats,
+    // dfreq and partials readers off the corpus entirely
+    val words = Cut(chunks.select(col("uid"),
       explode(split(col("chunk_text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-    val dl = words.groupBy(col("uid")).agg(count(lit(1)).as("dl"))
+      .filter(col("w") =!= ""))
+    val dl = Cut(words.groupBy(col("uid")).agg(count(lit(1)).as("dl")))
     val stats = dl.agg(count(lit(1)).as("n_chunks"), sum(col("dl")).as("sum_dl"))
     val q = queries.select(col("query_id").cast("long").as("query_id"),
       col("term").as("w"))
     val terms = q.select(col("w")).distinct()
-    val tf = words.join(broadcast(terms), "w")
-      .groupBy(col("uid"), col("w")).agg(count(lit(1)).as("tf"))
+    val tf = Cut(words.join(broadcast(terms), "w")
+      .groupBy(col("uid"), col("w")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_chunks")
     val idf = round(log(lit(1.0) +
@@ -285,16 +297,18 @@ object Pipeline {
         Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
         .select((col("doc_id") * 1048576 + col("chunk_id")).as("uid"),
           col("chunk_text"))
-      val words = chunks.select(col("uid"),
+      // retrievalTopKBatch's cut points: words/dl/tf all have two
+      // readers — one chunker+tokenize pass instead of four
+      val words = Cut(chunks.select(col("uid"),
         explode(split(col("chunk_text"), " ")).as("w"))
-        .filter(col("w") =!= "")
-      val dl = words.groupBy(col("uid")).agg(count(lit(1)).as("dl"))
+        .filter(col("w") =!= ""))
+      val dl = Cut(words.groupBy(col("uid")).agg(count(lit(1)).as("dl")))
       val stats = dl.agg(count(lit(1)).as("n_chunks"), sum(col("dl")).as("sum_dl"))
       val qterms = Tables.documents(s, d).filter(col("doc_id") === 0)
         .select(explode(split(trim(col("text")), " ")).as("w"))
         .filter(col("w") =!= "").distinct()
-      val tf = words.join(broadcast(qterms), "w")
-        .groupBy(col("uid"), col("w")).agg(count(lit(1)).as("tf"))
+      val tf = Cut(words.join(broadcast(qterms), "w")
+        .groupBy(col("uid"), col("w")).agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val avgdl = col("sum_dl").cast("double") / col("n_chunks")
       val idf = round(log(lit(1.0) +
