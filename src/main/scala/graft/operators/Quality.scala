@@ -43,6 +43,13 @@ object Quality {
         fmt(min(col(c))).as(s"_min_$c"),
         fmt(max(col(c))).as(s"_max_$c"))
     }
+    // scan-parallelism is the CALLER's dial: dq01 spreads its
+    // single-row-group full-table input before calling (the
+    // multi-distinct Expand otherwise runs in ONE task), while dq03's
+    // small filtered cohorts measured FASTER without the extra
+    // exchange (r20 A/B: 2.56 -> 3.5s with an unconditional
+    // repartition here) — an unconditional spread in the operator
+    // penalizes exactly the cohort-profile callers.
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { case (c, _) =>
       struct(lit(c).as("col_name"), col("_nr").as("n_rows"),
@@ -124,7 +131,13 @@ object Quality {
         s(d(x) * d(x), s"sxx_${x}_$y"), s(d(y) * d(y), s"syy_${x}_$y"),
         s(d(x) * d(y), s"sxy_${x}_$y"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // profile()'s scan-parallelism note applies with more force here:
+    // the k(k+1)/2 decimal products + sums are the whole cost (cor01
+    // at sf0.1: 5.5s of cpu in ONE task off a single-row-group file).
+    // Decimal sums are exact, so spreading the partials is value-safe.
+    val spread = df.select(cols.map(col): _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val one = spread.agg(aggs.head, aggs.tail: _*)
     val rows = pairs.map { case (x, y) =>
       struct(lit(x).as("col_x"), lit(y).as("col_y"),
         col(s"n_${x}_$y").as("n"),
@@ -384,7 +397,14 @@ object Quality {
   val entries: Seq[(String, QFn, Option[String])] = Seq(
     // ---- one-pass column profile of orders ----
     ("dq01_profile", (s: SparkSession, d: String) => {
-      profile(Tables.orders(s, d), Seq(
+      // orders.parquet is one row group -> one scan task; project the
+      // profiled columns and spread so the multi-distinct Expand
+      // partial-aggregates across cores (guide §2.5 input skew; every
+      // profile metric partial-aggregates, so values are unchanged)
+      profile(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        .repartition(s.sparkContext.defaultParallelism), Seq(
         "o_orderkey" -> fmtLong, "o_custkey" -> fmtLong,
         "o_orderstatus" -> fmtStr, "o_totalprice" -> fmtMoney,
         "o_orderdate" -> fmtTs, "o_orderpriority" -> fmtStr))
