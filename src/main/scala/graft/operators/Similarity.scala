@@ -278,9 +278,13 @@ object Similarity {
     // KMeans' centroid updates sum floats per partition, so a
     // different defaultParallelism or shuffle fetch order would
     // perturb centers and flake the fixed-seed recall contract
+    // cache: the fit's ~20 iteration jobs and the transform below all
+    // re-read fv — without it each re-runs the repartition+sort+vector
+    // conversion (MLlib itself warns when the fit input is uncached)
     val fv = embeddings.repartition(8, col("vec_id"))
       .sortWithinPartitions("vec_id")
       .withColumn("fv", array_to_vector(col("embedding")))
+      .cache()
     val model = new KMeans().setK(k).setSeed(7L).setMaxIter(20)
       .setFeaturesCol("fv").fit(fv)
     val qd = embeddings.filter(col("vec_id") === queryId)
@@ -303,6 +307,7 @@ object Similarity {
     val recall = ivfTop.select("vec_id")
       .intersect(cosineTopK(embeddings, queryId, topK).select("vec_id"))
       .count().toDouble / topK
+    fv.unpersist()
     spark.range(1).select(
       lit(k).cast("bigint").as("k"),
       lit(nprobe).cast("bigint").as("nprobe"),
@@ -965,6 +970,10 @@ object Similarity {
     queryIds.map { qid =>
       val q = qvecs(qid)
       val probes = probeCells(cents, q, nprobe)
+      // (r20 A/B: broadcast() hints on these shortlist-sized sides
+      // benched 6.8 -> 10.6s — each hint forces a synchronous
+      // broadcast-build job per TakeOrdered subplan, worse than the
+      // AQE shuffle stages they replace. Left unhinted.)
       val short = ivfPqSearchPlan(embeddings, cents, rcb, q, qid,
         nprobe, shortlist, m, k).select("vec_id")
       val d2cell = embeddings.filter(col("label").isin(probes: _*))
@@ -2415,14 +2424,30 @@ object Similarity {
     ("s18_opq_recall", (s: SparkSession, d: String) => {
       val corpus = opqGateCorpus(s).cache()
       val rot = opqParametricRotation(corpus, 8)
-      val rotated = rotateEmbeddings(corpus, rot)
+      // rotated is re-read by the centroid, codebook, query-vector and
+      // count jobs of its foundSum — cache so the MatVec rotation runs
+      // once (KB-sized, unpersisted with its parent below)
+      val rotated = rotateEmbeddings(corpus, rot).cache()
       // batched gate: per corpus, ONE centroid job + ONE codebook
       // collect + ONE query-vector collect + ONE union-count — vs the
       // per-query ivfPqRerankRecall's ~9 actions × 4 queries × 2
       // corpora (bit-identical n_found sum; PqStoredSpec asserts)
       def sumFound(c: DataFrame): Long =
         ivfPqRerankFoundSum(c, Seq(100L, 101L, 102L, 103L), 2, 30, 10, 8, 16)
-      val (fPlain, fOpq) = (sumFound(corpus), sumFound(rotated))
+      // the plain and rotated gate measurements are INDEPENDENT job
+      // chains over KB-sized cached frames — overlap them (guide-
+      // sanctioned driver-thread concurrency) so one's scheduling
+      // latency backfills the other's; counts are unaffected by
+      // interleaving
+      val (fPlain, fOpq) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val a = Future(sumFound(corpus))
+        val b = Future(sumFound(rotated))
+        (Await.result(a, Duration.Inf), Await.result(b, Duration.Inf))
+      }
+      rotated.unpersist()
       corpus.unpersist()
       // Gate CONTRACT columns only: the raw found counts depend on
       // distributed float reduction order and shortlist near-ties, so
